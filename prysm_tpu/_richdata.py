@@ -1,0 +1,287 @@
+"""RichData container and Slices azimuthal-statistics views.
+
+Rebuild of ``prysm/_richdata.py``.  RichData is a host-side convenience
+wrapper over a device array — it never appears inside jitted hot loops
+(those operate on raw arrays); it exists for the analysis/plotting surface
+of the library.  Interpolation uses the package's own bilinear lookup so no
+scipy round-trip (or host transfer) is required.
+"""
+import copy
+from numbers import Number  # NOQA
+from collections.abc import Iterable
+
+import jax.numpy as jnp
+
+from .coordinates import (
+    make_xy_grid,
+    cart_to_polar,
+    polar_to_cart,
+    optimize_xy_separable,
+    uniform_cart_to_polar,
+    _bilinear_lookup,
+)
+
+
+def fix_interp_pair(x, y):
+    """Ensure x, y have the same shape; scalars broadcast against iterables."""
+    if y is None:
+        y = 0
+    if x is None:
+        x = 0
+    if isinstance(x, Iterable) and not isinstance(y, Iterable):
+        y = [y] * len(x)
+    elif isinstance(y, Iterable) and not isinstance(x, Iterable):
+        x = [x] * len(y)
+    return x, y
+
+
+class RichData:
+    """2D data + sample spacing + wavelength with lazy coordinate grids."""
+
+    _default_twosided = True
+
+    def __init__(self, data, dx, wavelength):
+        """data: 2D array; dx: sample spacing; wavelength: um (or None)."""
+        self.data = data
+        self.dx = dx
+        self.wavelength = wavelength
+        self._x = self._y = self._r = self._t = None
+
+    @property
+    def data(self):
+        """The underlying array."""
+        return self._data
+
+    @data.setter
+    def data(self, d):
+        self._data = jnp.asarray(d) if d is not None else None
+        self._x = self._y = self._r = self._t = None
+
+    @property
+    def shape(self):
+        """Proxy to data shape."""
+        return self.data.shape
+
+    @property
+    def size(self):
+        """Proxy to data size."""
+        return self.data.size
+
+    @property
+    def x(self):
+        """X coordinate grid, lazily built."""
+        if self._x is None:
+            self._x, self._y = make_xy_grid(self.shape, dx=self.dx)
+        return self._x
+
+    @property
+    def y(self):
+        """Y coordinate grid, lazily built."""
+        if self._y is None:
+            self._x, self._y = make_xy_grid(self.shape, dx=self.dx)
+        return self._y
+
+    @property
+    def r(self):
+        """Radial coordinate grid, lazily built."""
+        if self._r is None:
+            self._r, self._t = cart_to_polar(self.x, self.y)
+        return self._r
+
+    @property
+    def t(self):
+        """Azimuthal coordinate grid, lazily built."""
+        if self._t is None:
+            self._r, self._t = cart_to_polar(self.x, self.y)
+        return self._t
+
+    @property
+    def support_x(self):
+        """Width of the domain along x."""
+        return self.shape[1] * self.dx
+
+    @property
+    def support_y(self):
+        """Width of the domain along y."""
+        return self.shape[0] * self.dx
+
+    @property
+    def support(self):
+        """Maximum width of the domain."""
+        return max((self.support_x, self.support_y))
+
+    def copy(self):
+        """Return a (deep) copy of this instance."""
+        return copy.deepcopy(self)
+
+    def slices(self, twosided=None):
+        """Create a Slices instance from this instance."""
+        if twosided is None:
+            twosided = self._default_twosided
+        x, y = self.x, self.y
+        return Slices(data=self.data, x=x[0], y=y[..., 0], twosided=twosided)
+
+    def _lookup(self, x, y):
+        xg, yg = optimize_xy_separable(self.x, self.y)
+        xv = xg.ravel()
+        yv = yg.ravel()
+        cols = (jnp.asarray(x) - xv[0]) / self.dx
+        rows = (jnp.asarray(y) - yv[0]) / self.dx
+        return _bilinear_lookup(self.data, rows, cols)
+
+    def exact_polar(self, rho, phi=None):
+        """Data at the specified (rho, phi) coordinate pairs (bilinear)."""
+        rho, phi = fix_interp_pair(rho, phi)
+        x, y = polar_to_cart(jnp.asarray(rho), jnp.asarray(phi))
+        return self._lookup(x, y)
+
+    def exact_xy(self, x, y=None):
+        """Data at the specified (x, y) coordinate pairs (bilinear)."""
+        x, y = fix_interp_pair(x, y)
+        return self._lookup(jnp.asarray(x), jnp.asarray(y))
+
+    def exact_x(self, x):
+        """Data along the y=0 slice at exact x coordinates."""
+        return self.exact_xy(x, 0)
+
+    def exact_y(self, y):
+        """Data along the x=0 slice at exact y coordinates."""
+        return self.exact_xy(0, y)
+
+    def astype(self, dtype):
+        """Return a copy of self with data cast to dtype."""
+        out = self.copy()
+        out.data = self.data.astype(dtype)
+        return out
+
+    def plot2d(self, xlim=None, ylim=None, clim=None, cmap=None,
+               log=False, power=1, interpolation=None,
+               show_colorbar=True, colorbar_label=None, axis_labels=(None, None),
+               fig=None, ax=None):
+        """Plot the data as an image with spatial extent."""
+        import numpy as np
+        from matplotlib import colors
+        from .plotting import share_fig_ax
+        fig, ax = share_fig_ax(fig, ax)
+        data = np.asarray(self.data)
+        if log:
+            norm = colors.LogNorm()
+        elif power != 1:
+            norm = colors.PowerNorm(power)
+        else:
+            norm = None
+        extx = self.support_x / 2
+        exty = self.support_y / 2
+        im = ax.imshow(data, extent=[-extx, extx, -exty, exty], cmap=cmap,
+                       norm=norm, clim=clim, origin='lower',
+                       interpolation=interpolation)
+        if show_colorbar:
+            fig.colorbar(im, ax=ax, label=colorbar_label, fraction=0.046)
+        ax.set(xlabel=axis_labels[0], ylabel=axis_labels[1], xlim=xlim, ylim=ylim)
+        return fig, ax
+
+
+class Slices:
+    """x/y cuts and azimuthal statistics of a 2D array."""
+
+    def __init__(self, data, x, y, twosided=True):
+        """data 2D; x, y 1D coordinate vectors; twosided controls extents."""
+        self._source = data
+        self._source_polar = None
+        self._r = None
+        self._p = None
+        self._x = x
+        self._y = y
+        self.center_y = int(jnp.argmin(jnp.abs(y)))
+        self.center_x = int(jnp.argmin(jnp.abs(x)))
+        self.twosided = twosided
+
+    def check_polar_calculated(self):
+        """Ensure the polar representation of the source data is computed."""
+        if self._source_polar is None:
+            rho, phi, polar = uniform_cart_to_polar(self._x, self._y, self._source)
+            self._r, self._p = rho, phi
+            self._source_polar = polar
+
+    @property
+    def x(self):
+        """(x coords, data) along the y=0 slice."""
+        if self.twosided:
+            return self._x, self._source[self.center_y, :]
+        return (self._x[self.center_x:],
+                self._source[self.center_y, self.center_x:])
+
+    @property
+    def y(self):
+        """(y coords, data) along the x=0 slice."""
+        if self.twosided:
+            return self._y, self._source[:, self.center_x]
+        return (self._y[self.center_y:],
+                self._source[self.center_y:, self.center_x])
+
+    @property
+    def azavg(self):
+        """(rho, azimuthal average)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanmean(self._source_polar, axis=0)
+
+    @property
+    def azmedian(self):
+        """(rho, azimuthal median)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanmedian(self._source_polar, axis=0)
+
+    @property
+    def azmin(self):
+        """(rho, azimuthal minimum)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanmin(self._source_polar, axis=0)
+
+    @property
+    def azmax(self):
+        """(rho, azimuthal maximum)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanmax(self._source_polar, axis=0)
+
+    @property
+    def azpv(self):
+        """(rho, azimuthal peak-to-valley)."""
+        r, mx = self.azmax
+        _, mn = self.azmin
+        return r, mx - mn
+
+    @property
+    def azvar(self):
+        """(rho, azimuthal variance)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanvar(self._source_polar, axis=0)
+
+    @property
+    def azstd(self):
+        """(rho, azimuthal standard deviation)."""
+        self.check_polar_calculated()
+        return self._r, jnp.nanstd(self._source_polar, axis=0)
+
+    def plot(self, slices, lw=None, alpha=None, zorder=None, invert_x=False,
+             xlim=(None, None), xscale='linear',
+             ylim=(None, None), yscale='log',
+             show_legend=True, axis_labels=(None, None),
+             fig=None, ax=None):
+        """Plot named slices ('x', 'y', 'azavg', ...) on shared axes."""
+        import numpy as np
+        from .plotting import share_fig_ax
+        fig, ax = share_fig_ax(fig, ax)
+        if isinstance(slices, str):
+            slices = [slices]
+        for slice_ in slices:
+            u, v = getattr(self, slice_)
+            u = np.asarray(u)
+            v = np.asarray(v)
+            if invert_x:
+                u = 1 / u
+            ax.plot(u, v, lw=lw, alpha=alpha, zorder=zorder, label=slice_)
+        if show_legend:
+            ax.legend(title='Slice')
+        ax.set(xscale=xscale, xlim=xlim, yscale=yscale, ylim=ylim,
+               xlabel=axis_labels[0], ylabel=axis_labels[1])
+        return fig, ax

@@ -1,0 +1,65 @@
+"""Precision configuration.
+
+The reference library (prysm/conf.py:28-96) keeps a mutable global singleton
+whose one functional knob is the working real dtype.  In a JAX framework a
+mutable global that changes dtypes between traces would poison compilation
+caches, so here the configuration is a tiny host-side object consumed only at
+*trace time* (array construction); everything inside ``jit`` sees static
+dtypes.
+
+The default follows JAX's x64 state: float64 when ``jax_enable_x64`` is on
+(CPU oracle tests vs the reference), float32 otherwise (TPU execution).
+"""
+import jax
+import jax.numpy as jnp
+
+__all__ = ['config', 'Config']
+
+_COMPLEX_FOR_REAL = {
+    jnp.dtype(jnp.float16): jnp.complex64,
+    jnp.dtype(jnp.bfloat16): jnp.complex64,
+    jnp.dtype(jnp.float32): jnp.complex64,
+    jnp.dtype(jnp.float64): jnp.complex128,
+}
+
+
+class Config:
+    """Global configuration of precision.
+
+    Mirrors the API of the reference Config (prysm/conf.py:28-96): reading
+    ``config.precision`` / ``config.precision_complex`` yields the working
+    real/complex dtypes.  Unlike the reference there is no eager global dtype
+    mutation: if never set, precision tracks the JAX x64 flag so the same code
+    is float64 under oracle tests and float32 on TPU.
+    """
+
+    def __init__(self, precision=None):
+        self._explicit = None
+        if precision is not None:
+            self.precision = precision
+
+    @property
+    def precision(self):
+        """Real-valued working dtype."""
+        if self._explicit is not None:
+            return self._explicit
+        return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
+
+    @precision.setter
+    def precision(self, prec):
+        if prec is None:
+            self._explicit = None
+            return
+        if prec in (32, '32', 'f32', 'float32'):
+            prec = jnp.float32
+        elif prec in (64, '64', 'f64', 'float64'):
+            prec = jnp.float64
+        self._explicit = jnp.dtype(prec)
+
+    @property
+    def precision_complex(self):
+        """Complex-valued working dtype, paired with precision."""
+        return jnp.dtype(_COMPLEX_FOR_REAL[self.precision])
+
+
+config = Config()

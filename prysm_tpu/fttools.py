@@ -1,0 +1,553 @@
+"""Fourier transform tooling: grids, padding, and transform executors.
+
+TPU-native rebuild of the reference ``prysm/fttools.py``:
+
+* ``fftrange``/``pad2d``/``crop_center`` keep the reference's FFT-alignment
+  conventions exactly (asymmetric split: the *left/top* side receives the
+  extra sample; see prysm/fttools.py:43-125) — these conventions are where
+  allclose dies first, so they are reproduced bit-for-bit.
+* The matrix-DFT / chirp-Z / FFT-DFT executors (prysm/fttools.py:155-535) are
+  re-designed as **pytree plans**: all basis matrices and phase vectors are
+  precomputed host-side at plan-build time and carried as arrays, while shape
+  and cost-ordering decisions are static metadata.  Plans are therefore valid
+  ``jit`` arguments and close cleanly over compiled functions; applying a plan
+  is pure and differentiable with ``jax.grad`` (the transpose of a complex
+  matmul under JAX autodiff is exactly the reference's hand-written conjugate
+  transpose adjoint, validated by vdot tests).
+* Everything supports arbitrary leading batch dimensions ``(..., Ny, Nx)`` so
+  wavelength/field batches can be ``vmap``-ed and sharded over a mesh.
+"""
+import math
+import dataclasses
+
+import numpy as np  # host-side plan construction only
+import jax
+import jax.numpy as jnp
+
+from .conf import config
+
+
+def fftrange(n, dtype=None):
+    """FFT-aligned coordinate grid for n samples: [-(n//2), ..., n - n//2)."""
+    if dtype is None:
+        dtype = config.precision
+    return jnp.arange(-(n // 2), -(n // 2) + n, dtype=dtype)
+
+
+def _host_fftrange(n, dtype=np.float64):
+    """Host-side (numpy) twin of fftrange for plan construction."""
+    return np.arange(-(n // 2), -(n // 2) + n, dtype=dtype)
+
+
+def _next_power_of_2(n):
+    return 1 << math.ceil(math.log2(n))
+
+
+def next_fast_len(n):
+    """The next 5-smooth FFT size >= n (XLA has efficient radix-2/3/5 FFTs)."""
+    if n <= 2:
+        return n
+    best = _next_power_of_2(n)
+    # search 5-smooth numbers (2^a 3^b 5^c) in [n, 2^ceil(log2 n)]
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            # pure powers of 2 scaled up to >= n
+            k = p35
+            while k < n:
+                k *= 2
+            if k < best:
+                best = k
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def fftfreq(n, d=1.0, dtype=None):
+    """FFT sample frequency vector."""
+    if dtype is None:
+        dtype = config.precision
+    return jnp.fft.fftfreq(n, d).astype(dtype)
+
+
+def forward_ft_unit(dx, samples, shift=True):
+    """Frequency units of an FFT of `samples` points with spacing `dx`."""
+    unit = fftfreq(samples, dx)
+    if shift:
+        return jnp.fft.fftshift(unit)
+    return unit
+
+
+def _pad_split(delta):
+    """(left, right) padding amounts for a total padding of delta samples.
+
+    Matches the reference convention (prysm/fttools.py:80-94): the left/top
+    side receives the extra sample when delta is odd.
+    """
+    left = math.ceil(delta / 2)
+    return left, delta - left
+
+
+def pad2d(array, Q=2, value=0, mode='constant', out_shape=None):
+    """Symmetrically pad a 2D (or batched ND) array, FFT-aligned.
+
+    Operates on the trailing two axes; leading axes are batch. Q and
+    out_shape are static Python values, so the output shape is static under
+    jit.
+    """
+    if Q == 1 and out_shape is None:
+        return array
+    in_shape = array.shape[-2:]
+    if out_shape is None:
+        out_shape = tuple(math.ceil(s * Q) for s in in_shape)
+    elif isinstance(out_shape, int):
+        out_shape = (out_shape, out_shape)
+    else:
+        out_shape = tuple(out_shape)
+
+    pads = [(0, 0)] * (array.ndim - 2)
+    for i, (o, s) in enumerate(zip(out_shape, in_shape)):
+        pads.append(_pad_split(o - s))
+    if mode == 'constant':
+        return jnp.pad(array, pads, mode='constant', constant_values=value)
+    return jnp.pad(array, pads, mode=mode)
+
+
+def crop_center(img, out_shape):
+    """Crop the central out_shape of an image, FFT-aligned (adjoint of pad2d).
+
+    Operates on the trailing two axes; leading axes are batch.
+    """
+    if isinstance(out_shape, int):
+        out_shape = (out_shape, out_shape)
+    in_shape = img.shape[-2:]
+    slcs = [slice(None)] * (img.ndim - 2)
+    for i, (o, s) in enumerate(zip(out_shape, in_shape)):
+        left, _ = _pad_split(s - o)
+        slcs.append(slice(left, left + o))
+    return img[tuple(slcs)]
+
+
+# ----------------------------------------------------------------------------
+# Matrix DFT plan
+# ----------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MDFT:
+    """Matrix DFT plan: out = norm * Ey @ ary @ Ex.T.
+
+    Computes ``out[i, j] = norm * sum_{k, l} ary[k, l]
+    * exp(sign*2j*pi*(y[k]*fy[i] + x[l]*fx[j]))`` as two dense matmuls, which
+    map directly onto the TPU MXU.  Basis matrices are built host-side once
+    (``plan_mdft``); the plan is a pytree and can be a jit argument or a
+    closure constant.
+
+    Reference semantics: prysm/fttools.py:155-232.
+    """
+
+    Ex: jax.Array  # (Mx, Nx) complex
+    Ey: jax.Array  # (My, Ny) complex
+    norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    forward_left_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    adjoint_left_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # plan metadata for callers that label outputs (e.g. Wavefront)
+    pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+    focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def __call__(self, ary):
+        """Apply the forward DFT to ary (..., Ny, Nx) -> (..., My, Mx)."""
+        ary = ary.astype(self.Ex.dtype)
+        if self.forward_left_first:
+            out = jnp.matmul(self.Ey, ary)
+            out = jnp.matmul(out, self.Ex.T)
+        else:
+            out = jnp.matmul(ary, self.Ex.T)
+            out = jnp.matmul(self.Ey, out)
+        return out * self.norm
+
+    def adjoint(self, grad):
+        """Apply the adjoint (conjugate transpose) of the forward DFT."""
+        grad = grad.astype(self.Ex.dtype)
+        EyH = self.Ey.conj().T
+        ExC = self.Ex.conj()
+        if self.adjoint_left_first:
+            out = jnp.matmul(EyH, grad)
+            out = jnp.matmul(out, ExC)
+        else:
+            out = jnp.matmul(grad, ExC)
+            out = jnp.matmul(EyH, out)
+        return out * self.norm
+
+    def nbytes(self):
+        """Total size in memory of the basis matrices, bytes."""
+        return self.Ex.nbytes + self.Ey.nbytes
+
+
+def plan_mdft(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
+              pupil_dx=None, focal_dx=None):
+    """Construct an MDFT plan from input coordinates and output frequencies.
+
+    Parameters mirror the reference constructor (prysm/fttools.py:187-199).
+    x, y, fx, fy may be numpy or jax arrays; basis construction happens
+    host-side in float64 for phase accuracy, then casts to the working
+    complex dtype.
+    """
+    if dtype is None:
+        dtype = config.precision_complex
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fx = np.asarray(fx, dtype=np.float64)
+    fy = np.asarray(fy, dtype=np.float64)
+    prefix = sign * 2j * np.pi
+    Ex = np.exp(prefix * np.outer(fx, x))
+    Ey = np.exp(prefix * np.outer(fy, y))
+    Nx, Ny, Mx, My = len(x), len(y), len(fx), len(fy)
+    fwd_left = My * Nx * (Ny + Mx) <= Ny * Mx * (Nx + My)
+    adj_left = Ny * Mx * (My + Nx) <= My * Nx * (Mx + Ny)
+    return MDFT(
+        Ex=jnp.asarray(Ex, dtype=dtype),
+        Ey=jnp.asarray(Ey, dtype=dtype),
+        norm=float(norm),
+        forward_left_first=fwd_left,
+        adjoint_left_first=adj_left,
+        pupil_dx=pupil_dx,
+        focal_dx=focal_dx,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Chirp-Z transform plan (Bluestein factorization)
+# ----------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CZT:
+    """Chirp-Z transform plan with the same semantics as the MDFT plan.
+
+    O(N log N) per axis via the Bluestein factorization; requires uniformly
+    spaced coordinates/frequencies.  Reference semantics:
+    prysm/fttools.py:235-369.
+    """
+
+    brow: jax.Array   # (Ny, 1)
+    bcol: jax.Array   # (Nx,)
+    Hrow: jax.Array   # (Ky, 1)
+    Hcol: jax.Array   # (Kx,)
+    arow: jax.Array   # (My, 1)
+    acol: jax.Array   # (Mx,)
+    x_phase: jax.Array  # (Mx,)
+    y_phase: jax.Array  # (My, 1)
+    norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    Nx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Ny: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Mx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    My: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Kx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Ky: int = dataclasses.field(metadata=dict(static=True), default=0)
+    x_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+    focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def _conv_x(self, out):
+        sx = self.Nx - 1
+        out = jnp.fft.fft(out, self.Kx, axis=-1)
+        out = out * self.Hcol
+        out = jnp.fft.ifft(out, axis=-1)
+        out = out[..., sx:sx + self.Mx] * self.acol
+        return out * self.x_phase
+
+    def _conv_y(self, out):
+        sy = self.Ny - 1
+        out = jnp.fft.fft(out, self.Ky, axis=-2)
+        out = out * self.Hrow
+        out = jnp.fft.ifft(out, axis=-2)
+        out = out[..., sy:sy + self.My, :] * self.arow
+        return out * self.y_phase
+
+    def __call__(self, ary):
+        """Apply the CZT to ary (..., Ny, Nx) -> (..., My, Mx)."""
+        out = ary.astype(self.bcol.dtype) * self.bcol * self.brow
+        if self.x_first:
+            out = self._conv_x(out)
+            out = self._conv_y(out)
+        else:
+            out = self._conv_y(out)
+            out = self._conv_x(out)
+        return out * self.norm
+
+    def _adj_x(self, out):
+        sx = self.Nx - 1
+        pads = [(0, 0)] * (out.ndim - 1) + [(sx, self.Kx - sx - self.Mx)]
+        tmp = jnp.pad(out, pads)
+        tmp = jnp.fft.fft(tmp, axis=-1)
+        tmp = tmp * self.Hcol.conj()
+        tmp = jnp.fft.ifft(tmp, axis=-1)
+        return tmp[..., :self.Nx]
+
+    def _adj_y(self, out):
+        sy = self.Ny - 1
+        pads = [(0, 0)] * (out.ndim - 2) + [(sy, self.Ky - sy - self.My), (0, 0)]
+        tmp = jnp.pad(out, pads)
+        tmp = jnp.fft.fft(tmp, axis=-2)
+        tmp = tmp * self.Hrow.conj()
+        tmp = jnp.fft.ifft(tmp, axis=-2)
+        return tmp[..., :self.Ny, :]
+
+    def adjoint(self, grad):
+        """Apply the adjoint (conjugate transpose) of the forward CZT."""
+        out = (grad.astype(self.bcol.dtype)
+               * self.x_phase.conj() * self.y_phase.conj()
+               * self.acol.conj() * self.arow.conj())
+        if self.x_first:
+            out = self._adj_y(out)
+            out = self._adj_x(out)
+        else:
+            out = self._adj_x(out)
+            out = self._adj_y(out)
+        out = out * self.bcol.conj() * self.brow.conj()
+        return out * self.norm
+
+    def nbytes(self):
+        """Total size in memory of the cached components, bytes."""
+        return sum(a.nbytes for a in (self.brow, self.bcol, self.Hrow,
+                                      self.Hcol, self.arow, self.acol,
+                                      self.x_phase, self.y_phase))
+
+
+def _host_czt_basis(N, M, K, shift, alpha, sign):
+    n = _host_fftrange(N)
+    m = _host_fftrange(M)
+    q = m + shift
+    prefix = sign * 1j * np.pi * alpha
+    a = np.exp(prefix * q * q)
+    b = np.exp(prefix * n * n)
+    d_min = m[0] - n[-1]
+    d_max = m[-1] - n[0]
+    d = np.arange(d_min, d_max + 1, dtype=np.float64)
+    h = np.zeros(K, dtype=np.complex128)
+    h[:len(d)] = np.exp(-prefix * (d + shift) * (d + shift))
+    H = np.fft.fft(h)
+    return H, b, a
+
+
+def plan_czt(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
+             pupil_dx=None, focal_dx=None):
+    """Construct a CZT plan; arguments as plan_mdft, grids must be uniform."""
+    if sign not in (-1, 1):
+        raise ValueError(f'sign must be -1 or +1, got {sign}')
+    if dtype is None:
+        dtype = config.precision_complex
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fx = np.asarray(fx, dtype=np.float64)
+    fy = np.asarray(fy, dtype=np.float64)
+    Nx, Mx = len(x), len(fx)
+    Ny, My = len(y), len(fy)
+    dx = float(x[1] - x[0])
+    dfx = float(fx[1] - fx[0])
+    dy = float(y[1] - y[0])
+    dfy = float(fy[1] - fy[0])
+    alpha_x = dx * dfx
+    alpha_y = dy * dfy
+    shift_x = float(fx[Mx // 2]) / dfx
+    shift_y = float(fy[My // 2]) / dfy
+    Kx = next_fast_len(Nx + Mx - 1)
+    Ky = next_fast_len(Ny + My - 1)
+    Hx, bx, ax = _host_czt_basis(Nx, Mx, Kx, shift_x, alpha_x, sign)
+    Hy, by, ay = _host_czt_basis(Ny, My, Ky, shift_y, alpha_y, sign)
+    prefix = sign * 2j * np.pi
+    x_phase = np.exp(prefix * float(x[Nx // 2]) * fx)
+    y_phase = np.exp(prefix * float(y[Ny // 2]) * fy)
+    x_first_cost = Ny * Kx * math.log2(Kx) + Mx * Ky * math.log2(Ky)
+    y_first_cost = Nx * Ky * math.log2(Ky) + My * Kx * math.log2(Kx)
+    asj = lambda a: jnp.asarray(a, dtype=dtype)  # NOQA
+    return CZT(
+        brow=asj(by[:, None]), bcol=asj(bx),
+        Hrow=asj(Hy[:, None]), Hcol=asj(Hx),
+        arow=asj(ay[:, None]), acol=asj(ax),
+        x_phase=asj(x_phase), y_phase=asj(y_phase[:, None]),
+        norm=float(norm),
+        Nx=Nx, Ny=Ny, Mx=Mx, My=My, Kx=Kx, Ky=Ky,
+        x_first=x_first_cost <= y_first_cost,
+        pupil_dx=pupil_dx, focal_dx=focal_dx,
+    )
+
+
+# ----------------------------------------------------------------------------
+# FFT-compatible DFT plan (single FFT per axis)
+# ----------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FFTDFT:
+    """DFT plan accelerated by a single FFT per axis on compatible grids.
+
+    Requires |dx*dfx| == 1/K for integer K >= max(N, M) on each axis.
+    Reference semantics: prysm/fttools.py:392-481.
+    """
+
+    pre_x: jax.Array   # (Nx,)
+    pre_y: jax.Array   # (Ny, 1)
+    post_x: jax.Array  # (Mx,)
+    post_y: jax.Array  # (My, 1)
+    norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    Nx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Ny: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Mx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    My: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Kx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Ky: int = dataclasses.field(metadata=dict(static=True), default=0)
+    x_direction: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    y_direction: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    x_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+    focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    @staticmethod
+    def _fft_fwd(ary, K, axis, direction):
+        if direction == -1:
+            return jnp.fft.fft(ary, K, axis=axis)
+        return jnp.fft.ifft(ary, K, axis=axis) * K
+
+    @staticmethod
+    def _fft_adj(ary, K, N, axis, direction):
+        pads = [(0, 0)] * ary.ndim
+        pads[axis] = (0, K - ary.shape[axis])
+        tmp = jnp.pad(ary, pads)
+        if direction == -1:
+            out = jnp.fft.ifft(tmp, axis=axis) * K
+        else:
+            out = jnp.fft.fft(tmp, axis=axis)
+        slc = [slice(None)] * ary.ndim
+        slc[axis] = slice(0, N)
+        return out[tuple(slc)]
+
+    def __call__(self, ary):
+        """Apply the FFT-factored DFT to ary (..., Ny, Nx) -> (..., My, Mx)."""
+        out = ary.astype(self.pre_x.dtype) * self.pre_x * self.pre_y
+        if self.x_first:
+            out = self._fft_fwd(out, self.Kx, -1, self.x_direction)[..., :self.Mx]
+            out = self._fft_fwd(out, self.Ky, -2, self.y_direction)[..., :self.My, :]
+        else:
+            out = self._fft_fwd(out, self.Ky, -2, self.y_direction)[..., :self.My, :]
+            out = self._fft_fwd(out, self.Kx, -1, self.x_direction)[..., :self.Mx]
+        return out * self.post_x * self.post_y * self.norm
+
+    def adjoint(self, grad):
+        """Apply the adjoint (conjugate transpose) of the FFT DFT."""
+        out = grad.astype(self.pre_x.dtype) * self.post_x.conj() * self.post_y.conj()
+        if self.x_first:
+            out = self._fft_adj(out, self.Ky, self.Ny, -2, self.y_direction)
+            out = self._fft_adj(out, self.Kx, self.Nx, -1, self.x_direction)
+        else:
+            out = self._fft_adj(out, self.Kx, self.Nx, -1, self.x_direction)
+            out = self._fft_adj(out, self.Ky, self.Ny, -2, self.y_direction)
+        return out * self.pre_x.conj() * self.pre_y.conj() * self.norm
+
+    def nbytes(self):
+        """Total size in memory of the cached phase vectors, bytes."""
+        return sum(a.nbytes for a in (self.pre_x, self.pre_y,
+                                      self.post_x, self.post_y))
+
+
+def _uniform_spacing(values, name):
+    if len(values) < 2:
+        raise ValueError(f'{name} must contain at least two samples')
+    spacing = float(values[1] - values[0])
+    if spacing == 0:
+        raise ValueError(f'{name} must have nonzero spacing')
+    tol = 32 * np.finfo(np.float64).eps
+    scale = max(1.0, abs(float(values[0])), abs(float(values[-1])), abs(spacing))
+    if not np.allclose(np.diff(values), spacing, rtol=tol, atol=tol * scale):
+        raise ValueError(f'{name} must be uniformly spaced')
+    return spacing
+
+
+def _fft_compatible_length(alpha, N, M, name):
+    inv_alpha = 1 / abs(alpha)
+    K = round(inv_alpha)
+    tol = 32 * np.finfo(np.float64).eps
+    if not math.isclose(inv_alpha, K, rel_tol=tol, abs_tol=tol):
+        raise ValueError(
+            f'{name} spacings are not FFT-compatible: '
+            'abs(input spacing * output spacing) must be 1/integer')
+    if K < max(N, M):
+        raise ValueError(
+            f'{name} requires FFT length {K}, smaller than input/output '
+            f'length {max(N, M)}')
+    return K
+
+
+def plan_fftdft(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
+                pupil_dx=None, focal_dx=None):
+    """Construct an FFTDFT plan; arguments as plan_mdft, FFT-compatible grids."""
+    if sign not in (-1, 1):
+        raise ValueError(f'sign must be -1 or +1, got {sign}')
+    if dtype is None:
+        dtype = config.precision_complex
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fx = np.asarray(fx, dtype=np.float64)
+    fy = np.asarray(fy, dtype=np.float64)
+    Nx, Ny = len(x), len(y)
+    Mx, My = len(fx), len(fy)
+    dx = _uniform_spacing(x, 'x')
+    dy = _uniform_spacing(y, 'y')
+    dfx = _uniform_spacing(fx, 'fx')
+    dfy = _uniform_spacing(fy, 'fy')
+    Kx = _fft_compatible_length(dx * dfx, Nx, Mx, 'x/fx')
+    Ky = _fft_compatible_length(dy * dfy, Ny, My, 'y/fy')
+    prefix = sign * 2j * np.pi
+    nx = np.arange(Nx, dtype=np.float64)
+    ny = np.arange(Ny, dtype=np.float64)
+    pre_x = np.exp(prefix * nx * dx * float(fx[0]))
+    pre_y = np.exp(prefix * ny * dy * float(fy[0]))
+    post_x = np.exp(prefix * float(x[0]) * fx)
+    post_y = np.exp(prefix * float(y[0]) * fy)
+    x_first_cost = Ny * Kx * math.log2(Kx) + Mx * Ky * math.log2(Ky)
+    y_first_cost = Nx * Ky * math.log2(Ky) + My * Kx * math.log2(Kx)
+    asj = lambda a: jnp.asarray(a, dtype=dtype)  # NOQA
+    return FFTDFT(
+        pre_x=asj(pre_x), pre_y=asj(pre_y[:, None]),
+        post_x=asj(post_x), post_y=asj(post_y[:, None]),
+        norm=float(norm),
+        Nx=Nx, Ny=Ny, Mx=Mx, My=My, Kx=Kx, Ky=Ky,
+        x_direction=sign if dx * dfx > 0 else -sign,
+        y_direction=sign if dy * dfy > 0 else -sign,
+        x_first=x_first_cost <= y_first_cost,
+        pupil_dx=pupil_dx, focal_dx=focal_dx,
+    )
+
+
+def fourier_resample(f, zoom):
+    """Resample f via Fourier methods (truncated sinc interpolation).
+
+    Matches reference semantics (prysm/fttools.py:538-593).
+    """
+    if zoom == 1:
+        return f
+    if isinstance(zoom, (float, int)):
+        zoom = (float(zoom), float(zoom))
+    else:
+        zoom = tuple(float(z) for z in zoom)
+    if len(zoom) != 2 or any(z <= 0 for z in zoom):
+        raise ValueError('zoom must contain two positive values')
+
+    m, n = f.shape[-2:]
+    M = int(m * zoom[0])
+    N = int(n * zoom[1])
+    if M < 1 or N < 1:
+        raise ValueError('zoom produces an empty output')
+
+    F = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(f, axes=(-2, -1)), axes=(-2, -1)), axes=(-2, -1))
+    x = _host_fftrange(n)
+    y = _host_fftrange(m)
+    fx = _host_fftrange(N) * (1.0 / zoom[1] / n)
+    fy = _host_fftrange(M) * (1.0 / zoom[0] / m)
+    plan = plan_mdft(x, y, fx, fy, sign=+1)
+    fprime = plan(F) * (1.0 / (m * n))
+    if not jnp.iscomplexobj(f):
+        fprime = fprime.real
+    return fprime

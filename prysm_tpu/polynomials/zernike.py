@@ -1,0 +1,494 @@
+"""Zernike polynomials, TPU-native.
+
+Rebuild of ``prysm/polynomials/zernike.py``.  Zernikes are built from the
+Jacobi connection Z_n^m = P_{(n-|m|)/2}^{(0, |m|)}(2r^2 - 1) * r^|m| *
+trig(|m| t); the sequence evaluator deduplicates Jacobi work per unique |m|
+(same static plan as the reference, prysm/polynomials/zernike.py:74-166) but
+runs each Jacobi chain as a single ``lax.scan`` and assembles the mode stack
+with static indexing, so an entire basis set compiles to one fused program.
+
+``zernike_sum_der_xy`` synthesizes a coefficient sum plus its Cartesian
+gradient in Clenshaw form without materializing modes — the memory-lean path
+for segmented apertures and freeform sag evaluation.
+"""
+from collections import defaultdict
+
+import numpy as np
+import jax.numpy as jnp
+
+from .jacobi import (  # NOQA - re-exported as part of the zernike toolkit
+    jacobi,
+    jacobi_der,
+    jacobi_seq,
+    jacobi_seq_with_der,
+    jacobi_with_der,
+    recurrence_abc,
+)
+from ._clenshaw import clenshaw_alphas_scan
+
+from ..mathops import kronecker, sign, is_odd
+
+
+def zernike_norm(n, m):
+    """Norm of Zernike polynomial (n, m); unit RMS over the disk."""
+    return float(np.sqrt((2 * (n + 1)) / (1 + kronecker(m, 0))))
+
+
+def zero_separation(n):
+    """Zero separation in normalized r based on radial order n."""
+    return 1 / n ** 2
+
+
+def zernike_nm(n, m, r, t, norm=True):
+    """Zernike polynomial of radial order n, azimuthal order m at (r, t)."""
+    x = 2 * (r * r) - 1
+    am = abs(m)
+    n_j = (n - am) // 2
+    out = jacobi(n_j, 0, am, x)
+    if m != 0:
+        if m < 0:
+            out = out * (r ** am * jnp.sin(am * t))
+        else:
+            out = out * (r ** am * jnp.cos(m * t))
+    if norm:
+        out = out * zernike_norm(n, m)
+    return out
+
+
+def _zernike_static_plan(nms):
+    """Static (host-side) evaluation plan: jacobi orders per |m|."""
+    max_nj_by_am = defaultdict(int)
+    for n, m in nms:
+        am = abs(m)
+        nj = (n - am) // 2
+        if nj > max_nj_by_am[am]:
+            max_nj_by_am[am] = nj
+    return dict(max_nj_by_am)
+
+
+def zernike_nm_seq(nms, r, t, norm=True):
+    """Zernike basis stack for (n, m) pairs; shape (len(nms), *r.shape).
+
+    Deduplicates Jacobi recurrences per unique |m| and shares r^|m| and
+    trig factors across modes of the same |m|.
+    """
+    nms = list(nms)
+    x = 2 * (r * r) - 1
+    plan = _zernike_static_plan(nms)
+
+    jacobi_tables = {am: jacobi_seq(range(max_nj + 1), 0, am, x)
+                     for am, max_nj in plan.items()}
+    powers = {}
+    sines = {}
+    cosines = {}
+    for am in plan:
+        if am == 0:
+            continue
+        powers[am] = r ** am
+        sines[am] = jnp.sin(am * t)
+        cosines[am] = jnp.cos(am * t)
+
+    out = []
+    for n, m in nms:
+        am = abs(m)
+        nj = (n - am) // 2
+        jac = jacobi_tables[am][nj]
+        if norm:
+            jac = jac * zernike_norm(n, m)
+        if m == 0:
+            out.append(jac)
+        else:
+            az = sines[am] if m < 0 else cosines[am]
+            out.append(jac * az * powers[am])
+    return jnp.stack(out)
+
+
+def zernike_sum(coefs, nms, x, y, norm=True):
+    """Weighted Zernike sum on Cartesian unit-disk coordinates."""
+    nms = tuple(nms)
+    if not nms:
+        return jnp.zeros_like(x)
+    r = jnp.hypot(x, y)
+    t = jnp.arctan2(y, x)
+    Zk = zernike_nm_seq(nms, r, t, norm=norm)
+    coefs = jnp.asarray(coefs, dtype=Zk.dtype)
+    return jnp.tensordot(coefs, Zk, axes=(0, 0))
+
+
+def zernike_nm_der(n, m, r, t, norm=True):
+    """(dZ/dr, dZ/dt) for Zernike (n, m)."""
+    x = 2 * (r * r) - 1
+    am = abs(m)
+    n_j = (n - am) // 2
+    v, Jp = jacobi_with_der(n_j, 0, am, x)
+    dv = (4 * r) * Jp
+    znorm = zernike_norm(n, m) if norm else 1.0
+    if m == 0:
+        dr = dv
+        dt = jnp.zeros_like(dv)
+    else:
+        u = r ** am
+        du = am * r ** (am - 1)
+        dr = v * du + u * dv
+        if m < 0:
+            dr = dr * jnp.sin(am * t)
+            dt = am * jnp.cos(am * t) * u * v
+        else:
+            dr = dr * jnp.cos(m * t)
+            dt = -m * jnp.sin(m * t) * u * v
+    if norm:
+        dr = dr * znorm
+        dt = dt * znorm
+    return dr, dt
+
+
+def zernike_nm_der_seq(nms, r, t, norm=True):
+    """Stacked (dZ/dr, dZ/dt): shape (len(nms), 2, *r.shape)."""
+    nms = list(nms)
+    if not nms:
+        return jnp.zeros((0, 2) + jnp.shape(r))
+    x = 2 * (r * r) - 1
+    plan = _zernike_static_plan(nms)
+    tables = {am: jacobi_seq_with_der(range(max_nj + 1), 0, am, x)
+              for am, max_nj in plan.items()}
+    powers = {}
+    dpowers = {}
+    sines = {}
+    cosines = {}
+    for am in plan:
+        if am == 0:
+            continue
+        if am == 1:
+            powers[am] = r
+            dpowers[am] = jnp.ones_like(r)
+        else:
+            r_am_m1 = r ** (am - 1)
+            powers[am] = r_am_m1 * r
+            dpowers[am] = am * r_am_m1
+        sines[am] = jnp.sin(am * t)
+        cosines[am] = jnp.cos(am * t)
+
+    four_r = 4 * r
+    out = []
+    for n, m in nms:
+        am = abs(m)
+        n_j = (n - am) // 2
+        v = tables[am][0][n_j]
+        dv = four_r * tables[am][1][n_j]
+        if m == 0:
+            dr = dv
+            dt = jnp.zeros_like(dv)
+        else:
+            u = powers[am]
+            du = dpowers[am]
+            dr = v * du + u * dv
+            if m < 0:
+                dr = dr * sines[am]
+                dt = am * cosines[am] * u * v
+            else:
+                dr = dr * cosines[am]
+                dt = -m * sines[am] * u * v
+        if norm:
+            znorm = zernike_norm(n, m)
+            dr = dr * znorm
+            dt = dt * znorm
+        out.append(jnp.stack([dr, dt]))
+    return jnp.stack(out)
+
+
+def _harmonic_powers(mmax, x, y):
+    """(C_k, S_k) = (Re, Im) of (x + iy)^k for k = 0..mmax, as a list."""
+    C = jnp.ones_like(x)
+    S = jnp.zeros_like(x)
+    out = [(C, S)]
+    for _ in range(mmax):
+        C, S = x * C - y * S, x * S + y * C
+        out.append((C, S))
+    return out
+
+
+def zernike_nm_der_xy(n, m, x, y, norm=True):
+    """Cartesian (dZ/dx, dZ/dy), smooth everywhere including the origin.
+
+    Uses the factoring Z = J(2 rho^2 - 1) * H(x, y) where H is the harmonic
+    polynomial Re/Im (x + iy)^|m| (reference rationale:
+    prysm/polynomials/zernike.py:383-445).
+    """
+    am = abs(m)
+    n_j = (n - am) // 2
+    rho_sq = x * x + y * y
+    arg = 2 * rho_sq - 1
+    J, Jp = jacobi_with_der(n_j, 0, am, arg)
+    if am == 0:
+        dzdx = 4 * x * Jp
+        dzdy = 4 * y * Jp
+    else:
+        harm = _harmonic_powers(am, x, y)
+        C_prev, S_prev = harm[am - 1]
+        C_am, S_am = harm[am]
+        if m > 0:
+            dzdx = 4 * x * Jp * C_am + am * J * C_prev
+            dzdy = 4 * y * Jp * C_am - am * J * S_prev
+        else:
+            dzdx = 4 * x * Jp * S_am + am * J * S_prev
+            dzdy = 4 * y * Jp * S_am + am * J * C_prev
+    if norm:
+        N = zernike_norm(n, m)
+        dzdx = dzdx * N
+        dzdy = dzdy * N
+    return dzdx, dzdy
+
+
+def zernike_nm_der_xy_seq(nms, x, y, norm=True):
+    """Stacked Cartesian derivatives: shape (len(nms), 2, *x.shape)."""
+    nms = list(nms)
+    if not nms:
+        return jnp.zeros((0, 2) + jnp.shape(x))
+    rho_sq = x * x + y * y
+    arg = 2 * rho_sq - 1
+    plan = _zernike_static_plan(nms)
+    tables = {am: jacobi_seq_with_der(range(max_nj + 1), 0, am, arg)
+              for am, max_nj in plan.items()}
+    max_am = max(plan) if plan else 0
+    harm = _harmonic_powers(max_am, x, y)
+    out = []
+    for n, m in nms:
+        am = abs(m)
+        n_j = (n - am) // 2
+        J = tables[am][0][n_j]
+        Jp = tables[am][1][n_j]
+        if am == 0:
+            dzdx = 4 * x * Jp
+            dzdy = 4 * y * Jp
+        else:
+            C_am, S_am = harm[am]
+            C_prev, S_prev = harm[am - 1]
+            if m > 0:
+                dzdx = 4 * x * Jp * C_am + am * J * C_prev
+                dzdy = 4 * y * Jp * C_am - am * J * S_prev
+            else:
+                dzdx = 4 * x * Jp * S_am + am * J * S_prev
+                dzdy = 4 * y * Jp * S_am + am * J * C_prev
+        if norm:
+            N = zernike_norm(n, m)
+            dzdx = dzdx * N
+            dzdy = dzdy * N
+        out.append(jnp.stack([dzdx, dzdy]))
+    return jnp.stack(out)
+
+
+def zernike_sum_der_xy(coefs, nms, x, y, norm=True):
+    """Zernike sum W and (dW/dx, dW/dy) in one Clenshaw pass per |m| branch.
+
+    Never materializes individual modes; peak memory is O(x.size) per |m|
+    branch.  Coefficients must be static Python floats (typical); for traced
+    coefficients use zernike_nm_seq + tensordot.
+    """
+    by_m_cos = {}
+    by_m_sin = {}
+    for c, (n, m) in zip(coefs, nms):
+        am = abs(m)
+        n_j = (n - am) // 2
+        cc = c * zernike_norm(n, m) if norm else c
+        bucket = by_m_cos if m >= 0 else by_m_sin
+        arr = bucket.setdefault(am, [])
+        while len(arr) <= n_j:
+            arr.append(0.0)
+        arr[n_j] = arr[n_j] + cc
+
+    used_ms = set(by_m_cos) | set(by_m_sin)
+    W = jnp.zeros_like(x)
+    dWdx = jnp.zeros_like(x)
+    dWdy = jnp.zeros_like(x)
+    if not used_ms:
+        return W, dWdx, dWdy
+
+    u = 2 * (x * x + y * y) - 1
+
+    def _radial(am, s):
+        M = len(s) - 1
+        tab = np.asarray([recurrence_abc(k, 0, am) for k in range(0, max(M, 0) + 2)])
+        # lin_n = A_n x + B_n -> p = B, q = A; c = C
+        alphas = clenshaw_alphas_scan(s, tab[:, 1], tab[:, 0], tab[:, 2], u, j=1)
+        return alphas[0, 0], alphas[1, 0]  # R(u), dR/du
+
+    if 0 in by_m_cos:
+        R, Ru = _radial(0, by_m_cos[0])
+        W = W + R
+        dWdx = dWdx + 4 * x * Ru
+        dWdy = dWdy + 4 * y * Ru
+
+    max_am = max(used_ms)
+    if max_am >= 1:
+        C_prev = jnp.ones_like(x)
+        S_prev = jnp.zeros_like(x)
+        for m in range(1, max_am + 1):
+            C_m = x * C_prev - y * S_prev
+            S_m = x * S_prev + y * C_prev
+            if m in by_m_cos:
+                R, Ru = _radial(m, by_m_cos[m])
+                W = W + R * C_m
+                dWdx = dWdx + 4 * x * Ru * C_m + m * R * C_prev
+                dWdy = dWdy + 4 * y * Ru * C_m - m * R * S_prev
+            if m in by_m_sin:
+                R, Ru = _radial(m, by_m_sin[m])
+                W = W + R * S_m
+                dWdx = dWdx + 4 * x * Ru * S_m + m * R * S_prev
+                dWdy = dWdy + 4 * y * Ru * S_m + m * R * C_prev
+            C_prev, S_prev = C_m, S_m
+
+    return W, dWdx, dWdy
+
+
+# ---------------------------------------------------------------------------
+# index conversions and naming (host-side, matches reference semantics,
+# prysm/polynomials/zernike.py:633-875)
+# ---------------------------------------------------------------------------
+
+def nm_to_fringe(n, m):
+    """Convert (n, m) two term index to Fringe index."""
+    term1 = (1 + (n + abs(m)) / 2) ** 2
+    term2 = 2 * abs(m)
+    term3 = (1 + sign(m)) / 2
+    return int(term1 - term2 - term3) + 1
+
+
+def nm_to_ansi_j(n, m):
+    """Convert (n, m) two term index to ANSI single term index."""
+    return int((n * (n + 2) + m) / 2)
+
+
+def ansi_j_to_nm(idx):
+    """Convert ANSI single term to (n, m) two-term index."""
+    n = int(np.ceil((-3 + np.sqrt(9 + 8 * idx)) / 2))
+    m = 2 * idx - n * (n + 2)
+    return n, m
+
+
+def noll_to_nm(idx):
+    """Convert Noll Z index to (n, m) two-term index."""
+    n = int(np.ceil((-1 + np.sqrt(1 + 8 * idx)) / 2) - 1)
+    if n == 0:
+        m = 0
+    else:
+        nseries = int((n + 1) * (n + 2) / 2)
+        res = idx - nseries - 1
+        sgn = -1 if is_odd(idx) else 1
+        if is_odd(n):
+            ms = [1, 1]
+        else:
+            ms = [0]
+        for _ in range(n // 2):
+            ms.append(ms[-1] + 2)
+            ms.append(ms[-1])
+        m = ms[res] * sgn
+    return n, m
+
+
+def fringe_to_nm(idx):
+    """Convert Fringe Z index to (n, m) two-term index."""
+    m_n = 2 * (np.ceil(np.sqrt(idx)) - 1)
+    g_s = (m_n / 2) ** 2 + 1
+    n = m_n / 2 + np.floor((idx - g_s) / 2)
+    m = (m_n - n) * (1 - np.mod(idx - g_s, 2) * 2)
+    return int(n), int(m)
+
+
+def zernikes_to_magnitude_angle_nmkey(coefs):
+    """Zernike set -> {(n, |m|): (magnitude, angle)} representation."""
+    combinations = defaultdict(list)
+    for n, m, coef in coefs:
+        combinations[(n, abs(m))].append(coef)
+    out = {}
+    for key, value in combinations.items():
+        if len(value) == 1:
+            magnitude, angle = value[0], 0
+        else:
+            magnitude = float(np.sqrt(sum(v ** 2 for v in value)))
+            angle = float(np.degrees(np.arctan2(*value)))
+        out[key] = (magnitude, angle)
+    return out
+
+
+def zernikes_to_magnitude_angle(coefs):
+    """Zernike set -> {friendly name: (magnitude, angle)} representation."""
+    d = zernikes_to_magnitude_angle_nmkey(coefs)
+    d2 = {}
+    for k, v in d.items():
+        name = nm_to_name(*k)
+        split = name.split(' ')
+        if len(split) < 3 and 'Tilt' not in name:
+            k2 = name
+        else:
+            k2 = ' '.join(split[:-1])
+        d2[k2] = v
+    return d2
+
+
+_names = {
+    1: 'Primary',
+    2: 'Secondary',
+    3: 'Tertiary',
+    4: 'Quaternary',
+    5: 'Quinary',
+}
+
+_names_m = {
+    1: 'Coma',
+    2: 'Astigmatism',
+    3: 'Trefoil',
+    4: 'Quadrafoil',
+    5: 'Pentafoil',
+    6: 'Hexafoil',
+    7: 'Septafoil',
+    8: 'Octafoil',
+}
+
+
+def _name_accessor(n, m):
+    if m == 0 and n >= 4:
+        return int((n / 2) + 1)
+    if is_odd(m) and n >= 3:
+        return abs(int((n - 3) / 2 + 1))
+    return int(n / abs(m))
+
+
+def _name_helper(n, m):
+    accessor = _name_accessor(n, m)
+    prefix = _names.get(accessor, f'{accessor}th')
+    name = _names_m.get(abs(m), f'{abs(m)}-foil')
+    if n == 1:
+        name = 'Tilt'
+    if is_odd(m):
+        suffix = 'X' if sign(m) == 1 else 'Y'
+    else:
+        suffix = '00°' if sign(m) == 1 else '45°'
+    return f'{prefix} {name} {suffix}'
+
+
+def nm_to_name(n, m):
+    """Convert an (n, m) index into a human readable name."""
+    if n == 0:
+        return 'Piston'
+    if n == 1:
+        return 'Tilt X' if sign(m) == 1 else 'Tilt Y'
+    if n == 2 and m == 0:
+        return 'Defocus'
+    if m == 0:
+        accessor = int((n / 2) - 1)
+        prefix = _names.get(accessor, f'{accessor}th')
+        return f'{prefix} Spherical'
+    return _name_helper(n, m)
+
+
+def top_n(coefs, n=5):
+    """Identify the top n terms in the wavefront expansion."""
+    coefsv = np.asarray(list(coefs.values()))
+    coefs_work = abs(coefsv)
+    oidxs = np.asarray(list(coefs.keys()))
+    idxs = np.argpartition(coefs_work, -n)[-n:]
+    idxs = idxs[np.argsort(coefs_work[idxs])[::-1]]
+    big_terms = coefsv[idxs]
+    names = [nm_to_name(*p) for p in oidxs]
+    names = np.asarray(names)[idxs]
+    return list(zip(big_terms, idxs, names))
