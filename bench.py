@@ -1,0 +1,123 @@
+"""Benchmark: phase-retrieval gradient steps/s on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (matches BASELINE_MEASURED.json): 1024^2 pupil, 6 Zernike modes,
+matrix-DFT to a 256^2 focal grid, intensity L2 data term, gradient w.r.t.
+the mode coefficients.  vs_baseline is the speedup over reference prysm's
+NumPy float64 manual-adjoint chain measured on this machine's CPU.
+
+The whole model (mode synthesis included) lives inside one jitted function
+and all arrays are jit arguments — the supported pattern on the axon TPU
+backend (see .claude/skills/verify/SKILL.md).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    from prysm_tpu.polynomials import zernike_nm_seq, sum_of_2d_modes
+    from prysm_tpu.propagation import Wavefront, prepare_executor
+
+    N = 1024
+    fN = 256
+    wvl, efl = 0.55, 10.0
+    nms = [(2, 0), (2, 2), (2, -2), (3, 1), (3, -1), (4, 0)]
+
+    x, y = make_xy_grid(N, diameter=2.2)
+    dx = float(x[0, 1] - x[0, 0])
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    coefs = jnp.asarray([20.0, -10.0, 8.0, 5.0, -4.0, 3.0], dtype=amp.dtype)
+    plan = prepare_executor(dx, (N, N), 0.25, fN, wvl, efl)
+
+    @jax.jit
+    def measure(amp, r, t, plan):
+        modes = zernike_nm_seq(nms, r, t)
+        opd = sum_of_2d_modes(modes, coefs * 0.5)
+        E = Wavefront.from_amp_and_phase(amp, opd, wvl, dx).focus_dft(plan)
+        return E.intensity.data
+
+    # the axon relay has transient windows where compiles return
+    # UNIMPLEMENTED; retry with backoff before giving up
+    last_err = None
+    for attempt in range(5):
+        try:
+            I_meas = measure(amp, r, t, plan)
+            jax.block_until_ready(I_meas)
+            break
+        except Exception as e:  # pragma: no cover - backend flake path
+            last_err = e
+            time.sleep(20 * (attempt + 1))
+    else:
+        raise last_err
+
+    def loss_fn(c, amp, r, t, plan, I_meas):
+        modes = zernike_nm_seq(nms, r, t)
+        opd = sum_of_2d_modes(modes, c)
+        E = Wavefront.from_amp_and_phase(amp, opd, wvl, dx).focus_dft(plan)
+        return jnp.sum((E.intensity.data - I_meas) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    l, g = step(coefs, amp, r, t, plan, I_meas)
+    jax.block_until_ready((l, g))
+
+    n = 50
+    t0 = time.time()
+    for _ in range(n):
+        l, g = step(coefs, amp, r, t, plan, I_meas)
+    jax.block_until_ready((l, g))
+    dt = (time.time() - t0) / n
+    steps_per_s = 1.0 / dt
+
+    try:
+        with open('BASELINE_MEASURED.json') as f:
+            base = json.load(f)['reference_steps_per_s']
+    except Exception:
+        base = None
+    vs = steps_per_s / base if base else None
+
+    print(json.dumps({
+        'metric': 'phase_retrieval_grad_steps_per_s_1024sq',
+        'value': round(steps_per_s, 2),
+        'unit': 'steps/s/chip (fwd+bwd)',
+        'vs_baseline': round(vs, 2) if vs is not None else None,
+    }))
+
+
+def _run_with_process_retries(attempts=4):
+    """Re-exec the benchmark in child processes until one succeeds.
+
+    The axon TPU relay sporadically hands a process a backend instance
+    whose compiles return UNIMPLEMENTED; the condition is per-process, so
+    retrying in a fresh process (with a cooldown) rides it out.
+    """
+    for attempt in range(attempts):
+        env = dict(os.environ, PRYSM_TPU_BENCH_CHILD='1')
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        out = proc.stdout.strip().splitlines()
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            return 0
+        sys.stderr.write(proc.stderr[-2000:] + '\n')
+        time.sleep(30 * (attempt + 1))
+    return 1
+
+
+if __name__ == '__main__':
+    if os.environ.get('PRYSM_TPU_BENCH_CHILD'):
+        main()
+    else:
+        sys.exit(_run_with_process_retries())

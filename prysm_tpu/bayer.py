@@ -201,7 +201,8 @@ def _convolve_reflect(img, kernel):
     """2D convolution with reflect boundary (scipy ndimage.convolve semantics)."""
     k = jnp.asarray(kernel, dtype=img.dtype)
     pad = k.shape[0] // 2
-    padded = jnp.pad(img, pad, mode='reflect')
+    # scipy ndimage 'reflect' duplicates the edge sample == numpy 'symmetric'
+    padded = jnp.pad(img, pad, mode='symmetric')
     # ndimage.convolve flips the kernel; all Malvar kernels are symmetric but
     # flip anyway for exactness
     k = k[::-1, ::-1]

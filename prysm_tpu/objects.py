@@ -70,8 +70,6 @@ def siemensstar(r, t, spokes, oradius=0.9, iradius=0, background='black',
     top = 1 - delta
     arr = contrast * jnp.cos(spokes / 2 * t)
     arr = (arr + 1) / 2
-    if not sinusoidal:
-        arr = jnp.where(arr < 0.5, bottom, jnp.where(arr > 0.5, top, arr))
     mask = (r > oradius) | (r < iradius)
     if background in ('b', 'black'):
         arr = jnp.where(mask, 0.0, arr)
@@ -79,6 +77,10 @@ def siemensstar(r, t, spokes, oradius=0.9, iradius=0, background='black',
         arr = jnp.where(mask, 1.0, arr)
     else:
         raise ValueError('invalid background color')
+    # binary threshold runs after masking, so background pixels map onto the
+    # bottom/top contrast levels exactly as in the reference
+    if not sinusoidal:
+        arr = jnp.where(arr < 0.5, bottom, jnp.where(arr > 0.5, top, arr))
     return arr
 
 

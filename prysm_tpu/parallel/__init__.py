@@ -1,0 +1,15 @@
+"""Multi-chip parallelism: mesh construction and sharded propagation.
+
+The reference library is single-process/single-device by construction
+(SURVEY 2.3); this package is new work.  The natural parallel axes of
+physical-optics modeling are wavelengths, field points, focal-plane tiles,
+and polynomial mode batches; they map onto ``jax.sharding.Mesh`` axes with
+XLA collectives over ICI.
+"""
+from .mesh import make_mesh, mesh_axes  # NOQA
+from .broadband import (  # NOQA
+    SpectralMDFT, plan_mdft_spectral, spectral_focus, spectral_unfocus,
+)
+from .sharding import (  # NOQA
+    shard_broadband_step, broadband_psf,
+)

@@ -1,0 +1,109 @@
+"""Broadband (polychromatic) propagation: wavelength-stacked MDFT plans.
+
+The reference's Wavefront is single-wavelength per call
+(prysm/propagation/wavefront.py:44-51); a polychromatic model loops in
+Python.  Here the wavelength axis is a leading array axis end to end: the
+matrix-DFT basis matrices for all wavelengths are stacked into (W, M, N)
+arrays built host-side, the apply is one batched complex matmul pair (MXU
+work), and the wavelength axis shards over a mesh with zero code change
+(the arrays are ordinary pytree leaves).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..conf import config
+from ..fttools import _host_fftrange
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpectralMDFT:
+    """Wavelength-stacked matrix-DFT plan.
+
+    Ex: (W, Mx, Nx), Ey: (W, My, Ny) complex; norm: (W, 1, 1) real.
+    Applying maps (W, Ny, Nx) fields -> (W, My, Mx) fields, one wavelength
+    per leading index.  All leaves are arrays, so the W axis shards.
+    """
+
+    Ex: jax.Array
+    Ey: jax.Array
+    norm: jax.Array
+    pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+    focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def __call__(self, fields):
+        """(..., W, Ny, Nx) -> (..., W, My, Mx)."""
+        fields = fields.astype(self.Ex.dtype)
+        out = jnp.matmul(self.Ey, fields)
+        out = jnp.matmul(out, jnp.swapaxes(self.Ex, -1, -2))
+        return out * self.norm
+
+    def adjoint(self, grads):
+        """Adjoint (conjugate transpose per wavelength)."""
+        grads = grads.astype(self.Ex.dtype)
+        out = jnp.matmul(jnp.swapaxes(self.Ey, -1, -2).conj(), grads)
+        out = jnp.matmul(out, self.Ex.conj())
+        return out * self.norm
+
+    def nbytes(self):
+        """Total size of the stacked basis matrices, bytes."""
+        return self.Ex.nbytes + self.Ey.nbytes
+
+
+def plan_mdft_spectral(pupil_dx, pupil_samples, focal_dx, focal_samples,
+                       wavelengths, efl, focal_shift=(0, 0), dtype=None):
+    """Build a SpectralMDFT for a set of wavelengths sharing one focal grid.
+
+    The focal grid (focal_dx, focal_samples) is identical across
+    wavelengths — the hard part of broadband coronagraphy — so each
+    wavelength's spatial frequencies (and hence basis matrices) differ by
+    the 1/(wavelength * efl) factor.  The optical norm
+    pupil_dx * focal_dx / (wavelength * efl) is baked in per wavelength.
+    """
+    if dtype is None:
+        dtype = config.precision_complex
+    if not hasattr(pupil_samples, '__len__'):
+        pupil_samples = (pupil_samples, pupil_samples)
+    if not hasattr(focal_samples, '__len__'):
+        focal_samples = (focal_samples, focal_samples)
+    pny, pnx = pupil_samples
+    fny, fnx = focal_samples
+    fsx, fsy = focal_shift
+    wavelengths = np.asarray(wavelengths, dtype=np.float64)
+
+    x = _host_fftrange(pnx) * pupil_dx
+    y = _host_fftrange(pny) * pupil_dx
+    xf = _host_fftrange(fnx) * focal_dx + fsx
+    yf = _host_fftrange(fny) * focal_dx + fsy
+
+    Exs = []
+    Eys = []
+    norms = []
+    for wvl in wavelengths:
+        inv_lz = 1.0 / (wvl * efl)
+        fx = xf * inv_lz
+        fy = yf * inv_lz
+        prefix = -2j * np.pi
+        Exs.append(np.exp(prefix * np.outer(fx, x)))
+        Eys.append(np.exp(prefix * np.outer(fy, y)))
+        norms.append(pupil_dx * focal_dx * inv_lz)
+    rdtype = jnp.zeros(0, dtype).real.dtype
+    return SpectralMDFT(
+        Ex=jnp.asarray(np.stack(Exs), dtype=dtype),
+        Ey=jnp.asarray(np.stack(Eys), dtype=dtype),
+        norm=jnp.asarray(np.asarray(norms)[:, None, None], dtype=rdtype),
+        pupil_dx=pupil_dx, focal_dx=focal_dx,
+    )
+
+
+def spectral_focus(fields, plan):
+    """Pupil -> focal for a (W, Ny, Nx) stack of per-wavelength fields."""
+    return plan(fields)
+
+
+def spectral_unfocus(fields, plan):
+    """Focal -> pupil for a (W, My, Mx) stack (per-wavelength adjoint)."""
+    return plan.adjoint(fields)

@@ -1,0 +1,233 @@
+"""thinlens / thinfilm / refractive / detector / bayer / objects vs reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prysm_tpu import thinlens, thinfilm, refractive, detector, bayer, objects
+from prysm_tpu import degradations, convolution
+from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+
+import prysm.thinlens as ref_thinlens
+import prysm.thinfilm as ref_thinfilm
+import prysm.refractive as ref_refractive
+import prysm.detector as ref_detector
+import prysm.bayer as ref_bayer
+import prysm.objects as ref_objects
+import prysm.degradations as ref_degradations
+import prysm.convolution as ref_convolution
+
+
+def test_thinlens_scalar_relations_match():
+    pairs = [
+        ('object_to_image_dist', (50.0, -200.0)),
+        ('image_to_object_dist', (50.0, 70.0)),
+        ('object_image_to_efl', (-200.0, 70.0)),
+        ('efl_to_fno', (100.0, 25.0)),
+        ('fno_to_na', (4.0,)),
+        ('na_to_fno', (0.125,)),
+        ('object_dist_to_mag', (50.0, -500.0)),
+        ('mag_to_object_dist', (50.0, -0.1)),
+        ('defocus_to_image_displacement', (0.5, 4.0, 0.55)),
+        ('image_displacement_to_defocus', (10.0, 4.0, 0.55)),
+        ('singlet_efl', (0.01, -0.005, 3.0, 1.5)),
+        ('singlet_bfl', (0.01, -0.005, 3.0, 1.5)),
+        ('singlet_ffl', (0.01, -0.005, 3.0, 1.5)),
+        ('twolens_efl', (100.0, -50.0, 20.0)),
+        ('twolens_bfl', (100.0, -50.0, 20.0)),
+        ('twolens_ffl', (100.0, -50.0, 20.0)),
+        ('twolens_separation', (100.0, -50.0, 120.0)),
+    ]
+    for name, args in pairs:
+        ours = float(getattr(thinlens, name)(*args))
+        theirs = float(getattr(ref_thinlens, name)(*args))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12, err_msg=name)
+
+
+@pytest.mark.parametrize('pol', ['s', 'p'])
+@pytest.mark.parametrize('aoi', [0, 20, 45])
+def test_multilayer_stack_rt_matches(pol, aoi):
+    indices = np.asarray([1.45, 2.2, 1.45, 2.2])
+    thicknesses = np.asarray([0.2, 0.1, 0.2, 0.1])
+    r_o, t_o = thinfilm.multilayer_stack_rt(indices, thicknesses, 0.55, pol,
+                                            1.52, aoi=aoi)
+    r_r, t_r = ref_thinfilm.multilayer_stack_rt(indices, thicknesses, 0.55, pol,
+                                                1.52, aoi=aoi)
+    np.testing.assert_allclose(np.asarray(r_o), np.asarray(r_r), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_o), np.asarray(t_r), rtol=1e-10, atol=1e-12)
+
+
+def test_multilayer_stack_vectorized_matches():
+    # trailing spatial dim
+    base = np.asarray([1.45, 2.2])
+    thk = np.linspace(0.05, 0.3, 7)
+    indices = np.broadcast_to(base[:, None], (2, 7))
+    thicknesses = np.stack([thk, thk[::-1]])
+    r_o, t_o = thinfilm.multilayer_stack_rt(indices, thicknesses, 0.633, 's', 1.5, aoi=10)
+    r_r, t_r = ref_thinfilm.multilayer_stack_rt(indices, thicknesses, 0.633, 's', 1.5, aoi=10)
+    np.testing.assert_allclose(np.asarray(r_o), np.asarray(r_r), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_o), np.asarray(t_r), rtol=1e-10, atol=1e-12)
+
+
+def test_multilayer_stack_grad_runs():
+    """Stack r/t differentiates w.r.t. thicknesses (new capability)."""
+    def R(thk):
+        r, _ = thinfilm.multilayer_stack_rt(
+            jnp.asarray([1.45, 2.2, 1.45]), thk, 0.55, 's', 1.52)
+        return jnp.abs(r) ** 2
+    g = jax.grad(lambda thk: R(thk).sum())(jnp.asarray([0.1, 0.2, 0.1]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fresnel_coefficients_match():
+    th0, th1 = 0.3, 0.2
+    for name in ('fresnel_rs', 'fresnel_ts', 'fresnel_rp', 'fresnel_tp'):
+        ours = float(getattr(thinfilm, name)(1.0, 1.5, th0, th1))
+        theirs = float(getattr(ref_thinfilm, name)(1.0, 1.5, th0, th1))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-13, err_msg=name)
+
+
+def test_refractive_matches():
+    wvl = np.linspace(0.4, 0.8, 16)
+    ours = np.asarray(refractive.cauchy(jnp.asarray(wvl), 1.5, 0.003, 0.0001))
+    theirs = np.asarray(ref_refractive.cauchy(wvl, 1.5, 0.003, 0.0001))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-13)
+    A = [1.03961212, 0.231792344, 1.01046945]
+    B = [0.00600069867, 0.0200179144, 103.560653]
+    ours = np.asarray(refractive.sellmeier(jnp.asarray(wvl), A, B))
+    theirs = np.asarray(ref_refractive.sellmeier(wvl, A, B))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-13)
+
+
+def test_bindown_tile_match():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((16, 24))
+    for mode in ('avg', 'sum'):
+        ours = np.asarray(detector.bindown(jnp.asarray(a), (4, 6), mode))
+        theirs = np.asarray(ref_detector.bindown(a, (4, 6), mode))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-13)
+    b = rng.standard_normal((4, 6))
+    for scaling in ('avg', 'sum'):
+        ours = np.asarray(detector.tile(jnp.asarray(b), (2, 3), scaling))
+        theirs = np.asarray(ref_detector.tile(b, (2, 3), scaling))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-13)
+
+
+def test_bindown_tile_vdot_adjoint():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 4))
+    y = rng.standard_normal((8, 8))
+    Ax = np.asarray(detector.tile(jnp.asarray(x), 2, 'sum'))
+    # adjoint of tile('sum') is bindown('avg') — both carry the 1/f^2 factor
+    Aty = np.asarray(detector.bindown(jnp.asarray(y), 2, 'avg'))
+    np.testing.assert_allclose(np.vdot(Ax, y), np.vdot(x, Aty), rtol=1e-12)
+
+
+def test_detector_expose_statistics():
+    """Noise chain produces plausible statistics under an explicit key."""
+    det = detector.Detector(dark_current=30, read_noise=10, bias=200, fwc=60000,
+                            conversion_gain=1.5, bits=14, exposure_time=1/100)
+    aerial = jnp.full((64, 64), 1e5)
+    img = det.expose(aerial, key=jax.random.key(0))
+    assert img.dtype == jnp.uint16
+    mean_dn = float(img.mean())
+    expected = (1e5 / 100 + 0.3 + 200) / 1.5
+    assert abs(mean_dn - expected) / expected < 0.05
+
+
+def test_bayer_roundtrip_matches():
+    rng = np.random.default_rng(2)
+    r = rng.random((8, 8))
+    g1 = rng.random((8, 8))
+    g2 = rng.random((8, 8))
+    b = rng.random((8, 8))
+    ours = np.asarray(bayer.composite_bayer(*map(jnp.asarray, (r, g1, g2, b))))
+    theirs = np.asarray(ref_bayer.composite_bayer(r, g1, g2, b))
+    np.testing.assert_allclose(ours, theirs)
+    planes_o = bayer.decomposite_bayer(jnp.asarray(ours))
+    planes_r = ref_bayer.decomposite_bayer(theirs)
+    for o, t in zip(planes_o, planes_r):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(t))
+    rec_o = np.asarray(bayer.recomposite_bayer(*planes_o))
+    rec_r = np.asarray(ref_bayer.recomposite_bayer(*planes_r))
+    np.testing.assert_allclose(rec_o, rec_r)
+
+
+def test_malvar_demosaic_matches():
+    rng = np.random.default_rng(3)
+    mosaic = rng.random((16, 16))
+    ours = np.asarray(bayer.demosaic_malvar(jnp.asarray(mosaic)))
+    theirs = np.asarray(ref_bayer.demosaic_malvar(mosaic))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
+
+
+def test_wb_prescale_matches():
+    rng = np.random.default_rng(4)
+    mosaic = rng.random((8, 8))
+    ours = np.asarray(bayer.wb_prescale(jnp.asarray(mosaic), 2.0, 1.0, 1.1, 1.5))
+    m2 = mosaic.copy()
+    ref_bayer.wb_prescale(m2, 2.0, 1.0, 1.1, 1.5)
+    np.testing.assert_allclose(ours, m2, rtol=1e-13)
+
+
+def test_objects_match():
+    x, y = make_xy_grid(32, diameter=2)
+    rx, ry = np.asarray(x), np.asarray(y)
+    r, t = cart_to_polar(x, y)
+    rr, rt = np.asarray(r), np.asarray(t)
+    np.testing.assert_allclose(
+        np.asarray(objects.slit(x, y, 0.5, 0.25)),
+        np.asarray(ref_objects.slit(rx, ry, 0.5, 0.25)))
+    np.testing.assert_allclose(
+        np.asarray(objects.pinhole(0.5, r)),
+        np.asarray(ref_objects.pinhole(0.5, rr)))
+    np.testing.assert_allclose(
+        np.asarray(objects.siemensstar(r, t, 20)),
+        np.asarray(ref_objects.siemensstar(rr, rt, 20)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(objects.tiltedsquare(x, y)),
+        np.asarray(ref_objects.tiltedsquare(rx, ry)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(objects.slantededge(x, y)),
+        np.asarray(ref_objects.slantededge(rx, ry)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(objects.pinhole_ft(0.5, r)),
+        np.asarray(ref_objects.pinhole_ft(0.5, rr)), rtol=2e-7, atol=2e-8)
+    # slit_ft requires 1D frequency vectors (fx[0, 1] indexing after
+    # optimize_xy_separable, in both implementations)
+    fx1 = rx[0]
+    fy1 = ry[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(objects.slit_ft(0.5, 0.25, jnp.asarray(fx1), jnp.asarray(fy1))),
+        np.asarray(ref_objects.slit_ft(0.5, 0.25, fx1, fy1)), rtol=1e-10, atol=1e-12)
+
+
+def test_degradations_match():
+    x, y = make_xy_grid(16, diameter=4)
+    fx, fy = np.asarray(x), np.asarray(y)
+    r = np.hypot(fx, fy)
+    np.testing.assert_allclose(
+        np.asarray(degradations.smear_ft(x, y, 0.1, 0.2)),
+        np.asarray(ref_degradations.smear_ft(fx, fy, 0.1, 0.2)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(degradations.jitter_ft(jnp.asarray(r), 0.3)),
+        np.asarray(ref_degradations.jitter_ft(r, 0.3)), rtol=1e-12)
+
+
+def test_conv_matches():
+    rng = np.random.default_rng(5)
+    obj = rng.random((16, 16))
+    psf = rng.random((16, 16))
+    ours = np.asarray(convolution.conv(jnp.asarray(obj), jnp.asarray(psf)))
+    theirs = np.asarray(ref_convolution.conv(obj, psf))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-11, atol=1e-12)
+
+
+def test_apply_transfer_functions_matches():
+    rng = np.random.default_rng(6)
+    obj = rng.random((16, 16))
+    tfs = [lambda fr: np.exp(-(fr / 10) ** 2)]
+    ours = np.asarray(convolution.apply_transfer_functions(jnp.asarray(obj), 0.1, tfs))
+    theirs = np.asarray(ref_convolution.apply_transfer_functions(obj, 0.1, tfs))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
