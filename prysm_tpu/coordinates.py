@@ -268,10 +268,12 @@ def solve_for_planar_homography(src, dst):
 def _bilinear_lookup(img, rows, cols):
     """Differentiable bilinear sample of img at fractional (row, col) points.
 
-    Out-of-bounds points return 0, matching scipy map_coordinates'
-    cval=0 / mode='constant' behavior at the boundary.
+    Points outside [0, N-1] on either axis return exactly 0, matching scipy
+    map_coordinates' mode='constant', cval=0 semantics (the whole sample is
+    cval once the point leaves the domain, no partial blending).
     """
     nr, nc = img.shape[-2:]
+    inside = (rows >= 0) & (rows <= nr - 1) & (cols >= 0) & (cols <= nc - 1)
     r0 = jnp.floor(rows)
     c0 = jnp.floor(cols)
     fr = rows - r0
@@ -282,11 +284,9 @@ def _bilinear_lookup(img, rows, cols):
     c1 = c0 + 1
 
     def gather(ri, ci):
-        valid = (ri >= 0) & (ri < nr) & (ci >= 0) & (ci < nc)
         ric = jnp.clip(ri, 0, nr - 1)
         cic = jnp.clip(ci, 0, nc - 1)
-        vals = img[..., ric, cic]
-        return jnp.where(valid, vals, 0)
+        return img[..., ric, cic]
 
     v00 = gather(r0, c0)
     v01 = gather(r0, c1)
@@ -294,7 +294,8 @@ def _bilinear_lookup(img, rows, cols):
     v11 = gather(r1, c1)
     top = v00 * (1 - fc) + v01 * fc
     bot = v10 * (1 - fc) + v11 * fc
-    return top * (1 - fr) + bot * fr
+    out = top * (1 - fr) + bot * fr
+    return jnp.where(inside, out, 0)
 
 
 def warp(img, xnew, ynew):

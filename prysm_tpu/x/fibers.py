@@ -1,0 +1,272 @@
+"""Optical fiber routines: V-number, LP mode solving, overlap integrals.
+
+Rebuild of ``prysm/x/fibers.py``.  Mode solving is a host-side boundary
+value problem on scipy's Bessel functions (a setup step, not device work);
+the computed mode fields are returned as jnp arrays so overlap integrals
+and propagation run on device.
+"""
+import numpy as onp
+from scipy import special
+
+import jax.numpy as jnp
+
+_BESSELJ_ZERO_CACHE = {}
+
+
+def critical_angle(n_core, n_clad, deg=True):
+    """TIR angle of a step index fiber."""
+    ang = onp.arcsin(n_clad / n_core)
+    return onp.degrees(ang) if deg else ang
+
+
+def numerical_aperture(n_core, n_clad):
+    """NA of a step-index fiber."""
+    return onp.sqrt(n_core * n_core - n_clad * n_clad)
+
+
+def V(radius, NA, wavelength):
+    """V-number (normalized frequency): k * r * NA."""
+    return 2 * onp.pi / wavelength * radius * NA
+
+
+def _ghatak_eq_8_40(b, V, l):  # NOQA
+    """Ghatak Eq. 8.40/8.41 LHS - RHS; roots are propagating modes."""
+    U = V * onp.sqrt(1 - b)
+    W = V * onp.sqrt(b)
+    with onp.errstate(divide='ignore', invalid='ignore'):
+        if l >= 1:
+            left = U * special.jv(l - 1, U) / special.jv(l, U)
+            right = -W * special.kve(l - 1, W) / special.kve(l, W)
+        else:
+            left = U * special.j1(U) / special.j0(U)
+            right = W * special.k1(W) / special.k0(W)
+    return left - right
+
+
+def _besselj_positive_zeros(l, x_max):  # NOQA
+    """All positive zeros of J_l strictly below x_max, ascending (cached)."""
+    x_max = float(x_max)
+    cache_key = int(l)
+    cached = _BESSELJ_ZERO_CACHE.get(cache_key)
+    if cached is not None:
+        cached_x_max, cached_zeros = cached
+        if cached_x_max >= x_max:
+            return cached_zeros[cached_zeros < x_max].copy()
+    nt = max(8, int(x_max / onp.pi) + 8)
+    while True:
+        zeros = onp.asarray(special.jn_zeros(l, nt))
+        if zeros[-1] >= x_max:
+            zeros = zeros[zeros < x_max]
+            _BESSELJ_ZERO_CACHE[cache_key] = (x_max, zeros)
+            return zeros.copy()
+        nt *= 2
+
+
+def _ghatak_u_with_derivative(U, V, ell):
+    """Dispersion equation f(U) and df/dU, U-parameterized (W^2 = V^2 - U^2)."""
+    W = onp.sqrt(V * V - U * U)
+    with onp.errstate(divide='ignore', invalid='ignore'):
+        if ell == 0:
+            r_J = special.j1(U) / special.j0(U)
+            r_K = special.k1(W) / special.k0(W)
+            f = U * r_J - W * r_K
+            df = U * (r_J * r_J + r_K * r_K)
+        else:
+            r_J = special.jv(ell - 1, U) / special.jv(ell, U)
+            r_K = special.kve(ell - 1, W) / special.kve(ell, W)
+            f = U * r_J + W * r_K
+            df = 2 * ell * (r_J - U * r_K / W) - U * (r_J * r_J + r_K * r_K)
+    return f, df
+
+
+def _vectorized_safeguarded_newton_u(V, ell, lower, upper, max_iter=28, atol=1e-12):
+    """Batched safeguarded Newton on f(U)=0, bisection fallback per root."""
+    a = onp.asarray(lower).copy()
+    b = onp.asarray(upper).copy()
+    fa, _ = _ghatak_u_with_derivative(a, V, ell)
+    x = 0.5 * (a + b)
+    fx, dfx = _ghatak_u_with_derivative(x, V, ell)
+    for _ in range(max_iter):
+        converged = onp.abs(fx) < atol
+        step = onp.where(dfx != 0, -fx / dfx, 0.0)
+        x_newton = x + step
+        in_bracket = (x_newton > a) & (x_newton < b)
+        x_new = onp.where(in_bracket, x_newton, 0.5 * (a + b))
+        x_new = onp.where(converged, x, x_new)
+        f_new, df_new = _ghatak_u_with_derivative(x_new, V, ell)
+        update = ~converged
+        same_sign_as_a = onp.sign(f_new) == onp.sign(fa)
+        a = onp.where(update & same_sign_as_a, x_new, a)
+        fa = onp.where(update & same_sign_as_a, f_new, fa)
+        b = onp.where(update & ~same_sign_as_a, x_new, b)
+        x = x_new
+        fx = f_new
+        dfx = df_new
+        if bool(onp.all(onp.abs(fx) < atol)):
+            break
+    return x
+
+
+def _mode_u_brackets(V, cutoffs, poles):
+    """(lower, upper) U brackets implied by LP cutoff/pole theory."""
+    if len(cutoffs) == 0:
+        return onp.empty(0), onp.empty(0)
+    V = float(V)
+    tiny_u = onp.sqrt(onp.finfo(onp.float64).eps) * max(V, 1.0)
+    lower = []
+    upper = []
+    for idx, cutoff_u in enumerate(cutoffs):
+        cutoff_u = float(cutoff_u)
+        pole_u = float(poles[idx]) if idx < len(poles) else V
+        upper_u = min(pole_u, V)
+        span = upper_u - cutoff_u
+        if span <= 0:
+            continue
+        du = min(tiny_u, 1e-3 * span)
+        left_u = cutoff_u + du if cutoff_u > 0 else du
+        right_u = upper_u - du
+        if right_u <= left_u:
+            continue
+        lower.append(left_u)
+        upper.append(right_u)
+    return onp.asarray(lower), onp.asarray(upper)
+
+
+def _families(V):
+    """Yield (ell, cutoffs, poles) per LP family present at this V."""
+    zero_cache = {}
+
+    def zeros(order):
+        if order not in zero_cache:
+            zero_cache[order] = _besselj_positive_zeros(order, V)
+        return zero_cache[order]
+
+    yield 0, onp.concatenate((onp.asarray([0.0]), zeros(1))), zeros(0)
+    ell = 1
+    while True:
+        cutoffs = zeros(ell - 1)
+        if len(cutoffs) == 0:
+            return
+        yield ell, cutoffs, zeros(ell)
+        ell += 1
+
+
+def find_all_modes(V, count_only=False):
+    """Identify the LP modes of a step-index fiber: {l: b values} descending."""
+    out = {}
+    for ell, cutoffs, poles in _families(V):
+        if count_only:
+            n = len(cutoffs)
+            out[ell] = n
+            if ell > 0:
+                out[-ell] = n
+            continue
+        lower, upper = _mode_u_brackets(V, cutoffs, poles)
+        if len(lower) == 0:
+            continue
+        roots_u = _vectorized_safeguarded_newton_u(V, ell, lower, upper)
+        roots_b = (1 - (roots_u / V) ** 2)[::-1]
+        out[ell] = roots_b
+        if ell > 0:
+            out[-ell] = roots_b
+    return out
+
+
+def compute_LP_modes(V, mode_dict, a, r, t):
+    """Spatial LP mode fields; same structure as find_all_modes, jnp values."""
+    r = onp.asarray(r)
+    t = onp.asarray(t)
+    rnorm = r / a
+    within_core = r <= a
+    within_clad = ~within_core
+    max_l = max(mode_dict.keys())
+    sines = {}
+    cosines = {}
+    for l in range(1, max_l + 1):  # NOQA
+        sines[l] = onp.sin(l * t)
+        cosines[l] = onp.cos(l * t)
+    out = {}
+    for l in mode_dict.keys():  # NOQA
+        bs = mode_dict[l][::-1]
+        modes_l = []
+        for b in bs:
+            U = V * onp.sqrt(1 - b)
+            W = V * onp.sqrt(b)
+            tmp = onp.zeros_like(r)
+            al = abs(l)
+            if al == 0:
+                num_core = special.j0(U * rnorm[within_core])
+                den_core = special.j0(U)
+                num_clad = special.k0(W * rnorm[within_clad])
+                den_clad = special.k0(W)
+            elif al == 1:
+                num_core = special.j1(U * rnorm[within_core])
+                den_core = special.j1(U)
+                num_clad = special.k1(W * rnorm[within_clad])
+                den_clad = special.k1(W)
+            else:
+                num_core = special.jv(al, U * rnorm[within_core])
+                den_core = special.jv(al, U)
+                num_clad = special.kv(al, W * rnorm[within_clad])
+                den_clad = special.kv(al, W)
+            with onp.errstate(divide='ignore', invalid='ignore'):
+                tmp[within_core] = num_core / den_core
+                tmp[within_clad] = num_clad / den_clad
+            if l != 0:
+                tmp = tmp * (sines[-l] if l < 0 else cosines[l])
+            modes_l.append(jnp.asarray(tmp))
+        out[l] = modes_l
+    return out
+
+
+def smf_mode_field(V, a, b, r):
+    """Mode field of a single mode fiber (host-solved, jnp output)."""
+    r = onp.asarray(r)
+    U = V * onp.sqrt(1 - b)
+    W = V * onp.sqrt(b)
+    rnorm = r * (1 / a)
+    rinterior = rnorm < 1
+    out = onp.empty_like(r)
+    with onp.errstate(divide='ignore', invalid='ignore'):
+        out[rinterior] = special.j0(U * rnorm[rinterior]) * (1 / special.j1(U))
+        rexterior = ~rinterior
+        out[rexterior] = special.k0(W * rnorm[rexterior]) * (1 / special.k1(W))
+    return jnp.asarray(out)
+
+
+def marcuse_mfr_from_V(V):
+    """Marcuse estimate of mode field radius over core radius (w/a)."""
+    return 0.65 + 1.619 * V ** -1.5 + 2.879 * V ** -6
+
+
+def petermann_mfr_from_V(V):
+    """Petermann estimate of w/a; more accurate than Marcuse."""
+    return marcuse_mfr_from_V(V) - 0.016 - 1.567 * V ** -7
+
+
+def mode_overlap_integral(E1, E2, E2conj=None, I1sum=None, I2sum=None):
+    """Coupling efficiency eta = |int E1* E2|^2 / (int I1 int I2)."""
+    if I1sum is None:
+        I1 = jnp.abs(E1) ** 2
+        I1sum = I1.sum()
+    if I2sum is None:
+        I2 = jnp.abs(E2) ** 2
+        I2sum = I2.sum()
+    if E2conj is None:
+        E2conj = jnp.conj(E2)
+    num = jnp.abs(jnp.sum(E1 * E2conj)) ** 2
+    return num / (I1sum * I2sum)
+
+
+def multimode_coupling(E_in, mode_fields):
+    """Per-LP-mode coupling efficiencies of an incident field."""
+    I_in = jnp.abs(E_in) ** 2
+    I_in_sum = I_in.sum()
+    E_in_conj = jnp.conj(E_in)
+    out = {}
+    for l, modes in mode_fields.items():  # NOQA
+        out[l] = [
+            mode_overlap_integral(mode, E_in, E2conj=E_in_conj, I2sum=I_in_sum)
+            for mode in modes
+        ]
+    return out
