@@ -1,0 +1,191 @@
+"""optym: optimizers converge on canonical problems, match reference behavior."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prysm_tpu.x import optym
+
+import prysm.x.optym as ref_optym
+
+
+def test_sample_problems_match_reference():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(6)
+    for name in ('sphere', 'rosenbrock', 'rastrigin'):
+        fo, go = getattr(optym, name)(jnp.asarray(x))
+        fr, gr = getattr(ref_optym, name)(x)
+        np.testing.assert_allclose(float(fo), float(fr), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-8, atol=1e-10)
+    x2 = rng.standard_normal(2)
+    fo, go = optym.himmelblau(jnp.asarray(x2))
+    fr, gr = ref_optym.himmelblau(x2)
+    np.testing.assert_allclose(float(fo), float(fr), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize('opt_cls,kwargs', [
+    ('GradientDescent', dict(alpha=0.1)),
+    ('AdaGrad', dict(alpha=0.5)),
+    ('RMSProp', dict(alpha=0.05)),
+    ('Adam', dict(alpha=0.1)),
+    ('RAdam', dict(alpha=0.1)),
+    ('AdaMomentum', dict(alpha=0.1)),
+    ('Yogi', dict(alpha=0.1)),
+])
+def test_first_order_optimizers_descend_sphere(opt_cls, kwargs):
+    x0 = jnp.asarray([3.0, -2.0, 1.5])
+    opt = getattr(optym, opt_cls)(optym.sphere, x0, **kwargs)
+    f_first = None
+    for _ in range(200):
+        x, f, g = opt.step()
+        if f_first is None:
+            f_first = float(f)
+    assert float(f) < f_first * 0.1, f'{opt_cls} failed to descend'
+
+
+def test_optimizer_matches_reference_trajectory():
+    """Adam on Rosenbrock: identical trajectory to the reference."""
+    x0 = np.asarray([-1.2, 1.0])
+    ours = optym.Adam(optym.rosenbrock, jnp.asarray(x0), alpha=0.05)
+    theirs = ref_optym.Adam(ref_optym.rosenbrock, x0.copy(), alpha=0.05)
+    for _ in range(50):
+        xo, fo, go = ours.step()
+        xr, fr, gr = theirs.step()
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(xr), rtol=1e-8,
+                                   atol=1e-10)
+        np.testing.assert_allclose(float(fo), float(fr), rtol=1e-8)
+
+
+def test_run_until_with_governors():
+    x0 = jnp.asarray([3.0, -2.0])
+    opt = optym.Adam(optym.sphere, x0, alpha=0.2)
+    gov = optym.AnyGovernor([optym.MaxIterations(500),
+                             optym.GradientTolerance(1e-5)])
+    result = optym.run_until(opt, gov)
+    assert result.success
+    assert 'gradient tolerance' in result.message
+    assert float(optym.sphere(result.x)[0]) < 1e-8
+
+
+def test_bounds_projection():
+    x0 = jnp.asarray([3.0, -2.0])
+    opt = optym.Adam(optym.sphere, x0, alpha=0.2,
+                     lower_bounds=jnp.asarray([1.0, -jnp.inf]))
+    for _ in range(300):
+        opt.step()
+    x = np.asarray(opt.x)
+    assert x[0] == pytest.approx(1.0, abs=1e-9)   # pinned at the bound
+    assert abs(x[1]) < 1e-3                        # free coordinate converges
+
+
+def test_lbfgsb_scipy_driver_converges():
+    opt = optym.LBFGSB(optym.rosenbrock, jnp.asarray([-1.2, 1.0]))
+    result = optym.run_until(opt, optym.MaxIterations(200))
+    f_final = float(optym.rosenbrock(result.x)[0])
+    assert f_final < 1e-8
+
+
+def test_lbfgsb_bounds():
+    opt = optym.LBFGSB(optym.sphere, np.asarray([3.0, -2.0]),
+                       lower_bounds=np.asarray([1.0, -np.inf]))
+    result = optym.run_until(opt, optym.MaxIterations(100))
+    x = np.asarray(result.x)
+    assert x[0] == pytest.approx(1.0, abs=1e-8)
+    assert abs(x[1]) < 1e-6
+
+
+def test_prysm_lbfgsb_converges():
+    opt = optym.PrysmLBFGSB(optym.rosenbrock, jnp.asarray([-1.2, 1.0]))
+    result = optym.run_until(opt, optym.MaxIterations(300))
+    f_final = float(optym.rosenbrock(result.x)[0])
+    assert f_final < 1e-6
+
+
+def test_damped_least_squares_unconstrained():
+    class Prob:
+        def residuals(self, x):
+            return np.asarray([x[0] - 1.0, 10 * (x[1] - x[0] ** 2)])
+
+    result = optym.damped_least_squares(Prob(), x0=np.asarray([-1.0, 2.0]),
+                                        maxiter=100)
+    np.testing.assert_allclose(result.x, [1.0, 1.0], atol=1e-5)
+
+
+def test_damped_least_squares_equality_constraint():
+    class Prob:
+        def residuals(self, x):
+            return np.asarray([x[0] - 3.0, x[1] + 1.0])
+
+    result = optym.damped_least_squares(
+        Prob(), x0=np.asarray([0.0, 0.0]),
+        equality_constraints=lambda x: x[0] - x[1],  # x0 == x1
+        maxiter=100)
+    np.testing.assert_allclose(result.x[0], result.x[1], atol=1e-6)
+    np.testing.assert_allclose(result.x[0], 1.0, atol=1e-4)
+
+
+def test_damped_least_squares_matches_reference():
+    class Prob:
+        def residuals(self, x):
+            return np.asarray([x[0] - 1.0, 10 * (x[1] - x[0] ** 2), x[0] * x[1]])
+
+    kwargs = dict(x0=np.asarray([0.5, 0.5]), damping=1e-4, maxiter=30)
+    ours = optym.damped_least_squares(Prob(), **kwargs)
+    theirs = ref_optym.damped_least_squares(Prob(), **kwargs)
+    np.testing.assert_allclose(ours.x, np.asarray(theirs.x), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(ours.cost, float(theirs.cost), rtol=1e-6)
+
+
+def test_activations_match_reference():
+    import prysm.x.optym.activation as ref_act
+    from prysm_tpu.x.optym import activation as act
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 5))
+    g = rng.standard_normal((4, 5))
+    so = act.Softmax()
+    sr = ref_act.Softmax()
+    np.testing.assert_allclose(np.asarray(so.forward(jnp.asarray(x))),
+                               np.asarray(sr.forward(x)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(so.backprop(jnp.asarray(g))),
+                               np.asarray(sr.backprop(g)), rtol=1e-8, atol=1e-12)
+    for name in ('Tanh', 'Arctan', 'Softplus', 'Sigmoid'):
+        o = getattr(act, name)(a=1.3, x0=0.2, y0=-0.1)
+        r = getattr(ref_act, name)(a=1.3, x0=0.2, y0=-0.1)
+        np.testing.assert_allclose(np.asarray(o.forward(jnp.asarray(x))),
+                                   np.asarray(r.forward(x)), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(o.backprop(jnp.asarray(x))),
+                                   np.asarray(r.backprop(x)), rtol=1e-8)
+
+
+def test_costs_match_reference():
+    import prysm.x.optym.cost as ref_cost
+    from prysm_tpu.x.optym import cost
+    rng = np.random.default_rng(2)
+    M = rng.random((8, 8))
+    D = rng.random((8, 8))
+    mask = rng.random((8, 8)) > 0.3
+    for name in ('bias_and_gain_invariant_error', 'mean_square_error'):
+        co, go = getattr(cost, name)(jnp.asarray(M), jnp.asarray(D))
+        cr, gr = getattr(ref_cost, name)(M, D)
+        np.testing.assert_allclose(float(co), float(cr), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-8)
+        co, go = getattr(cost, name)(jnp.asarray(M), jnp.asarray(D), mask=mask)
+        cr, gr = getattr(ref_cost, name)(M.copy(), D.copy(), mask=mask)
+        np.testing.assert_allclose(float(co), float(cr), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-8)
+
+
+def test_spatial_gradient_adjoint_identity():
+    from prysm_tpu.x.optym import SpatialGradient2D
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 8)))
+    y = jnp.asarray(rng.standard_normal((8, 8)))
+    op = SpatialGradient2D()
+    lhs = float(jnp.vdot(op.forward_x(x), y))
+    rhs = float(jnp.vdot(x, op.adjoint_x(y)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    lhs = float(jnp.vdot(op.forward_y(x), y))
+    rhs = float(jnp.vdot(x, op.adjoint_y(y)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
