@@ -1,0 +1,100 @@
+"""Differentiable sequential raytracing (Spencer & Murty).
+
+TPU-native rebuild of ``prysm/x/raytracing``: the trace kernel is built
+from masked fixed-iteration Newton solves under ``lax.fori_loop``, so a
+whole bundle traces as one jittable, vmappable, ``jax.grad``-able program
+— no per-ray Python, no hand-rolled tangents.
+
+Public surface mirrors ``prysm/x/raytracing/__init__.py:10-141`` for the
+layers built so far: the kernel (raytrace/refract/reflect/status),
+surface shapes, apertures, ray generation, and paraxial first-order
+analysis.  The heavier design layers (OpticalSystem/LensData, launch
+aiming, analysis sweeps, parabasal, tolerancing, Zemax/CodeV IO) land in
+later rounds.
+"""
+from .spencer_and_murty import (  # NOQA
+    DEFAULT_TOL_SAG,
+    SURFACE_INTERSECTION_DEFAULT_MAXITER,
+    STATUS_CLIP,
+    STATUS_EVANESCENT,
+    STATUS_MISS,
+    STATUS_NEWTON,
+    STATUS_OK,
+    STATUS_TIR,
+    STYPE_EVAL,
+    STYPE_IMG,
+    STYPE_OBJ,
+    STYPE_REFLECT,
+    STYPE_REFRACT,
+    RayStatus,
+    RayTraceResult,
+    decode_status,
+    intersect,
+    newton_raphson_solve_s,
+    raytrace,
+    reflect,
+    refract,
+    transform_to_global_coords,
+    transform_to_local_coords,
+    valid_mask,
+)
+from .surfaces import (  # NOQA
+    Biconic,
+    CallableShape,
+    Chebyshev,
+    Conic,
+    EvenAsphere,
+    Interaction,
+    Jacobi,
+    OffAxisConic,
+    Plane,
+    Q2D,
+    Shape,
+    Sphere,
+    Surface,
+    Toroid,
+    XY,
+    Zernike,
+)
+from .aperture import (  # NOQA
+    AnnularClip,
+    Aperture,
+    CircularClip,
+    annular_aperture,
+    as_aperture,
+    circular_aperture,
+)
+from .intersections import (  # NOQA
+    ConicSeedMixin,
+    ray_conic_intersect,
+    ray_plane_intersect,
+    ray_sphere_intersect,
+)
+from .paraxial import (  # NOQA
+    FirstOrderProperties,
+    NonAxialSystemError,
+    back_focal_length,
+    effective_focal_length,
+    entrance_pupil_z,
+    front_focal_length,
+    paraxial_image_distance,
+    system_matrix,
+    ynu_first_order,
+)
+from .raygen import (  # NOQA
+    clip_to_aperture,
+    concat_rayfans,
+    generate_collimated_hex_ray_grid,
+    generate_collimated_radial_spiral_ray_grid,
+    generate_collimated_ray_fan,
+    generate_collimated_rect_ray_grid,
+    generate_finite_ray_fan,
+    split_rayfans,
+)
+
+# Fraunhofer spectral lines, µm (prysm/x/raytracing/__init__.py:138-141)
+FRAUNHOFER_LINES_UM = {
+    'C': 0.6562725,
+    'd': 0.5875618,
+    'F': 0.4861327,
+}

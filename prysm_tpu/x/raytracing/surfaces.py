@@ -1,0 +1,595 @@
+"""Surface containers and shape objects for raytracing.
+
+Rebuild of ``prysm/x/raytracing/surfaces.py``.  Shapes carry static
+parameters and expose ``sag`` / ``sag_and_normal`` as pure jnp functions;
+the polynomial freeforms reuse the package's fused sum+derivative
+evaluators.  ``Surface.interact`` is a pure masked function of the ray
+bundle, so whole traces jit and differentiate.
+
+Out of scope this round (vs the reference): gratings/diffraction, thin-film
+coatings on surfaces, and the departure-band Newton certificates — plain
+conic-seeded Newton covers the practical design space.
+"""
+import numbers
+
+import jax.numpy as jnp
+
+from ...conf import config
+from ...coordinates import (
+    apply_tilt_decenter,
+    coerce_3d_rotation,
+    promote_3d_point,
+)
+from ...polynomials import (
+    cheby1_2d_sum, cheby1_2d_sum_der_xy,
+    jacobi_radial_sum, jacobi_radial_sum_der_xy,
+    xy_sum, xy_sum_der_xy,
+    zernike_sum, zernike_sum_der_xy,
+)
+
+from .spencer_and_murty import (
+    STYPE_EVAL, STYPE_OBJ, STYPE_IMG, STYPE_REFLECT, STYPE_REFRACT,
+    _is_measurement_surf,
+    STATUS_OK, STATUS_MISS, STATUS_NEWTON, STATUS_CLIP, STATUS_TIR,
+    refract, reflect,
+    transform_to_local_coords, transform_to_global_coords,
+    intersect as newton_intersect,
+    SURFACE_INTERSECTION_DEFAULT_MAXITER,
+)
+from .intersections import (
+    ConicSeedMixin,
+    ray_conic_intersect,
+    ray_plane_intersect,
+    ray_sphere_intersect,
+)
+from .aperture import annular_aperture, as_aperture, circular_aperture
+from .sags import (
+    Q2d_and_der, Q2d_sag,
+    _add_conic_base_derivatives, _add_conic_base_sag,
+    autodiff_sag_and_normal,
+    conic_sag, conic_sag_and_normal, conic_sag_der,
+    even_asphere_sag, even_asphere_sag_der_xy,
+    gradient_to_unit_normal, phi_conic, plane_sag_and_normal, product_rule,
+    sphere_sag, sphere_sag_der,
+)
+
+
+def _map_stype(typ):
+    """Map a user-facing interaction spec to an STYPE constant."""
+    if isinstance(typ, str):
+        t = typ.lower()
+        mapping = {
+            'reflect': STYPE_REFLECT, 'refl': STYPE_REFLECT,
+            'mirror': STYPE_REFLECT,
+            'refract': STYPE_REFRACT, 'refr': STYPE_REFRACT,
+            'eval': STYPE_EVAL, 'evaluate': STYPE_EVAL,
+            'object': STYPE_OBJ, 'obj': STYPE_OBJ,
+            'image': STYPE_IMG, 'img': STYPE_IMG,
+        }
+        try:
+            return mapping[t]
+        except KeyError:
+            raise ValueError(f'unknown interaction {typ!r}')
+    if typ in (STYPE_REFLECT, STYPE_REFRACT, STYPE_EVAL, STYPE_OBJ, STYPE_IMG):
+        return typ
+    raise ValueError(f'unknown interaction {typ!r}')
+
+
+class Shape:
+    """Base class for sag-bearing shape objects."""
+
+    def __init__(self, **params):
+        self.params = params
+
+    def __getattr__(self, name):
+        params = self.__dict__.get('params', {})
+        if name in params:
+            return params[name]
+        raise AttributeError(name)
+
+    def sag(self, x, y):
+        """Surface sag at local (x, y); override."""
+        raise NotImplementedError
+
+    def sag_and_normal(self, x, y):
+        """(sag, unit normal); default derives the normal via autodiff."""
+        if not hasattr(self, '_auto_san'):
+            self._auto_san = autodiff_sag_and_normal(self.sag)
+        return self._auto_san(x, y)
+
+
+class CallableShape(Shape):
+    """Shape from user callables sag(x, y) [and sag_and_normal(x, y)]."""
+
+    def __init__(self, sag, sag_and_normal=None, params=None):
+        super().__init__(**(params or {}))
+        self._sag = sag
+        self._san = sag_and_normal
+
+    def sag(self, x, y):
+        """Evaluate the user sag."""
+        return self._sag(x, y)
+
+    def sag_and_normal(self, x, y):
+        """Evaluate sag and normal (autodiff if not supplied)."""
+        if self._san is not None:
+            return self._san(x, y)
+        return super().sag_and_normal(x, y)
+
+
+class Plane(Shape):
+    """Flat surface z = 0."""
+
+    analytic_intersect = True
+
+    def __init__(self):
+        super().__init__()
+
+    def sag(self, x, y):
+        """Zero sag."""
+        return jnp.zeros(jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y)),
+                         dtype=jnp.result_type(x, y))
+
+    def sag_and_normal(self, x, y):
+        """Zero sag, +z normal."""
+        return plane_sag_and_normal(x, y)
+
+    def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
+        """Closed-form plane intersection."""
+        return ray_plane_intersect(P, S)
+
+
+class Sphere(Shape):
+    """Sphere of curvature c."""
+
+    analytic_intersect = True
+
+    def __init__(self, c):
+        super().__init__(c=c)
+
+    def sag(self, x, y):
+        """Spherical sag."""
+        return sphere_sag(self.params['c'], x * x + y * y)
+
+    def sag_and_normal(self, x, y):
+        """Spherical sag and normal."""
+        return conic_sag_and_normal(self.params['c'], 0.0, x, y)
+
+    def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
+        """Closed-form sphere intersection."""
+        return ray_sphere_intersect(P, S, self.params['c'])
+
+
+class Conic(Shape):
+    """Conicoid of curvature c and conic constant k."""
+
+    analytic_intersect = True
+
+    def __init__(self, c, k):
+        super().__init__(c=c, k=k)
+
+    def sag(self, x, y):
+        """Conic sag."""
+        return conic_sag(self.params['c'], self.params['k'], x * x + y * y)
+
+    def sag_and_normal(self, x, y):
+        """Conic sag and normal."""
+        return conic_sag_and_normal(self.params['c'], self.params['k'], x, y)
+
+    def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
+        """Closed-form conic intersection."""
+        return ray_conic_intersect(P, S, self.params['c'], self.params['k'])
+
+
+class OffAxisConic(Shape):
+    """Off-axis section of a parent conicoid, decentered by (dx, dy)."""
+
+    analytic_intersect = True
+
+    def __init__(self, c, k, dx=0.0, dy=0.0):
+        super().__init__(c=c, k=k, dx=dx, dy=dy)
+
+    def sag(self, x, y):
+        """Sag of the off-axis section, in the parent conic's frame."""
+        p = self.params
+        xs = x + p['dx']
+        ys = y + p['dy']
+        return conic_sag(p['c'], p['k'], xs * xs + ys * ys)
+
+    def sag_and_normal(self, x, y):
+        """Sag and normal of the off-axis section (parent frame)."""
+        p = self.params
+        return conic_sag_and_normal(p['c'], p['k'], x + p['dx'], y + p['dy'])
+
+    def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
+        """Closed-form off-axis conic intersection (parent frame)."""
+        p = self.params
+        return ray_conic_intersect(P, S, p['c'], p['k'],
+                                   dx=p['dx'], dy=p['dy'])
+
+
+class EvenAsphere(ConicSeedMixin, Shape):
+    """Conic base plus even-order polynomial asphere."""
+
+    def __init__(self, c, k, coefs):
+        super().__init__(c=c, k=k, coefs=tuple(coefs))
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        return self.params['c'], self.params['k'], 0.0, 0.0
+
+    def sag(self, x, y):
+        """Even asphere sag."""
+        p = self.params
+        return even_asphere_sag(p['c'], p['k'], p['coefs'], x * x + y * y)
+
+    def sag_and_normal(self, x, y):
+        """Even asphere sag and normal."""
+        p = self.params
+        z = even_asphere_sag(p['c'], p['k'], p['coefs'], x * x + y * y)
+        ddx, ddy = even_asphere_sag_der_xy(p['c'], p['k'], p['coefs'], x, y)
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Q2D(ConicSeedMixin, Shape):
+    """2D-Q (Forbes) freeform on a conic base."""
+
+    def __init__(self, c, k, normalization_radius, cm0, ams, bms, dx=0.0, dy=0.0):
+        super().__init__(c=c, k=k, normalization_radius=normalization_radius,
+                         cm0=tuple(cm0), ams=tuple(map(tuple, ams)),
+                         bms=tuple(map(tuple, bms)), dx=dx, dy=dy)
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        p = self.params
+        return p['c'], p['k'], p['dx'], p['dy']
+
+    def sag(self, x, y):
+        """Q2D freeform sag."""
+        p = self.params
+        return Q2d_sag(p['cm0'], p['ams'], p['bms'], x, y,
+                       p['normalization_radius'], p['c'], p['k'],
+                       dx=p['dx'], dy=p['dy'])
+
+    def sag_and_normal(self, x, y):
+        """Q2D freeform sag and normal."""
+        p = self.params
+        z, ddx, ddy = Q2d_and_der(p['cm0'], p['ams'], p['bms'], x, y,
+                                  p['normalization_radius'], p['c'], p['k'],
+                                  dx=p['dx'], dy=p['dy'])
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Zernike(ConicSeedMixin, Shape):
+    """Zernike freeform departure on a conic base."""
+
+    def __init__(self, c, k, normalization_radius, nms, coefs, norm=True):
+        super().__init__(c=c, k=k, normalization_radius=normalization_radius,
+                         nms=tuple(map(tuple, nms)), coefs=tuple(coefs),
+                         norm=norm)
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        return self.params['c'], self.params['k'], 0.0, 0.0
+
+    def sag(self, x, y):
+        """Zernike freeform sag."""
+        p = self.params
+        R = p['normalization_radius']
+        z_p = zernike_sum(p['coefs'], p['nms'], x / R, y / R, norm=p['norm'])
+        return _add_conic_base_sag(p['c'], p['k'], x, y, z_p)
+
+    def sag_and_normal(self, x, y):
+        """Zernike freeform sag and normal."""
+        p = self.params
+        R = p['normalization_radius']
+        z_p, ddx_p, ddy_p = zernike_sum_der_xy(p['coefs'], p['nms'],
+                                               x / R, y / R, norm=p['norm'])
+        ddx_p = ddx_p / R
+        ddy_p = ddy_p / R
+        z, ddx, ddy = _add_conic_base_derivatives(p['c'], p['k'], x, y,
+                                                  z_p, ddx_p, ddy_p)
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class XY(ConicSeedMixin, Shape):
+    """XY-polynomial freeform on a conic base."""
+
+    def __init__(self, c, k, normalization_radius, mns, coefs):
+        super().__init__(c=c, k=k, normalization_radius=normalization_radius,
+                         mns=tuple(map(tuple, mns)), coefs=tuple(coefs))
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        return self.params['c'], self.params['k'], 0.0, 0.0
+
+    def sag(self, x, y):
+        """XY freeform sag."""
+        p = self.params
+        R = p['normalization_radius']
+        z_p = xy_sum(p['coefs'], p['mns'], x / R, y / R)
+        return _add_conic_base_sag(p['c'], p['k'], x, y, z_p)
+
+    def sag_and_normal(self, x, y):
+        """XY freeform sag and normal."""
+        p = self.params
+        R = p['normalization_radius']
+        z_p, ddx_p, ddy_p = xy_sum_der_xy(p['coefs'], p['mns'], x / R, y / R)
+        z, ddx, ddy = _add_conic_base_derivatives(p['c'], p['k'], x, y,
+                                                  z_p, ddx_p / R, ddy_p / R)
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Chebyshev(ConicSeedMixin, Shape):
+    """Chebyshev-T tensor-product freeform on a conic base."""
+
+    def __init__(self, c, k, x_norm, y_norm, mns, coefs):
+        super().__init__(c=c, k=k, x_norm=x_norm, y_norm=y_norm,
+                         mns=tuple(map(tuple, mns)), coefs=tuple(coefs))
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        return self.params['c'], self.params['k'], 0.0, 0.0
+
+    def sag(self, x, y):
+        """Chebyshev freeform sag."""
+        p = self.params
+        z_p = cheby1_2d_sum(p['coefs'], p['mns'], x / p['x_norm'], y / p['y_norm'])
+        return _add_conic_base_sag(p['c'], p['k'], x, y, z_p)
+
+    def sag_and_normal(self, x, y):
+        """Chebyshev freeform sag and normal."""
+        p = self.params
+        z_p, ddx_p, ddy_p = cheby1_2d_sum_der_xy(
+            p['coefs'], p['mns'], x / p['x_norm'], y / p['y_norm'],
+            x_norm=p['x_norm'], y_norm=p['y_norm'])
+        z, ddx, ddy = _add_conic_base_derivatives(p['c'], p['k'], x, y,
+                                                  z_p, ddx_p, ddy_p)
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Jacobi(ConicSeedMixin, Shape):
+    """Radial Jacobi polynomial freeform on a conic base."""
+
+    def __init__(self, c, k, normalization_radius, alpha, beta, ns, coefs):
+        super().__init__(c=c, k=k, normalization_radius=normalization_radius,
+                         alpha=alpha, beta=beta, ns=tuple(ns),
+                         coefs=tuple(coefs))
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        return self.params['c'], self.params['k'], 0.0, 0.0
+
+    def sag(self, x, y):
+        """Jacobi freeform sag."""
+        p = self.params
+        z_p = jacobi_radial_sum(p['coefs'], p['ns'], p['alpha'], p['beta'],
+                                x, y, p['normalization_radius'])
+        return _add_conic_base_sag(p['c'], p['k'], x, y, z_p)
+
+    def sag_and_normal(self, x, y):
+        """Jacobi freeform sag and normal."""
+        p = self.params
+        z_p, ddx_p, ddy_p = jacobi_radial_sum_der_xy(
+            p['coefs'], p['ns'], p['alpha'], p['beta'], x, y,
+            p['normalization_radius'])
+        z, ddx, ddy = _add_conic_base_derivatives(p['c'], p['k'], x, y,
+                                                  z_p, ddx_p, ddy_p)
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Toroid(ConicSeedMixin, Shape):
+    """Toroid: circular x section, even-asphere y section."""
+
+    def __init__(self, c_x, c_y, k_y, coefs_y):
+        coefs_y = tuple(coefs_y) if coefs_y is not None else ()
+        super().__init__(c_x=c_x, c_y=c_y, k_y=k_y, coefs_y=coefs_y)
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        p = self.params
+        return 0.5 * (p['c_x'] + p['c_y']), 0.0, 0.0, 0.0
+
+    def sag(self, x, y):
+        """Toroidal sag."""
+        p = self.params
+        z_x = sphere_sag(p['c_x'], x * x)
+        z_y = even_asphere_sag(p['c_y'], p['k_y'], p['coefs_y'], y * y)
+        return z_x + z_y
+
+    def sag_and_normal(self, x, y):
+        """Toroidal sag and normal."""
+        p = self.params
+        xsq = x * x
+        ysq = y * y
+        phi_x = phi_conic(p['c_x'], 0.0, xsq)
+        z_x = sphere_sag(p['c_x'], xsq, phi=phi_x)
+        ddx = (p['c_x'] * x) / phi_x
+        zero = jnp.zeros_like(y)
+        z_y = even_asphere_sag(p['c_y'], p['k_y'], p['coefs_y'], ysq)
+        _, ddy = even_asphere_sag_der_xy(p['c_y'], p['k_y'], p['coefs_y'],
+                                         zero, y)
+        return z_x + z_y, gradient_to_unit_normal(ddx, ddy)
+
+
+class Biconic(ConicSeedMixin, Shape):
+    """Biconic: independent curvatures/conics along x and y."""
+
+    def __init__(self, c_x, c_y, k_x, k_y):
+        super().__init__(c_x=c_x, c_y=c_y, k_x=k_x, k_y=k_y)
+
+    def seed_conic(self):
+        """Conic seed for Newton intersection."""
+        p = self.params
+        return 0.5 * (p['c_x'] + p['c_y']), 0.5 * (p['k_x'] + p['k_y']), 0.0, 0.0
+
+    def sag(self, x, y):
+        """Biconic sag."""
+        p = self.params
+        xsq = x * x
+        ysq = y * y
+        phi = jnp.sqrt(1 - (1.0 + p['k_x']) * p['c_x'] ** 2 * xsq
+                       - (1.0 + p['k_y']) * p['c_y'] ** 2 * ysq)
+        return (p['c_x'] * xsq + p['c_y'] * ysq) / (1 + phi)
+
+    def sag_and_normal(self, x, y):
+        """Biconic sag and normal."""
+        p = self.params
+        c_x, c_y, kx, ky = p['c_x'], p['c_y'], p['k_x'], p['k_y']
+        xsq = x * x
+        ysq = y * y
+        opkx = 1.0 + kx
+        opky = 1.0 + ky
+        phi = jnp.sqrt(1 - opkx * c_x * c_x * xsq - opky * c_y * c_y * ysq)
+        opphi = 1 + phi
+        num = c_x * xsq + c_y * ysq
+        z = num / opphi
+        two_phi_opphi = 2 * phi * opphi
+        den = phi * opphi * opphi
+        ddx = c_x * x * (two_phi_opphi + num * opkx * c_x) / den
+        ddy = c_y * y * (two_phi_opphi + num * opky * c_y) / den
+        return z, gradient_to_unit_normal(ddx, ddy)
+
+
+class Interaction:
+    """Result of one Surface.interact, including local intermediates."""
+
+    __slots__ = ('P', 'S', 'n_post', 'opl', 'code',
+                 'P0', 'S_loc', 'Q_loc', 'n_hat', 'Sprime', 'S_specular')
+
+    def __init__(self, P, S, n_post, opl, code,
+                 P0, S_loc, Q_loc, n_hat, Sprime, S_specular):
+        self.P = P
+        self.S = S
+        self.n_post = n_post
+        self.opl = opl
+        self.code = code
+        self.P0 = P0
+        self.S_loc = S_loc
+        self.Q_loc = Q_loc
+        self.n_hat = n_hat
+        self.Sprime = Sprime
+        self.S_specular = S_specular
+
+
+class Surface:
+    """A posed optical surface with a shape and interaction mode."""
+
+    _analytic_intersect = False
+
+    def __init__(self, shape=None, interaction=None, pose=None, material=None,
+                 aperture=None, *, P=None, R=None, tilt=None, decenter=None,
+                 tilt_radians=False):
+        """shape: Shape; interaction: 'reflect'/'refract'/'eval'/... or STYPE.
+
+        pose: (P, R) or object with .P/.R; material required for refraction;
+        aperture: None / float radius / clip callable / Aperture.
+        """
+        if shape is None:
+            raise TypeError('Surface requires a shape')
+        if interaction is None:
+            raise TypeError('Surface requires an interaction')
+        if pose is not None:
+            try:
+                P, R = pose
+            except (TypeError, ValueError):
+                P = pose.P
+                R = pose.R
+        if P is None:
+            raise TypeError('Surface requires a pose or P')
+
+        typ = _map_stype(interaction)
+        P = promote_3d_point(P, dtype=config.precision)
+        R = coerce_3d_rotation(R)
+        P, R = apply_tilt_decenter(P, R, tilt=tilt, decenter=decenter,
+                                   tilt_radians=tilt_radians,
+                                   dtype=config.precision)
+        if typ == STYPE_REFRACT and material is None:
+            raise ValueError('refractive surfaces must have a material, not None')
+
+        self.shape = shape
+        self.typ = typ
+        self.P = P
+        self.R = R
+        self.material = material
+        self.params = shape.params
+        self.aperture = aperture
+        self.sag = shape.sag
+        self.sag_and_normal = shape.sag_and_normal
+        self._analytic_intersect = bool(getattr(shape, 'analytic_intersect', False))
+
+    @property
+    def aperture(self):
+        """Surface aperture model."""
+        return self._aperture
+
+    @aperture.setter
+    def aperture(self, value):
+        self._aperture = as_aperture(value)
+
+    def interact(self, P_in, S_in, n_pre, wvl, tol_sag=None,
+                 first_segment=False):
+        """March one bundle through this surface: intersect, clip, bend.
+
+        Returns an Interaction with global outgoing position/direction,
+        following index, signed-segment OPL, and per-ray status codes.
+        """
+        P0, S_loc = transform_to_local_coords(P_in, self.P, S_in, self.R)
+        forward_only = not _is_measurement_surf(self.typ) and not first_segment
+        Q_loc, n_hat, converged = self.intersect(P0, S_loc, tol_sag=tol_sag,
+                                                 forward_only=forward_only)
+
+        miss = STATUS_MISS if self._analytic_intersect else STATUS_NEWTON
+        code = jnp.where(converged, STATUS_OK, miss).astype(jnp.int32)
+
+        if self.aperture.clip is not None:
+            inside = self.aperture.clips(Q_loc[..., 0], Q_loc[..., 1])
+            code = jnp.where(converged & ~inside, STATUS_CLIP, code)
+
+        if self.typ == STYPE_REFLECT:
+            Sprime = reflect(S_loc, n_hat)
+            n_post = n_pre
+        elif self.typ == STYPE_REFRACT:
+            n_post = self.material.n(wvl)
+            Sprime = refract(n_pre, n_post, S_loc, n_hat)
+            tir = jnp.isnan(Sprime).any(axis=-1) & converged
+            code = jnp.where((code == STATUS_OK) & tir, STATUS_TIR, code)
+        else:
+            Sprime = S_loc
+            n_post = n_pre
+
+        S_specular = Sprime
+        P_out, S_out = transform_to_global_coords(Q_loc, self.P, Sprime, self.R)
+
+        seg = P_out - P_in
+        opl = (n_pre * jnp.sign(jnp.sum(seg * S_in, axis=-1))
+               * jnp.sqrt(jnp.sum(seg * seg, axis=-1)))
+        return Interaction(P_out, S_out, n_post, opl, code,
+                           P0, S_loc, Q_loc, n_hat, Sprime, S_specular)
+
+    def intersect(self, P, S, tol_sag=None, maxiter=None, forward_only=False):
+        """Intersect rays with the surface shape -> (Q, n, valid)."""
+        if hasattr(self.shape, 'seed_conic'):
+            return self.shape.intersect(P, S, self.sag_and_normal,
+                                        tol_sag=tol_sag, maxiter=maxiter,
+                                        forward_only=forward_only)
+        if hasattr(self.shape, 'intersect'):
+            return self.shape.intersect(P, S, self.sag_and_normal,
+                                        tol_sag=tol_sag, maxiter=maxiter)
+        if maxiter is None:
+            maxiter = SURFACE_INTERSECTION_DEFAULT_MAXITER
+        return newton_intersect(P, S, self.sag_and_normal, tol_sag=tol_sag,
+                                maxiter=maxiter)
+
+
+__all__ = [
+    'STYPE_REFLECT', 'STYPE_REFRACT', 'STYPE_EVAL', 'STYPE_OBJ', 'STYPE_IMG',
+    'Shape', 'CallableShape', 'Plane', 'Sphere', 'Conic', 'OffAxisConic',
+    'EvenAsphere', 'Q2D', 'Zernike', 'XY', 'Chebyshev', 'Jacobi', 'Toroid',
+    'Biconic', 'Surface', 'Interaction',
+    'circular_aperture', 'annular_aperture',
+    'product_rule', 'phi_conic', 'sphere_sag', 'sphere_sag_der',
+    'conic_sag', 'conic_sag_der', 'even_asphere_sag',
+    'even_asphere_sag_der_xy', 'Q2d_and_der', 'Q2d_sag',
+    'ray_plane_intersect', 'ray_sphere_intersect', 'ray_conic_intersect',
+]
