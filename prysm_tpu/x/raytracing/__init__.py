@@ -91,6 +91,42 @@ from .raygen import (  # NOQA
     generate_finite_ray_fan,
     split_rayfans,
 )
+from .lensdata import (  # NOQA
+    CoordBreak,
+    DesignState,
+    LensData,
+    SurfaceRow,
+    lens_element_groups,
+)
+from .system import (  # NOQA
+    ApertureSpec,
+    FieldSet,
+    OpticalSystem,
+)
+from .listings import (  # NOQA
+    aperture_table,
+    decenter_table,
+    surface_table,
+)
+from .launch import (  # NOQA
+    Field,
+    Sampling,
+    launch,
+    solve_apertures,
+    solve_vignetting,
+)
+from .opt import (  # NOQA
+    aim_rays,
+    eic_distance,
+    geometric_psf_histogram,
+    hopkins_eic_closing,
+    locate_ep,
+    locate_xp,
+    reference_sphere_curvature,
+    rms_spot_radius,
+    spot_centroid,
+    xp_reference_sphere,
+)
 
 # Fraunhofer spectral lines, µm (prysm/x/raytracing/__init__.py:138-141)
 FRAUNHOFER_LINES_UM = {

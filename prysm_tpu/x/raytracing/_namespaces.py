@@ -1,0 +1,156 @@
+"""Inner verb namespaces for OpticalSystem (opt / solve / analysis / ...).
+
+Rebuild of ``prysm/x/raytracing/_namespaces.py`` for the layers built so
+far.  The plot and tolerance namespaces land with their modules in a
+later round; accessing a not-yet-built verb raises NotImplementedError
+naming the missing module rather than AttributeError.
+"""
+
+
+class _OptNamespace:
+    """Design + optimization verbs over the system's DesignState."""
+
+    __slots__ = ('_sys',)
+
+    def __init__(self, system):
+        self._sys = system
+
+    def vary(self, category, surfaces='all'):
+        """Mark a category of DOFs free over a range of surfaces."""
+        self._sys._design.vary(category, surfaces)
+        return self._sys
+
+    def vary_all(self):
+        """Mark every scalar DOF free."""
+        self._sys._design.vary_all()
+        return self._sys
+
+    def freeze(self, category, surfaces='all'):
+        """Inverse of vary."""
+        self._sys._design.freeze(category, surfaces)
+        return self._sys
+
+    def freeze_all(self):
+        """Mark every scalar DOF fixed."""
+        self._sys._design.freeze_all()
+        return self._sys
+
+    def constrain(self, category, *, lo=None, hi=None, relative=None,
+                  surfaces='all'):
+        """Box bounds on a category of DOFs."""
+        self._sys._design.constrain(category, lo=lo, hi=hi,
+                                    relative=relative, surfaces=surfaces)
+        return self._sys
+
+    def pickup(self, category, surface, *, from_surface, from_category=None,
+               scale=1.0, offset=0.0):
+        """Make DOFs pickups of others."""
+        self._sys._design.pickup(category, surface,
+                                 from_surface=from_surface,
+                                 from_category=from_category, scale=scale,
+                                 offset=offset)
+        return self._sys
+
+    def pack(self):
+        """Dense free-DOF vector."""
+        return self._sys._design.pack()
+
+    def update(self, x):
+        """Write a free vector back into the rows."""
+        self._sys._design.update(x)
+        return self._sys
+
+    def bounds(self):
+        """(lo, hi) arrays parallel to the free vector."""
+        return self._sys._design.bounds()
+
+    def problem(self, goal='spot', **kwargs):
+        """Optimization problem over the free DOFs (design module)."""
+        raise NotImplementedError(
+            'system-level optimization problems land with the design module')
+
+    def optimize(self, goal='spot', **kwargs):
+        """One-call optimization of the free DOFs (design module)."""
+        raise NotImplementedError(
+            'system-level optimization lands with the design module')
+
+
+class _SolveNamespace:
+    """State-writing solves."""
+
+    __slots__ = ('_sys',)
+
+    def __init__(self, system):
+        self._sys = system
+
+    def image_distance(self, surface=None, *, wavelength=None):
+        """Paraxial image-distance solve on a gap."""
+        wvl = self._sys.wavelength(wavelength)
+        self._sys._design.solve_image_distance(surface, wavelength=wvl)
+        return self._sys
+
+    def clear_image_distance(self):
+        """Disable the active image-distance solve."""
+        self._sys._design.clear_image_distance_solve()
+        return self._sys
+
+    def apertures(self, fields=None, wavelength=None, *, oversize=1.05):
+        """Size auto surface apertures from the traced footprint."""
+        from .launch import solve_apertures
+        return solve_apertures(self._sys, fields=fields,
+                               wavelength=wavelength, oversize=oversize)
+
+    def vignetting(self, fields=None, wavelength=None, *, tol=1e-3):
+        """Solve and store per-field vignetting factors."""
+        from .launch import solve_vignetting
+        return solve_vignetting(self._sys, fields, wavelength, tol=tol)
+
+
+class _AnalysisNamespace:
+    """Analysis verbs (wavefront, spots, fans, sweeps)."""
+
+    __slots__ = ('_sys',)
+
+    def __init__(self, system):
+        self._sys = system
+
+    def __getattr__(self, name):
+        from . import analysis as _analysis
+        fn = getattr(_analysis, name, None)
+        if fn is None or not callable(fn):
+            raise NotImplementedError(
+                f'analysis verb {name!r} is not available yet')
+        sys = self._sys
+
+        def bound(*args, **kwargs):
+            return fn(sys, *args, **kwargs)
+
+        bound.__name__ = name
+        bound.__doc__ = fn.__doc__
+        return bound
+
+
+class _PlotNamespace:
+    """Plotting verbs; land with the plotting module."""
+
+    __slots__ = ('_sys',)
+
+    def __init__(self, system):
+        self._sys = system
+
+    def __getattr__(self, name):
+        raise NotImplementedError(
+            f'plotting verb {name!r} lands with the plotting module')
+
+
+class _TolNamespace:
+    """Tolerancing verbs; land with the tolerance module."""
+
+    __slots__ = ('_sys',)
+
+    def __init__(self, system):
+        self._sys = system
+
+    def __getattr__(self, name):
+        raise NotImplementedError(
+            f'tolerancing verb {name!r} lands with the tolerance module')

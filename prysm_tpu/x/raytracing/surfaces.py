@@ -75,8 +75,30 @@ def _map_stype(typ):
     raise ValueError(f'unknown interaction {typ!r}')
 
 
+def _shape_from_params(cls, p):
+    """Rebuild a descriptor-declared shape from a stored parameter dict.
+
+    SCALAR_DOFS + VECTOR_DOFS + META_KEYS name the constructor's keyword
+    arguments exactly; binding this as a classmethod is what registers a
+    shape as LensData-editable (reference: prysm/x/raytracing/
+    surfaces.py:312-323).
+    """
+    keys = cls.SCALAR_DOFS + cls.VECTOR_DOFS + cls.META_KEYS
+    return cls(**{key: p[key] for key in keys})
+
+
 class Shape:
-    """Base class for sag-bearing shape objects."""
+    """Base class for sag-bearing shape objects.
+
+    Subclasses declare their editable-DOF layout for LensData via
+    SCALAR_DOFS / VECTOR_DOFS / META_KEYS / CATEGORIES plus a bound
+    from_params classmethod.
+    """
+
+    SCALAR_DOFS = ()
+    VECTOR_DOFS = ()
+    META_KEYS = ()
+    CATEGORIES = {}
 
     def __init__(self, **params):
         self.params = params
@@ -122,6 +144,13 @@ class Plane(Shape):
 
     analytic_intersect = True
 
+    SCALAR_DOFS = ()
+    VECTOR_DOFS = ()
+    META_KEYS = ()
+    CATEGORIES = {}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self):
         super().__init__()
 
@@ -144,6 +173,13 @@ class Sphere(Shape):
 
     analytic_intersect = True
 
+    SCALAR_DOFS = ('c',)
+    VECTOR_DOFS = ()
+    META_KEYS = ()
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c']}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self, c):
         super().__init__(c=c)
 
@@ -165,6 +201,13 @@ class Conic(Shape):
 
     analytic_intersect = True
 
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ()
+    META_KEYS = ()
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k']}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self, c, k):
         super().__init__(c=c, k=k)
 
@@ -185,6 +228,13 @@ class OffAxisConic(Shape):
     """Off-axis section of a parent conicoid, decentered by (dx, dy)."""
 
     analytic_intersect = True
+
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ()
+    META_KEYS = ('dx', 'dy')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c, k, dx=0.0, dy=0.0):
         super().__init__(c=c, k=k, dx=dx, dy=dy)
@@ -211,6 +261,14 @@ class OffAxisConic(Shape):
 class EvenAsphere(ConicSeedMixin, Shape):
     """Conic base plus even-order polynomial asphere."""
 
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ('coefs',)
+    META_KEYS = ()
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k'],
+                  'coefs': ['coefs']}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self, c, k, coefs):
         super().__init__(c=c, k=k, coefs=tuple(coefs))
 
@@ -233,6 +291,13 @@ class EvenAsphere(ConicSeedMixin, Shape):
 
 class Q2D(ConicSeedMixin, Shape):
     """2D-Q (Forbes) freeform on a conic base."""
+
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ()
+    META_KEYS = ('normalization_radius', 'cm0', 'ams', 'bms', 'dx', 'dy')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c, k, normalization_radius, cm0, ams, bms, dx=0.0, dy=0.0):
         super().__init__(c=c, k=k, normalization_radius=normalization_radius,
@@ -262,6 +327,14 @@ class Q2D(ConicSeedMixin, Shape):
 
 class Zernike(ConicSeedMixin, Shape):
     """Zernike freeform departure on a conic base."""
+
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ('coefs',)
+    META_KEYS = ('normalization_radius', 'nms', 'norm')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k'],
+                  'coefs': ['coefs']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c, k, normalization_radius, nms, coefs, norm=True):
         super().__init__(c=c, k=k, normalization_radius=normalization_radius,
@@ -295,6 +368,14 @@ class Zernike(ConicSeedMixin, Shape):
 class XY(ConicSeedMixin, Shape):
     """XY-polynomial freeform on a conic base."""
 
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ('coefs',)
+    META_KEYS = ('normalization_radius', 'mns')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k'],
+                  'coefs': ['coefs']}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self, c, k, normalization_radius, mns, coefs):
         super().__init__(c=c, k=k, normalization_radius=normalization_radius,
                          mns=tuple(map(tuple, mns)), coefs=tuple(coefs))
@@ -323,6 +404,14 @@ class XY(ConicSeedMixin, Shape):
 class Chebyshev(ConicSeedMixin, Shape):
     """Chebyshev-T tensor-product freeform on a conic base."""
 
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ('coefs',)
+    META_KEYS = ('x_norm', 'y_norm', 'mns')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k'],
+                  'coefs': ['coefs']}
+
+    from_params = classmethod(_shape_from_params)
+
     def __init__(self, c, k, x_norm, y_norm, mns, coefs):
         super().__init__(c=c, k=k, x_norm=x_norm, y_norm=y_norm,
                          mns=tuple(map(tuple, mns)), coefs=tuple(coefs))
@@ -350,6 +439,14 @@ class Chebyshev(ConicSeedMixin, Shape):
 
 class Jacobi(ConicSeedMixin, Shape):
     """Radial Jacobi polynomial freeform on a conic base."""
+
+    SCALAR_DOFS = ('c', 'k')
+    VECTOR_DOFS = ('coefs',)
+    META_KEYS = ('normalization_radius', 'alpha', 'beta', 'ns')
+    CATEGORIES = {'curvature': ['c'], 'radius': ['c'], 'conic': ['k'],
+                  'coefs': ['coefs']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c, k, normalization_radius, alpha, beta, ns, coefs):
         super().__init__(c=c, k=k, normalization_radius=normalization_radius,
@@ -380,6 +477,17 @@ class Jacobi(ConicSeedMixin, Shape):
 
 class Toroid(ConicSeedMixin, Shape):
     """Toroid: circular x section, even-asphere y section."""
+
+    SCALAR_DOFS = ('c_x', 'c_y', 'k_y')
+    VECTOR_DOFS = ('coefs_y',)
+    META_KEYS = ()
+    CATEGORIES = {'curvature': ['c_x', 'c_y'],
+                  'radius': ['c_x', 'c_y'],
+                  'radius_x': ['c_x'], 'radius_y': ['c_y'],
+                  'conic': ['k_y'],
+                  'coefs': ['coefs_y']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c_x, c_y, k_y, coefs_y):
         coefs_y = tuple(coefs_y) if coefs_y is not None else ()
@@ -414,6 +522,16 @@ class Toroid(ConicSeedMixin, Shape):
 
 class Biconic(ConicSeedMixin, Shape):
     """Biconic: independent curvatures/conics along x and y."""
+
+    SCALAR_DOFS = ('c_x', 'c_y', 'k_x', 'k_y')
+    VECTOR_DOFS = ()
+    META_KEYS = ()
+    CATEGORIES = {'curvature': ['c_x', 'c_y'],
+                  'radius': ['c_x', 'c_y'],
+                  'radius_x': ['c_x'], 'radius_y': ['c_y'],
+                  'conic': ['k_x', 'k_y']}
+
+    from_params = classmethod(_shape_from_params)
 
     def __init__(self, c_x, c_y, k_x, k_y):
         super().__init__(c_x=c_x, c_y=c_y, k_x=k_x, k_y=k_y)
