@@ -127,6 +127,37 @@ from .opt import (  # NOQA
     spot_centroid,
     xp_reference_sphere,
 )
+from .parabasal import (  # NOQA
+    ParabasalFirstOrder,
+    first_order,
+    parabasal_foci,
+)
+from .analysis import (  # NOQA
+    DistortionResult,
+    FieldCurvatureResult,
+    FullFieldGrid,
+    OPDFanGrid,
+    RayFanGrid,
+    SpotGrid,
+    TraceRecord,
+    chromatic_focal_shift,
+    distortion,
+    field_curvature,
+    field_sweep,
+    full_field,
+    iter_trace_grid,
+    lateral_color,
+    opd_fans,
+    ray_aberration_fans,
+    resolve_exit_pupil,
+    spot_diagrams,
+    spot_geometric_radius,
+    spot_positions,
+    spot_rms_radius,
+    transverse_ray_aberration,
+    wavefront,
+    wavefront_zernike_fit,
+)
 
 # Fraunhofer spectral lines, µm (prysm/x/raytracing/__init__.py:138-141)
 FRAUNHOFER_LINES_UM = {
