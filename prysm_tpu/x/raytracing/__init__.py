@@ -132,6 +132,22 @@ from .parabasal import (  # NOQA
     first_order,
     parabasal_foci,
 )
+from .opl import CallableOPL, LinearGrating, OPLFunc  # NOQA
+from .field import (  # NOQA
+    FieldTraceResult,
+    PRTResult,
+    PupilField,
+    amplitude_apodization,
+    interface_coefficients,
+    pupil_field,
+    pupil_field_psf,
+    pupil_field_to_wavefront,
+    raytrace_field,
+    raytrace_prt,
+    sine_space_coords,
+    surface_normals_from_trace,
+    unpolarized_amplitude,
+)
 from .analysis import (  # NOQA
     DistortionResult,
     FieldCurvatureResult,

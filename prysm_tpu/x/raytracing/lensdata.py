@@ -688,7 +688,8 @@ class LensData:
         return Surface(
             shape=row.build_shape(), interaction=row.typ, P=P, R=R,
             material=None if row.material is MIRROR else row.material,
-            aperture=row.aperture)
+            aperture=row.aperture, grating=row.grating,
+            coating=getattr(row, 'coating', None))
 
     def _to_surfaces_axial(self):
         surfaces = []

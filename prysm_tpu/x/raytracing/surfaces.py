@@ -31,6 +31,7 @@ from .spencer_and_murty import (
     STYPE_EVAL, STYPE_OBJ, STYPE_IMG, STYPE_REFLECT, STYPE_REFRACT,
     _is_measurement_surf,
     STATUS_OK, STATUS_MISS, STATUS_NEWTON, STATUS_CLIP, STATUS_TIR,
+    STATUS_EVANESCENT,
     refract, reflect,
     transform_to_local_coords, transform_to_global_coords,
     intersect as newton_intersect,
@@ -573,10 +574,12 @@ class Interaction:
     """Result of one Surface.interact, including local intermediates."""
 
     __slots__ = ('P', 'S', 'n_post', 'opl', 'code',
-                 'P0', 'S_loc', 'Q_loc', 'n_hat', 'Sprime', 'S_specular')
+                 'P0', 'S_loc', 'Q_loc', 'n_hat', 'Sprime', 'S_specular',
+                 'grating_grad')
 
     def __init__(self, P, S, n_post, opl, code,
-                 P0, S_loc, Q_loc, n_hat, Sprime, S_specular):
+                 P0, S_loc, Q_loc, n_hat, Sprime, S_specular,
+                 grating_grad=None):
         self.P = P
         self.S = S
         self.n_post = n_post
@@ -588,6 +591,7 @@ class Interaction:
         self.n_hat = n_hat
         self.Sprime = Sprime
         self.S_specular = S_specular
+        self.grating_grad = grating_grad
 
 
 class Surface:
@@ -596,12 +600,14 @@ class Surface:
     _analytic_intersect = False
 
     def __init__(self, shape=None, interaction=None, pose=None, material=None,
-                 aperture=None, *, P=None, R=None, tilt=None, decenter=None,
-                 tilt_radians=False):
+                 aperture=None, grating=None, *, P=None, R=None, tilt=None,
+                 decenter=None, tilt_radians=False, coating=None):
         """shape: Shape; interaction: 'reflect'/'refract'/'eval'/... or STYPE.
 
         pose: (P, R) or object with .P/.R; material required for refraction;
-        aperture: None / float radius / clip callable / Aperture.
+        aperture: None / float radius / clip callable / Aperture; grating:
+        an OPLFunc phase modifier; coating: a coatings.Stack consumed by
+        the physical-field tracer.
         """
         if shape is None:
             raise TypeError('Surface requires a shape')
@@ -634,6 +640,8 @@ class Surface:
         self.aperture = aperture
         self.sag = shape.sag
         self.sag_and_normal = shape.sag_and_normal
+        self.grating = grating
+        self.coating = coating
         self._analytic_intersect = bool(getattr(shape, 'analytic_intersect', False))
 
     @property
@@ -677,13 +685,58 @@ class Surface:
             n_post = n_pre
 
         S_specular = Sprime
+        opl_grating = None
+        grating_grad = None
+        if (self.grating is not None
+                and self.typ in (STYPE_REFLECT, STYPE_REFRACT)):
+            # one OPL evaluation feeds the bend, path term, and AD capture
+            opl_func, gx, gy = self.grating.opl_and_gradient(
+                Q_loc[..., 0], Q_loc[..., 1], wvl)
+            grating_grad = (gx, gy)
+            Sprime, valid_diff = self.diffract(
+                Sprime, n_hat, n_post, Q_loc, wvl, grad=grating_grad)
+            code = jnp.where((code == STATUS_OK) & ~valid_diff,
+                             STATUS_EVANESCENT, code)
+            opl_grating = opl_func
+
         P_out, S_out = transform_to_global_coords(Q_loc, self.P, Sprime, self.R)
 
         seg = P_out - P_in
         opl = (n_pre * jnp.sign(jnp.sum(seg * S_in, axis=-1))
                * jnp.sqrt(jnp.sum(seg * seg, axis=-1)))
+        if opl_grating is not None:
+            opl = opl + opl_grating
         return Interaction(P_out, S_out, n_post, opl, code,
-                           P0, S_loc, Q_loc, n_hat, Sprime, S_specular)
+                           P0, S_loc, Q_loc, n_hat, Sprime, S_specular,
+                           grating_grad=grating_grad)
+
+    def diffract(self, S_specular, n_hat, n_post, Q_loc, wavelength,
+                 grad=None):
+        """Tangential momentum kick from the surface OPL function.
+
+        Returns (S_out, valid); evanescent orders keep the specular
+        direction and are masked invalid.  Branch-free masked jnp.
+        """
+        if self.grating is None:
+            return S_specular, jnp.ones(S_specular.shape[:-1], dtype=bool)
+        if grad is None:
+            _, gx, gy = self.grating.opl_and_gradient(
+                Q_loc[..., 0], Q_loc[..., 1], wavelength)
+        else:
+            gx, gy = grad
+        G = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1)
+        G_dot_n = (G * n_hat).sum(-1, keepdims=True)
+        G_tan = G - G_dot_n * n_hat
+        s_dot_n = (S_specular * n_hat).sum(-1, keepdims=True)
+        s_specular_tan = S_specular - s_dot_n * n_hat
+        s_diff_tan = s_specular_tan + G_tan / n_post
+        tan_sq = (s_diff_tan * s_diff_tan).sum(-1)
+        valid = tan_sq <= 1.0
+        normal_mag = jnp.sqrt(jnp.where(valid, 1.0 - tan_sq, 0.0))
+        sign = jnp.sign(s_dot_n[..., 0])
+        S_diff = s_diff_tan + (sign * normal_mag)[..., None] * n_hat
+        S_diff = jnp.where(valid[..., None], S_diff, S_specular)
+        return S_diff, valid
 
     def intersect(self, P, S, tol_sag=None, maxiter=None, forward_only=False):
         """Intersect rays with the surface shape -> (Q, n, valid)."""
