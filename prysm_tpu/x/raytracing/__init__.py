@@ -133,6 +133,32 @@ from .parabasal import (  # NOQA
     parabasal_foci,
 )
 from .opl import CallableOPL, LinearGrating, OPLFunc  # NOQA
+from .aberrations import SeidelResult, seidel_aberrations, paraxial_trace  # NOQA
+from .design import (  # NOQA
+    BFL,
+    Boresight,
+    Distortion,
+    EFL,
+    FieldCurvature,
+    Merit,
+    ParaxialImageDistance,
+    Problem,
+    RayHeightAt,
+    RmsSpotRadius,
+    Thickness,
+    TotalTrack,
+    WavefrontRMS,
+    ZernikeCoefficient,
+    build_problem,
+)
+from .tolerance import (  # NOQA
+    MonteCarloResult,
+    Perturbation,
+    SensitivityTable,
+    monte_carlo,
+    operand_as_merit,
+    sensitivity_table,
+)
 from .field import (  # NOQA
     FieldTraceResult,
     PRTResult,

@@ -64,15 +64,21 @@ class _OptNamespace:
         """(lo, hi) arrays parallel to the free vector."""
         return self._sys._design.bounds()
 
-    def problem(self, goal='spot', **kwargs):
-        """Optimization problem over the free DOFs (design module)."""
-        raise NotImplementedError(
-            'system-level optimization problems land with the design module')
+    def problem(self, goal='spot', *, sampling=None, fields=None,
+                wavelengths=None, constraints=None):
+        """Assemble a design.Problem over this system's free vector."""
+        from .design import build_problem
+        return build_problem(self._sys, goal, sampling=sampling,
+                             fields=fields, wavelengths=wavelengths,
+                             constraints=constraints)
 
-    def optimize(self, goal='spot', **kwargs):
-        """One-call optimization of the free DOFs (design module)."""
-        raise NotImplementedError(
-            'system-level optimization lands with the design module')
+    def optimize(self, goal='spot', *, sampling=None, fields=None,
+                 wavelengths=None, constraints=None, **solve_kwargs):
+        """Build and solve an optimization problem in one shot."""
+        prob = self.problem(goal, sampling=sampling, fields=fields,
+                            wavelengths=wavelengths,
+                            constraints=constraints)
+        return prob.solve(**solve_kwargs)
 
 
 class _SolveNamespace:
@@ -144,13 +150,20 @@ class _PlotNamespace:
 
 
 class _TolNamespace:
-    """Tolerancing verbs; land with the tolerance module."""
+    """Tolerancing verbs under sys.tol."""
 
     __slots__ = ('_sys',)
 
     def __init__(self, system):
         self._sys = system
 
-    def __getattr__(self, name):
-        raise NotImplementedError(
-            f'tolerancing verb {name!r} lands with the tolerance module')
+    def sensitivity(self, perturbations, merit, *, step=None):
+        """Centered finite-difference scalar-merit sensitivity table."""
+        from .tolerance import sensitivity_table
+        return sensitivity_table(self._sys, perturbations, merit, step=step)
+
+    def monte_carlo(self, perturbations, merit, n_trials, **kwargs):
+        """Monte Carlo sampling of a scalar merit over perturbations."""
+        from .tolerance import monte_carlo
+        return monte_carlo(self._sys, perturbations, merit, n_trials,
+                           **kwargs)

@@ -1,0 +1,187 @@
+"""Seidel / design operands / tolerancing parity vs the reference."""
+import sys
+import types
+import warnings
+
+import numpy as onp
+import pytest
+
+import jax  # NOQA: F401
+
+for _name, _attrs in (
+        ('prysm.x.raytracing._first_order',
+         {'initialize_slots': lambda obj: [setattr(obj, n, None)
+                                           for n in type(obj).__slots__],
+          'format_first_order': lambda obj, cls, **kw: cls}),
+        ('prysm.x.raytracing._surface_map',
+         {'SurfaceMap': type('SurfaceMap', (), {})}),
+):
+    if _name not in sys.modules:
+        _m = types.ModuleType(_name)
+        for _k, _v in _attrs.items():
+            setattr(_m, _k, _v)
+        sys.modules[_name] = _m
+
+ref_rt = pytest.importorskip('prysm.x.raytracing')
+ref_mat = pytest.importorskip('prysm.x.materials')
+import prysm.x.raytracing.design as ref_design  # NOQA: E402
+import prysm.x.raytracing.tolerance as ref_tol  # NOQA: E402
+import prysm.x.raytracing.aberrations as ref_aber  # NOQA: E402
+
+from prysm_tpu.x import raytracing as rt  # NOQA: E402
+from prysm_tpu.x.raytracing.design import _TraceCache  # NOQA: E402
+import prysm_tpu.x.materials as mat  # NOQA: E402
+
+
+def _system(rt_mod, mat_mod):
+    bk7 = mat_mod.model_glass(1.5168, 64.17, name='BK7')
+    sf5 = mat_mod.model_glass(1.6727, 32.2, name='SF5')
+    lens = rt_mod.LensData()
+    lens.add(rt_mod.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(rt_mod.Sphere(-1 / 45.0), thickness=3.0, material=sf5)
+    lens.add(rt_mod.Sphere(-1 / 128.0), thickness=95.6, material=mat_mod.air)
+    return rt_mod.OpticalSystem(
+        lens, aperture=20.0, fields=[0.0, 2.0],
+        wavelengths=[0.4861, 0.5876, 0.6563], reference=1, stop_index=1)
+
+
+def test_seidel_matches_reference():
+    sm = rt.seidel_aberrations(_system(rt, mat))
+    sr = ref_aber.seidel_aberrations(_system(ref_rt, ref_mat))
+    for name in ('SI', 'SII', 'SIII', 'SIV', 'SV', 'CI', 'CII'):
+        onp.testing.assert_allclose(getattr(sm, name), getattr(sr, name),
+                                    atol=1e-14, err_msg=name)
+    assert sm.optical_invariant == pytest.approx(sr.optical_invariant,
+                                                 rel=1e-12)
+    wm = sm.wavefront_coefficients()
+    wr = sr.wavefront_coefficients()
+    for k in wm:
+        assert wm[k] == pytest.approx(wr[k], rel=1e-10), k
+    tm = sm.transverse_aberrations(image_slope=-0.1)
+    tr = sr.transverse_aberrations(image_slope=-0.1)
+    for k in tm:
+        assert tm[k] == pytest.approx(tr[k], rel=1e-10), k
+
+
+def test_seidel_asphere_term_matches_reference():
+    def build(rt_mod, mat_mod):
+        bk7 = mat_mod.model_glass(1.5168, 64.17, name='BK7')
+        lens = rt_mod.LensData()
+        lens.add(rt_mod.EvenAsphere(1 / 62.0, -0.7, [1e-6]), thickness=6.0,
+                 material=bk7)
+        lens.add(rt_mod.Sphere(-1 / 128.0), thickness=90.0,
+                 material=mat_mod.air)
+        return rt_mod.OpticalSystem(lens, aperture=20.0, fields=[0.0, 1.0],
+                                    wavelengths=[0.5876], stop_index=1)
+
+    sm = rt.seidel_aberrations(build(rt, mat))
+    sr = ref_aber.seidel_aberrations(build(ref_rt, ref_mat))
+    onp.testing.assert_allclose(sm.SI, sr.SI, atol=1e-14)
+    onp.testing.assert_allclose(sm.SV, sr.SV, atol=1e-14)
+
+
+def test_operand_values_match_reference():
+    mine = _system(rt, mat)
+    ref = _system(ref_rt, ref_mat)
+    cm = _TraceCache(mine)
+    cr = ref_design._TraceCache(ref)
+    pairs = [
+        (rt.RmsSpotRadius(), ref_design.RmsSpotRadius()),
+        (rt.EFL(), ref_design.EFL()),
+        (rt.BFL(), ref_design.BFL()),
+        (rt.ParaxialImageDistance(), ref_design.ParaxialImageDistance()),
+        (rt.TotalTrack(), ref_design.TotalTrack()),
+        (rt.Thickness(1), ref_design.Thickness(1)),
+        (rt.Boresight(field=mine.field(1)), None),
+        (rt.WavefrontRMS(), ref_design.WavefrontRMS()),
+    ]
+    for om, orf in pairs:
+        vm = om(mine, cm)
+        if orf is None:
+            continue
+        if isinstance(orf, ref_design.Boresight):
+            orf.field = ref.field(1)
+        vr = orf(ref, cr)
+        assert vm == pytest.approx(vr, rel=1e-9), type(om).__name__
+    # zernike coefficient operand
+    zm = rt.ZernikeCoefficient(n=4, m=0, nms_basis=[(2, 0), (4, 0)])
+    zr = ref_design.ZernikeCoefficient(n=4, m=0, nms_basis=[(2, 0), (4, 0)])
+    assert zm(mine, _TraceCache(mine)) == pytest.approx(
+        zr(ref, ref_design._TraceCache(ref)), rel=1e-8)
+
+
+def test_problem_residuals_and_solve():
+    mine = _system(rt, mat)
+    mine.solve.image_distance()
+    mine.opt.vary('curvature', [1, 3])
+    prob = mine.opt.problem('spot', constraints=[rt.EFL(target=100.0)])
+    x0 = prob.x0()
+    r0 = prob.residuals(x0)
+    assert r0.shape[0] == 6  # 2 fields x 3 wavelengths
+    m0 = prob.merit(x0)
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        res = prob.solve(maxiter=30)
+    assert prob.merit(res.x) < m0
+    cache = _TraceCache(mine)
+    assert rt.EFL()(mine, cache) == pytest.approx(100.0, abs=1e-6)
+    # jacobian is finite and points downhill
+    g = prob.jacobian(res.x)
+    assert onp.isfinite(g).all()
+
+
+def test_build_problem_goal_routing():
+    mine = _system(rt, mat)
+    prob = mine.opt.problem('wavefront')
+    assert all(isinstance(op, rt.WavefrontRMS) for op in prob.operands)
+    with pytest.raises(ValueError):
+        mine.opt.problem('bogus')
+    with pytest.raises(ValueError):
+        rt.Problem(mine, [], gradient='bad')
+    with pytest.raises(TypeError):
+        rt.Problem(object(), [])
+
+
+def test_sensitivity_table_matches_reference():
+    mine = _system(rt, mat)
+    ref = _system(ref_rt, ref_mat)
+    pm = [rt.Perturbation.normal(mine, 'curvature', 1, 1e-5, name='c1'),
+          rt.Perturbation.normal(mine, 'thickness', 1, 0.05, name='t1')]
+    pr = [ref_tol.Perturbation.normal(ref, 'curvature', 1, 1e-5, name='c1'),
+          ref_tol.Perturbation.normal(ref, 'thickness', 1, 0.05, name='t1')]
+    mm = rt.operand_as_merit(rt.RmsSpotRadius())
+    mr = ref_tol.operand_as_merit(ref_design.RmsSpotRadius())
+    tm = rt.sensitivity_table(mine, pm, mm)
+    tr = ref_tol.sensitivity_table(ref, pr, mr)
+    onp.testing.assert_allclose(tm.sensitivities(), tr.sensitivities(),
+                                rtol=1e-6)
+    assert tm.merit_nominal == pytest.approx(tr.merit_nominal, rel=1e-10)
+
+
+def test_monte_carlo_matches_reference():
+    mine = _system(rt, mat)
+    ref = _system(ref_rt, ref_mat)
+    pm = [rt.Perturbation.uniform(mine, 'curvature', 1, 2e-5, name='c1')]
+    pr = [ref_tol.Perturbation.uniform(ref, 'curvature', 1, 2e-5,
+                                       name='c1')]
+    mm = rt.operand_as_merit(rt.RmsSpotRadius())
+    mr = ref_tol.operand_as_merit(ref_design.RmsSpotRadius())
+    rm = rt.monte_carlo(mine, pm, mm, 20, seed=3, record_samples=True)
+    rr = ref_tol.monte_carlo(ref, pr, mr, 20, seed=3, record_samples=True)
+    onp.testing.assert_allclose(rm.sampled_x, rr.sampled_x, atol=1e-15)
+    onp.testing.assert_allclose(rm.merits, rr.merits, rtol=1e-9)
+    # nominals restored
+    assert float(mine.to_surfaces()[1].shape.params['c']) == pytest.approx(
+        1 / 62.0)
+
+
+def test_perturbation_distributions_and_errors():
+    mine = _system(rt, mat)
+    with pytest.raises(ValueError):
+        rt.Perturbation.normal(mine, 'curvature', 'all', 1e-5)
+    p = rt.Perturbation.triangular(mine, 'thickness', 2, 0.1, name='t2')
+    assert p.variance == pytest.approx(0.1 ** 2 / 6.0)
+    rng = onp.random.default_rng(0)
+    samples = [p.sample(rng) for _ in range(200)]
+    assert min(samples) > p.nominal - 0.1
+    assert max(samples) < p.nominal + 0.1
