@@ -133,6 +133,7 @@ from .parabasal import (  # NOQA
     parabasal_foci,
 )
 from .opl import CallableOPL, LinearGrating, OPLFunc  # NOQA
+from .io import read_seq, read_zmx, write_seq, write_zmx  # NOQA
 from .aberrations import SeidelResult, seidel_aberrations, paraxial_trace  # NOQA
 from .design import (  # NOQA
     BFL,

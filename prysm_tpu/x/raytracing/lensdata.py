@@ -559,9 +559,12 @@ class SurfaceMap:
         return self._surface_for_row[row_index]
 
     def records(self):
-        """Per-row dicts of row_index and surface_index (None for breaks)."""
+        """Per-row dicts of row_index, surface_index (None for breaks), and
+        the Zemax-style sequential surface number (OBJECT = 0, every row
+        including coordinate breaks increments)."""
         return [{'row_index': r,
-                 'surface_index': self._surface_for_row.get(r)}
+                 'surface_index': self._surface_for_row.get(r),
+                 'zemax_surface_number': r}
                 for r in range(self._n_rows)]
 
 
