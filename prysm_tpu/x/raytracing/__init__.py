@@ -134,6 +134,12 @@ from .parabasal import (  # NOQA
 )
 from .opl import CallableOPL, LinearGrating, OPLFunc  # NOQA
 from .io import read_seq, read_zmx, write_seq, write_zmx  # NOQA
+from .auto import RCPrescription, RitcheyChretien  # NOQA
+from .wavefront_differential import (  # NOQA
+    WavefrontDifferential,
+    cumulative_probability,
+    wavefront_differential,
+)
 from .aberrations import SeidelResult, seidel_aberrations, paraxial_trace  # NOQA
 from .design import (  # NOQA
     BFL,

@@ -167,3 +167,10 @@ class _TolNamespace:
         from .tolerance import monte_carlo
         return monte_carlo(self._sys, perturbations, merit, n_trials,
                            **kwargs)
+
+    def wavefront(self, perturbations, P, S, wavelength=None, **kwargs):
+        """Wavefront differential (Code V TOR) for one launch bundle."""
+        from .wavefront_differential import wavefront_differential
+        return wavefront_differential(
+            self._sys, perturbations, P, S,
+            self._sys.wavelength(wavelength), **kwargs)

@@ -1,0 +1,418 @@
+"""Wavefront-differential tolerancing tools (Code V TOR-style).
+
+Rebuild of ``prysm/x/raytracing/wavefront_differential.py``: a quadratic
+RMS model RMS^2(tau) = C + B.tau + tau'G tau built from per-tolerance
+wavefront derivative maps of one launch bundle.  The maps come from
+central finite differences of the closed wavefront over each
+perturbation (the reference drives a hand-written tangent engine; the
+jax forward-mode path for design DOFs lands with the functional surface
+rebuild).  Everything downstream — sensitivities, Zernike sensitivity,
+compensator projection, RSS roll-up, inverse sensitivity, and fast
+Monte Carlo over the quadratic — is identical in shape.
+"""
+import numpy as np
+
+from .analysis import wavefront_zernike_fit, _wavefront_from_trace
+from .analysis import resolve_exit_pupil
+from .spencer_and_murty import raytrace
+from .opt import _pupil_center_chief_index
+from ._resolve import resolve_wavelength
+from .tolerance import MonteCarloResult
+
+_PREC = np.float64
+
+
+def _closed_wavefront(lensdata, P, S, wavelength, *, chief_index, P_xp,
+                      field, axis_point, axis_dir):
+    surfaces = lensdata.to_surfaces()
+    trace = raytrace(surfaces, P, S, wavelength)
+    opd, x_pupil, y_pupil, valid = _wavefront_from_trace(
+        lensdata, P, wavelength, trace, P_xp=P_xp,
+        chief_index=chief_index, field=field, output='length')
+    return opd, x_pupil, y_pupil, valid
+
+
+def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
+                           compensators=None, comp_rcond=1e-9,
+                           chief_index=None, axis_point=None, axis_dir=None,
+                           P_xp=None, field=None, fd_step=None,
+                           rms_reference='chief'):
+    """Build a wavefront-differential model from one launch bundle.
+
+    perturbations define the parameter-axis order; compensators are
+    projected out by least squares.  fd_step overrides the per-
+    perturbation finite-difference half-step (default each one's .step,
+    falling back to 1e-6).
+    """
+    perturbations = list(perturbations)
+    compensators = list(compensators) if compensators else []
+    wavelength = resolve_wavelength(lensdata, wavelength)
+    P = np.asarray(P, dtype=_PREC)
+    S = np.asarray(S, dtype=_PREC)
+
+    if chief_index is None:
+        chief_index = _pupil_center_chief_index(P)
+    resolve_xp = (P_xp is None
+                  and getattr(lensdata, 'stop_index', None) is not None)
+
+    def closed():
+        # re-resolve a stop-driven exit pupil each probe so the finite
+        # difference carries d(P_xp)/d(tau), matching the tangent engine
+        xp = (resolve_exit_pupil(lensdata, wavelength, field=field)
+              if resolve_xp else P_xp)
+        return _closed_wavefront(lensdata, P, S, wavelength,
+                                 chief_index=chief_index, P_xp=xp,
+                                 field=field, axis_point=axis_point,
+                                 axis_dir=axis_dir)
+
+    opd0, x_pupil, y_pupil, valid0 = closed()
+    n = opd0.shape[0]
+
+    def fd_map(p):
+        # a small derivative step independent of the tolerance sigma —
+        # the sigma can be far too coarse for an accurate derivative
+        if fd_step is not None:
+            h = float(fd_step)
+        else:
+            h = 1e-6 * max(1.0, abs(p.nominal))
+        if h == 0.0:
+            h = 1e-6
+        try:
+            p.set(p.nominal + h)
+            wp = closed()[0]
+            p.set(p.nominal - h)
+            wm = closed()[0]
+        finally:
+            p.set(p.nominal)
+        if wp.shape[0] != n or wm.shape[0] != n:
+            raise ValueError(
+                f'perturbation {p.name!r} changed the valid-ray set within '
+                'its finite-difference step; reduce the step or prune '
+                'marginal rays')
+        return (wp - wm) / (2.0 * h)
+
+    n_tol = len(perturbations)
+    dW = np.empty((n, n_tol + len(compensators)), dtype=_PREC)
+    for i, p in enumerate(perturbations + compensators):
+        dW[:, i] = fd_map(p)
+
+    if rms_reference not in ('chief', 'piston'):
+        raise ValueError("rms_reference must be 'chief' or 'piston'")
+    opd = np.asarray(opd0, dtype=_PREC)
+    if rms_reference == 'piston':
+        opd = opd - np.mean(opd)
+        dW = dW - np.mean(dW, axis=0, keepdims=True)
+
+    names = [p.name or f'tol{i}' for i, p in enumerate(perturbations)]
+    steps = [p.step for p in perturbations]
+    variances = [p.variance for p in perturbations]
+
+    tol_maps = dW[:, :n_tol]
+    if not compensators:
+        return WavefrontDifferential(opd, tol_maps, names=names,
+                                     steps=steps, variances=variances,
+                                     reference=rms_reference,
+                                     x_pupil=x_pupil, y_pupil=y_pupil)
+
+    comp_maps = dW[:, n_tol:]
+    comp_names = [c.name or f'comp{i}' for i, c in enumerate(compensators)]
+    opd_c, tol_c, _ = compensate(opd, tol_maps, comp_maps, rcond=comp_rcond)
+    # compensator motion rates dc/dtau = -M+ D use the UNprojected tol maps
+    motions = -(np.linalg.pinv(comp_maps, rcond=comp_rcond) @ tol_maps)
+    return WavefrontDifferential(opd_c, tol_c, names=names, steps=steps,
+                                 variances=variances,
+                                 reference=rms_reference,
+                                 x_pupil=x_pupil, y_pupil=y_pupil,
+                                 comp_names=comp_names,
+                                 comp_maps=comp_maps, comp_motions=motions)
+
+
+# ---------- compensator projection (SVD least squares) ----------------------
+
+def _orthonormal_basis(M, rcond):
+    """Orthonormal basis of col(M) for singular values above rcond*max."""
+    M = np.asarray(M, dtype=_PREC)
+    if M.ndim != 2 or M.shape[1] == 0:
+        return M.reshape(M.shape[0], 0)
+    U, s, _ = np.linalg.svd(M, full_matrices=False)
+    if s.shape[0] == 0:
+        return U[:, :0]
+    rank = int(np.sum(s > rcond * s[0]))
+    return U[:, :rank]
+
+
+def project_out(v, basis):
+    """(I - basis basis^T) v: the part of v orthogonal to the subspace."""
+    basis = np.asarray(basis, dtype=_PREC)
+    if basis.shape[1] == 0:
+        return np.asarray(v, dtype=_PREC)
+    v = np.asarray(v, dtype=_PREC)
+    return v - basis @ (basis.T @ v)
+
+
+def compensate(opd, tol_maps, comp_maps, *, rcond=1e-9):
+    """Project the wavefront and tolerance maps off the compensators."""
+    basis = _orthonormal_basis(comp_maps, rcond)
+    return project_out(opd, basis), project_out(tol_maps, basis), basis
+
+
+class WavefrontDifferential:
+    """Wavefront-error quadratic for one launch bundle and tolerance set."""
+
+    __slots__ = ('W0', 'dW', 'names', 'steps', 'variances',
+                 'x_pupil', 'y_pupil',
+                 'n_samples', 'n_params', 'C', 'B', 'G', 'A', 'rms_nominal',
+                 'comp_names', 'comp_maps', 'comp_motions', 'reference')
+
+    def __init__(self, opd, dW, *, names=None, steps=None, variances=None,
+                 reference='chief', x_pupil=None, y_pupil=None,
+                 comp_names=None, comp_maps=None, comp_motions=None):
+        self.W0 = np.asarray(opd, dtype=_PREC).ravel()
+        self.dW = np.asarray(dW, dtype=_PREC)
+        if self.dW.ndim != 2 or self.dW.shape[0] != self.W0.shape[0]:
+            raise ValueError(
+                f'dW must be (N, P) parallel to opd (N={self.W0.shape[0]});'
+                f' got {self.dW.shape}')
+        self.n_samples, self.n_params = self.dW.shape
+        self.names = (list(names) if names is not None
+                      else [f'tol{i}' for i in range(self.n_params)])
+        self.steps = (np.asarray(steps, dtype=_PREC) if steps is not None
+                      else np.ones(self.n_params, dtype=_PREC))
+        self.variances = (
+            np.asarray(variances, dtype=_PREC) if variances is not None
+            else self.steps * self.steps)
+        if reference not in ('chief', 'piston'):
+            raise ValueError("reference must be 'chief' or 'piston'")
+        self.reference = reference
+        self.x_pupil = None if x_pupil is None else np.asarray(x_pupil)
+        self.y_pupil = None if y_pupil is None else np.asarray(y_pupil)
+        self.comp_names = None if comp_names is None else list(comp_names)
+        self.comp_maps = (None if comp_maps is None
+                          else np.asarray(comp_maps, dtype=_PREC))
+        self.comp_motions = (None if comp_motions is None
+                             else np.asarray(comp_motions, dtype=_PREC))
+
+        n = self.n_samples
+        self.C = float(np.mean(self.W0 * self.W0))
+        self.B = 2.0 * np.mean(self.W0[:, None] * self.dW, axis=0)
+        self.G = (self.dW.T @ self.dW) / n
+        self.A = np.diag(self.G).copy()
+        self.rms_nominal = float(np.sqrt(self.C))
+
+    # ---------- per-tolerance quadratic ------------------------------------
+
+    def quadratic_coeffs(self, p):
+        """(A, B, C) of RMS^2(T) = A T^2 + B T + C for tolerance p alone."""
+        return float(self.A[p]), float(self.B[p]), self.C
+
+    def rms_at(self, p, T):
+        """Predicted RMS with tolerance p at value T, others nominal."""
+        A, B, C = self.quadratic_coeffs(p)
+        T = np.asarray(T, dtype=_PREC)
+        val = A * T * T + B * T + C
+        return np.sqrt(np.maximum(val, 0.0))
+
+    def sensitivity(self):
+        """dRMS/dtau at nominal for every tolerance."""
+        if self.rms_nominal == 0.0:
+            # RMS ~ |T| at a perfect wavefront: report sqrt(A)
+            return np.sqrt(self.A)
+        return self.B / (2.0 * self.rms_nominal)
+
+    # ---------- full quadratic form ----------------------------------------
+
+    def predict_rms_sq(self, tau):
+        """RMS^2(tau), vectorized over rows of tau."""
+        tau = np.asarray(tau, dtype=_PREC)
+        single = tau.ndim == 1
+        if single:
+            tau = tau[None, :]
+        lin = tau @ self.B
+        quad = np.sum((tau @ self.G) * tau, axis=1)
+        val = np.maximum(self.C + lin + quad, 0.0)
+        return float(val[0]) if single else val
+
+    def predict_rms(self, tau):
+        """sqrt(predict_rms_sq(tau))."""
+        return np.sqrt(self.predict_rms_sq(tau))
+
+    def gram(self):
+        """The (P, P) cross-term Gram matrix mean(dW_p dW_q)."""
+        return self.G
+
+    # ---------- Zernike-coefficient sensitivities --------------------------
+
+    def zernike_sensitivity(self, nms, *, normalization_radius=None,
+                            norm=True):
+        """(nominal_coefs, dcoefs): Zernike sensitivity to each tolerance."""
+        if self.x_pupil is None or self.y_pupil is None:
+            raise ValueError(
+                'zernike_sensitivity needs the pupil coordinates; build '
+                'the model via wavefront_differential (which records them)')
+        nms = list(nms)
+        x = self.x_pupil
+        y = self.y_pupil
+        if normalization_radius is None:
+            normalization_radius = float(np.sqrt(np.max(x * x + y * y)))
+        nominal_coefs, _ = wavefront_zernike_fit(
+            self.W0, x, y, nms,
+            normalization_radius=normalization_radius, norm=norm)
+        dcoefs = np.empty((len(nms), self.n_params), dtype=_PREC)
+        for p in range(self.n_params):
+            coefs_p, _ = wavefront_zernike_fit(
+                self.dW[:, p], x, y, nms,
+                normalization_radius=normalization_radius, norm=norm)
+            dcoefs[:, p] = coefs_p
+        return np.asarray(nominal_coefs, dtype=_PREC), dcoefs
+
+    # ---------- compensators -----------------------------------------------
+
+    @property
+    def is_compensated(self):
+        """True when the model projects out a compensator subspace."""
+        return self.comp_maps is not None
+
+    def compensator_motions(self):
+        """Per-tolerance compensator motion rate dc/dtau, shape (K, P)."""
+        if self.comp_motions is None:
+            raise ValueError('this model has no compensators')
+        return self.comp_motions
+
+    # ---------- RSS roll-up ------------------------------------------------
+
+    def _scales(self, scales):
+        if scales is None:
+            return self.steps
+        scales = np.asarray(scales, dtype=_PREC)
+        if scales.ndim == 0:
+            scales = np.full(self.n_params, float(scales), dtype=_PREC)
+        return scales
+
+    def expected_rms_sq(self, scales=None):
+        """E[RMS^2] for independent zero-mean tolerances."""
+        variance = (self.variances if scales is None
+                    else self._scales(scales) ** 2)
+        extra = float(np.sum(variance * self.A))
+        return self.C + extra
+
+    def expected_rms(self, scales=None):
+        """sqrt(expected_rms_sq) -- the RSS-rolled-up predicted RMS."""
+        return float(np.sqrt(max(self.expected_rms_sq(scales), 0.0)))
+
+    def rms_change_per_tolerance(self, scales=None):
+        """Per-tolerance RMS minus nominal at tau_p = +scale_p."""
+        s = self._scales(scales)
+        rms_p = np.sqrt(np.maximum(self.A * s * s + self.B * s + self.C,
+                                   0.0))
+        return rms_p - self.rms_nominal
+
+    # ---------- inverse sensitivity ----------------------------------------
+
+    def inverse_sensitivity(self, target_delta_rms, *, tiny=1e-30):
+        """(t_lo, t_hi): allowed tolerance range for a target RMS increase."""
+        target_rms = self.rms_nominal + float(target_delta_rms)
+        cc = self.C - target_rms * target_rms
+        t_lo = np.empty(self.n_params, dtype=_PREC)
+        t_hi = np.empty(self.n_params, dtype=_PREC)
+        for p in range(self.n_params):
+            A, B = float(self.A[p]), float(self.B[p])
+            if abs(A) <= tiny:
+                if abs(B) <= tiny:
+                    t_lo[p], t_hi[p] = -np.inf, np.inf
+                    continue
+                root = -cc / B
+                if root >= 0:
+                    t_lo[p], t_hi[p] = -np.inf, root
+                else:
+                    t_lo[p], t_hi[p] = root, np.inf
+                continue
+            disc = B * B - 4.0 * A * cc
+            sq = np.sqrt(max(disc, 0.0))
+            r1 = (-B - sq) / (2.0 * A)
+            r2 = (-B + sq) / (2.0 * A)
+            t_lo[p], t_hi[p] = (r1, r2) if r1 <= r2 else (r2, r1)
+        return t_lo, t_hi
+
+    # ---------- fast Monte Carlo over the quadratic ------------------------
+
+    def fast_monte_carlo(self, perturbations, n_trials, *, seed=None,
+                         record_samples=False):
+        """Monte Carlo over the quadratic (no retraces)."""
+        perturbations = list(perturbations)
+        if len(perturbations) != self.n_params:
+            raise ValueError(
+                f'expected {self.n_params} perturbations to match the '
+                f'model, got {len(perturbations)}')
+        rng = np.random.default_rng(seed)
+        n_trials = int(n_trials)
+        nominals = np.array([p.nominal for p in perturbations],
+                            dtype=_PREC)
+        tau = np.empty((n_trials, self.n_params), dtype=_PREC)
+        sampled = (np.empty((n_trials, self.n_params), dtype=_PREC)
+                   if record_samples else None)
+        for trial in range(n_trials):
+            for i, p in enumerate(perturbations):
+                v = p.sample(rng)
+                tau[trial, i] = v - nominals[i]
+                if record_samples:
+                    sampled[trial, i] = v
+        merits = self.predict_rms(tau)
+        names = [p.name for p in perturbations]
+        return MonteCarloResult(merits, sampled, nominals, names)
+
+    # ---------- reporting --------------------------------------------------
+
+    def rows(self, scales=None):
+        """Per-tolerance rows: name, A, B, C, sensitivity, delta_rms."""
+        s = self._scales(scales)
+        sens = self.sensitivity()
+        drms = self.rms_change_per_tolerance(scales)
+        out = []
+        for p in range(self.n_params):
+            out.append({
+                'name': self.names[p],
+                'A': float(self.A[p]),
+                'B': float(self.B[p]),
+                'C': self.C,
+                'scale': float(s[p]),
+                'sensitivity': float(sens[p]),
+                'delta_rms': float(drms[p]),
+            })
+        return out
+
+    def sensitivity_table(self, scales=None):
+        """Column-aligned per-tolerance sensitivity report (a string)."""
+        lines = [
+            f'WavefrontDifferential(rms_nominal={self.rms_nominal:.6g}):',
+            (f'{"name":<20} {"scale":>12} {"A":>12} {"B":>12} '
+             f'{"dRMS/dtau":>12} {"dRMS@scale":>12}'),
+        ]
+        for r in self.rows(scales):
+            lines.append(
+                f'{r["name"]:<20} {r["scale"]:>12.6g} {r["A"]:>12.6g} '
+                f'{r["B"]:>12.6g} {r["sensitivity"]:>12.6g} '
+                f'{r["delta_rms"]:>12.6g}')
+        return '\n'.join(lines)
+
+    def __repr__(self):
+        return (f'WavefrontDifferential(n_samples={self.n_samples}, '
+                f'n_params={self.n_params}, '
+                f'rms_nominal={self.rms_nominal:.6g})')
+
+
+def cumulative_probability(merits):
+    """(thresholds, probability): empirical CDF of a merit sample."""
+    m = getattr(merits, 'merits', merits)
+    m = np.sort(np.asarray(m, dtype=_PREC))
+    n = m.shape[0]
+    prob = (np.arange(1, n + 1, dtype=_PREC)) / n
+    return m, prob
+
+
+__all__ = [
+    'wavefront_differential',
+    'WavefrontDifferential',
+    'compensate',
+    'project_out',
+    'cumulative_probability',
+]
