@@ -59,3 +59,11 @@ from .rugate import (  # NOQA
     apodize,
     rugate_from_target,
 )
+from . import plotting  # NOQA
+from .plotting import (  # NOQA
+    plot_spectrum,
+    plot_index_profile,
+    plot_field_intensity,
+    plot_admittance,
+    plot_monitoring_trace,
+)

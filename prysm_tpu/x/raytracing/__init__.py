@@ -214,3 +214,21 @@ FRAUNHOFER_LINES_UM = {
     'd': 0.5875618,
     'F': 0.4861327,
 }
+
+from . import plotting  # NOQA
+from .plotting import (  # NOQA
+    plot_ray_paths,
+    plot_optics,
+    layout,
+    plot_transverse_ray_aberration,
+    plot_wave_aberration_fan,
+    plot_spot_diagram,
+    plot_field_curvature,
+    plot_distortion,
+    plot_chromatic_focal_shift,
+    plot_lateral_color,
+    plot_full_field,
+    plot_ray_fans,
+    plot_opd_fans,
+    plot_spots,
+)

@@ -137,16 +137,92 @@ class _AnalysisNamespace:
 
 
 class _PlotNamespace:
-    """Plotting verbs; land with the plotting module."""
+    """Plotting verbs under sys.plot."""
 
     __slots__ = ('_sys',)
 
     def __init__(self, system):
         self._sys = system
 
-    def __getattr__(self, name):
-        raise NotImplementedError(
-            f'plotting verb {name!r} lands with the plotting module')
+    def layout_2d(self, **kwargs):
+        """2D system layout with per-field ray fans."""
+        from .plotting import layout
+        return layout(self._sys, **kwargs)
+
+    def spots(self, *, fields=None, wavelengths=None, sampling=None,
+              epd=None, reference='centroid', **kwargs):
+        """Spot-diagram grid over fields and wavelengths."""
+        from .analysis import spot_diagrams
+        from .plotting import plot_spots
+        grid = spot_diagrams(self._sys, fields, wavelengths,
+                             sampling=sampling, epd=epd,
+                             reference=reference)
+        return plot_spots(grid, **kwargs)
+
+    def ray_fans(self, *, fields=None, wavelengths=None, nrays=21,
+                 epd=None, distribution='uniform', reference='chief',
+                 **kwargs):
+        """Transverse ray-aberration fan grid."""
+        from .analysis import ray_aberration_fans
+        from .plotting import plot_ray_fans
+        grid = ray_aberration_fans(self._sys, fields, wavelengths,
+                                   nrays=nrays, epd=epd,
+                                   distribution=distribution,
+                                   reference=reference)
+        return plot_ray_fans(grid, **kwargs)
+
+    def opd_fans(self, *, fields=None, wavelengths=None, nrays=21,
+                 epd=None, distribution='uniform', stop_index=None,
+                 output='waves', **kwargs):
+        """OPD fan grid."""
+        from .analysis import opd_fans
+        from .plotting import plot_opd_fans
+        grid = opd_fans(self._sys, fields, wavelengths, nrays=nrays,
+                        epd=epd, distribution=distribution,
+                        stop_index=stop_index, output=output)
+        return plot_opd_fans(grid, **kwargs)
+
+    def field_curvature(self, *, fields=None, wavelength=None,
+                        samples=21, **kwargs):
+        """S/T field-curvature plot."""
+        from .plotting import plot_field_curvature
+        return plot_field_curvature(self._sys, fields, wavelength,
+                                    samples=samples, **kwargs)
+
+    def distortion(self, *, fields=None, wavelength=None, epd=None,
+                   samples=21, distortion_type='f-tan', **kwargs):
+        """Percent-distortion plot."""
+        from .plotting import plot_distortion
+        return plot_distortion(self._sys, fields, wavelength, epd=epd,
+                               samples=samples,
+                               distortion_type=distortion_type, **kwargs)
+
+    def chromatic_focal_shift(self, *, wavelengths=None, samples=21,
+                              focus='best', epd=None, **kwargs):
+        """Chromatic focal-shift plot."""
+        from .plotting import plot_chromatic_focal_shift
+        return plot_chromatic_focal_shift(self._sys, wavelengths,
+                                          samples=samples, focus=focus,
+                                          epd=epd, **kwargs)
+
+    def lateral_color(self, *, fields=None, wavelengths=None, epd=None,
+                      samples=21, **kwargs):
+        """Lateral-color plot."""
+        from .plotting import plot_lateral_color
+        return plot_lateral_color(self._sys, fields, wavelengths,
+                                  epd=epd, samples=samples, **kwargs)
+
+    def full_field(self, *, metric='rms spot', samples=15, max_field=None,
+                   wavelengths=None, sampling=None, epd=None,
+                   stop_index=None, **kwargs):
+        """Full-field metric map."""
+        from .analysis import full_field
+        from .plotting import plot_full_field
+        grid = full_field(self._sys, metric, samples=samples,
+                          max_field=max_field, wavelengths=wavelengths,
+                          sampling=sampling, epd=epd,
+                          stop_index=stop_index)
+        return plot_full_field(grid, **kwargs)
 
 
 class _TolNamespace:
