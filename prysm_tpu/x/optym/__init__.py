@@ -26,3 +26,5 @@ from .sample_problems import (  # NOQA
     SphereProblem, RosenbrockProblem, RastriginProblem, HimmelblauProblem,
     sphere, rosenbrock, rastrigin, himmelblau,
 )
+from .linesearch import ls_strong_wolfe  # NOQA
+from .plotting import plot_convergence  # NOQA

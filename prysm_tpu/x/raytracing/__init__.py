@@ -232,3 +232,5 @@ from .plotting import (  # NOQA
     plot_opd_fans,
     plot_spots,
 )
+
+from . import sample_rx  # NOQA

@@ -189,3 +189,62 @@ def test_spatial_gradient_adjoint_identity():
     lhs = float(jnp.vdot(op.forward_y(x), y))
     rhs = float(jnp.vdot(x, op.adjoint_y(y)))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_strong_wolfe_matches_reference_contract():
+    import prysm.x.optym.linesearch as ref_ls
+    prob_m = optym.RosenbrockProblem()
+    x = np.array([-1.2, 1.0])
+    f, g = prob_m.fg(x)
+    f = float(f)
+    g = np.asarray(g)
+    pk = -g
+    am, fam, dam, gam = optym.ls_strong_wolfe(prob_m, x, pk, fg_at_xk=(f, g))
+    ar, far, dar, gar = ref_ls.ls_strong_wolfe(
+        lambda z: tuple(map(np.asarray, prob_m.fg(z))), x, pk,
+        fg_at_xk=(f, g))
+    d0 = np.dot(g, pk)
+    for a, fa, da in ((am, fam, dam), (ar, far, dar)):
+        assert fa <= f + 1e-4 * a * d0          # sufficient decrease
+        assert abs(da) <= 0.9 * abs(d0)         # curvature
+    # both return the gradient at the accepted point
+    np.testing.assert_allclose(gam, np.asarray(prob_m.fg(x + am * pk)[1]),
+                                atol=1e-12)
+    # ascent directions are rejected by both
+    assert optym.ls_strong_wolfe(prob_m, x, g, fg_at_xk=(f, g))[0] is None
+    # a cap with remaining descent is taken exactly
+    ac, fac, _, _ = optym.ls_strong_wolfe(prob_m, x, pk, fg_at_xk=(f, g),
+                                        maxalpha=1e-6)
+    assert ac == 1e-6 and fac < f
+
+
+def test_plot_convergence_series():
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    prob = optym.RosenbrockProblem()
+    x0 = np.array([-1.2, 1.0])
+    o = optym.Adam(prob.fg, x0, alpha=0.05)
+    res = optym.run_until(o, optym.MaxIterations(40))
+    fig, ax = optym.plot_convergence(res, yscale='log')
+    axes = np.atleast_1d(np.asarray(ax, dtype=object)).ravel()
+    assert len(axes) == 2
+    f_series = axes[0].lines[0].get_ydata()
+    np.testing.assert_allclose(f_series,
+                                [r.f for r in res.records], atol=0)
+    # alias names route to the same series
+    fig, ax2 = optym.plot_convergence(res.records, quantities=('cost',))
+    np.testing.assert_allclose(ax2.lines[0].get_ydata(), f_series, atol=0)
+    with pytest.raises(ValueError):
+        optym.plot_convergence(res, quantities=('nope',))
+    with pytest.raises(ValueError):
+        optym.plot_convergence([])
+    # bounded count reflects active box faces
+    ob = optym.GradientDescent(prob.fg, x0, alpha=0.02,
+                             lower_bounds=[-1.0, -1.0],
+                             upper_bounds=[0.5, 2.0])
+    resb = optym.run_until(ob, optym.MaxIterations(25))
+    fig, axb = optym.plot_convergence(resb, quantities=('f', 'bounded'))
+    axbs = np.atleast_1d(np.asarray(axb, dtype=object)).ravel()
+    assert axbs[1].lines[0].get_ydata().max() >= 1
+    plt.close('all')

@@ -7,18 +7,11 @@ import pytest
 
 import jax  # NOQA: F401  (force platform selection through conftest)
 
-if 'prysm.x.raytracing._first_order' not in sys.modules:
-    _stub = types.ModuleType('prysm.x.raytracing._first_order')
-    _stub.initialize_slots = lambda obj: [setattr(obj, n, None)
-                                          for n in type(obj).__slots__]
-    _stub.format_first_order = lambda obj, cls: cls + '()'
-    sys.modules['prysm.x.raytracing._first_order'] = _stub
-if 'prysm.x.raytracing._surface_map' not in sys.modules:
-    _stub2 = types.ModuleType('prysm.x.raytracing._surface_map')
-    _stub2.SurfaceMap = type('SurfaceMap', (), {})
-    sys.modules['prysm.x.raytracing._surface_map'] = _stub2
+from _ref_stubs import install as _install_ref_stubs
 
+_install_ref_stubs()
 ref_rt = pytest.importorskip('prysm.x.raytracing')
+_install_ref_stubs()  # rebind names imported during package import
 ref_mat = pytest.importorskip('prysm.x.materials')
 
 from prysm_tpu.x import raytracing as rt  # NOQA: E402
@@ -267,3 +260,38 @@ def test_element_groups():
     lens = _doublet_lens(rt, mat)
     groups = lens.element_groups(wvl=WVL)
     assert groups == [(1, 2, 3)]
+
+
+def test_sample_rx_match_reference():
+    import prysm.x.raytracing.sample_rx as ref_rx
+    from prysm_tpu.x.raytracing import sample_rx as my_rx
+    # glasses agree at d-line
+    for gm, gr in ((my_rx.N_BK7, ref_rx.N_BK7), (my_rx.N_SF5, ref_rx.N_SF5)):
+        assert gm.n(0.5876) == pytest.approx(gr.n(0.5876), rel=1e-12)
+    # each builder compiles to the same surface spine
+    for name in ('doublet', 'doublet_conic', 'fold_mirror',
+                 'decentered_singlet', 'fisheye'):
+        lm = getattr(my_rx, name)()
+        lr = getattr(ref_rx, name)()
+        sm = lm.to_surfaces()
+        sr = lr.to_surfaces()
+        assert len(sm) == len(sr), name
+        for a, b in zip(sm, sr):
+            onp.testing.assert_allclose(onp.asarray(a.P), onp.asarray(b.P),
+                                        atol=1e-12, err_msg=name)
+    assert my_rx.FISHEYE_STOP_INDEX == ref_rx.FISHEYE_STOP_INDEX
+
+
+def test_sample_rx_fisheye_system_first_order():
+    import prysm.x.raytracing.sample_rx as ref_rx
+    from prysm_tpu.x.raytracing import sample_rx as my_rx
+    sm = my_rx.fisheye_system()
+    sr = ref_rx.fisheye_system()
+    fm = sm._ynu_first_order()
+    fr = sr._ynu_first_order()
+    assert fm.efl == pytest.approx(fr.efl, rel=1e-10)
+    assert fm.bfl == pytest.approx(fr.bfl, rel=1e-10)
+    assert sm.epd == pytest.approx(sr.epd, rel=1e-10)
+    # the solved image distance was written into the editor identically
+    assert (float(sm.lens.rows[-2].thickness)
+            == pytest.approx(float(sr.lens.rows[-2].thickness), rel=1e-10))
