@@ -234,3 +234,5 @@ from .plotting import (  # NOQA
 )
 
 from . import sample_rx  # NOQA
+
+from . import adjoint  # NOQA

@@ -1,0 +1,37 @@
+"""Adjoint (reverse-mode) trace sensitivities.
+
+Rebuild of ``prysm/x/raytracing/adjoint/``: the reference's hand-written
+backward sweep (primitives.py + backward_sweep.py, ~2000 lines of
+per-primitive VJP rules) is replaced by ``jax.vjp`` through the same
+jittable trace kernel; the seed vocabulary and the tolerance-analysis
+linear algebra keep the reference's public API.
+"""
+from .seeds import (  # NOQA
+    DiffSeed,
+    seed_curvature,
+    seed_conic,
+    seed_shape_param,
+    seed_decenter,
+    seed_despace,
+    seed_tilt,
+    seed_index,
+    seed_irregularity,
+    seed_from_perturbation,
+)
+from .engine import (  # NOQA
+    adjoint_gradient,
+    apply_seeds,
+    RmsSpotHead,
+    BoresightHead,
+    OplSpreadHead,
+    RayHeightHead,
+)
+from .tolerance_analysis import (  # NOQA
+    AdjointResult,
+    multi_objective_sensitivity,
+    ToleranceSensitivityTable,
+    inverse_sensitivity,
+    multi_objective_budget,
+    rss_prediction,
+    compensated_jacobian,
+)

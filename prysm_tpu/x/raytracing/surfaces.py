@@ -702,8 +702,11 @@ class Surface:
         P_out, S_out = transform_to_global_coords(Q_loc, self.P, Sprime, self.R)
 
         seg = P_out - P_in
-        opl = (n_pre * jnp.sign(jnp.sum(seg * S_in, axis=-1))
-               * jnp.sqrt(jnp.sum(seg * seg, axis=-1)))
+        # seg is collinear with the unit S_in by construction (the bend
+        # happens after the intersection), so the signed length is just
+        # seg . S_in — identical to sign(seg.S)*|seg| but smooth at zero
+        # length, where the norm form would poison reverse-mode with 0/0
+        opl = n_pre * jnp.sum(seg * S_in, axis=-1)
         if opl_grating is not None:
             opl = opl + opl_grating
         return Interaction(P_out, S_out, n_post, opl, code,
