@@ -16,6 +16,7 @@ from .seeds import (  # NOQA
     seed_tilt,
     seed_index,
     seed_irregularity,
+    seed_from_slot,
     seed_from_perturbation,
 )
 from .engine import (  # NOQA

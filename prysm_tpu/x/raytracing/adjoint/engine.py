@@ -115,8 +115,26 @@ def apply_seeds(surfaces, seeds, eps):
 
 
 def _trace_fn(surfaces, seeds, P, S, wvl, tol_sag):
-    P = jnp.asarray(onp.asarray(P, dtype=float))
-    S = jnp.asarray(onp.asarray(S, dtype=float))
+    """f(eps) over the nominal-valid subset of the bundle.
+
+    Rays dead at the nominal point (clipped, TIR, missed) are dropped on
+    the host BEFORE differentiation: the vjp linearizes at eps = 0, where
+    the kept lanes are all finite, so no NaN from dead-lane masking can
+    reach reverse mode (0 cotangent times a NaN partial poisons the
+    whole bundle otherwise).  Heads therefore see an all-valid bundle,
+    which matches the operands' valid-ray statistics.
+    """
+    P = onp.asarray(P, dtype=float)
+    S = onp.asarray(S, dtype=float)
+    r0 = raytrace(surfaces, jnp.asarray(P), jnp.asarray(S), wvl,
+                  tol_sag=tol_sag)
+    from ..spencer_and_murty import valid_mask
+    valid = onp.asarray(valid_mask(r0.status, r0.P[-1]))
+    if not valid.all():
+        P = P[valid]
+        S = S[valid]
+    P = jnp.asarray(P)
+    S = jnp.asarray(S)
 
     def f(eps):
         r = raytrace(apply_seeds(surfaces, seeds, eps), P, S, wvl,

@@ -130,42 +130,53 @@ def _shape_dof_name(row, off):
     raise KeyError(f'no shape DOF at offset {off}')
 
 
-def seed_from_perturbation(perturbation, *, pose_step=1e-6):
-    """DiffSeed matching a tolerance.Perturbation on a LensData.
+def seed_from_slot(lensdata, slot, design=None, *, name=None,
+                   pose_step=1e-6):
+    """DiffSeed for one editor DOF slot (group, row, offset).
 
-    Shape DOFs map through the pickup expansion; pose tangents come from
-    finite-differencing the compiled layout (host side, exact enough at
-    pose_step ~1e-6 for the linear model).
+    Shape DOFs map through the design's pickup expansion when a
+    DesignState is given; pose tangents come from finite-differencing
+    the compiled layout (host side, exact enough at pose_step ~1e-6 for
+    the linear model).
     """
-    group, row_idx, off = perturbation.slot
-    ld = perturbation.lensdata
-    name = perturbation.name or f'{group}{row_idx}'
+    group, row_idx, off = slot
+    ld = lensdata
+    if design is None:
+        owner = getattr(ld, 'system_owner', None)
+        design = None if owner is None else owner._design
+    expansion = ({slot: 1.0} if design is None
+                 else design.pickup_expansion(slot))
 
     mapping = SurfaceMap(ld)
     shapes = []
-    owner = getattr(ld, 'system_owner', None)
-    design = None if owner is None else owner._design
-    expansion = ({perturbation.slot: 1.0} if design is None
-                 else design.pickup_expansion(perturbation.slot))
-    for slot, scale in expansion.items():
-        dep_group, dep_row, dep_off = slot
+    for dep_slot, scale in expansion.items():
+        dep_group, dep_row, dep_off = dep_slot
         if dep_group != 'shape' or scale == 0.0:
             continue
         shapes.append((mapping.surface_for_row(dep_row),
                        _shape_dof_name(ld.rows[dep_row], dep_off),
                        float(scale)))
 
-    pose = _pose_tangents(perturbation, pose_step)
-    return DiffSeed(pose=pose, shapes=shapes, name=name)
+    pose = _pose_tangents(ld, slot, pose_step)
+    return DiffSeed(pose=pose, shapes=shapes,
+                    name=name or f'{group}{row_idx}')
 
 
-def _pose_tangents(perturbation, h):
+def seed_from_perturbation(perturbation, *, pose_step=1e-6):
+    """DiffSeed matching a tolerance.Perturbation on a LensData."""
+    group, row_idx, _ = perturbation.slot
+    return seed_from_slot(perturbation.lensdata, perturbation.slot,
+                          name=perturbation.name or f'{group}{row_idx}',
+                          pose_step=pose_step)
+
+
+def _pose_tangents(ld, slot, h):
     """Central-difference (Qdot, Rdot) of every compiled pose wrt one DOF."""
-    ld = perturbation.lensdata
-    nominal = perturbation.nominal
+    nominal = float(ld._slot_value(slot))
 
     def _layout(value):
-        perturbation.set(value)
+        ld._set_slot_value(slot, value)
+        ld._invalidate()
         surfs = ld.to_surfaces()
         return ([onp.array(s.P, dtype=float) for s in surfs],
                 [onp.eye(3) if s.R is None else onp.array(s.R, dtype=float)
@@ -175,7 +186,8 @@ def _pose_tangents(perturbation, h):
         Pp, Rp = _layout(nominal + h)
         Pm, Rm = _layout(nominal - h)
     finally:
-        perturbation.reset()
+        ld._set_slot_value(slot, nominal)
+        ld._invalidate()
 
     inv2h = 0.5 / h
     pose = {}
@@ -192,5 +204,5 @@ __all__ = [
     'DiffSeed',
     'seed_curvature', 'seed_conic', 'seed_shape_param', 'seed_decenter',
     'seed_despace', 'seed_tilt', 'seed_index', 'seed_irregularity',
-    'seed_from_perturbation',
+    'seed_from_slot', 'seed_from_perturbation',
 ]

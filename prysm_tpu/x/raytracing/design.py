@@ -172,6 +172,11 @@ class RmsSpotRadius(_RayMerit):
         return float(rms_spot_radius(np.asarray(trace.P)[-1],
                                      status=np.asarray(trace.status)))
 
+    def adjoint_head(self):
+        """jnp-differentiable twin of __call__ for the adjoint engine."""
+        from .adjoint.engine import RmsSpotHead
+        return RmsSpotHead(reference='centroid', name=self.name)
+
 
 class RayHeightAt(_RayMerit):
     """One ray's position along one axis at one surface (history row)."""
@@ -214,6 +219,11 @@ class Boresight(_RayMerit):
         dx = mean[0] - self.target_xy[0]
         dy = mean[1] - self.target_xy[1]
         return float(np.sqrt(dx * dx + dy * dy))
+
+    def adjoint_head(self):
+        """jnp-differentiable twin of __call__ for the adjoint engine."""
+        from .adjoint.engine import BoresightHead
+        return BoresightHead(target=self.target_xy, name='boresight')
 
 
 class EFL(Merit):
@@ -479,6 +489,10 @@ class Problem:
         self.equality_constraints = eqs
         self.inequality_constraints = ineqs
         self.gradient = gradient
+        if gradient == 'auto':
+            # damped_least_squares prefers problem.residual_jacobian when
+            # the attribute exists; bind it only for the adjoint route
+            self.residual_jacobian = self._auto_residual_jacobian
 
     def x0(self):
         """Initial free vector from the DesignState."""
@@ -564,6 +578,64 @@ class Problem:
         return _merit_jacobian_free(
             self.design, lambda: self._eval_merit(self.system),
             method='fd', step=step)
+
+    def _auto_residual_jacobian(self, x, step=1e-6):
+        """Exact d(weighted residual)/dx via the adjoint engine.
+
+        Ray operands that expose adjoint_head() are grouped by launch
+        bundle and differentiated in one reverse-mode pass per operand
+        through the trace (reference routes this through
+        ``adjoint/tolerance_analysis.py:72``); remaining operands
+        (paraxial scalars etc.) fall back to central differences.
+        """
+        from .adjoint.seeds import seed_from_slot
+        from .adjoint.tolerance_analysis import multi_objective_sensitivity
+
+        self._set_x(x)
+        x = np.asarray(x, dtype=float)
+        slots = self.design.free_slots()
+        seeds = [seed_from_slot(self.system.lens, slot, self.design,
+                                name=str(slot)) for slot in slots]
+        J = np.zeros((len(self.operands), x.size), dtype=_PREC)
+
+        cache = _TraceCache(self.system)
+        groups = {}
+        fd_rows = []
+        for i, op in enumerate(self.operands):
+            head_fn = getattr(op, 'adjoint_head', None)
+            if head_fn is None:
+                fd_rows.append(i)
+                continue
+            P, S, wvl = op._bundle(self.system, cache)
+            key = (float(wvl), id(P))
+            groups.setdefault(key, (P, S, wvl, []))[3].append(i)
+        for P, S, wvl, rows in groups.values():
+            heads = [self.operands[i].adjoint_head() for i in rows]
+            res = multi_objective_sensitivity(
+                self.system, np.asarray(P), np.asarray(S), wvl, seeds,
+                heads)
+            for m, i in enumerate(rows):
+                J[i] = self.operands[i].weight * res.jacobian[m]
+
+        if fd_rows:
+            ops = [self.operands[i] for i in fd_rows]
+
+            def sub(xv):
+                self._set_x(xv)
+                out, _ = self._operand_vector(ops, weighted=True)
+                return out
+
+            for k in range(x.size):
+                h = step * max(1.0, abs(x[k]))
+                xp = x.copy()
+                xp[k] += h
+                fp = sub(xp)
+                xp[k] = x[k] - h
+                fm = sub(xp)
+                for m, i in enumerate(fd_rows):
+                    J[i, k] = (fp[m] - fm[m]) / (2 * h)
+            self._set_x(x)
+        return J
 
 
 def _as_operand_list(operands):

@@ -193,8 +193,11 @@ def newton_raphson_solve_s(P1, S, sag_and_normal, s1=0.0, tol_sag=None,
     Fj = Pj[..., 2] - sagj
     converged = (converged | (jnp.abs(Fj) < tol)) & finite
     Fpj = row_dot(S, n_hat) / n_hat[..., 2]
-    step = Fj / Fpj
-    sj = jnp.where(jnp.isfinite(step), sj - step, sj)
+    # grazing lanes (Fpj ~ 0) would put inf into the quotient and NaN into
+    # reverse mode through the where; substitute a benign denominator
+    graze = ~(jnp.abs(Fpj) > 1e-300)
+    step = Fj / jnp.where(graze, 1.0, Fpj)
+    sj = jnp.where(graze | ~jnp.isfinite(step), sj, sj - step)
     # final evaluation at the polished solution for outputs
     Pj = P1 + sj[..., None] * S
     sagj, n_hat = sag_and_normal(Pj[..., 0], Pj[..., 1])
@@ -239,12 +242,27 @@ def refract(n, nprime, S, n_hat):
     """Snell's law for exitant direction cosines (NaN where TIR)."""
     S = jnp.atleast_2d(S)
     n_hat = jnp.atleast_2d(n_hat)
+    out, tir = refract_with_tir(n, nprime, S, n_hat)
+    return jnp.where(tir[..., None], jnp.nan, out)
+
+
+def refract_with_tir(n, nprime, S, n_hat):
+    """(Sprime, tir_mask) with finite values on TIR lanes.
+
+    TIR is reported through the mask, NOT by sqrt(negative): the clamped
+    sqrt keeps reverse-mode finite on TIR lanes (a zero cotangent times
+    the NaN derivative of sqrt(<0) would otherwise poison every
+    gradient in the bundle).
+    """
+    S = jnp.atleast_2d(S)
+    n_hat = jnp.atleast_2d(n_hat)
     mu = n / nprime
     cosI = row_dot(n_hat, S)
     sinT_sq = mu * mu * (1.0 - cosI * cosI)
-    cosT = jnp.sqrt(1.0 - sinT_sq)  # NaN where sinT_sq > 1 (TIR)
+    tir = sinT_sq >= 1.0
+    cosT = jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sinT_sq))
     factor = jnp.sign(cosI) * cosT - mu * cosI
-    return mu * S + factor[..., None] * n_hat
+    return mu * S + factor[..., None] * n_hat, tir
 
 
 def reflect(S, n_hat):

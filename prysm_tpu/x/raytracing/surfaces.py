@@ -32,7 +32,7 @@ from .spencer_and_murty import (
     _is_measurement_surf,
     STATUS_OK, STATUS_MISS, STATUS_NEWTON, STATUS_CLIP, STATUS_TIR,
     STATUS_EVANESCENT,
-    refract, reflect,
+    refract, refract_with_tir, reflect,
     transform_to_local_coords, transform_to_global_coords,
     intersect as newton_intersect,
     SURFACE_INTERSECTION_DEFAULT_MAXITER,
@@ -677,9 +677,9 @@ class Surface:
             n_post = n_pre
         elif self.typ == STYPE_REFRACT:
             n_post = self.material.n(wvl)
-            Sprime = refract(n_pre, n_post, S_loc, n_hat)
-            tir = jnp.isnan(Sprime).any(axis=-1) & converged
-            code = jnp.where((code == STATUS_OK) & tir, STATUS_TIR, code)
+            Sprime, tir = refract_with_tir(n_pre, n_post, S_loc, n_hat)
+            code = jnp.where((code == STATUS_OK) & tir & converged,
+                             STATUS_TIR, code)
         else:
             Sprime = S_loc
             n_post = n_pre

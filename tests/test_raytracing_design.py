@@ -185,3 +185,59 @@ def test_perturbation_distributions_and_errors():
     samples = [p.sample(rng) for _ in range(200)]
     assert min(samples) > p.nominal - 0.1
     assert max(samples) < p.nominal + 0.1
+
+
+def test_problem_auto_gradient_route():
+    """gradient='auto' binds residual_jacobian to the adjoint engine and
+    converges to the FD solution; the Jacobian matches FD at x0 and stays
+    finite where some rays vignette (the reference declines to FD there —
+    prysm/x/raytracing/design.py:867; the jax route subsets to the valid
+    bundle instead)."""
+    import warnings as _w
+
+    def _make():
+        s = _system(rt, mat)
+        s.solve.image_distance()
+        s.opt.vary('curvature', [1, 3])
+        return s
+
+    sols = {}
+    for mode in ('fd', 'auto'):
+        s = _make()
+        prob = rt.Problem(
+            s,
+            [rt.RmsSpotRadius(field=s.field(i), wavelength=w,
+                              sampling=rt.Sampling.hex(3))
+             for i in (0, 1) for w in (0.4861, 0.5876, 0.6563)],
+            constraints=[rt.EFL(target=100.0)], gradient=mode)
+        if mode == 'auto':
+            assert callable(getattr(prob, 'residual_jacobian', None))
+            x0 = prob.x0()
+            J = prob.residual_jacobian(x0)
+            h = 1e-7
+            Jf = onp.zeros_like(J)
+            for k in range(x0.size):
+                xp = x0.copy()
+                xp[k] += h
+                fp = prob.residuals(xp)
+                xp[k] = x0[k] - h
+                fm = prob.residuals(xp)
+                Jf[:, k] = (fp - fm) / (2 * h)
+            prob.residuals(x0)
+            onp.testing.assert_allclose(J, Jf, rtol=1e-4, atol=1e-10)
+        else:
+            assert getattr(prob, 'residual_jacobian', None) is None
+        with _w.catch_warnings():
+            _w.simplefilter('ignore')
+            res = prob.solve(maxiter=30)
+        sols[mode] = res.x
+    onp.testing.assert_allclose(sols['auto'], sols['fd'], atol=1e-8)
+
+    # finite even when the evaluation point vignettes many rays
+    s = _make()
+    prob = rt.Problem(
+        s, [rt.RmsSpotRadius(field=s.field(1), sampling=rt.Sampling.hex(4))],
+        gradient='auto')
+    x = prob.x0() + onp.array([4e-3, -3e-3])
+    J = prob.residual_jacobian(x)
+    assert onp.isfinite(J).all()
