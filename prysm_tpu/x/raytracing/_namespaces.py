@@ -120,6 +120,15 @@ class _AnalysisNamespace:
     def __init__(self, system):
         self._sys = system
 
+    def first_order(self, field=0, wavelength=None, **kwargs):
+        """Parabasal first-order properties about a chief ray."""
+        return self._sys.first_order(field=field, wavelength=wavelength,
+                                     **kwargs)
+
+    def exit_pupil(self, wavelength=None, field=None, **kwargs):
+        """Resolved exit-pupil reference point (or None if telecentric)."""
+        return self._sys.exit_pupil(wavelength, field=field, **kwargs)
+
     def __getattr__(self, name):
         from . import analysis as _analysis
         fn = getattr(_analysis, name, None)
@@ -250,3 +259,24 @@ class _TolNamespace:
         return wavefront_differential(
             self._sys, perturbations, P, S,
             self._sys.wavelength(wavelength), **kwargs)
+
+    def inverse_sensitivity(self, J, budget, **kwargs):
+        """Per-tolerance steps that fit a sensitivity Jacobian to a budget."""
+        from .adjoint.tolerance_analysis import inverse_sensitivity
+        return inverse_sensitivity(J, budget, **kwargs)
+
+    def adjoint_sensitivity(self, perturbations, heads, P, S,
+                            wavelength=None, **kwargs):
+        """Exact multi-objective Jacobian over editor perturbations.
+
+        Builds adjoint seeds from tolerance.Perturbation objects and
+        assembles the M x P Jacobian with one reverse-mode pass per
+        head; feed the result's .jacobian to inverse_sensitivity /
+        rss_prediction for budgeting.
+        """
+        from .adjoint.seeds import seed_from_perturbation
+        from .adjoint.tolerance_analysis import multi_objective_sensitivity
+        seeds = [seed_from_perturbation(p) for p in perturbations]
+        return multi_objective_sensitivity(
+            self._sys, P, S, self._sys.wavelength(wavelength), seeds,
+            heads, **kwargs)
