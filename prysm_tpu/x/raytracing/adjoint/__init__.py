@@ -21,6 +21,7 @@ from .seeds import (  # NOQA
 )
 from .engine import (  # NOQA
     adjoint_gradient,
+    adjoint_gradient_multi,
     apply_seeds,
     RmsSpotHead,
     BoresightHead,

@@ -185,6 +185,31 @@ def adjoint_gradient(system, P, S, wvl, seeds, head, *, tol_sag=None):
     return grad, nominal
 
 
+def adjoint_gradient_multi(system, P, S, wvl, seeds, heads, *,
+                           tol_sag=None):
+    """(grads, values) for several callable heads over one bundle.
+
+    One forward trace and one linearization shared by all heads; each
+    head costs only a vjp pullback, not a re-trace.  grads is
+    (M, n_seeds); values is the list of nominal head values.
+    """
+    surfaces = _resolve_surfaces(system)
+    seeds = list(seeds)
+    heads = list(heads)
+    eps0 = jnp.zeros(len(seeds), dtype=config.precision)
+    f = _trace_fn(surfaces, seeds, P, S, wvl, tol_sag)
+
+    def g(eps):
+        Ph, Sh, L = f(eps)
+        return jnp.stack([jnp.asarray(h(Ph, Sh, L)) for h in heads])
+
+    vals, pullback = jax.vjp(g, eps0)
+    eye = onp.eye(len(heads))
+    grads = onp.stack([onp.asarray(pullback(jnp.asarray(eye[m]))[0])
+                       for m in range(len(heads))])
+    return grads, [float(v) for v in onp.asarray(vals)]
+
+
 def _masked_mean(v, m, axis=None):
     m = m.astype(v.dtype)
     return (v * m).sum(axis) / jnp.maximum(m.sum(axis), 1.0)
@@ -270,6 +295,6 @@ class RayHeightHead:
 
 
 __all__ = [
-    'adjoint_gradient', 'apply_seeds',
+    'adjoint_gradient', 'adjoint_gradient_multi', 'apply_seeds',
     'RmsSpotHead', 'BoresightHead', 'OplSpreadHead', 'RayHeightHead',
 ]

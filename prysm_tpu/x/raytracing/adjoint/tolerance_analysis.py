@@ -9,7 +9,7 @@ RSS prediction, and compensator projection.
 """
 import numpy as onp
 
-from .engine import adjoint_gradient
+from .engine import adjoint_gradient, adjoint_gradient_multi
 
 
 class AdjointResult:
@@ -61,15 +61,27 @@ def multi_objective_sensitivity(system, P, S, wvl, seeds, heads, *,
     heads = list(heads)
     J = onp.zeros((len(heads), len(seeds)), dtype=float)
     nominals = {}
-    head_names = []
-    for m, head in enumerate(heads):
-        name = getattr(head, 'name', None) or f'head{m}'
-        head_names.append(name)
-        grad, nominal = adjoint_gradient(system, P, S, wvl, seeds, head,
-                                         tol_sag=tol_sag)
+    head_names = [getattr(h, 'name', None) or f'head{m}'
+                  for m, h in enumerate(heads)]
+
+    # callable heads share one forward trace + linearization; one pullback
+    # per head instead of one full re-trace per head
+    callable_rows = [m for m, h in enumerate(heads)
+                     if getattr(h, 'seed', None) is None]
+    other_rows = [m for m in range(len(heads)) if m not in callable_rows]
+    if callable_rows:
+        grads, values = adjoint_gradient_multi(
+            system, P, S, wvl, seeds, [heads[m] for m in callable_rows],
+            tol_sag=tol_sag)
+        for i, m in enumerate(callable_rows):
+            J[m] = grads[i]
+            nominals[head_names[m]] = values[i]
+    for m in other_rows:
+        grad, nominal = adjoint_gradient(system, P, S, wvl, seeds,
+                                         heads[m], tol_sag=tol_sag)
         J[m] = grad
         if nominal is not None:
-            nominals[name] = nominal
+            nominals[head_names[m]] = nominal
     param_names = [getattr(s, 'name', '') or f'param{p}'
                    for p, s in enumerate(seeds)]
     return AdjointResult(J, head_names, param_names, nominals)
