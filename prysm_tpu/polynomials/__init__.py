@@ -7,14 +7,16 @@ Each family exposes the canonical surface of the reference
 from .jacobi import (  # NOQA
     jacobi, jacobi_der, jacobi_seq, jacobi_der_seq,
     jacobi_with_der, jacobi_seq_with_der,
-    jacobi_sum_clenshaw, jacobi_radial_sum, jacobi_radial_sum_der_xy,
+    jacobi_sum_clenshaw, jacobi_sum_clenshaw_der,
+    jacobi_radial_sum, jacobi_radial_sum_der_xy,
 )
 from .zernike import (  # NOQA
     zernike_norm, zernike_nm, zernike_nm_seq, zernike_sum,
     zernike_nm_der, zernike_nm_der_seq,
     zernike_nm_der_xy, zernike_nm_der_xy_seq, zernike_sum_der_xy,
     nm_to_fringe, nm_to_ansi_j, ansi_j_to_nm, noll_to_nm, fringe_to_nm,
-    nm_to_name, top_n, zernikes_to_magnitude_angle,
+    nm_to_name, top_n, barplot, barplot_magnitudes,
+    zernikes_to_magnitude_angle,
     zernikes_to_magnitude_angle_nmkey, zero_separation,
 )
 from .fitting import (  # NOQA

@@ -238,3 +238,24 @@ def jacobi_radial_sum_der_xy(coefs, ns, alpha, beta, x, y, normalization_radius)
     dzdx = dzdu * (4.0 * x * inv_Rsq)
     dzdy = dzdu * (4.0 * y * inv_Rsq)
     return z, dzdx, dzdy
+
+
+def jacobi_sum_clenshaw_der(s, alpha, beta, x, j=1):
+    """jth partial derivative w.r.t. x of the weighted Jacobi sum.
+
+    Contract note: the reference's function of this name
+    (prysm/polynomials/jacobi.py:319) fills a caller-supplied Clenshaw
+    alpha TABLE that qpoly combines downstream; here the plain Clenshaw
+    sum is a jit-friendly scan, so this returns the j-th derivative
+    itself via j nested forward-mode passes — exact, no extra
+    recurrences, and the qpoly consumers have their own fused paths.
+    """
+    import jax
+
+    def f(xv):
+        return jacobi_sum_clenshaw(s, alpha, beta, xv)
+
+    for _ in range(int(j)):
+        f = (lambda g: lambda xv: jax.jvp(
+            g, (xv,), (jnp.ones_like(xv),))[1])(f)
+    return f(jnp.asarray(x))

@@ -492,3 +492,74 @@ def top_n(coefs, n=5):
     names = [nm_to_name(*p) for p in oidxs]
     names = np.asarray(names)[idxs]
     return list(zip(big_terms, idxs, names))
+
+
+onp = np  # the barplots below use the host-numpy alias
+
+
+def barplot(coefs, names=None, orientation='h', buffer=1, zorder=3,
+            number=True, offset=0, width=0.8, fig=None, ax=None):
+    """Bar plot of Zernike coefficients with names and index labels."""
+    from ..plotting import share_fig_ax
+    fig, ax = share_fig_ax(fig, ax)
+    coefs = onp.asarray(coefs, dtype=float)
+    idxs = onp.arange(len(coefs))
+    lims = (idxs[0] - buffer, idxs[-1] + buffer)
+    if names is None:
+        names = [str(i) for i in idxs]
+    horizontal = orientation.lower() in ('h', 'horizontal')
+    if horizontal:
+        ax.bar(idxs + offset, coefs, zorder=zorder, width=width)
+        ax.set_xticks(idxs, names, rotation=90)
+        if number:
+            dy = 0.01 * (coefs.max() - coefs.min())
+            for i in idxs:
+                ax.text(i, dy, str(i), ha='center')
+        ax.set(xlim=lims)
+    else:
+        ax.barh(idxs + offset, coefs, zorder=zorder, height=width)
+        ax.set_yticks(idxs, names)
+        if number:
+            for i in idxs:
+                ax.text(0, i, str(i), ha='center')
+        ax.set(ylim=lims)
+    return fig, ax
+
+
+def barplot_magnitudes(coefs, nms, errorbars=None, orientation='h',
+                       sort=False, buffer=1, zorder=3, offset=0, width=0.8,
+                       fig=None, ax=None):
+    """Bar plot of Zernike magnitude pairs (one bar per astigmatism etc.)."""
+    from ..plotting import share_fig_ax
+    pak = zernikes_to_magnitude_angle(
+        [(*nm, v) for nm, v in zip(nms, coefs)])
+    mags = onp.asarray([abs(v[0]) for v in pak.values()], dtype=float)
+    names = onp.asarray(list(pak.keys()), dtype=object)
+    if errorbars is not None:
+        epak = zernikes_to_magnitude_angle(
+            [(*nm, v) for nm, v in zip(nms, errorbars)])
+        errorbars = onp.asarray([abs(v[0]) for v in epak.values()],
+                                dtype=float)
+    if sort:
+        order = onp.argsort(mags)
+        mags = mags[order]
+        names = names[order]
+        if errorbars is not None:
+            errorbars = errorbars[order]
+    idxs = onp.arange(len(names))
+    lims = (idxs[0] - buffer, idxs[-1] + buffer)
+    fig, ax = share_fig_ax(fig, ax)
+    if orientation.lower() in ('h', 'horizontal'):
+        ax.bar(idxs + offset, mags, zorder=zorder, width=width)
+        if errorbars is not None:
+            ax.errorbar(idxs + offset, mags, errorbars, fmt='o')
+        ax.set_xticks(idxs, names, rotation=90)
+        ax.set(xlim=lims)
+    else:
+        ax.barh(idxs + offset, mags, zorder=zorder, height=width)
+        if errorbars is not None:
+            ax.errorbar(mags, idxs + offset, xerr=errorbars, fmt='.',
+                        color='r', zorder=zorder + 1, capsize=5)
+        ax.set_yticks(idxs, names)
+        ax.set(ylim=lims)
+    return fig, ax

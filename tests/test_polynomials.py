@@ -170,3 +170,41 @@ def test_normalize_and_orthogonalize_modes():
     ours_o = np.asarray(poly.orthogonalize_modes(jnp.asarray(modes), jnp.asarray(mask)))
     theirs_o = np.asarray(ref_poly.orthogonalize_modes(modes, mask))
     np.testing.assert_allclose(ours_o, theirs_o, rtol=1e-8, atol=1e-10)
+
+
+def test_jacobi_sum_clenshaw_der_matches_fd():
+    x = np.linspace(-0.9, 0.9, 41)
+    s = [0.5, -1.0, 2.0, 0.3, -0.7, 1.1]
+    f = lambda xv: np.asarray(poly.jacobi_sum_clenshaw(s, 0.0, 2.0, jnp.asarray(xv)))  # NOQA
+    # h chosen per stencil: second differences amplify roundoff by 1/h^2
+    for j, h, tol in ((1, 1e-6, 1e-7), (2, 1e-4, 1e-4)):
+        d = np.asarray(poly.jacobi_sum_clenshaw_der(s, 0.0, 2.0,
+                                                    jnp.asarray(x), j=j))
+        if j == 1:
+            fd = (f(x + h) - f(x - h)) / (2 * h)
+        else:
+            fd = (f(x + h) - 2 * f(x) + f(x - h)) / (h * h)
+        np.testing.assert_allclose(d, fd, rtol=tol, atol=tol)
+    # derivative order above the polynomial degree is identically zero
+    d = np.asarray(poly.jacobi_sum_clenshaw_der(s, 0.0, 2.0,
+                                                       jnp.asarray(x), j=6))
+    np.testing.assert_allclose(d, 0.0, atol=1e-9)
+
+
+def test_zernike_barplots_render():
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    coefs = [0.0, 25.0, -10.0, 8.0]
+    fig, ax = poly.barplot(coefs)
+    assert len(ax.patches) == 4
+    nms = [(2, 0), (2, 2), (2, -2), (4, 0)]
+    fig, ax = poly.barplot_magnitudes([10.0, 4.0, -3.0, 0.5], nms)
+    labels = [t.get_text() for t in ax.get_xticklabels()]
+    assert 'Primary Astigmatism' in labels  # the (2,2)/(2,-2) pair merged
+    assert len(ax.patches) == 3
+    fig, ax = poly.barplot_magnitudes([10.0, 4.0, -3.0, 0.5], nms,
+                                             errorbars=[0.1] * 4, sort=True,
+                                             orientation='v')
+    assert len(ax.containers) == 2
+    plt.close('all')
