@@ -28,3 +28,7 @@ from .sample_problems import (  # NOQA
 )
 from .linesearch import ls_strong_wolfe  # NOQA
 from .plotting import plot_convergence  # NOQA
+from .checkpoint import (  # NOQA
+    save_checkpoint, load_checkpoint, optimizer_state,
+    restore_optimizer_state, CheckpointGovernor,
+)
