@@ -13,3 +13,7 @@ from .broadband import (  # NOQA
 from .sharding import (  # NOQA
     shard_broadband_step, broadband_psf,
 )
+from .coronagraph import (  # NOQA
+    StackedMultiRes, stack_multiresolution, multires_roundtrip,
+    shard_multires_roundtrip, shard_multires_babinet,
+)

@@ -73,3 +73,56 @@ def test_sharded_step_wl_only_mesh():
     l_sh, g_sh = step(coefs)
     np.testing.assert_allclose(float(l_sh), 0.0, atol=1e-18)
     np.testing.assert_allclose(np.asarray(g_sh), 0.0, atol=1e-12)
+
+
+def test_sharded_multiresolution_matches_serial():
+    """Levels sharded over the mesh + psum == the serial level loop."""
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    from prysm_tpu.propagation import prepare_multiresolution
+    from prysm_tpu.propagation.coronagraph import (
+        to_fpm_and_back_multiresolution, vortex_phase_mask)
+    from prysm_tpu import parallel as par
+
+    N = 32
+    wvl, efl = 0.55, 10.0
+    dx = 2.2 / N
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    a = jnp.asarray(np.asarray(amp), dtype=jnp.complex128)
+    fpm = vortex_phase_mask(2)
+
+    mre = prepare_multiresolution(dx, (N, N), 0.5, 24, wvl, efl,
+                                  num_levels=8, scaling=2.0,
+                                  fine_samples=24)
+    c_serial = to_fpm_and_back_multiresolution(
+        a, lambda xf, yf: 1 - fpm(xf, yf), mre)
+
+    plan = par.stack_multiresolution(mre, fpm, babinet=True)
+    mesh = par.make_mesh({'lv': 8})
+    c_shard = par.shard_multires_roundtrip(mesh, plan)(a)
+    np.testing.assert_allclose(np.asarray(c_shard), np.asarray(c_serial),
+                               atol=1e-14)
+
+    lyot = jnp.asarray(np.asarray(antialias(circle_sdf(0.9, r), dx)))
+    b = par.shard_multires_babinet(mesh, plan, lyot)(a)
+    np.testing.assert_allclose(np.asarray(b),
+                               np.asarray(lyot * (a - c_serial)),
+                               atol=1e-14)
+    # gradients flow through the collective
+    g = jax.grad(lambda aa: (jnp.abs(
+        par.shard_multires_babinet(mesh, plan, lyot)(aa)) ** 2).sum())(a)
+    assert bool(jnp.isfinite(g.real).all())
+    # indivisible level counts and non-uniform shapes are rejected
+    mre5 = prepare_multiresolution(dx, (N, N), 0.5, 24, wvl, efl,
+                                   num_levels=5, scaling=2.0,
+                                   fine_samples=24)
+    with pytest.raises(ValueError, match='divide'):
+        par.shard_multires_roundtrip(
+            mesh, par.stack_multiresolution(mre5, fpm, babinet=True))
+    mre_bad = prepare_multiresolution(dx, (N, N), 0.5, 24, wvl, efl,
+                                      num_levels=3, scaling=2.0,
+                                      fine_samples=32)
+    with pytest.raises(ValueError, match='uniform'):
+        par.stack_multiresolution(mre_bad, fpm)
