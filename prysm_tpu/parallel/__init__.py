@@ -17,3 +17,6 @@ from .coronagraph import (  # NOQA
     StackedMultiRes, stack_multiresolution, multires_roundtrip,
     shard_multires_roundtrip, shard_multires_babinet,
 )
+from .mdft_contraction import (  # NOQA
+    shard_mdft_contraction, shard_mdft_contraction_roundtrip,
+)

@@ -126,3 +126,41 @@ def test_sharded_multiresolution_matches_serial():
                                       fine_samples=32)
     with pytest.raises(ValueError, match='uniform'):
         par.stack_multiresolution(mre_bad, fpm)
+
+
+def test_contraction_sharded_mdft_matches_serial():
+    """Pupil-row (contraction-axis) sharding + psum == the dense MDFT."""
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    from prysm_tpu.propagation import prepare_executor
+    from prysm_tpu.propagation.dft import focus_dft, unfocus_dft
+    from prysm_tpu import parallel as par
+
+    N = 32
+    dx = 2.2 / N
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    a = jnp.asarray(np.asarray(antialias(circle_sdf(1.0, r), dx)),
+                    dtype=jnp.complex128)
+    plan = prepare_executor(dx, (N, N), 0.4, 16, 0.55, 10.0)
+    mesh = par.make_mesh({'ct': 8})
+
+    f = par.shard_mdft_contraction(mesh, plan)(a)
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(focus_dft(a, plan)), atol=1e-13)
+
+    mask = jnp.asarray(np.exp(
+        1j * np.arctan2(*np.meshgrid(np.arange(16) - 7.5,
+                                     np.arange(16) - 7.5))))
+    rt = par.shard_mdft_contraction_roundtrip(mesh, plan, focal_factor=mask)
+    c = rt(a)
+    np.testing.assert_allclose(
+        np.asarray(c),
+        np.asarray(unfocus_dft(focus_dft(a, plan) * mask, plan)),
+        atol=1e-13)
+    g = jax.grad(lambda aa: jnp.sum(jnp.abs(rt(aa)) ** 2))(a)
+    assert bool(jnp.isfinite(g.real).all())
+
+    plan_odd = prepare_executor(2.2 / 20, (20, 20), 0.4, 16, 0.55, 10.0)
+    with pytest.raises(ValueError, match='divide'):
+        par.shard_mdft_contraction(mesh, plan_odd)
