@@ -27,7 +27,11 @@ def shard_mdft_contraction(mesh, plan, axis='ct'):
     replicated (My, Mx) focal field.  The Ny axis must divide the mesh
     axis size.
     """
-    n_shard = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if axis not in sizes:
+        raise ValueError(
+            f'mesh has axes {sorted(sizes)}; no axis named {axis!r}')
+    n_shard = sizes[axis]
     Ny = plan.Ey.shape[1]
     if Ny % n_shard:
         raise ValueError(
@@ -62,7 +66,11 @@ def shard_mdft_contraction_roundtrip(mesh, plan, focal_factor=None,
     pupil rows sharded; the focal plane is small and replicated.
     Returns apply(a) with a (Ny, Nx) pupil in and out.
     """
-    n_shard = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if axis not in sizes:
+        raise ValueError(
+            f'mesh has axes {sorted(sizes)}; no axis named {axis!r}')
+    n_shard = sizes[axis]
     Ny = plan.Ey.shape[1]
     if Ny % n_shard:
         raise ValueError(

@@ -37,6 +37,10 @@ def plot_spectrum(stack, wvls, theta=0.0, pol='avg', quantities=('R', 'T'),
               'A': 'absorptance'}
     fig, ax = share_fig_ax(fig, ax)
     for q in quantities:
+        if q not in series:
+            raise ValueError(
+                f"unknown spectrum quantity {q!r}; choose from "
+                f"{sorted(series)}")
         ax.plot(wvls, series[q], label=labels[q])
     ax.set_xlabel('wavelength [um]')
     ax.set_ylabel('fraction of incident power')

@@ -93,6 +93,11 @@ def apply_seeds(surfaces, seeds, eps):
         if shape_contribs:
             p = dict(shape.params)
             for pname, scale, k in shape_contribs:
+                if pname not in p:
+                    raise KeyError(
+                        f'surface {j} is a {type(shape).__name__} with '
+                        f'shape DOFs {sorted(p)}; seed targets {pname!r} '
+                        '(note: indices are compiled indices, OBJECT = 0)')
                 p[pname] = p[pname] + eps[k] * scale
             shape = type(shape).from_params(p)
         if sag_terms:
