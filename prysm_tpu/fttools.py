@@ -133,6 +133,15 @@ def crop_center(img, out_shape):
 # Matrix DFT plan
 # ----------------------------------------------------------------------------
 
+def _complex_to_real_dtype(dtype):
+    """float twin of a complex dtype (complex64 -> float32 &c); host-side.
+
+    Computed with numpy: an eager 0-element jnp.zeros(complex) is a device
+    allocation, which the axon relay does not implement for complex dtypes.
+    """
+    return np.empty(0, dtype=np.dtype(dtype)).real.dtype
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MDFT:
@@ -144,11 +153,19 @@ class MDFT:
     (``plan_mdft``); the plan is a pytree and can be a jit argument or a
     closure constant.
 
+    The pytree leaves are the *real and imaginary parts* of each basis
+    matrix; the complex matrices are assembled by ``lax.complex`` at trace
+    time (``.Ex``/``.Ey`` properties).  Complex arrays therefore never cross
+    a jit boundary or ship host<->device eagerly — a class of operations the
+    axon TPU relay does not implement reliably.
+
     Reference semantics: prysm/fttools.py:155-232.
     """
 
-    Ex: jax.Array  # (Mx, Nx) complex
-    Ey: jax.Array  # (My, Ny) complex
+    Ex_re: jax.Array  # (Mx, Nx)
+    Ex_im: jax.Array
+    Ey_re: jax.Array  # (My, Ny)
+    Ey_im: jax.Array
     norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     forward_left_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
     adjoint_left_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
@@ -156,22 +173,36 @@ class MDFT:
     pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
     focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
 
+    @property
+    def Ex(self):
+        """Complex x basis (Mx, Nx); assembled at trace time."""
+        return jax.lax.complex(self.Ex_re, self.Ex_im)
+
+    @property
+    def Ey(self):
+        """Complex y basis (My, Ny); assembled at trace time."""
+        return jax.lax.complex(self.Ey_re, self.Ey_im)
+
     def __call__(self, ary):
         """Apply the forward DFT to ary (..., Ny, Nx) -> (..., My, Mx)."""
-        ary = ary.astype(self.Ex.dtype)
+        Ex = self.Ex
+        Ey = self.Ey
+        ary = ary.astype(Ex.dtype)
         if self.forward_left_first:
-            out = jnp.matmul(self.Ey, ary)
-            out = jnp.matmul(out, self.Ex.T)
+            out = jnp.matmul(Ey, ary)
+            out = jnp.matmul(out, Ex.T)
         else:
-            out = jnp.matmul(ary, self.Ex.T)
-            out = jnp.matmul(self.Ey, out)
+            out = jnp.matmul(ary, Ex.T)
+            out = jnp.matmul(Ey, out)
         return out * self.norm
 
     def adjoint(self, grad):
         """Apply the adjoint (conjugate transpose) of the forward DFT."""
-        grad = grad.astype(self.Ex.dtype)
-        EyH = self.Ey.conj().T
-        ExC = self.Ex.conj()
+        Ex = self.Ex
+        Ey = self.Ey
+        grad = grad.astype(Ex.dtype)
+        EyH = Ey.conj().T
+        ExC = Ex.conj()
         if self.adjoint_left_first:
             out = jnp.matmul(EyH, grad)
             out = jnp.matmul(out, ExC)
@@ -182,7 +213,7 @@ class MDFT:
 
     def nbytes(self):
         """Total size in memory of the basis matrices, bytes."""
-        return self.Ex.nbytes + self.Ey.nbytes
+        return 2 * (self.Ex_re.nbytes + self.Ey_re.nbytes)
 
 
 def plan_mdft(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
@@ -206,9 +237,12 @@ def plan_mdft(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
     Nx, Ny, Mx, My = len(x), len(y), len(fx), len(fy)
     fwd_left = My * Nx * (Ny + Mx) <= Ny * Mx * (Nx + My)
     adj_left = Ny * Mx * (My + Nx) <= My * Nx * (Mx + Ny)
+    rdtype = _complex_to_real_dtype(dtype)
     return MDFT(
-        Ex=jnp.asarray(Ex, dtype=dtype),
-        Ey=jnp.asarray(Ey, dtype=dtype),
+        Ex_re=jnp.asarray(Ex.real, dtype=rdtype),
+        Ex_im=jnp.asarray(Ex.imag, dtype=rdtype),
+        Ey_re=jnp.asarray(Ey.real, dtype=rdtype),
+        Ey_im=jnp.asarray(Ey.imag, dtype=rdtype),
         norm=float(norm),
         forward_left_first=fwd_left,
         adjoint_left_first=adj_left,
@@ -227,18 +261,27 @@ class CZT:
     """Chirp-Z transform plan with the same semantics as the MDFT plan.
 
     O(N log N) per axis via the Bluestein factorization; requires uniformly
-    spaced coordinates/frequencies.  Reference semantics:
+    spaced coordinates/frequencies.  Leaves are real/imag pairs (complex is
+    assembled at trace time; see MDFT).  Reference semantics:
     prysm/fttools.py:235-369.
     """
 
-    brow: jax.Array   # (Ny, 1)
-    bcol: jax.Array   # (Nx,)
-    Hrow: jax.Array   # (Ky, 1)
-    Hcol: jax.Array   # (Kx,)
-    arow: jax.Array   # (My, 1)
-    acol: jax.Array   # (Mx,)
-    x_phase: jax.Array  # (Mx,)
-    y_phase: jax.Array  # (My, 1)
+    brow_re: jax.Array   # (Ny, 1)
+    brow_im: jax.Array
+    bcol_re: jax.Array   # (Nx,)
+    bcol_im: jax.Array
+    Hrow_re: jax.Array   # (Ky, 1)
+    Hrow_im: jax.Array
+    Hcol_re: jax.Array   # (Kx,)
+    Hcol_im: jax.Array
+    arow_re: jax.Array   # (My, 1)
+    arow_im: jax.Array
+    acol_re: jax.Array   # (Mx,)
+    acol_im: jax.Array
+    x_phase_re: jax.Array  # (Mx,)
+    x_phase_im: jax.Array
+    y_phase_re: jax.Array  # (My, 1)
+    y_phase_im: jax.Array
     norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     Nx: int = dataclasses.field(metadata=dict(static=True), default=0)
     Ny: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -249,6 +292,19 @@ class CZT:
     x_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
     pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
     focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def _cplx(self, name):
+        return jax.lax.complex(getattr(self, name + '_re'),
+                               getattr(self, name + '_im'))
+
+    brow = property(lambda self: self._cplx('brow'))
+    bcol = property(lambda self: self._cplx('bcol'))
+    Hrow = property(lambda self: self._cplx('Hrow'))
+    Hcol = property(lambda self: self._cplx('Hcol'))
+    arow = property(lambda self: self._cplx('arow'))
+    acol = property(lambda self: self._cplx('acol'))
+    x_phase = property(lambda self: self._cplx('x_phase'))
+    y_phase = property(lambda self: self._cplx('y_phase'))
 
     def _conv_x(self, out):
         sx = self.Nx - 1
@@ -268,7 +324,8 @@ class CZT:
 
     def __call__(self, ary):
         """Apply the CZT to ary (..., Ny, Nx) -> (..., My, Mx)."""
-        out = ary.astype(self.bcol.dtype) * self.bcol * self.brow
+        bcol = self.bcol
+        out = ary.astype(bcol.dtype) * bcol * self.brow
         if self.x_first:
             out = self._conv_x(out)
             out = self._conv_y(out)
@@ -311,9 +368,9 @@ class CZT:
 
     def nbytes(self):
         """Total size in memory of the cached components, bytes."""
-        return sum(a.nbytes for a in (self.brow, self.bcol, self.Hrow,
-                                      self.Hcol, self.arow, self.acol,
-                                      self.x_phase, self.y_phase))
+        return 2 * sum(getattr(self, f + '_re').nbytes for f in
+                       ('brow', 'bcol', 'Hrow', 'Hcol', 'arow', 'acol',
+                        'x_phase', 'y_phase'))
 
 
 def _host_czt_basis(N, M, K, shift, alpha, sign):
@@ -362,12 +419,17 @@ def plan_czt(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
     y_phase = np.exp(prefix * float(y[Ny // 2]) * fy)
     x_first_cost = Ny * Kx * math.log2(Kx) + Mx * Ky * math.log2(Ky)
     y_first_cost = Nx * Ky * math.log2(Ky) + My * Kx * math.log2(Kx)
-    asj = lambda a: jnp.asarray(a, dtype=dtype)  # NOQA
+    rdtype = _complex_to_real_dtype(dtype)
+    parts = {}
+    for name, arr in (('brow', by[:, None]), ('bcol', bx),
+                      ('Hrow', Hy[:, None]), ('Hcol', Hx),
+                      ('arow', ay[:, None]), ('acol', ax),
+                      ('x_phase', x_phase), ('y_phase', y_phase[:, None])):
+        arr = np.asarray(arr)
+        parts[name + '_re'] = jnp.asarray(arr.real, dtype=rdtype)
+        parts[name + '_im'] = jnp.asarray(arr.imag, dtype=rdtype)
     return CZT(
-        brow=asj(by[:, None]), bcol=asj(bx),
-        Hrow=asj(Hy[:, None]), Hcol=asj(Hx),
-        arow=asj(ay[:, None]), acol=asj(ax),
-        x_phase=asj(x_phase), y_phase=asj(y_phase[:, None]),
+        **parts,
         norm=float(norm),
         Nx=Nx, Ny=Ny, Mx=Mx, My=My, Kx=Kx, Ky=Ky,
         x_first=x_first_cost <= y_first_cost,
@@ -385,13 +447,18 @@ class FFTDFT:
     """DFT plan accelerated by a single FFT per axis on compatible grids.
 
     Requires |dx*dfx| == 1/K for integer K >= max(N, M) on each axis.
+    Leaves are real/imag pairs (complex assembled at trace time; see MDFT).
     Reference semantics: prysm/fttools.py:392-481.
     """
 
-    pre_x: jax.Array   # (Nx,)
-    pre_y: jax.Array   # (Ny, 1)
-    post_x: jax.Array  # (Mx,)
-    post_y: jax.Array  # (My, 1)
+    pre_x_re: jax.Array   # (Nx,)
+    pre_x_im: jax.Array
+    pre_y_re: jax.Array   # (Ny, 1)
+    pre_y_im: jax.Array
+    post_x_re: jax.Array  # (Mx,)
+    post_x_im: jax.Array
+    post_y_re: jax.Array  # (My, 1)
+    post_y_im: jax.Array
     norm: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     Nx: int = dataclasses.field(metadata=dict(static=True), default=0)
     Ny: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -404,6 +471,15 @@ class FFTDFT:
     x_first: bool = dataclasses.field(metadata=dict(static=True), default=True)
     pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
     focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def _cplx(self, name):
+        return jax.lax.complex(getattr(self, name + '_re'),
+                               getattr(self, name + '_im'))
+
+    pre_x = property(lambda self: self._cplx('pre_x'))
+    pre_y = property(lambda self: self._cplx('pre_y'))
+    post_x = property(lambda self: self._cplx('post_x'))
+    post_y = property(lambda self: self._cplx('post_y'))
 
     @staticmethod
     def _fft_fwd(ary, K, axis, direction):
@@ -426,7 +502,8 @@ class FFTDFT:
 
     def __call__(self, ary):
         """Apply the FFT-factored DFT to ary (..., Ny, Nx) -> (..., My, Mx)."""
-        out = ary.astype(self.pre_x.dtype) * self.pre_x * self.pre_y
+        pre_x = self.pre_x
+        out = ary.astype(pre_x.dtype) * pre_x * self.pre_y
         if self.x_first:
             out = self._fft_fwd(out, self.Kx, -1, self.x_direction)[..., :self.Mx]
             out = self._fft_fwd(out, self.Ky, -2, self.y_direction)[..., :self.My, :]
@@ -437,19 +514,20 @@ class FFTDFT:
 
     def adjoint(self, grad):
         """Apply the adjoint (conjugate transpose) of the FFT DFT."""
-        out = grad.astype(self.pre_x.dtype) * self.post_x.conj() * self.post_y.conj()
+        pre_x = self.pre_x
+        out = grad.astype(pre_x.dtype) * self.post_x.conj() * self.post_y.conj()
         if self.x_first:
             out = self._fft_adj(out, self.Ky, self.Ny, -2, self.y_direction)
             out = self._fft_adj(out, self.Kx, self.Nx, -1, self.x_direction)
         else:
             out = self._fft_adj(out, self.Kx, self.Nx, -1, self.x_direction)
             out = self._fft_adj(out, self.Ky, self.Ny, -2, self.y_direction)
-        return out * self.pre_x.conj() * self.pre_y.conj() * self.norm
+        return out * pre_x.conj() * self.pre_y.conj() * self.norm
 
     def nbytes(self):
         """Total size in memory of the cached phase vectors, bytes."""
-        return sum(a.nbytes for a in (self.pre_x, self.pre_y,
-                                      self.post_x, self.post_y))
+        return 2 * sum(getattr(self, f + '_re').nbytes for f in
+                       ('pre_x', 'pre_y', 'post_x', 'post_y'))
 
 
 def _uniform_spacing(values, name):
@@ -508,10 +586,15 @@ def plan_fftdft(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
     post_y = np.exp(prefix * float(y[0]) * fy)
     x_first_cost = Ny * Kx * math.log2(Kx) + Mx * Ky * math.log2(Ky)
     y_first_cost = Nx * Ky * math.log2(Ky) + My * Kx * math.log2(Kx)
-    asj = lambda a: jnp.asarray(a, dtype=dtype)  # NOQA
+    rdtype = _complex_to_real_dtype(dtype)
+    parts = {}
+    for name, arr in (('pre_x', pre_x), ('pre_y', pre_y[:, None]),
+                      ('post_x', post_x), ('post_y', post_y[:, None])):
+        arr = np.asarray(arr)
+        parts[name + '_re'] = jnp.asarray(arr.real, dtype=rdtype)
+        parts[name + '_im'] = jnp.asarray(arr.imag, dtype=rdtype)
     return FFTDFT(
-        pre_x=asj(pre_x), pre_y=asj(pre_y[:, None]),
-        post_x=asj(post_x), post_y=asj(post_y[:, None]),
+        **parts,
         norm=float(norm),
         Nx=Nx, Ny=Ny, Mx=Mx, My=My, Kx=Kx, Ky=Ky,
         x_direction=sign if dx * dfx > 0 else -sign,

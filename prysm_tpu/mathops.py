@@ -18,7 +18,12 @@ def cis(theta):
     TPU-native complex exponential: XLA lowers exp(i x) to exactly this
     pair, and the experimental axon remote compiler stalls on the fused
     complex `exp` HLO, so the framework phrases every unit phasor this way.
+
+    NumPy inputs stay on the host (numpy out): plan builders evaluate
+    phase masks host-side so complex arrays never transfer eagerly.
     """
+    if isinstance(theta, np.ndarray):
+        return np.cos(theta) + 1j * np.sin(theta)
     return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 

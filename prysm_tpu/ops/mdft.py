@@ -1,0 +1,273 @@
+"""Fused complex matrix-DFT Pallas kernel.
+
+The matrix DFT ``out = norm * Ey @ a @ Ex.T`` (reference
+prysm/fttools.py:201-228) is the hot op of the phase-retrieval gradient loop
+(SURVEY.md §3.2).  XLA executes it as two complex matmuls with the
+``Ey @ a`` intermediate round-tripping HBM and 4 real multiplications per
+complex product.  This kernel fuses both stages — the intermediate lives in
+VMEM registers only — and uses the 3-multiplication (Karatsuba) complex
+product on the MXU:
+
+    P1 = Ar@Br, P2 = Ai@Bi, P3 = (Ar+Ai)@(Br+Bi)
+    re = P1 - P2, im = P3 - P1 - P2
+
+for a 25% multiply reduction over the 4-mult form.  Grid: (batch, My-rows,
+Nx-blocks); the Nx-block axis is innermost and accumulates into the output
+block, so each output row-block is written exactly once.
+
+Numerics: f32 on the MXU; the Karatsuba recombination costs ~1 ulp over the
+4-mult form.  The pack treats the basis matrices as constants of the
+transform (gradients flow through the field only — the same contract as the
+reference's hand-written ``MDFT.adjoint``); the jnp path in
+:mod:`prysm_tpu.fttools` differentiates through the bases if that is needed.
+"""
+import math
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import pallas_interpret
+
+_LANE = 128
+_VMEM_BUDGET = 13 * 1024 * 1024  # bytes; leave headroom under ~16 MB/core
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MDFTPack:
+    """Padded real/imag basis matrices for the fused kernel.
+
+    ``A`` is ``norm*Ey`` (row basis), ``B`` is ``Ex.T`` (column basis);
+    ``Ah``/``Bh`` are the adjoint twins ``norm*Ey^H`` and ``Ex^*`` so the
+    backward pass is one more application of the same kernel.
+    """
+
+    Ar: jax.Array   # (BE, Myp, Nyp)
+    Ai: jax.Array
+    Br: jax.Array   # (BX, Nxp, Mxp)
+    Bi: jax.Array
+    Ahr: jax.Array  # (BE, Nyp, Myp) -- transpose twins (NOT conjugated)
+    Ahi: jax.Array
+    Bhr: jax.Array  # (BX, Mxp, Nxp)
+    Bhi: jax.Array
+    My: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Mx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Ny: int = dataclasses.field(metadata=dict(static=True), default=0)
+    Nx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # 'highest' = full f32 MXU passes (default; matches f32 XLA HIGHEST to
+    # ~1 ulp); 'default' = single bf16 pass, ~3x faster, ~5e-3 relative
+    precision: str = dataclasses.field(metadata=dict(static=True),
+                                       default='highest')
+
+    def swapped(self):
+        """The pack of the *transposed* transform (fwd <-> transpose roles).
+
+        This is the JAX VJP of the forward (AD transposes complex-linear
+        maps without conjugation).  The physical adjoint (conjugate
+        transpose, reference MDFT.adjoint) is conj(swapped()(conj(x))).
+        """
+        return MDFTPack(
+            Ar=self.Ahr, Ai=self.Ahi, Br=self.Bhr, Bi=self.Bhi,
+            Ahr=self.Ar, Ahi=self.Ai, Bhr=self.Br, Bhi=self.Bi,
+            My=self.Ny, Mx=self.Nx, Ny=self.My, Nx=self.Mx,
+            precision=self.precision,
+        )
+
+    def nbytes(self):
+        """Total size of the packed bases, bytes."""
+        return sum(getattr(self, f).nbytes for f in
+                   ('Ar', 'Ai', 'Br', 'Bi', 'Ahr', 'Ahi', 'Bhr', 'Bhi'))
+
+
+def plan_mdft_pack(Ey, Ex, norm=1.0, precision='highest'):
+    """Build an MDFTPack from complex basis matrices (host-side).
+
+    Ey: (..., My, Ny), Ex: (..., Mx, Nx); a leading batch axis (e.g.
+    wavelength) is allowed and must match the field's leading axis at apply
+    time.  Returns None when the shapes cannot be tiled within the VMEM
+    budget (caller falls back to the jnp path).
+    """
+    Ey = np.asarray(Ey)
+    Ex = np.asarray(Ex)
+    if Ey.ndim == 2:
+        Ey = Ey[None]
+    if Ex.ndim == 2:
+        Ex = Ex[None]
+    if Ey.ndim != 3 or Ex.ndim != 3:
+        return None
+    BE, My, Ny = Ey.shape
+    BX, Mx, Nx = Ex.shape
+    Myp, Nyp = _round_up(My, _LANE), _round_up(Ny, _LANE)
+    Mxp, Nxp = _round_up(Mx, _LANE), _round_up(Nx, _LANE)
+    if _choose_blocks(Myp, Nyp, Nxp, Mxp) is None:
+        return None
+    # the adjoint swaps (My, Mx) <-> (Ny, Nx); it must be tileable too
+    if _choose_blocks(Nyp, Myp, Mxp, Nxp) is None:
+        return None
+
+    A = np.zeros((BE, Myp, Nyp), dtype=np.complex128)
+    A[:, :My, :Ny] = Ey * norm
+    B = np.zeros((BX, Nxp, Mxp), dtype=np.complex128)
+    B[:, :Nx, :Mx] = np.swapaxes(Ex, -1, -2)
+    Ah = np.swapaxes(A, -1, -2)                    # norm * Ey^T (Nyp, Myp)
+    Bh = np.swapaxes(B, -1, -2)                    # Ex as (Mxp, Nxp)
+    f32 = partial(jnp.asarray, dtype=jnp.float32)
+    return MDFTPack(
+        Ar=f32(A.real), Ai=f32(A.imag), Br=f32(B.real), Bi=f32(B.imag),
+        Ahr=f32(Ah.real), Ahi=f32(Ah.imag), Bhr=f32(Bh.real), Bhi=f32(Bh.imag),
+        My=My, Mx=Mx, Ny=Ny, Nx=Nx, precision=precision,
+    )
+
+
+def _choose_blocks(Myp, Nyp, Nxp, Mxp):
+    """Pick (row block, Nx block) fitting the VMEM budget, or None.
+
+    Prefers taking all My rows in one block so the field streams through
+    VMEM exactly once (the field is the largest operand).
+    """
+    bms = [bm for bm in (Myp, 512, 256, 128) if bm <= Myp and Myp % bm == 0]
+    for bm in bms:
+        for bk in (512, 256, 128):
+            if Nxp % bk:
+                continue
+            # blocks are (r, i) pairs (x2) and double-buffered by the
+            # pipeline (x2); temporaries: ~5 (bm, bk) + ~5 (bm, Mxp) f32
+            ins = 16 * (bm * Nyp + Nyp * bk + bk * Mxp)
+            outs = 16 * bm * Mxp
+            temps = 20 * (bm * bk + bm * Mxp)
+            if ins + outs + temps <= _VMEM_BUDGET:
+                return bm, bk
+    return None
+
+
+def _cmatmul(ar, ai, br, bi, prec):
+    """3-mult complex matmul on the MXU; returns (re, im)."""
+    p1 = jnp.dot(ar, br, preferred_element_type=jnp.float32, precision=prec)
+    p2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32, precision=prec)
+    p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32,
+                 precision=prec)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _mdft_kernel(prec, eyr, eyi, xr, xi, bxr, bxi, outr, outi):
+    k = pl.program_id(2)
+    tr, ti = _cmatmul(eyr[0], eyi[0], xr[0], xi[0], prec)
+    orr, oii = _cmatmul(tr, ti, bxr[0], bxi[0], prec)
+
+    @pl.when(k == 0)
+    def _():
+        outr[0] = orr
+        outi[0] = oii
+
+    @pl.when(k != 0)
+    def _():
+        outr[0] = outr[0] + orr
+        outi[0] = outi[0] + oii
+
+
+def _apply_pack(pack, a):
+    """Run the fused kernel: a (B, Ny, Nx) complex -> (B, My, Mx) complex."""
+    B = a.shape[0]
+    BE = pack.Ar.shape[0]
+    BX = pack.Br.shape[0]
+    Myp, Nyp = pack.Ar.shape[1:]
+    Nxp, Mxp = pack.Br.shape[1:]
+    bm, bk = _choose_blocks(Myp, Nyp, Nxp, Mxp)
+    n_i = Myp // bm
+    n_k = Nxp // bk
+
+    ar = jnp.real(a).astype(jnp.float32)
+    ai = jnp.imag(a).astype(jnp.float32)
+    pad = [(0, 0), (0, Nyp - pack.Ny), (0, Nxp - pack.Nx)]
+    if Nyp != pack.Ny or Nxp != pack.Nx:
+        ar = jnp.pad(ar, pad)
+        ai = jnp.pad(ai, pad)
+
+    be = (lambda b: b) if BE > 1 else (lambda b: 0)
+    bx = (lambda b: b) if BX > 1 else (lambda b: 0)
+    ey_spec = pl.BlockSpec((1, bm, Nyp), lambda b, i, k: (be(b), i, 0),
+                           memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, Nyp, bk), lambda b, i, k: (b, 0, k),
+                          memory_space=pltpu.VMEM)
+    bx_spec = pl.BlockSpec((1, bk, Mxp), lambda b, i, k: (bx(b), k, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, bm, Mxp), lambda b, i, k: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    prec = (jax.lax.Precision.HIGHEST if pack.precision == 'highest'
+            else jax.lax.Precision.DEFAULT)
+    flops_c = B * (Myp * Nyp * bk + Myp * bk * Mxp) * n_k  # complex MACs
+    outr, outi = pl.pallas_call(
+        partial(_mdft_kernel, prec),
+        grid=(B, n_i, n_k),
+        in_specs=[ey_spec, ey_spec, x_spec, x_spec, bx_spec, bx_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Myp, Mxp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Myp, Mxp), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * flops_c,
+            bytes_accessed=4 * (B * Nyp * Nxp + Myp * Nyp + Nxp * Mxp
+                                + B * Myp * Mxp) * 2,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(pack.Ar, pack.Ai, ar, ai, pack.Br, pack.Bi)
+    out = jax.lax.complex(outr, outi)
+    return out[:, :pack.My, :pack.Mx]
+
+
+@jax.custom_vjp
+def _mdft2_cv(pack, a):
+    return _apply_pack(pack, a)
+
+
+def _mdft2_fwd(pack, a):
+    return _apply_pack(pack, a), pack
+
+
+def _mdft2_bwd(pack, g):
+    a_bar = _mdft2_cv(pack.swapped(), g)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, pack)
+    return zeros, a_bar
+
+
+_mdft2_cv.defvjp(_mdft2_fwd, _mdft2_bwd)
+
+
+def mdft2(pack, ary):
+    """Apply the fused matrix DFT: ary (..., Ny, Nx) -> (..., My, Mx).
+
+    Leading batch axes are flattened into the kernel grid.  When the pack's
+    bases carry a batch axis (spectral plans) it must match ary's leading
+    axes exactly.  Gradients flow through ``ary`` (the basis matrices are
+    constants of the transform, matching reference MDFT.adjoint semantics).
+    """
+    lead = ary.shape[:-2]
+    a3 = ary.reshape((-1,) + ary.shape[-2:])
+    B = a3.shape[0]
+    BE = pack.Ar.shape[0]
+    BX = pack.Br.shape[0]
+    if (BE not in (1, B)) or (BX not in (1, B)):
+        raise ValueError(
+            f'basis batch ({BE}, {BX}) incompatible with field batch {B}')
+    out = _mdft2_cv(pack, a3)
+    return out.reshape(lead + out.shape[-2:])
+
+
+def mdft2_adjoint(pack, grad):
+    """Physical adjoint (conjugate transpose) of :func:`mdft2`.
+
+    Matches reference MDFT.adjoint (prysm/fttools.py:209-228):
+    ``norm * Ey^H @ grad @ Ex^*``, computed as conj(transpose(conj(grad)))
+    so the same fused kernel serves both directions.
+    """
+    return jnp.conj(mdft2(pack.swapped(), jnp.conj(grad)))

@@ -26,31 +26,50 @@ class SpectralMDFT:
     Ex: (W, Mx, Nx), Ey: (W, My, Ny) complex; norm: (W, 1, 1) real.
     Applying maps (W, Ny, Nx) fields -> (W, My, Mx) fields, one wavelength
     per leading index.  All leaves are arrays, so the W axis shards.
+    Leaves are real/imag pairs; the complex bases are assembled by
+    ``lax.complex`` at trace time (complex arrays never cross a jit
+    boundary -- see fttools.MDFT).
     """
 
-    Ex: jax.Array
-    Ey: jax.Array
+    Ex_re: jax.Array
+    Ex_im: jax.Array
+    Ey_re: jax.Array
+    Ey_im: jax.Array
     norm: jax.Array
+
+    @property
+    def Ex(self):
+        """Complex x bases (W, Mx, Nx); assembled at trace time."""
+        return jax.lax.complex(self.Ex_re, self.Ex_im)
+
+    @property
+    def Ey(self):
+        """Complex y bases (W, My, Ny); assembled at trace time."""
+        return jax.lax.complex(self.Ey_re, self.Ey_im)
     pupil_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
     focal_dx: float = dataclasses.field(metadata=dict(static=True), default=None)
 
     def __call__(self, fields):
         """(..., W, Ny, Nx) -> (..., W, My, Mx)."""
-        fields = fields.astype(self.Ex.dtype)
-        out = jnp.matmul(self.Ey, fields)
-        out = jnp.matmul(out, jnp.swapaxes(self.Ex, -1, -2))
+        Ex = self.Ex
+        Ey = self.Ey
+        fields = fields.astype(Ex.dtype)
+        out = jnp.matmul(Ey, fields)
+        out = jnp.matmul(out, jnp.swapaxes(Ex, -1, -2))
         return out * self.norm
 
     def adjoint(self, grads):
         """Adjoint (conjugate transpose per wavelength)."""
-        grads = grads.astype(self.Ex.dtype)
-        out = jnp.matmul(jnp.swapaxes(self.Ey, -1, -2).conj(), grads)
-        out = jnp.matmul(out, self.Ex.conj())
+        Ex = self.Ex
+        Ey = self.Ey
+        grads = grads.astype(Ex.dtype)
+        out = jnp.matmul(jnp.swapaxes(Ey, -1, -2).conj(), grads)
+        out = jnp.matmul(out, Ex.conj())
         return out * self.norm
 
     def nbytes(self):
         """Total size of the stacked basis matrices, bytes."""
-        return self.Ex.nbytes + self.Ey.nbytes
+        return 2 * (self.Ex_re.nbytes + self.Ey_re.nbytes)
 
 
 def plan_mdft_spectral(pupil_dx, pupil_samples, focal_dx, focal_samples,
@@ -90,10 +109,14 @@ def plan_mdft_spectral(pupil_dx, pupil_samples, focal_dx, focal_samples,
         Exs.append(np.exp(prefix * np.outer(fx, x)))
         Eys.append(np.exp(prefix * np.outer(fy, y)))
         norms.append(pupil_dx * focal_dx * inv_lz)
-    rdtype = jnp.zeros(0, dtype).real.dtype
+    rdtype = np.empty(0, dtype=np.dtype(dtype)).real.dtype
+    Ex = np.stack(Exs)
+    Ey = np.stack(Eys)
     return SpectralMDFT(
-        Ex=jnp.asarray(np.stack(Exs), dtype=dtype),
-        Ey=jnp.asarray(np.stack(Eys), dtype=dtype),
+        Ex_re=jnp.asarray(Ex.real, dtype=rdtype),
+        Ex_im=jnp.asarray(Ex.imag, dtype=rdtype),
+        Ey_re=jnp.asarray(Ey.real, dtype=rdtype),
+        Ey_im=jnp.asarray(Ey.imag, dtype=rdtype),
         norm=jnp.asarray(np.asarray(norms)[:, None, None], dtype=rdtype),
         pupil_dx=pupil_dx, focal_dx=focal_dx,
     )

@@ -26,17 +26,36 @@ class StackedMultiRes:
     """All levels of a MultiResolutionExecutor stacked on a leading axis.
 
     Ex (L, Mx, Nx), Ey (L, My, Ny), norm (L,), maskwin (L, My, Mx): the
-    per-level ``window * fpm`` focal-plane factor.
+    per-level ``window * fpm`` focal-plane factor.  Leaves are real/imag
+    pairs; complex is assembled at trace time (see fttools.MDFT).
     """
 
-    Ex: jax.Array
-    Ey: jax.Array
+    Ex_re: jax.Array
+    Ex_im: jax.Array
+    Ey_re: jax.Array
+    Ey_im: jax.Array
     norm: jax.Array
-    maskwin: jax.Array
+    maskwin_re: jax.Array
+    maskwin_im: jax.Array
+
+    @property
+    def Ex(self):
+        """Complex x bases (L, Mx, Nx); assembled at trace time."""
+        return jax.lax.complex(self.Ex_re, self.Ex_im)
+
+    @property
+    def Ey(self):
+        """Complex y bases (L, My, Ny); assembled at trace time."""
+        return jax.lax.complex(self.Ey_re, self.Ey_im)
+
+    @property
+    def maskwin(self):
+        """Complex window*mask factors (L, My, Mx); assembled at trace time."""
+        return jax.lax.complex(self.maskwin_re, self.maskwin_im)
 
     def __len__(self):
         """Number of levels."""
-        return self.Ex.shape[0]
+        return self.Ex_re.shape[0]
 
 
 def stack_multiresolution(mre, fpm, *, babinet=False, dtype=None):
@@ -46,28 +65,31 @@ def stack_multiresolution(mre, fpm, *, babinet=False, dtype=None):
     with fine_samples == focal_samples); babinet=True bakes the 1 - fpm
     complement in, for use behind a Lyot-style subtraction.
     """
-    shapes = {(ex.Ey.shape, ex.Ex.shape) for ex in mre.executors}
+    shapes = {(ex.Ey_re.shape, ex.Ex_re.shape) for ex in mre.executors}
     if len(shapes) != 1:
         raise ValueError(
             'stack_multiresolution requires uniform level shapes; build '
             'the executor with fine_samples == focal_samples '
             f'(got {sorted(shapes)})')
-    Ex = jnp.stack([ex.Ex for ex in mre.executors])
-    Ey = jnp.stack([ex.Ey for ex in mre.executors])
-    norm = jnp.asarray([ex.norm for ex in mre.executors],
-                       dtype=Ex.real.dtype)
+    rdtype = (mre.executors[0].Ex_re.dtype if dtype is None
+              else onp.empty(0, dtype=onp.dtype(dtype)).real.dtype)
+    Ex_re = jnp.stack([ex.Ex_re for ex in mre.executors]).astype(rdtype)
+    Ex_im = jnp.stack([ex.Ex_im for ex in mre.executors]).astype(rdtype)
+    Ey_re = jnp.stack([ex.Ey_re for ex in mre.executors]).astype(rdtype)
+    Ey_im = jnp.stack([ex.Ey_im for ex in mre.executors]).astype(rdtype)
+    norm = jnp.asarray([ex.norm for ex in mre.executors], dtype=rdtype)
     mws = []
     for win, xf, yf in zip(mre.windows, mre.xf, mre.yf):
-        m = fpm(xf, yf)
+        m = fpm(onp.asarray(xf), onp.asarray(yf))
         if babinet:
             m = 1 - m
-        mws.append(jnp.asarray(m * win, dtype=Ex.dtype))
-    maskwin = jnp.stack(mws)
-    if dtype is not None:
-        Ex = Ex.astype(dtype)
-        Ey = Ey.astype(dtype)
-        maskwin = maskwin.astype(dtype)
-    return StackedMultiRes(Ex=Ex, Ey=Ey, norm=norm, maskwin=maskwin)
+        m = onp.asarray(m) * onp.asarray(win)
+        mws.append(m)
+    maskwin = onp.stack(mws)
+    return StackedMultiRes(
+        Ex_re=Ex_re, Ex_im=Ex_im, Ey_re=Ey_re, Ey_im=Ey_im, norm=norm,
+        maskwin_re=jnp.asarray(maskwin.real, dtype=rdtype),
+        maskwin_im=jnp.asarray(maskwin.imag, dtype=rdtype))
 
 
 def _level_roundtrip(a, ex, ey, nrm, mw):
@@ -103,8 +125,11 @@ def shard_multires_roundtrip(mesh, plan, lvl_axis='lv'):
         return jax.lax.psum(multires_roundtrip(a, pl), lvl_axis)
 
     plan_specs = StackedMultiRes(
-        Ex=P(lvl_axis, None, None), Ey=P(lvl_axis, None, None),
-        norm=P(lvl_axis), maskwin=P(lvl_axis, None, None))
+        Ex_re=P(lvl_axis, None, None), Ex_im=P(lvl_axis, None, None),
+        Ey_re=P(lvl_axis, None, None), Ey_im=P(lvl_axis, None, None),
+        norm=P(lvl_axis),
+        maskwin_re=P(lvl_axis, None, None),
+        maskwin_im=P(lvl_axis, None, None))
     mapped = shard_map(local, mesh=mesh, in_specs=(P(), plan_specs),
                        out_specs=P())
     return jax.jit(lambda a: mapped(a, plan))

@@ -58,8 +58,8 @@ def shard_broadband_step(mesh, plan, amp, modes, wavelengths, weights, I_meas,
     coefficient gradient psum is inserted by the shard_map transpose.
     """
     plan_specs = SpectralMDFT(
-        Ex=P(wl_axis, None, None),
-        Ey=P(wl_axis, tile_axis, None),
+        Ex_re=P(wl_axis, None, None), Ex_im=P(wl_axis, None, None),
+        Ey_re=P(wl_axis, tile_axis, None), Ey_im=P(wl_axis, tile_axis, None),
         norm=P(wl_axis, None, None),
         pupil_dx=plan.pupil_dx, focal_dx=plan.focal_dx,
     )

@@ -9,6 +9,8 @@ until the final sum, so the levels shard cleanly over a mesh axis.
 """
 import numbers
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from .dft import focus_dft, focus_dft_adjoint, unfocus_dft, unfocus_dft_adjoint
@@ -68,7 +70,8 @@ def vortex_phase_mask(charge):
                         'non-integer charge has a branch cut at theta=pi')
 
     def fpm(xf, yf):
-        return cis(charge * jnp.arctan2(yf, xf))
+        xp = np if isinstance(xf, np.ndarray) else jnp
+        return cis(charge * xp.arctan2(yf, xf))
 
     return fpm
 

@@ -97,12 +97,17 @@ class MultiResolutionExecutor:
     summing to one over the focal plane, and focal-plane coordinate
     meshgrids for evaluating mask callables.  Levels are independent until
     the final sum (reference: prysm/propagation/dft.py:170-294).
+
+    windows/xf/yf are *host* (numpy) arrays: they are static geometry, so
+    inside a trace they fold to constants, and plan-time mask evaluation
+    (stack_multiresolution) stays on the host -- no eager complex device
+    arrays (the axon relay does not move those reliably).
     """
 
     executors: tuple
-    windows: tuple   # of jnp arrays
-    xf: tuple        # of jnp arrays
-    yf: tuple        # of jnp arrays
+    windows: tuple   # of numpy arrays (static geometry)
+    xf: tuple        # of numpy arrays
+    yf: tuple        # of numpy arrays
 
     def __len__(self):
         """Number of resolution levels."""
@@ -155,12 +160,11 @@ def prepare_multiresolution(pupil_dx, pupil_samples, focal_dx, focal_samples,
         nxt = 0.0 if k == num_levels - 1 else _cumulative_window(r, inner * halves[k + 1], outer * halves[k + 1])
         windows.append(np.asarray(here - nxt))
 
-    rdtype = jnp.zeros(0).dtype if dtype is None else jnp.zeros(0, dtype).real.dtype
     return MultiResolutionExecutor(
         executors=tuple(executors),
-        windows=tuple(jnp.asarray(w) for w in windows),
-        xf=tuple(jnp.asarray(a) for a in xfs),
-        yf=tuple(jnp.asarray(a) for a in yfs),
+        windows=tuple(np.asarray(w) for w in windows),
+        xf=tuple(np.asarray(a) for a in xfs),
+        yf=tuple(np.asarray(a) for a in yfs),
     )
 
 

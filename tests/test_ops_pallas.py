@@ -1,0 +1,176 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+The kernels in prysm_tpu/ops are the TPU-native equivalents of the
+reference's hot loops (SURVEY.md §2.3).  On CPU they run through the Pallas
+interpreter, which executes the same kernel logic the Mosaic compiler lowers
+on TPU, so these tests validate indexing, accumulation, and VJP algebra;
+on-TPU numerics are additionally exercised by the benchmark driver.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prysm_tpu.ops import dispatch
+from prysm_tpu.ops import mdft as om
+from prysm_tpu.ops.zernike import zernike_sum_pallas
+from prysm_tpu.ops.raster import polygon_raster_pallas, circle_raster_pallas
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    dispatch.set_pallas_mode('interpret')
+    yield
+    dispatch.set_pallas_mode('auto')
+
+
+def test_dispatch_modes():
+    dispatch.set_pallas_mode('off')
+    assert not dispatch.pallas_enabled()
+    dispatch.set_pallas_mode('force')
+    assert dispatch.pallas_enabled() and not dispatch.pallas_interpret()
+    dispatch.set_pallas_mode('interpret')
+    assert dispatch.pallas_enabled() and dispatch.pallas_interpret()
+    with pytest.raises(ValueError):
+        dispatch.set_pallas_mode('nope')
+
+
+def _random_problem(rng, My=16, Mx=24, Ny=40, Nx=56):
+    Ey = rng.standard_normal((My, Ny)) + 1j * rng.standard_normal((My, Ny))
+    Ex = rng.standard_normal((Mx, Nx)) + 1j * rng.standard_normal((Mx, Nx))
+    a = (rng.standard_normal((Ny, Nx))
+         + 1j * rng.standard_normal((Ny, Nx))).astype(np.complex64)
+    return Ey, Ex, a
+
+
+def test_mdft2_matches_dense():
+    rng = np.random.default_rng(5)
+    Ey, Ex, a = _random_problem(rng)
+    norm = 0.73
+    pack = om.plan_mdft_pack(Ey, Ex, norm)
+    out = np.asarray(om.mdft2(pack, jnp.asarray(a)))
+    ref = norm * Ey @ a @ Ex.T
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-6
+
+
+def test_mdft2_adjoint_matches_dense_and_vdot():
+    rng = np.random.default_rng(6)
+    Ey, Ex, a = _random_problem(rng)
+    norm = 1.31
+    pack = om.plan_mdft_pack(Ey, Ex, norm)
+    g = (rng.standard_normal((16, 24))
+         + 1j * rng.standard_normal((16, 24))).astype(np.complex64)
+    adj = np.asarray(om.mdft2_adjoint(pack, jnp.asarray(g)))
+    ref = norm * Ey.conj().T @ g @ Ex.conj()
+    assert np.abs(adj - ref).max() / np.abs(ref).max() < 5e-6
+    # <Ax, y> == <x, A^H y>
+    Ax = np.asarray(om.mdft2(pack, jnp.asarray(a)))
+    lhs = np.vdot(Ax, g)
+    rhs = np.vdot(a, adj)
+    assert abs(lhs - rhs) / abs(lhs) < 5e-6
+
+
+def test_mdft2_vjp_matches_jnp_autodiff():
+    rng = np.random.default_rng(7)
+    Ey, Ex, a = _random_problem(rng)
+    pack = om.plan_mdft_pack(Ey, Ex, 0.5)
+    Eyj = jnp.asarray(Ey, jnp.complex64)
+    Exj = jnp.asarray(Ex, jnp.complex64)
+    g1 = jax.grad(lambda v: jnp.sum(jnp.abs(om.mdft2(pack, v)) ** 2))(jnp.asarray(a))
+    g2 = jax.grad(lambda v: jnp.sum(jnp.abs(0.5 * Eyj @ v @ Exj.T) ** 2))(jnp.asarray(a))
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    assert np.abs(g1 - g2).max() / np.abs(g2).max() < 1e-4
+
+
+def test_mdft2_batched_field_and_basis():
+    rng = np.random.default_rng(8)
+    Ey, Ex, a = _random_problem(rng)
+    W = 3
+    EyW = np.stack([Ey * (k + 1) for k in range(W)])
+    pack = om.plan_mdft_pack(EyW, Ex, 1.0)
+    aW = np.stack([a, 2 * a, 3 * a])
+    out = np.asarray(om.mdft2(pack, jnp.asarray(aW)))
+    ref = np.stack([EyW[k] @ aW[k] @ Ex.T for k in range(W)])
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-6
+    with pytest.raises(ValueError):
+        om.mdft2(pack, jnp.asarray(aW[:2]))
+
+
+def test_zernike_sum_pallas_matches_seq():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.polynomials import zernike_nm_seq, sum_of_2d_modes
+    rng = np.random.default_rng(9)
+    x, y = make_xy_grid(96, diameter=2.0)
+    r, t = cart_to_polar(x, y)
+    r = r.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    nms = [(0, 0), (2, 0), (2, 2), (2, -2), (3, 1), (3, -1), (4, 0),
+           (5, 5), (6, -4)]
+    coefs = jnp.asarray(rng.standard_normal(len(nms)), jnp.float32)
+    zp = np.asarray(zernike_sum_pallas(coefs, nms, r, t))
+    zj = np.asarray(sum_of_2d_modes(zernike_nm_seq(nms, r, t), coefs))
+    assert np.abs(zp - zj).max() / np.abs(zj).max() < 1e-5
+
+
+def test_zernike_sum_pallas_vjp_all_args():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.polynomials import zernike_nm_seq, sum_of_2d_modes
+    rng = np.random.default_rng(10)
+    x, y = make_xy_grid(64, diameter=2.0)
+    r, t = cart_to_polar(x, y)
+    r = r.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    nms = [(2, 0), (3, 3), (4, -2)]
+    coefs = jnp.asarray(rng.standard_normal(len(nms)), jnp.float32)
+
+    def lp(c, r, t):
+        return jnp.sum(zernike_sum_pallas(c, nms, r, t) ** 2)
+
+    def lj(c, r, t):
+        return jnp.sum(sum_of_2d_modes(zernike_nm_seq(nms, r, t), c) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(coefs, r, t)
+    gj = jax.grad(lj, argnums=(0, 1, 2))(coefs, r, t)
+    for a, b in zip(gp, gj):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-30) < 1e-4
+
+
+def test_zernike_sum_pallas_norm_off_and_empty():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.polynomials import zernike_nm
+    x, y = make_xy_grid(32, diameter=2.0)
+    r, t = cart_to_polar(x, y)
+    r = r.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    z = zernike_sum_pallas(jnp.asarray([2.0]), [(3, -1)], r, t, norm=False)
+    ref = 2.0 * zernike_nm(3, -1, r, t, norm=False)
+    assert np.abs(np.asarray(z) - np.asarray(ref)).max() < 1e-5
+    empty = zernike_sum_pallas(jnp.zeros(0), [], r, t)
+    assert np.all(np.asarray(empty) == 0)
+
+
+def test_polygon_raster_matches_geometry():
+    from prysm_tpu.coordinates import make_xy_grid
+    from prysm_tpu.geometry import polygon_sdf, antialias, _generate_vertices
+    x, y = make_xy_grid(80, diameter=2.0)
+    dx = float(x[0, 1] - x[0, 0])
+    verts = _generate_vertices(6, 0.77, (0.1, -0.06), 9.0)
+    mp = np.asarray(polygon_raster_pallas(verts, x, y, dx))
+    mj = np.asarray(antialias(polygon_sdf(verts, x, y), dx))
+    assert np.abs(mp - mj).max() < 2e-4
+
+
+def test_circle_raster_matches_geometry_incl_invert():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    x, y = make_xy_grid(80, diameter=2.0)
+    r, _ = cart_to_polar(x, y)
+    dx = float(x[0, 1] - x[0, 0])
+    cp = np.asarray(circle_raster_pallas(0.8, r, dx))
+    cj = np.asarray(antialias(circle_sdf(0.8, r), dx))
+    assert np.abs(cp - cj).max() < 2e-4
+    obsc = np.asarray(circle_raster_pallas(0.3, r, dx, invert=True))
+    ref = np.asarray(antialias(-circle_sdf(0.3, r), dx))
+    assert np.abs(obsc - ref).max() < 2e-4
