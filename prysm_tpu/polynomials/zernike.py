@@ -104,12 +104,21 @@ def zernike_nm_seq(nms, r, t, norm=True):
 
 
 def zernike_sum(coefs, nms, x, y, norm=True):
-    """Weighted Zernike sum on Cartesian unit-disk coordinates."""
+    """Weighted Zernike sum on Cartesian unit-disk coordinates.
+
+    On TPU (Pallas dispatch enabled) this runs the fused mode-synthesis
+    kernel: recurrences evaluate in VMEM and the mode stack never
+    materializes in HBM (prysm_tpu/ops/zernike.py).
+    """
     nms = tuple(nms)
     if not nms:
         return jnp.zeros_like(x)
     r = jnp.hypot(x, y)
     t = jnp.arctan2(y, x)
+    from ..ops import dispatch as _dispatch  # local: ops imports this module
+    if _dispatch.pallas_enabled() and r.ndim == 2:
+        from ..ops.zernike import zernike_sum_pallas
+        return zernike_sum_pallas(coefs, nms, r, t, norm=norm)
     Zk = zernike_nm_seq(nms, r, t, norm=norm)
     coefs = jnp.asarray(coefs, dtype=Zk.dtype)
     return jnp.tensordot(coefs, Zk, axes=(0, 0))

@@ -85,27 +85,46 @@ def prepare_measured_fpm(measurement, dx, center=(0, 0), charge=None, fill=None)
     is centered per the make_xy_grid / fftrange convention (array index
     n // 2 maps to `center`).
     """
-    meas = jnp.asarray(measurement)
+    meas = np.asarray(measurement)   # host-side: no eager complex transfer
     ny, nx = meas.shape
     cx, cy = center
-    re = jnp.real(meas)
-    im = jnp.imag(meas)
+    re = np.ascontiguousarray(meas.real)
+    im = np.ascontiguousarray(meas.imag)
     if fill is None:
         fill = vortex_phase_mask(charge) if charge is not None else 1.0
     fill_is_callable = callable(fill)
 
+    def _np_bilinear(img, rows, cols):
+        r0 = np.floor(rows).astype(np.int64)
+        c0 = np.floor(cols).astype(np.int64)
+        fr = rows - r0
+        fc = cols - c0
+        gather = lambda ri, ci: img[np.clip(ri, 0, ny - 1),  # NOQA
+                                    np.clip(ci, 0, nx - 1)]
+        v00, v01 = gather(r0, c0), gather(r0, c0 + 1)
+        v10, v11 = gather(r0 + 1, c0), gather(r0 + 1, c0 + 1)
+        top = v00 * (1 - fc) + v01 * fc
+        bot = v10 * (1 - fc) + v11 * fc
+        return top * (1 - fr) + bot * fr
+
     def fpm(xf, yf):
+        host = isinstance(xf, np.ndarray)
+        xp = np if host else jnp
         col = (xf - cx) / dx + nx // 2
         row = (yf - cy) / dx + ny // 2
         # clamp to the border (mode='nearest'); the inside test gates fill
-        rowc = jnp.clip(row, 0, ny - 1)
-        colc = jnp.clip(col, 0, nx - 1)
-        ri = _bilinear_lookup(re, rowc, colc)
-        ii = _bilinear_lookup(im, rowc, colc)
+        rowc = xp.clip(row, 0, ny - 1)
+        colc = xp.clip(col, 0, nx - 1)
+        if host:
+            ri = _np_bilinear(re, rowc, colc)
+            ii = _np_bilinear(im, rowc, colc)
+        else:
+            ri = _bilinear_lookup(re, rowc, colc)
+            ii = _bilinear_lookup(im, rowc, colc)
         interp = ri + 1j * ii
         inside = (row >= 0) & (row <= ny - 1) & (col >= 0) & (col <= nx - 1)
         fillv = fill(xf, yf) if fill_is_callable else fill
-        return jnp.where(inside, interp, fillv)
+        return xp.where(inside, interp, fillv)
 
     return fpm
 

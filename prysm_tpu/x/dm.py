@@ -10,6 +10,7 @@ reference's hand-rolled reverse chain for API parity.
 import copy
 
 import numpy as onp
+import jax
 import jax.numpy as jnp
 
 from ..conf import config
@@ -99,7 +100,10 @@ class DM:
         s = ifn.shape
 
         self.ifn = jnp.asarray(ifn)
-        self.Ifn = jnp.fft.fft2(self.ifn)
+        # transfer function built host-side (numpy): an eager complex FFT is
+        # a device complex allocation, which the axon relay cannot do; the
+        # complex tf is assembled by lax.complex at trace time (.tf property)
+        Ifn = onp.fft.fft2(onp.asarray(ifn))
         self.Nout = Nout
         self.Nact = Nact
         self.sep = sep
@@ -124,15 +128,23 @@ class DM:
             self.invprojx = self.invprojy = None
 
         if shift[0] != 0 or shift[1] != 0:
-            Y = forward_ft_unit(1, s[0], shift=False)
-            X = forward_ft_unit(1, s[1], shift=False)
-            Xramp = cis(X * (-2 * jnp.pi * shift[0]))
-            Yramp = cis(Y * (-2 * jnp.pi * shift[1]))
-            Xramp = jnp.broadcast_to(Xramp, s)
-            Yramp = jnp.broadcast_to(Yramp, tuple(reversed(s))).T
-            self.tf = [self.Ifn * Xramp * Yramp]
+            Y = onp.fft.fftfreq(s[0], 1)
+            X = onp.fft.fftfreq(s[1], 1)
+            Xramp = cis(X * (-2 * onp.pi * shift[0]))
+            Yramp = cis(Y * (-2 * onp.pi * shift[1]))
+            Xramp = onp.broadcast_to(Xramp, s)
+            Yramp = onp.broadcast_to(Yramp, tuple(reversed(s))).T
+            tf = Ifn * Xramp * Yramp
         else:
-            self.tf = [self.Ifn]
+            tf = Ifn
+        rdtype = onp.empty(0, dtype=self.ifn.dtype).real.dtype
+        self._tf_re = jnp.asarray(tf.real, dtype=rdtype)
+        self._tf_im = jnp.asarray(tf.imag, dtype=rdtype)
+
+    @property
+    def tf(self):
+        """Transfer-function chain; complex assembled at trace time."""
+        return [jax.lax.complex(self._tf_re, self._tf_im)]
 
     def copy(self):
         """Make a (deep) copy of this DM."""
