@@ -83,6 +83,39 @@ class Detector:
             output = apply_lut(output, self.lut)
         return output
 
+    def expose_fused(self, aerial_img, frames=1, seed=0):
+        """Exposure via the fused Pallas noise kernel (TPU hardware PRNG).
+
+        One VMEM pass per (frame, tile): Box-Muller Gaussians from
+        ``pltpu.prng_random_bits``, shot noise by the Gaussian
+        approximation of Poisson (valid for >= ~20 mean electrons; use
+        :meth:`expose` for photon-starved scenes), then the identical
+        read/bias/FWC/gain/ADC chain.  See prysm_tpu/ops/noise.py.
+        """
+        from .ops.noise import expose_pallas
+        electrons = aerial_img * self.exposure_time
+        if self.prnu is not None:
+            electrons = electrons * self.prnu
+        dark = self.dark_current * self.exposure_time
+        if self.dcnu is not None:
+            dark = dark * self.dcnu
+        mean = electrons + dark
+        out = expose_pallas(mean, frames, seed, self.read_noise, self.bias,
+                            self.fwc, self.conversion_gain, self.bits)
+        if self.bits <= 8:
+            out = out.astype(jnp.uint8)
+        elif self.bits <= 16:
+            out = out.astype(jnp.uint16)
+        elif self.bits <= 32:
+            out = out.astype(jnp.uint32)
+        else:
+            raise ValueError('> 32 unsigned bits not supported')
+        if frames == 1:
+            out = out[0]
+        if self.lut is not None:
+            out = apply_lut(out, self.lut)
+        return out
+
 
 def olpf_ft(fx, fy, width_x, width_y):
     """Analytic FT of an optical low-pass filter (birefringent 2/4-pole)."""

@@ -22,3 +22,4 @@ from .dispatch import set_pallas_mode, get_pallas_mode, pallas_enabled, pallas_i
 from .mdft import mdft2, mdft2_adjoint, plan_mdft_pack  # NOQA
 from .zernike import zernike_sum_pallas  # NOQA
 from .raster import polygon_raster_pallas, circle_raster_pallas  # NOQA
+from .noise import expose_pallas  # NOQA

@@ -174,3 +174,37 @@ def test_circle_raster_matches_geometry_incl_invert():
     obsc = np.asarray(circle_raster_pallas(0.3, r, dx, invert=True))
     ref = np.asarray(antialias(-circle_sdf(0.3, r), dx))
     assert np.abs(obsc - ref).max() < 2e-4
+
+
+def test_expose_fused_deterministic_chain():
+    # zero-signal scene: only bias flows through the deterministic tail
+    from prysm_tpu.detector import Detector
+    det = Detector(dark_current=0.0, read_noise=0.0, bias=150.0, fwc=120.0,
+                   conversion_gain=0.5, bits=8, exposure_time=1.0)
+    img = jnp.zeros((40, 52))
+    out = np.asarray(det.expose_fused(img, frames=1, seed=3))
+    # bias 150 clips at fwc 120, / gain 0.5 -> 240 DN, under the 255 cap
+    assert out.shape == (40, 52)
+    assert out.dtype == np.uint8
+    assert np.all(out == 240)
+
+
+def test_expose_fused_moments_and_reproducibility():
+    from prysm_tpu.detector import Detector
+    det = Detector(dark_current=10.0, read_noise=5.0, bias=200.0, fwc=90000.0,
+                   conversion_gain=1.0, bits=16, exposure_time=1.0)
+    lam = 2000.0
+    img = jnp.full((64, 64), lam)
+    frames = 24
+    out = np.asarray(det.expose_fused(img, frames=frames, seed=7), dtype=np.float64)
+    assert out.shape == (frames, 64, 64)
+    mean = out.mean()
+    var = out.var()
+    expect_mean = lam + 10.0 + 200.0
+    expect_var = (lam + 10.0) + 5.0 ** 2
+    assert abs(mean - expect_mean) / expect_mean < 0.01
+    assert abs(var - expect_var) / expect_var < 0.05
+    out2 = np.asarray(det.expose_fused(img, frames=frames, seed=7), dtype=np.float64)
+    assert np.array_equal(out, out2)
+    out3 = np.asarray(det.expose_fused(img, frames=frames, seed=8), dtype=np.float64)
+    assert not np.array_equal(out, out3)
