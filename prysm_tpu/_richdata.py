@@ -10,6 +10,7 @@ import copy
 from numbers import Number  # NOQA
 from collections.abc import Iterable
 
+import jax
 import jax.numpy as jnp
 
 from .coordinates import (
@@ -179,6 +180,25 @@ class RichData:
             fig.colorbar(im, ax=ax, label=colorbar_label, fraction=0.046)
         ax.set(xlabel=axis_labels[0], ylabel=axis_labels[1], xlim=xlim, ylim=ylim)
         return fig, ax
+
+
+def _richdata_flatten(rd):
+    return (rd._data,), (rd.dx, rd.wavelength)
+
+
+def _richdata_unflatten(aux, children):
+    rd = RichData.__new__(RichData)
+    rd._data = children[0]
+    rd.dx, rd.wavelength = aux
+    rd._x = rd._y = rd._r = rd._t = None
+    return rd
+
+
+# RichData is a pytree (data is the leaf; dx/wavelength are static
+# metadata), so jitted functions can return it and tree_map works on it.
+# Subclasses (Interferogram) carry more host state and stay host-side.
+jax.tree_util.register_pytree_node(RichData, _richdata_flatten,
+                                   _richdata_unflatten)
 
 
 class Slices:

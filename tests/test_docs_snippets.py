@@ -1,0 +1,54 @@
+"""Execute the tutorial code blocks so the docs cannot drift from the API.
+
+Each tutorial's fenced python blocks form one sequential program; they run
+in a shared namespace on the CPU backend.  Docs whose blocks are
+intentionally fragments (how-tos, the coronagraphy tour) are not executed.
+"""
+import pathlib
+import re
+
+import pytest
+
+DOCS = pathlib.Path(__file__).resolve().parent.parent / 'docs'
+
+# doc -> number of leading blocks to execute (None = all)
+EXECUTABLE = {
+    'tutorials/01-first-psf.md': None,
+    'tutorials/02-phase-retrieval.md': 3,
+    'tutorials/03-raytracing.md': None,
+}
+
+_BLOCK = re.compile(r'```python\n(.*?)```', re.S)
+
+
+def _blocks(relpath):
+    text = (DOCS / relpath).read_text()
+    return _BLOCK.findall(text)
+
+
+@pytest.mark.parametrize('relpath', sorted(EXECUTABLE))
+def test_tutorial_blocks_execute(relpath):
+    blocks = _blocks(relpath)
+    assert blocks, f'{relpath} has no python blocks'
+    limit = EXECUTABLE[relpath]
+    if limit is not None:
+        blocks = blocks[:limit]
+    ns = {}
+    for k, block in enumerate(blocks):
+        try:
+            exec(compile(block, f'{relpath}[block {k}]', 'exec'), ns)
+        except Exception as e:
+            raise AssertionError(
+                f'{relpath} block {k} failed: {type(e).__name__}: {e}\n'
+                f'--- block ---\n{block}') from e
+
+
+def test_all_docs_have_resolvable_links():
+    """Relative links in docs point at files that exist."""
+    link = re.compile(r'\]\(([^)#]+)\)')
+    for md in DOCS.rglob('*.md'):
+        for target in link.findall(md.read_text()):
+            if target.startswith(('http://', 'https://')):
+                continue
+            resolved = (md.parent / target).resolve()
+            assert resolved.exists(), f'{md}: broken link -> {target}'

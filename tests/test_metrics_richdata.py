@@ -108,3 +108,20 @@ def test_psd_synthesis_statistics():
     *_, zr = rintf.render_synthetic_surface(size=16.0, samples=256,
                                             rms=25.0, a=2e3, b=1.0, c=3.0)
     assert rms == pytest.approx(float(np.sqrt(np.mean(zr * zr))), rel=0.5)
+
+
+def test_richdata_is_pytree_and_jit_returnable():
+    import jax
+
+    @jax.jit
+    def make(d):
+        from prysm_tpu._richdata import RichData
+        return RichData(d * 2, dx=0.5, wavelength=0.6328)
+
+    rd = make(jnp.ones((8, 8)))
+    assert float(rd.data[0, 0]) == 2.0
+    assert rd.dx == 0.5 and rd.wavelength == 0.6328
+    # tree_map over the container touches only the data leaf
+    rd2 = jax.tree_util.tree_map(lambda a: a + 1, rd)
+    assert float(rd2.data[0, 0]) == 3.0
+    assert rd2.dx == 0.5
