@@ -50,7 +50,8 @@ def main():
             # fused Pallas kernels: raster + mode synthesis never touch HBM
             # with intermediates (prysm_tpu/ops; 2.4x the jnp step on v5e)
             amp = circle_raster_pallas(1.0, r, dx)
-            opd = zernike_sum_pallas(c, nms, r, t)
+            # grids are fixed geometry: backward computes coef grads only
+            opd = zernike_sum_pallas(c, nms, r, t, grads='coefs')
         else:
             amp = antialias(circle_sdf(1.0, r), dx)
             modes = zernike_nm_seq(nms, r, t)

@@ -208,3 +208,31 @@ def test_expose_fused_moments_and_reproducibility():
     assert np.array_equal(out, out2)
     out3 = np.asarray(det.expose_fused(img, frames=frames, seed=8), dtype=np.float64)
     assert not np.array_equal(out, out3)
+
+
+def test_zernike_sum_pallas_grads_coefs_mode():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.polynomials import zernike_nm_seq, sum_of_2d_modes
+    rng = np.random.default_rng(11)
+    x, y = make_xy_grid(64, diameter=2.0)
+    r, t = cart_to_polar(x, y)
+    r = r.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    nms = [(2, 0), (3, 3), (4, -2)]
+    coefs = jnp.asarray(rng.standard_normal(len(nms)), jnp.float32)
+
+    def lp(c):
+        return jnp.sum(zernike_sum_pallas(c, nms, r, t, grads='coefs') ** 2)
+
+    def lj(c):
+        return jnp.sum(sum_of_2d_modes(zernike_nm_seq(nms, r, t), c) ** 2)
+
+    gp = jax.grad(lp)(coefs)
+    gj = jax.grad(lj)(coefs)
+    assert np.abs(np.asarray(gp) - np.asarray(gj)).max() / np.abs(np.asarray(gj)).max() < 1e-4
+    # grid cotangents are declared zero in this mode
+    gr = jax.grad(lambda rr: jnp.sum(
+        zernike_sum_pallas(coefs, nms, rr, t, grads='coefs')))(r)
+    assert np.all(np.asarray(gr) == 0)
+    with pytest.raises(ValueError):
+        zernike_sum_pallas(coefs, nms, r, t, grads='bogus')
