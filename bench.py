@@ -89,12 +89,15 @@ def main():
 
     n = 100
     best = float('inf')
-    for _ in range(4):
+    for round_ in range(8):
         t0 = time.time()
         for _ in range(n):
             l, g = step(coefs, plan, I_meas)
         jax.block_until_ready((l, g))
         best = min(best, (time.time() - t0) / n)
+        if round_ >= 3 and best < 1e-4:
+            break  # already at device speed; don't burn relay time
+        time.sleep(1)  # relay throughput varies; sample distinct states
     steps_per_s = 1.0 / best
 
     # validate AFTER timing: fetch the last outputs to prove the program

@@ -32,7 +32,7 @@ def shard_mdft_contraction(mesh, plan, axis='ct'):
         raise ValueError(
             f'mesh has axes {sorted(sizes)}; no axis named {axis!r}')
     n_shard = sizes[axis]
-    Ny = plan.Ey.shape[1]
+    Ny = plan.Ey_re.shape[1]   # real leaf: no eager complex assembly
     if Ny % n_shard:
         raise ValueError(
             f'pupil row count {Ny} does not divide over {n_shard} '
@@ -71,19 +71,22 @@ def shard_mdft_contraction_roundtrip(mesh, plan, focal_factor=None,
         raise ValueError(
             f'mesh has axes {sorted(sizes)}; no axis named {axis!r}')
     n_shard = sizes[axis]
-    Ny = plan.Ey.shape[1]
+    Ny = plan.Ey_re.shape[1]   # real leaf: no eager complex assembly
     if Ny % n_shard:
         raise ValueError(
             f'pupil row count {Ny} does not divide over {n_shard} '
             f'devices on axis {axis!r}')
     if focal_factor is not None:
-        focal_factor = jnp.asarray(focal_factor, dtype=plan.Ex.dtype)
+        import numpy as onp
+        ff = onp.asarray(focal_factor)
+        ff_re = jnp.asarray(ff.real, dtype=plan.Ex_re.dtype)
+        ff_im = jnp.asarray(ff.imag, dtype=plan.Ex_re.dtype)
 
     def local(a_rows, Ey_cols, Ex):
         partial = jnp.matmul(Ey_cols, a_rows.astype(Ey_cols.dtype))
         focal = jnp.matmul(jax.lax.psum(partial, axis), Ex.T) * plan.norm
         if focal_factor is not None:
-            focal = focal * focal_factor
+            focal = focal * jax.lax.complex(ff_re, ff_im)
         # adjoint leg: back out only THIS device's pupil rows — no second
         # collective, the focal operand is already replicated
         back = jnp.matmul(focal, Ex.conj()) * plan.norm
