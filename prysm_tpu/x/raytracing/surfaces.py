@@ -6,13 +6,21 @@ the polynomial freeforms reuse the package's fused sum+derivative
 evaluators.  ``Surface.interact`` is a pure masked function of the ray
 bundle, so whole traces jit and differentiate.
 
-Out of scope this round (vs the reference): gratings/diffraction, thin-film
-coatings on surfaces, and the departure-band Newton certificates — plain
-conic-seeded Newton covers the practical design space.
+Conic-seeded shapes carry a lazily computed ``DepartureBand`` (reference
+``surfaces.py:85-132,1262-1339``): max sag departure from the seed conic,
+the departure-slope bound for the first-root monotonicity certificate, and
+the sag Lipschitz bound for the march rescue.  The band is pure jnp with
+``stop_gradient``, so it evaluates eagerly to concrete floats at build time
+(then cached) and stays traceable when shape parameters are optimization
+tracers (then recomputed per trace, matching the reference's rebuild-per-
+design-edit semantics).
 """
 import numbers
+import warnings
 
+import jax.core
 import jax.numpy as jnp
+from jax import lax
 
 from ...conf import config
 from ...coordinates import (
@@ -39,11 +47,13 @@ from .spencer_and_murty import (
 )
 from .intersections import (
     ConicSeedMixin,
+    MARCH_RADIUS_MARGIN,
     ray_conic_intersect,
     ray_plane_intersect,
     ray_sphere_intersect,
 )
 from .aperture import annular_aperture, as_aperture, circular_aperture
+from .opl import OPLFunc
 from .sags import (
     Q2d_and_der, Q2d_sag,
     _add_conic_base_derivatives, _add_conic_base_sag,
@@ -53,6 +63,70 @@ from .sags import (
     gradient_to_unit_normal, phi_conic, plane_sag_and_normal, product_rule,
     sphere_sag, sphere_sag_der,
 )
+
+
+# Sample count per axis for the departure-band precompute; the max-departure
+# estimate is padded to absorb the grid resolution (reference surfaces.py:85)
+DEPARTURE_BAND_SAMPLES = 64
+# Max |grad(sag - seed conic sag)| above which the acceptance band can admit
+# multiple surface crossings (reference surfaces.py:89)
+DEPARTURE_GRADIENT_WARN = 0.5
+
+
+class DepartureBand:
+    """Conic-seed departure bounds for the intersection first-root guarantee.
+
+    bounded is False (numeric fields None) for an analytic shape or a
+    conic seed with no characterizable domain (reference surfaces.py:92-131).
+
+    Attributes
+    ----------
+    max_departure : float
+        padded max sag departure from the seed conic over the domain
+    domain_radius : float
+        disk radius the band was characterized on
+    gradient_bound : float
+        departure-slope bound for the monotonicity certificate
+    lipschitz : float
+        sag-slope bound for the Lipschitz-march rescue
+    """
+
+    __slots__ = ('bounded', 'max_departure', 'domain_radius',
+                 'gradient_bound', 'lipschitz')
+
+    def __init__(self, *, bounded, max_departure=None, domain_radius=None,
+                 gradient_bound=None, lipschitz=None):
+        self.bounded = bounded
+        self.max_departure = max_departure
+        self.domain_radius = domain_radius
+        self.gradient_bound = gradient_bound
+        self.lipschitz = lipschitz
+
+    @classmethod
+    def unbounded(cls):
+        """A band with no finite bound (analytic shape / no conic domain)."""
+        return cls(bounded=False)
+
+    def __repr__(self):
+        if not self.bounded:
+            return 'DepartureBand(bounded=False)'
+        try:
+            return (f'DepartureBand(max_departure={self.max_departure:g}, '
+                    f'domain_radius={self.domain_radius:g}, '
+                    f'gradient_bound={self.gradient_bound:g}, '
+                    f'lipschitz={self.lipschitz:g})')
+        except (TypeError, ValueError):
+            return 'DepartureBand(bounded=True, traced)'
+
+
+def _concrete_float(x):
+    """float(x) if x is a concrete scalar, else None (traced value)."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    try:
+        return float(x)
+    except (TypeError, ValueError):
+        return None
 
 
 def _map_stype(typ):
@@ -643,6 +717,7 @@ class Surface:
         self.grating = grating
         self.coating = coating
         self._analytic_intersect = bool(getattr(shape, 'analytic_intersect', False))
+        self._departure_band = None
 
     @property
     def aperture(self):
@@ -652,6 +727,138 @@ class Surface:
     @aperture.setter
     def aperture(self, value):
         self._aperture = as_aperture(value)
+
+    @property
+    def grating(self):
+        """Optical-path modifier on this surface, or None."""
+        return self._grating
+
+    @grating.setter
+    def grating(self, value):
+        if value is not None and not isinstance(value, OPLFunc):
+            raise TypeError(
+                'grating must be an OPLFunc (LinearGrating, CallableOPL) '
+                f'or None; got {value!r}')
+        self._grating = value
+
+    def grating_opl(self, Q_loc, wavelength):
+        """OPL added by the surface modifier at local intersection points.
+
+        Q_loc: intersection points in the surface local frame, last axis
+        xyz; returns the per-ray OPL contribution, shape Q_loc.shape[:-1]
+        (reference surfaces.py:1389-1405).
+        """
+        return self.grating.opl(Q_loc[..., 0], Q_loc[..., 1], wavelength)
+
+    def departure_band(self):
+        """Conic-seed departure bounds for the first-root acceptance band.
+
+        Returns a DepartureBand; an analytic shape or a surface with no
+        characterizable conic domain yields DepartureBand.unbounded().
+        Cached when the bounds evaluate to concrete floats; recomputed per
+        trace when shape parameters are tracers (reference
+        surfaces.py:1262-1268).
+        """
+        if self._departure_band is not None:
+            return self._departure_band
+        band = self._compute_departure_band()
+        cacheable = not band.bounded or all(
+            isinstance(v, float) for v in
+            (band.max_departure, band.domain_radius,
+             band.gradient_bound, band.lipschitz))
+        if cacheable:
+            self._departure_band = band
+        return band
+
+    def _compute_departure_band(self):
+        """Characterize sag departure from the seed conic over the domain.
+
+        Twin of reference surfaces.py:1270-1339, pure jnp under
+        stop_gradient: the band is a certificate, not physics, so it must
+        not leak gradients into the trace.
+        """
+        shape = self.shape
+        if not hasattr(shape, 'seed_conic'):
+            return DepartureBand.unbounded()
+        c, k, dx, dy = shape.seed_conic()
+        # characterize only a physical clip or the shape's intrinsic domain;
+        # drawn extent is cosmetic and must never change intersection physics
+        ap = self.aperture
+        R = ap.limiting_radius()
+        if R is None:
+            p = shape.params or {}
+            R = p.get('normalization_radius')
+            if R is None and 'x_norm' in p:
+                R = max(p['x_norm'], p['y_norm'])
+        if R is None:
+            ck = _concrete_float(c)
+            kk = _concrete_float(k)
+            if ck is not None and kk is not None:
+                ckk = (1.0 + kk) * ck * ck
+                if ckk > 0.0:
+                    # stay just inside the seed conic's finite sag domain
+                    R = 0.999 / ckk ** 0.5
+        Rf = _concrete_float(R)
+        if R is None or (Rf is not None and not (0.0 < Rf < float('inf'))):
+            return DepartureBand.unbounded()
+        c = lax.stop_gradient(c)
+        k = lax.stop_gradient(k)
+        dx = lax.stop_gradient(dx)
+        dy = lax.stop_gradient(dy)
+        R = lax.stop_gradient(jnp.asarray(R, dtype=config.precision))
+        n = DEPARTURE_BAND_SAMPLES
+        xs = jnp.linspace(-R, R, n, dtype=config.precision)
+        X, Y = jnp.meshgrid(xs, xs)
+        inside = X * X + Y * Y <= R * R
+        Xs = X + dx
+        Ys = Y + dy
+        dep = shape.sag(X, Y) - conic_sag(c, k, Xs * Xs + Ys * Ys)
+        # analytic departure gradient = grad(sag) - grad(seed conic), each
+        # read straight from the unit normal (grad = (-n_x, -n_y) / n_z),
+        # evaluated to the rim where the departure slope peaks — an FD
+        # stencil would drop the rim ring and bias the bound low
+        _, n_sag = shape.sag_and_normal(X, Y)
+        _, n_con = conic_sag_and_normal(c, k, Xs, Ys)
+        gx = n_con[..., 0] / n_con[..., 2] - n_sag[..., 0] / n_sag[..., 2]
+        gy = n_con[..., 1] / n_con[..., 2] - n_sag[..., 1] / n_sag[..., 2]
+        gmag_dep = jnp.hypot(gx, gy)
+        dep = jnp.where(inside, dep, jnp.nan)
+        gmag_dep = jnp.where(inside, gmag_dep, jnp.nan)
+        finite_any = _concrete_float(jnp.isfinite(dep).any())
+        if finite_any is not None and not finite_any:
+            return DepartureBand.unbounded()
+        D = lax.stop_gradient(jnp.nanmax(jnp.abs(dep)))
+        # departure slope bound for the monotonicity certificate
+        G = lax.stop_gradient(jnp.nanmax(gmag_dep))
+        # sag slope bound for the Lipschitz rescue, over the enlarged disk
+        R_march = MARCH_RADIUS_MARGIN * R
+        xm = jnp.linspace(-R_march, R_march, n, dtype=config.precision)
+        Xm, Ym = jnp.meshgrid(xm, xm)
+        _, nrm = shape.sag_and_normal(Xm, Ym)
+        gmag = jnp.hypot(nrm[..., 0], nrm[..., 1]) / jnp.abs(nrm[..., 2])
+        gmag = jnp.where(Xm * Xm + Ym * Ym <= R_march * R_march,
+                         gmag, jnp.nan)
+        L = lax.stop_gradient(jnp.nanmax(gmag))
+        Gf = _concrete_float(G)
+        if Gf is not None and Gf >= DEPARTURE_GRADIENT_WARN:
+            # static message: surfaces are recompiled every edit
+            # (optimization / tolerancing rebuilds them), so a value-
+            # templated warning would defeat once-per-location dedup
+            warnings.warn(
+                'a surface departs from its conic seed steeply enough that '
+                'the intersection acceptance band can admit multiple ray '
+                'crossings; the traced intersection on such a surface may '
+                'be ambiguous.')
+
+        def _scalar(v):
+            f = _concrete_float(v)
+            return f if f is not None else v
+
+        return DepartureBand(bounded=True,
+                             max_departure=_scalar(1.1 * D),
+                             domain_radius=_scalar(R),
+                             gradient_bound=_scalar(1.1 * G),
+                             lipschitz=_scalar(1.1 * L))
 
     def interact(self, P_in, S_in, n_pre, wvl, tol_sag=None,
                  first_segment=False):
@@ -742,10 +949,21 @@ class Surface:
         return S_diff, valid
 
     def intersect(self, P, S, tol_sag=None, maxiter=None, forward_only=False):
-        """Intersect rays with the surface shape -> (Q, n, valid)."""
+        """Intersect rays with the surface shape -> (Q, n, valid).
+
+        Conic-seeded shapes are policed by the departure band: the Newton
+        root must land inside the seed-relative acceptance band, with the
+        monotonicity certificate deciding which rays need the Lipschitz
+        first-root rescue (reference surfaces.py:1486-1531).
+        """
         if hasattr(self.shape, 'seed_conic'):
+            band = self.departure_band()
             return self.shape.intersect(P, S, self.sag_and_normal,
                                         tol_sag=tol_sag, maxiter=maxiter,
+                                        departure=band.max_departure,
+                                        domain_radius=band.domain_radius,
+                                        departure_gradient=band.gradient_bound,
+                                        sag_lipschitz=band.lipschitz,
                                         forward_only=forward_only)
         if hasattr(self.shape, 'intersect'):
             return self.shape.intersect(P, S, self.sag_and_normal,
@@ -760,7 +978,8 @@ __all__ = [
     'STYPE_REFLECT', 'STYPE_REFRACT', 'STYPE_EVAL', 'STYPE_OBJ', 'STYPE_IMG',
     'Shape', 'CallableShape', 'Plane', 'Sphere', 'Conic', 'OffAxisConic',
     'EvenAsphere', 'Q2D', 'Zernike', 'XY', 'Chebyshev', 'Jacobi', 'Toroid',
-    'Biconic', 'Surface', 'Interaction',
+    'Biconic', 'Surface', 'Interaction', 'DepartureBand',
+    'DEPARTURE_BAND_SAMPLES', 'DEPARTURE_GRADIENT_WARN',
     'circular_aperture', 'annular_aperture',
     'product_rule', 'phi_conic', 'sphere_sag', 'sphere_sag_der',
     'conic_sag', 'conic_sag_der', 'even_asphere_sag',
