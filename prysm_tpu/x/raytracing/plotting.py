@@ -404,6 +404,172 @@ def plot_spots(spot_grid, *, colors=None, s=4, figsize=None,
     return fig, axs
 
 
+def plot_spot_diagrams(spot_grid, *, ncols=None, colors=None, marker='+',
+                       s=None, equal_limits=True, legend=True, figsize=None,
+                       fig=None, axs=None):
+    """Grid of spot diagrams, one subplot per field, richer layout.
+
+    Consumes a SpotGrid from analysis.spot_diagrams and scatters every
+    wavelength (colored) in each field's subplot; equal_limits gives all
+    subplots the same square limits so spot sizes compare by eye
+    (reference: x/raytracing/plotting.py:1417).
+    """
+    import matplotlib.pyplot as plt
+    nf = len(spot_grid.fields)
+    nw = len(spot_grid.wavelengths)
+    if ncols is None:
+        ncols = nf
+    nrows = (nf + ncols - 1) // ncols
+    if axs is None:
+        fig, axs = plt.subplots(nrows, ncols, figsize=figsize,
+                                squeeze=False)
+    else:
+        axs = np.atleast_2d(axs)
+        fig = fig or axs.flat[0].figure
+    colors = _wavelength_colors(nw, colors)
+    half = 0.0
+    for i in range(nf):
+        ax = axs.flat[i]
+        for j, w in enumerate(spot_grid.wavelengths):
+            x = np.asarray(spot_grid.x[i, j])
+            y = np.asarray(spot_grid.y[i, j])
+            ax.scatter(x, y, s=s, marker=marker, c=colors[j],
+                       label=f'{w:.4g} um' if i == 0 else None)
+            fin = np.isfinite(x) & np.isfinite(y)
+            if fin.any():
+                half = max(half, float(np.abs(x[fin]).max()),
+                           float(np.abs(y[fin]).max()))
+        ax.set_aspect('equal')
+        ax.set(xlabel='x', title=f'field {i}')
+        if i % ncols == 0:
+            ax.set(ylabel='y')
+    if equal_limits and half > 0.0:
+        pad = 1.05 * half
+        for i in range(nf):
+            axs.flat[i].set(xlim=(-pad, pad), ylim=(-pad, pad))
+    for i in range(nf, nrows * ncols):
+        axs.flat[i].set_visible(False)
+    if legend:
+        axs.flat[0].legend(fontsize='small')
+    return fig, axs
+
+
+# ---------- mirror outlines --------------------------------------------------
+
+def _mirror_profile(surf, result, surface_index, points, radius, center):
+    """(N, 3) global meridional profile of a mirror's optical face."""
+    phist = None if result is None else result.P
+    if center == 'chief':
+        p = np.asarray(phist)[surface_index + 1]
+        from .spencer_and_murty import transform_to_local_coords
+        loc, _ = transform_to_local_coords(p, surf.P, np.zeros_like(p),
+                                           surf.R)
+        yv = np.asarray(loc)[..., 1]
+        yv = yv[np.isfinite(yv)]
+        center = float(yv.mean()) if yv.size else 0.0
+    center = float(center)
+    if radius is None:
+        radius = _drawn_radius(surf, phist, surface_index)
+    yloc = np.linspace(center - radius, center + radius, points)
+    xloc = np.zeros_like(yloc)
+    sag = np.asarray(surf.sag(xloc, yloc))
+    pts = np.stack([xloc, yloc, sag], axis=1)
+    return pts, yloc, sag
+
+
+def _profile_to_global(surf, pts):
+    if surf.R is not None:
+        pts = pts @ np.asarray(surf.R)
+    return pts + np.asarray(surf.P)
+
+
+def mirror_surface_outline(surf, result=None, surface_index=0, *, points=100,
+                           x='z', y='y', radius=None, center=0.0):
+    """X/Y arrays drawing one mirror optical surface's meridian.
+
+    The drawn half-diameter defaults to the surface aperture's drawn
+    radius, else the traced ray footprint; center='chief' re-centers the
+    profile on the bundle (reference: x/raytracing/plotting.py:334).
+    """
+    pts, _, _ = _mirror_profile(surf, result, surface_index, points,
+                                radius, center)
+    g = _profile_to_global(surf, pts)
+    ix, iy = _axis_pair(x, y)
+    return g[:, ix], g[:, iy]
+
+
+def mirror_substrate_outline(surf, result=None, surface_index=0, *,
+                             substrate, points=100, x='z', y='y',
+                             radius=None, center=0.0):
+    """Closed X/Y outline of a mirror: optical face, back, rim walls.
+
+    substrate selects the back-face rule: SurfaceSubstrate retraces the
+    optical profile; ParallelSubstrate offsets it by the thickness;
+    FlatParentSubstrate is flat at vertex sag + thickness;
+    FlatBackSubstrate is flat at the aperture-edge (or vertex) sag +
+    thickness; None draws the optical face only
+    (reference: x/raytracing/plotting.py:374).
+    """
+    from .aperture import (
+        SurfaceSubstrate, ParallelSubstrate, FlatParentSubstrate,
+        FlatBackSubstrate,
+    )
+
+    pts, yloc, sag = _mirror_profile(surf, result, surface_index, points,
+                                     radius, center)
+    ix, iy = _axis_pair(x, y)
+    if substrate is None:
+        g = _profile_to_global(surf, pts)
+        return g[:, ix], g[:, iy]
+    if isinstance(substrate, SurfaceSubstrate):
+        back_sag = sag.copy()
+    elif isinstance(substrate, FlatParentSubstrate):
+        vertex = float(np.asarray(surf.sag(np.zeros(1), np.zeros(1)))[0])
+        back_sag = np.full_like(sag, vertex + substrate.thickness)
+    elif isinstance(substrate, FlatBackSubstrate):
+        ref = (max(float(sag[0]), float(sag[-1]))
+               if substrate.reference == 'aperture'
+               else float(np.asarray(surf.sag(np.zeros(1),
+                                              np.zeros(1)))[0]))
+        back_sag = np.full_like(sag, ref + substrate.thickness)
+    elif isinstance(substrate, ParallelSubstrate):
+        back_sag = sag + substrate.thickness
+    else:
+        raise TypeError(
+            f'unknown substrate type {type(substrate).__name__}')
+    back = np.stack([np.zeros_like(yloc), yloc, back_sag], axis=1)
+    # closed path: face bottom->top, wall up, back top->bottom, wall down
+    path = np.concatenate([pts, back[::-1], pts[:1]], axis=0)
+    g = _profile_to_global(surf, path)
+    return g[:, ix], g[:, iy]
+
+
+def plot_mirror_surface(surf, result=None, surface_index=0, *, points=100,
+                        x='z', y='y', radius=None, center=0.0,
+                        lw=1, ls='-', c='k', alpha=1, zorder=3,
+                        fig=None, ax=None):
+    """Draw one mirror optical surface (see mirror_surface_outline)."""
+    fig, ax = share_fig_ax(fig, ax)
+    xx, yy = mirror_surface_outline(
+        surf, result, surface_index, points=points, x=x, y=y,
+        radius=radius, center=center)
+    ax.plot(xx, yy, c=c, lw=lw, ls=ls, alpha=alpha, zorder=zorder)
+    return fig, ax
+
+
+def plot_mirror_substrate(surf, result=None, surface_index=0, *, substrate,
+                          points=100, x='z', y='y', radius=None, center=0.0,
+                          lw=1, ls='-', c='k', alpha=1, zorder=3,
+                          fig=None, ax=None):
+    """Draw one mirror with its optical surface and substrate outline."""
+    fig, ax = share_fig_ax(fig, ax)
+    xx, yy = mirror_substrate_outline(
+        surf, result, surface_index, substrate=substrate, points=points,
+        x=x, y=y, radius=radius, center=center)
+    ax.plot(xx, yy, c=c, lw=lw, ls=ls, alpha=alpha, zorder=zorder)
+    return fig, ax
+
+
 __all__ = [
     'share_fig_ax',
     'plot_ray_paths',
@@ -412,6 +578,7 @@ __all__ = [
     'plot_transverse_ray_aberration',
     'plot_wave_aberration_fan',
     'plot_spot_diagram',
+    'plot_spot_diagrams',
     'plot_field_curvature',
     'plot_distortion',
     'plot_chromatic_focal_shift',
@@ -420,4 +587,8 @@ __all__ = [
     'plot_ray_fans',
     'plot_opd_fans',
     'plot_spots',
+    'mirror_surface_outline',
+    'mirror_substrate_outline',
+    'plot_mirror_surface',
+    'plot_mirror_substrate',
 ]

@@ -202,3 +202,85 @@ def autodiff_sag_and_normal(sag):
         return z.reshape(shape), n.reshape((*shape, 3))
 
     return sag_and_normal
+
+
+# ---------- derivative helpers (reference: x/raytracing/sags.py:76-420) -----
+#
+# Unit-level twins of the reference's hand-derived sag differentials; the
+# Hessian and parameter partials are one jax.jvp sweep of the closed-form
+# sag gradient, so they stay exact for any (c, kappa) without rederiving.
+
+def der_direction_cosine_conic(c, k, rho, rhosq=None, phi=None):
+    """d/drho of (1 / phi), phi = sqrt(1 - (1+k) c^2 rho^2).
+
+    The product-rule term for Q-type aspheres whose polynomial part is
+    divided by the conic denominator root.
+    """
+    if rhosq is None:
+        rhosq = rho * rho
+    if phi is None:
+        phi = phi_conic(c, k, rhosq)
+    return (1.0 + k) * c * c * rho / (phi * phi * phi)
+
+
+def conic_sag_hessian(c, kappa, x, y, phi=None):
+    """Cartesian second derivatives (sag_xx, sag_xy, sag_yy) of a conic.
+
+    Forward-mode derivatives of the closed-form gradient: smooth in
+    (x, y) with no 1/r singularity; reduces to the sphere Hessian at
+    kappa = 0.
+    """
+    x = jnp.asarray(x, dtype=float)
+    y = jnp.asarray(y, dtype=float)
+
+    def grad(xv, yv):
+        return conic_sag_der_xy(c, kappa, xv, yv)
+
+    ones = jnp.ones_like(x)
+    zeros = jnp.zeros_like(x)
+    _, (sag_xx, sag_xy) = jax.jvp(grad, (x, y), (ones, zeros))
+    _, (_, sag_yy) = jax.jvp(grad, (x, y), (zeros, ones))
+    return sag_xx, sag_xy, sag_yy
+
+
+def conic_sag_param_partials(c, kappa, x, y, name, phi=None):
+    """(sag_t, gx_t, gy_t): partials of sag and gradient wrt 'c' or 'k'.
+
+    The explicit parameter channel of the differential ray trace's
+    intersection tangent, at fixed (x, y).
+    """
+    if name not in ('c', 'k'):
+        raise ValueError(f"name must be 'c' or 'k', got {name!r}")
+    x = jnp.asarray(x, dtype=float)
+    y = jnp.asarray(y, dtype=float)
+    rhosq = x * x + y * y
+
+    def f(cv, kv):
+        ph = phi_conic(cv, kv, rhosq)
+        z = conic_sag(cv, kv, rhosq, phi=ph)
+        gx, gy = conic_sag_der_xy(cv, kv, x, y, phi=ph)
+        return z, gx, gy
+
+    tangent = ((1.0, 0.0) if name == 'c' else (0.0, 1.0))
+    _, (sag_t, gx_t, gy_t) = jax.jvp(
+        f, (jnp.asarray(float(c)), jnp.asarray(float(kappa))),
+        tuple(jnp.asarray(t) for t in tangent))
+    return sag_t, gx_t, gy_t
+
+
+def zernike_irregularity_partials(n, m, x, y, normalization_radius,
+                                  norm=True):
+    """Amplitude partials of one Zernike surface-irregularity term.
+
+    For delta z = a * Z_n^m(x / R, y / R):
+    d(sag)/da = Z_n^m, d(dz/dx)/da = (1/R) dZ/dx, d(dz/dy)/da = (1/R) dZ/dy.
+    With norm=True unit amplitude is unit RMS over the disk of radius R.
+    """
+    from ...polynomials.zernike import zernike_sum, zernike_nm_der_xy
+
+    R = float(normalization_radius)
+    xn = jnp.asarray(x, dtype=float) / R
+    yn = jnp.asarray(y, dtype=float) / R
+    sag = zernike_sum([1.0], [(n, m)], xn, yn, norm=norm)
+    dzdx, dzdy = zernike_nm_der_xy(n, m, xn, yn, norm=norm)
+    return sag, dzdx / R, dzdy / R

@@ -2,13 +2,14 @@
 
 Rebuild of ``prysm/x/raytracing/wavefront_differential.py``: a quadratic
 RMS model RMS^2(tau) = C + B.tau + tau'G tau built from per-tolerance
-wavefront derivative maps of one launch bundle.  The maps come from
-central finite differences of the closed wavefront over each
-perturbation (the reference drives a hand-written tangent engine; the
-jax forward-mode path for design DOFs lands with the functional surface
-rebuild).  Everything downstream — sensitivities, Zernike sensitivity,
-compensator projection, RSS roll-up, inverse sensitivity, and fast
-Monte Carlo over the quadratic — is identical in shape.
+wavefront derivative maps of one launch bundle.  The default map source
+is the forward-mode tangent engine (one jax.jvp sweep per tolerance
+through the trace + reference-sphere closing, ``_diff_raytrace
+.wavefront_with_tangents``); ``method='fd'`` keeps the central-
+finite-difference path as an independent cross-check.  Everything
+downstream — sensitivities, Zernike sensitivity, compensator
+projection, RSS roll-up, inverse sensitivity, and fast Monte Carlo over
+the quadratic — is identical in shape.
 """
 import numpy as np
 
@@ -32,17 +33,85 @@ def _closed_wavefront(lensdata, P, S, wavelength, *, chief_index, P_xp,
     return opd, x_pupil, y_pupil, valid
 
 
+def _xp_z_tangents_robust(surfaces, wavelength, seeds, stop_index):
+    """Per-seed exit-pupil z tangents: analytic where paraxially
+    eligible, host central differences of the ynu walk otherwise."""
+    from ._diff_raytrace import paraxial_exit_pupil_z_tangents
+    from .adjoint.engine import apply_seeds
+    from .paraxial import ynu_first_order
+    import jax.numpy as jnp
+
+    out = np.zeros(len(seeds), dtype=_PREC)
+    for k, seed in enumerate(seeds):
+        d = paraxial_exit_pupil_z_tangents(
+            surfaces, wavelength, [seed], stop_index=stop_index)
+        if d is not None:
+            out[k] = d[0]
+            continue
+        h = 1e-6
+        zs = []
+        for sgn in (+1.0, -1.0):
+            ss = apply_seeds(surfaces, [seed], jnp.array([sgn * h]))
+            zs.append(ynu_first_order(ss, wavelength,
+                                      stop_index=stop_index).xp_z)
+        if zs[0] is None or zs[1] is None:
+            continue  # telecentric under perturbation: no stable tangent
+        out[k] = (zs[0] - zs[1]) / (2.0 * h)
+    return out
+
+
+def _tangent_maps(lensdata, perturbations, compensators, P, S, wavelength, *,
+                  chief_index, axis_point, axis_dir, P_xp, field, pose_step):
+    """(opd, x_pupil, y_pupil, dW) from the forward-mode tangent engine."""
+    from ._diff_raytrace import (
+        seeds_from_perturbations,
+        wavefront_with_tangents,
+    )
+
+    seeds = (seeds_from_perturbations(perturbations, pose_step=pose_step)
+             + seeds_from_perturbations(compensators, pose_step=pose_step))
+    surfaces = lensdata.to_surfaces()
+    P_xp_dot = None
+    reference_curvature = None
+    reference_curvature_dot = None
+    stop_index = getattr(lensdata, 'stop_index', None)
+    if P_xp is None and stop_index is not None:
+        P_xp, xp_mode = resolve_exit_pupil(
+            lensdata, wavelength, field=field, return_mode=True)
+        if xp_mode == 'paraxial':
+            xp_z_dot = _xp_z_tangents_robust(
+                surfaces, wavelength, seeds, stop_index)
+            if P_xp is None:
+                # telecentric limit: kappa behaves as |D|, central
+                # derivative zero — the FD adapter's convention
+                reference_curvature = 0.0
+                reference_curvature_dot = np.zeros(len(seeds), dtype=_PREC)
+            else:
+                P_xp_dot = np.zeros((3, len(seeds)), dtype=_PREC)
+                P_xp_dot[2] = xp_z_dot
+    return wavefront_with_tangents(
+        surfaces, P, S, wavelength, seeds,
+        chief_index=chief_index,
+        axis_point=axis_point, axis_dir=axis_dir, P_xp=P_xp,
+        P_xp_dot=P_xp_dot,
+        reference_curvature=reference_curvature,
+        reference_curvature_dot=reference_curvature_dot,
+        field=field, output='length')
+
+
 def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
                            compensators=None, comp_rcond=1e-9,
                            chief_index=None, axis_point=None, axis_dir=None,
                            P_xp=None, field=None, fd_step=None,
+                           pose_step=1e-6, method='tangent',
                            rms_reference='chief'):
     """Build a wavefront-differential model from one launch bundle.
 
     perturbations define the parameter-axis order; compensators are
-    projected out by least squares.  fd_step overrides the per-
-    perturbation finite-difference half-step (default each one's .step,
-    falling back to 1e-6).
+    projected out by least squares.  method='tangent' (default) builds
+    every derivative map from one forward-mode AD sweep per column;
+    method='fd' uses central finite differences of the closed wavefront
+    (fd_step overrides the half-step, default 1e-6 scaled by nominal).
     """
     perturbations = list(perturbations)
     compensators = list(compensators) if compensators else []
@@ -52,6 +121,18 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
 
     if chief_index is None:
         chief_index = _pupil_center_chief_index(P)
+
+    if method == 'tangent':
+        opd0, x_pupil, y_pupil, dW = _tangent_maps(
+            lensdata, perturbations, compensators, P, S, wavelength,
+            chief_index=chief_index, axis_point=axis_point,
+            axis_dir=axis_dir, P_xp=P_xp, field=field, pose_step=pose_step)
+        return _assemble_model(
+            opd0, dW, x_pupil, y_pupil, perturbations, compensators,
+            comp_rcond=comp_rcond, rms_reference=rms_reference)
+    if method != 'fd':
+        raise ValueError(f"method must be 'tangent' or 'fd', got {method!r}")
+
     resolve_xp = (P_xp is None
                   and getattr(lensdata, 'stop_index', None) is not None)
 
@@ -96,9 +177,18 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
     for i, p in enumerate(perturbations + compensators):
         dW[:, i] = fd_map(p)
 
+    return _assemble_model(opd0, dW, x_pupil, y_pupil, perturbations,
+                           compensators, comp_rcond=comp_rcond,
+                           rms_reference=rms_reference)
+
+
+def _assemble_model(opd0, dW, x_pupil, y_pupil, perturbations,
+                    compensators, *, comp_rcond, rms_reference):
+    """Shared model assembly for the tangent and FD map sources."""
     if rms_reference not in ('chief', 'piston'):
         raise ValueError("rms_reference must be 'chief' or 'piston'")
     opd = np.asarray(opd0, dtype=_PREC)
+    dW = np.asarray(dW, dtype=_PREC)
     if rms_reference == 'piston':
         opd = opd - np.mean(opd)
         dW = dW - np.mean(dW, axis=0, keepdims=True)
@@ -107,6 +197,7 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
     steps = [p.step for p in perturbations]
     variances = [p.variance for p in perturbations]
 
+    n_tol = len(perturbations)
     tol_maps = dW[:, :n_tol]
     if not compensators:
         return WavefrontDifferential(opd, tol_maps, names=names,

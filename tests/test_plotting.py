@@ -113,3 +113,97 @@ def test_coating_monitoring_plot(hr_stack):
     x = ax.lines[0].get_xdata()
     assert x[0] == 0.0
     assert x[-1] == pytest.approx(float(hr_stack.thicknesses[0]))
+
+
+def test_plot_spot_diagrams_grid(doublet_sys):
+    from prysm_tpu.x.raytracing.analysis import spot_diagrams
+    from prysm_tpu.x.raytracing.plotting import plot_spot_diagrams
+    grid = spot_diagrams(doublet_sys, sampling=rt.Sampling.hex(4))
+    fig, axs = plot_spot_diagrams(grid, ncols=1, marker='.', s=2)
+    axs = onp.asarray(axs)
+    assert axs.size == 2
+    # equal square limits across subplots
+    lims = [a.get_xlim() for a in axs.flat if a.get_visible()]
+    assert lims[0] == lims[1]
+    assert lims[0][0] == -lims[0][1]
+
+
+def test_mirror_outlines_and_plots():
+    from prysm_tpu.x.raytracing.plotting import (
+        mirror_surface_outline, mirror_substrate_outline,
+        plot_mirror_surface, plot_mirror_substrate)
+    from prysm_tpu.x.raytracing.aperture import (
+        ParallelSubstrate, FlatParentSubstrate, FlatBackSubstrate,
+        SurfaceSubstrate)
+    rc = rt.RitcheyChretien(efl=800.0, bfl=180.0, separation=120.0)
+    sys_ = rt.OpticalSystem(rc.to_lensdata(), aperture=100.0,
+                            wavelengths=[0.6328], stop_index=1)
+    surfs = sys_.lens.to_surfaces()
+    m1 = next(s for s in surfs
+              if getattr(s, 'typ', None) == rt.STYPE_REFLECT)
+    j = surfs.index(m1)
+    P, S = rt.launch(sys_, sys_.field(), 0.6328, rt.Sampling.hex(4))
+    res = rt.raytrace(surfs, onp.asarray(P), onp.asarray(S), 0.6328)
+    xx, yy = mirror_surface_outline(m1, res, j, radius=50.0)
+    assert xx.shape == yy.shape and xx.shape[0] == 100
+    assert onp.isfinite(xx).all() and onp.isfinite(yy).all()
+    # substrate outlines close on themselves and honor the back rule
+    for sub in (ParallelSubstrate(8.0), FlatParentSubstrate(8.0),
+                FlatBackSubstrate(8.0), SurfaceSubstrate()):
+        xs, ys = mirror_substrate_outline(m1, res, j, substrate=sub,
+                                          radius=50.0)
+        assert xs[0] == xs[-1] and ys[0] == ys[-1]
+        # thick substrates extend at least t behind the deepest face point
+        if not isinstance(sub, SurfaceSubstrate):
+            assert xs.max() - xx.min() >= 7.9
+    # draw wrappers put one line each on the axes
+    fig, ax = plot_mirror_surface(m1, res, j, radius=50.0)
+    fig, ax = plot_mirror_substrate(m1, res, j,
+                                    substrate=ParallelSubstrate(8.0),
+                                    radius=50.0, fig=fig, ax=ax)
+    assert len(ax.lines) == 2
+    # chief-centered profile and None substrate path
+    xc, yc = mirror_surface_outline(m1, res, j, center='chief')
+    assert onp.isfinite(xc).all()
+    xn, yn = mirror_substrate_outline(m1, res, j, substrate=None,
+                                      radius=50.0)
+    assert xn.shape[0] == 100
+
+
+def test_sag_derivative_helpers():
+    import jax.numpy as jnp
+    import prysm_tpu.x.raytracing.sags as sg
+    c, k = 1 / 62.0, -0.7
+    x = onp.linspace(-8.0, 8.0, 9)
+    y = onp.linspace(-5.0, 5.0, 9)
+    h = 1e-6
+    sxx, sxy, syy = (onp.asarray(v) for v in sg.conic_sag_hessian(c, k, x, y))
+    gxp, gyp = sg.conic_sag_der_xy(c, k, jnp.asarray(x + h), jnp.asarray(y))
+    gxm, gym = sg.conic_sag_der_xy(c, k, jnp.asarray(x - h), jnp.asarray(y))
+    assert onp.abs(sxx - (onp.asarray(gxp) - onp.asarray(gxm))
+                   / (2 * h)).max() < 1e-8
+    assert onp.abs(sxy - (onp.asarray(gyp) - onp.asarray(gym))
+                   / (2 * h)).max() < 1e-8
+    st, gxt, gyt = (onp.asarray(v)
+                    for v in sg.conic_sag_param_partials(c, k, x, y, 'k'))
+    rhosq = x * x + y * y
+    zp = onp.asarray(sg.conic_sag(c, k + h, jnp.asarray(rhosq)))
+    zm = onp.asarray(sg.conic_sag(c, k - h, jnp.asarray(rhosq)))
+    assert onp.abs(st - (zp - zm) / (2 * h)).max() < 1e-8
+    with pytest.raises(ValueError, match="'c' or 'k'"):
+        sg.conic_sag_param_partials(c, k, x, y, 'q')
+    rho = onp.sqrt(rhosq)
+    d = onp.asarray(sg.der_direction_cosine_conic(c, k, jnp.asarray(rho)))
+    ip = 1 / onp.asarray(sg.phi_conic(c, k, jnp.asarray((rho + h) ** 2)))
+    im = 1 / onp.asarray(sg.phi_conic(c, k, jnp.asarray((rho - h) ** 2)))
+    assert onp.abs(d - (ip - im) / (2 * h)).max() < 1e-8
+    s, dzdx, dzdy = (onp.asarray(v) for v in
+                     sg.zernike_irregularity_partials(4, 0, x, y, 11.0))
+    from prysm_tpu.polynomials.zernike import zernike_sum
+    zp = onp.asarray(zernike_sum([1.0], [(4, 0)],
+                                 jnp.asarray((x + h) / 11.0),
+                                 jnp.asarray(y / 11.0)))
+    zm = onp.asarray(zernike_sum([1.0], [(4, 0)],
+                                 jnp.asarray((x - h) / 11.0),
+                                 jnp.asarray(y / 11.0)))
+    assert onp.abs(dzdx - (zp - zm) / (2 * h)).max() < 1e-7

@@ -160,3 +160,25 @@ def test_wavefront_differential_compensated():
     assert prob[-1] == pytest.approx(1.0)
     with pytest.raises(ValueError):
         wd0.fast_monte_carlo(perts[:1], 10)
+
+
+def test_wavefront_differential_tangent_vs_fd_methods():
+    """The forward-mode tangent maps and the finite-difference maps are
+    two independent implementations of the same model; they must agree
+    to FD truncation accuracy, compensators included."""
+    sys_, P, S, perts = _wd_setup(rt, mat)
+    comp = [rt.Perturbation.normal(sys_, 'thickness', 2, 0.05,
+                                   name='focus')]
+    wt = rt.wavefront_differential(sys_, perts, P, S, 0.5876,
+                                   compensators=comp, method='tangent')
+    wf = rt.wavefront_differential(sys_, perts, P, S, 0.5876,
+                                   compensators=comp, method='fd')
+    # atol rides the FD roundoff floor eps * W / h ~ 1e-8
+    onp.testing.assert_allclose(wt.dW, wf.dW, rtol=1e-4, atol=5e-8)
+    onp.testing.assert_allclose(wt.W0, wf.W0, atol=1e-8)
+    onp.testing.assert_allclose(wt.compensator_motions(),
+                                wf.compensator_motions(),
+                                rtol=1e-4, atol=5e-8)
+    with pytest.raises(ValueError, match="method must be"):
+        rt.wavefront_differential(sys_, perts, P, S, 0.5876,
+                                  method='nope')
