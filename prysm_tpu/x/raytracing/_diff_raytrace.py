@@ -90,6 +90,26 @@ class DiffTraceResult:
     def n_params(self):
         return len(self.seeds)
 
+    @property
+    def P(self):
+        """Nominal position history (passthrough to .trace)."""
+        return self.trace.P
+
+    @property
+    def S(self):
+        """Nominal direction history (passthrough to .trace)."""
+        return self.trace.S
+
+    @property
+    def OPL(self):
+        """Nominal per-segment OPL history (passthrough to .trace)."""
+        return self.trace.OPL
+
+    @property
+    def status(self):
+        """Nominal per-ray status codes (passthrough to .trace)."""
+        return self.trace.status
+
 
 def _is_design_seed(seed):
     """True for adjoint.seeds.DiffSeed (acts on the prescription)."""

@@ -92,12 +92,61 @@ class CircularExtent:
 
 
 class Substrate:
-    """Mirror backing drawn behind a surface's meridian."""
+    """Mirror backing drawn behind a surface's meridian.
+
+    Subclasses define the rear face through back_sag; back_outline
+    closes the optical face against it, splitting a bored back into two
+    disjoint loops (reference: x/raytracing/aperture.py:120-172).
+    Coordinates are the surface's local frame (sag along local z).
+    """
 
     def __init__(self, thickness, side='auto', bore=0.0):
         self.thickness = float(thickness)
         self.side = side
         self.bore = float(bore)
+
+    def _resolved_side(self, sag):
+        """+1 / -1 offset sign; 'auto' puts the back behind the figure."""
+        side = self.side
+        if isinstance(side, str):
+            if side != 'auto':
+                raise ValueError(f'unknown substrate side {side!r}')
+            sag = np.asarray(sag)
+            departure = np.nanmean(sag - sag[len(sag) // 2])
+            return -1.0 if departure > 0 else 1.0
+        side = float(side)
+        if side == 0.0:
+            raise ValueError('substrate side must be nonzero')
+        return float(np.sign(side))
+
+    def back_sag(self, surf, ploty, sag, center=0.0):
+        """Rear-face local z along the sampled meridian; override."""
+        raise NotImplementedError
+
+    def back_outline(self, surf, ploty, sag, center=0.0, bore=None):
+        """Closed meridional outline (zz, yy) of face + back, local frame.
+
+        A positive bore (default the substrate's) removes |y - center| <
+        bore and renders the result as two loops separated by NaN.
+        """
+        bore = self.bore if bore is None else float(bore)
+        ploty = np.asarray(ploty, dtype=float)
+        sag = np.asarray(sag, dtype=float)
+        rear = np.asarray(self.back_sag(surf, ploty, sag, center=center),
+                          dtype=float)
+        if bore > 0.0:
+            zz, yy = [], []
+            for sel in (ploty >= center + bore, ploty <= center - bore):
+                good = sel & np.isfinite(sag) & np.isfinite(rear)
+                if not good.any():
+                    continue
+                fz, rz, py = sag[good], rear[good], ploty[good]
+                zz += [*fz, *rz[::-1], fz[0], np.nan]
+                yy += [*py, *py[::-1], py[0], np.nan]
+            return np.asarray(zz[:-1]), np.asarray(yy[:-1])
+        zz = np.concatenate([sag, rear[::-1], sag[:1]])
+        yy = np.concatenate([ploty, ploty[::-1], ploty[:1]])
+        return zz, yy
 
     def __repr__(self):
         return f'{type(self).__name__}(thickness={self.thickness:g})'
@@ -106,29 +155,85 @@ class Substrate:
 class SurfaceSubstrate:
     """Zero-thickness backing that traces the surface profile itself."""
 
+    bore = 0.0
+
+    def back_outline(self, surf, ploty, sag, center=0.0, bore=None):
+        """Just the optical face (no drawn back)."""
+        return np.asarray(sag, dtype=float), np.asarray(ploty, dtype=float)
+
 
 class ParallelSubstrate(Substrate):
     """Backing offset parallel to the surface sag."""
+
+    def back_sag(self, surf, ploty, sag, center=0.0):
+        """Optical sag offset by the (signed) thickness."""
+        sag = np.asarray(sag, dtype=float)
+        return sag + self._resolved_side(sag) * self.thickness
 
 
 class FlatParentSubstrate(Substrate):
     """Flat backing referenced to the parent vertex."""
 
+    def back_sag(self, surf, ploty, sag, center=0.0):
+        """Flat plane at the local vertex sag plus the signed thickness."""
+        sag = np.asarray(sag, dtype=float)
+        vertex = float(np.asarray(surf.sag(np.zeros(1), np.zeros(1)))[0])
+        return np.full_like(sag,
+                            vertex + self._resolved_side(sag)
+                            * self.thickness)
+
 
 class FlatBackSubstrate(Substrate):
-    """Flat backing referenced to the aperture edge or vertex."""
+    """Flat backing tangent to the surface at a reference coordinate."""
 
     def __init__(self, thickness, side='auto', reference='aperture',
                  bore=0.0):
         super().__init__(thickness, side=side, bore=bore)
         self.reference = reference
 
+    def _reference_coordinate(self, ploty):
+        ref = self.reference
+        if not isinstance(ref, str):
+            return float(ref)
+        ref = ref.lower()
+        if ref in ('center', 'centre'):
+            return float(np.nanmean(ploty))
+        if ref in ('vertex', 'local_vertex', 'section_vertex', 'parent',
+                   'parent_vertex'):
+            return 0.0
+        if ref == 'aperture':
+            return float(np.nanmax(np.abs(ploty)))
+        raise ValueError(f'unknown FlatBackSubstrate reference {ref!r}')
+
+    def back_sag(self, surf, ploty, sag, center=0.0):
+        """Plane through the surface tangent at the reference coordinate."""
+        sag = np.asarray(sag, dtype=float)
+        ploty = np.asarray(ploty, dtype=float)
+        ref = self._reference_coordinate(ploty)
+        coord = np.asarray([ref], dtype=float)
+        z, n_hat = surf.sag_and_normal(np.zeros_like(coord), coord)
+        z = float(np.asarray(z)[0])
+        n_hat = np.asarray(n_hat)
+        slope = float(-n_hat[..., 1].ravel()[0] / n_hat[..., 2].ravel()[0])
+        offset = self._resolved_side(sag) * self.thickness
+        return z + slope * (ploty - ref) + offset
+
 
 class EdgeFeature:
     """Rim-wall cosmetic feature."""
 
+    is_chamfer = False
+
     def __init__(self, side='both'):
         self.side = side
+
+    def applies_to(self, wall_side):
+        """True when this feature is cut on the given wall ('upper'/'lower')."""
+        return self.side in ('both', wall_side)
+
+    def span(self, x0, x1, endpoint_names):
+        """(start, end, depth) axial extent of the inset; override."""
+        raise NotImplementedError
 
 
 class SquareCut(EdgeFeature):
@@ -140,6 +245,10 @@ class SquareCut(EdgeFeature):
         self.z_end = float(z_end)
         self.depth = float(depth)
 
+    def span(self, x0, x1, endpoint_names):
+        """Fixed axial inset extent (z_start, z_end, depth)."""
+        return self.z_start, self.z_end, self.depth
+
 
 class Flat(SquareCut):
     """Flat ground on the rim wall."""
@@ -148,15 +257,27 @@ class Flat(SquareCut):
 class Chamfer(SquareCut):
     """Chamfer on the rim wall."""
 
+    is_chamfer = True
+
 
 class Seat(EdgeFeature):
-    """Mounting seat on the rim wall."""
+    """Mounting seat stepped a fixed width in from a named wall face."""
 
     def __init__(self, face, width, depth, side='both'):
         super().__init__(side=side)
         self.face = face
         self.width = float(width)
         self.depth = float(depth)
+
+    def span(self, x0, x1, endpoint_names):
+        """Axial inset extent stepping width in from the named face."""
+        face = str(self.face).lower()
+        sign = float(np.sign(x1 - x0)) or 1.0
+        if face == endpoint_names[0]:
+            return x0, x0 + sign * self.width, self.depth
+        if face == endpoint_names[1]:
+            return x1 - sign * self.width, x1, self.depth
+        raise ValueError('seat face must name one wall endpoint')
 
 
 class Aperture:

@@ -3,10 +3,11 @@
 Rebuild of ``prysm/x/raytracing/design.py``: Merit operands (spot size,
 wavefront RMS, Zernike terms, first-order and packaging constraints),
 the Problem wrapper over the system's DesignState free vector, and the
-goal factory.  Gradients route through finite differences of the
-free vector this round; the reference's hand-written adjoint stack is
-superseded by jax autodiff on the trace side, and a functional
-surface-rebuild bridge for design DOFs is planned alongside it.
+goal factory.  With gradient='auto', ray operands differentiate through
+the trace — reverse mode (one jax.vjp per operand head) for spot and
+boresight merits, forward mode (wavefront_with_tangents) for the
+wavefront-closing merits — and remaining scalar operands fall back to
+central differences of the free vector.
 """
 import inspect
 import math
@@ -142,6 +143,59 @@ class Merit:
     def __call__(self, system, cache):
         raise NotImplementedError(
             f'{type(self).__name__} provides no optimizer value')
+
+    def value(self, trace, system, wavelength):
+        """Merit value from an already-traced bundle.
+
+        The base implementation evaluates the merit's adjoint head on
+        the trace histories when one exists; merits without a
+        jnp-differentiable head raise.
+        """
+        head_fn = getattr(self, 'adjoint_head', None)
+        if head_fn is None:
+            raise NotImplementedError(
+                f'{type(self).__name__} provides no trace-based value')
+        import jax.numpy as jnp
+        head = head_fn()
+        return float(head(jnp.asarray(trace.P), jnp.asarray(trace.S),
+                          jnp.asarray(trace.OPL)))
+
+    def seed(self, trace, system, wavelength):
+        """(P_bar, S_bar, L_bar) history-shaped adjoint cotangents.
+
+        Where the reference hand-derives per-merit cotangent seeds,
+        the base implementation is one ``jax.grad`` of the merit's
+        adjoint head over the trace histories — any head gets exact
+        seeds for free.
+        """
+        head_fn = getattr(self, 'adjoint_head', None)
+        if head_fn is None:
+            raise NotImplementedError(
+                f'{type(self).__name__} provides no adjoint seed')
+        import jax
+        import jax.numpy as jnp
+        head = head_fn()
+        grads = jax.grad(lambda P, S, L: head(P, S, L),
+                         argnums=(0, 1, 2))(
+            jnp.asarray(trace.P), jnp.asarray(trace.S),
+            jnp.asarray(trace.OPL))
+        return tuple(np.asarray(g) for g in grads)
+
+    def direct_gradient(self, trace, system, wavelength, seeds):
+        """Optional d merit / d seed terms outside the ray-state sweep."""
+        return None
+
+    @property
+    def seedable(self):
+        """True when this merit can drive the adjoint sweep."""
+        return (type(self).seed is not Merit.seed
+                or getattr(self, 'adjoint_head', None) is not None)
+
+    @property
+    def has_value(self):
+        """True when this merit provides a traced-bundle value."""
+        return (type(self).value is not Merit.value
+                or getattr(self, 'adjoint_head', None) is not None)
 
 
 class _RayMerit(Merit):
@@ -371,6 +425,54 @@ class WavefrontRMS(_RayMerit):
         g = self._geometry(trace, system, wvl, P_xp_override=P_xp, ctx=ctx)
         return self._rms(g)
 
+    def tangent_gradient(self, system, P, S, wvl, seeds):
+        """d(rms_wfe)/d(seed) row via the forward-mode tangent engine.
+
+        One jvp sweep per seed carries the closing's exit-pupil and
+        curvature couplings exactly (paraxial stop motion enters through
+        P_xp_dot, as in wavefront_differential's tangent path).
+        """
+        from ._diff_raytrace import wavefront_with_tangents
+        from .wavefront_differential import _xp_z_tangents_robust
+
+        surfaces = compiled_surfaces(system)
+        P_xp = self.P_xp
+        P_xp_dot = None
+        reference_curvature = None
+        reference_curvature_dot = None
+        stop_index = (self.stop_index if self.stop_index is not None
+                      else getattr(system, 'stop_index', None))
+        if P_xp is None and stop_index is not None:
+            P_xp, xp_mode = _analysis.resolve_exit_pupil(
+                system, wvl, stop_index=self.stop_index, epd=self.epd,
+                field=self.field, axis_point=self.axis_point,
+                axis_dir=self.axis_dir, return_mode=True)
+            if xp_mode == 'paraxial':
+                xp_z_dot = _xp_z_tangents_robust(
+                    surfaces, wvl, seeds, stop_index)
+                if P_xp is None:
+                    reference_curvature = 0.0
+                    reference_curvature_dot = np.zeros(len(seeds),
+                                                       dtype=_PREC)
+                else:
+                    P_xp_dot = np.zeros((3, len(seeds)), dtype=_PREC)
+                    P_xp_dot[2] = xp_z_dot
+        opd, _, _, dW = wavefront_with_tangents(
+            surfaces, P, S, wvl, seeds,
+            chief_index=self.chief_index,
+            axis_point=self.axis_point, axis_dir=self.axis_dir,
+            P_xp=P_xp, P_xp_dot=P_xp_dot,
+            reference_curvature=reference_curvature,
+            reference_curvature_dot=reference_curvature_dot,
+            field=self.field, output='length')
+        if self.reference == 'piston':
+            opd = opd - np.mean(opd)
+            dW = dW - np.mean(dW, axis=0, keepdims=True)
+        rms = float(np.sqrt(np.mean(opd * opd)))
+        if rms == 0.0:
+            return np.zeros(len(seeds), dtype=_PREC)
+        return (opd @ dW) / (opd.shape[0] * rms)
+
 
 class ZernikeCoefficient(_RayMerit):
     """One coefficient of a Zernike fit to the OPD for one recipe."""
@@ -489,10 +591,6 @@ class Problem:
         self.equality_constraints = eqs
         self.inequality_constraints = ineqs
         self.gradient = gradient
-        if gradient == 'auto':
-            # damped_least_squares prefers problem.residual_jacobian when
-            # the attribute exists; bind it only for the adjoint route
-            self.residual_jacobian = self._auto_residual_jacobian
 
     def x0(self):
         """Initial free vector from the DesignState."""
@@ -579,6 +677,16 @@ class Problem:
             self.design, lambda: self._eval_merit(self.system),
             method='fd', step=step)
 
+    def residual_jacobian(self, x, step=1e-6):
+        """Adjoint Jacobian of the weighted residual vector at x, or None.
+
+        None when gradient='fd' — damped_least_squares then central-
+        differences the residuals itself.
+        """
+        if self.gradient != 'auto':
+            return None
+        return self._auto_residual_jacobian(x, step=step)
+
     def _auto_residual_jacobian(self, x, step=1e-6):
         """Exact d(weighted residual)/dx via the adjoint engine.
 
@@ -602,6 +710,17 @@ class Problem:
         groups = {}
         fd_rows = []
         for i, op in enumerate(self.operands):
+            tangent_fn = getattr(op, 'tangent_gradient', None)
+            if tangent_fn is not None:
+                P, S, wvl = op._bundle(self.system, cache)
+                try:
+                    row = tangent_fn(self.system, np.asarray(P),
+                                     np.asarray(S), wvl, seeds)
+                except (ValueError, NotImplementedError):
+                    fd_rows.append(i)
+                else:
+                    J[i] = op.weight * np.asarray(row)
+                continue
             head_fn = getattr(op, 'adjoint_head', None)
             if head_fn is None:
                 fd_rows.append(i)

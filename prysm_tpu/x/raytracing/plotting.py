@@ -510,36 +510,17 @@ def mirror_substrate_outline(surf, result=None, surface_index=0, *,
     thickness; None draws the optical face only
     (reference: x/raytracing/plotting.py:374).
     """
-    from .aperture import (
-        SurfaceSubstrate, ParallelSubstrate, FlatParentSubstrate,
-        FlatBackSubstrate,
-    )
-
     pts, yloc, sag = _mirror_profile(surf, result, surface_index, points,
                                      radius, center)
     ix, iy = _axis_pair(x, y)
     if substrate is None:
         g = _profile_to_global(surf, pts)
         return g[:, ix], g[:, iy]
-    if isinstance(substrate, SurfaceSubstrate):
-        back_sag = sag.copy()
-    elif isinstance(substrate, FlatParentSubstrate):
-        vertex = float(np.asarray(surf.sag(np.zeros(1), np.zeros(1)))[0])
-        back_sag = np.full_like(sag, vertex + substrate.thickness)
-    elif isinstance(substrate, FlatBackSubstrate):
-        ref = (max(float(sag[0]), float(sag[-1]))
-               if substrate.reference == 'aperture'
-               else float(np.asarray(surf.sag(np.zeros(1),
-                                              np.zeros(1)))[0]))
-        back_sag = np.full_like(sag, ref + substrate.thickness)
-    elif isinstance(substrate, ParallelSubstrate):
-        back_sag = sag + substrate.thickness
-    else:
-        raise TypeError(
-            f'unknown substrate type {type(substrate).__name__}')
-    back = np.stack([np.zeros_like(yloc), yloc, back_sag], axis=1)
-    # closed path: face bottom->top, wall up, back top->bottom, wall down
-    path = np.concatenate([pts, back[::-1], pts[:1]], axis=0)
+    zz, yy = substrate.back_outline(surf, yloc, sag,
+                                    center=float(center)
+                                    if center != 'chief' else 0.0)
+    path = np.stack([np.zeros_like(yy), yy, zz], axis=1)
+    # NaN separators (bored backs) survive the rigid transform
     g = _profile_to_global(surf, path)
     return g[:, ix], g[:, iy]
 

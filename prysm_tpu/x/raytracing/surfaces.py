@@ -59,6 +59,7 @@ from .sags import (
     _add_conic_base_derivatives, _add_conic_base_sag,
     autodiff_sag_and_normal,
     conic_sag, conic_sag_and_normal, conic_sag_der,
+    conic_sag_hessian, conic_sag_param_partials,
     even_asphere_sag, even_asphere_sag_der_xy,
     gradient_to_unit_normal, phi_conic, plane_sag_and_normal, product_rule,
     sphere_sag, sphere_sag_der,
@@ -194,6 +195,62 @@ class Shape:
             self._auto_san = autodiff_sag_and_normal(self.sag)
         return self._auto_san(x, y)
 
+    def _sag_gradient(self, x, y):
+        """(dz/dx, dz/dy) via one forward-mode sweep per axis."""
+        ones = jnp.ones_like(x)
+        zeros = jnp.zeros_like(x)
+        _, gx = jax.jvp(self.sag, (x, y), (ones, zeros))
+        _, gy = jax.jvp(self.sag, (x, y), (zeros, ones))
+        return gx, gy
+
+    def sag_hessian(self, x, y):
+        """Sag Hessian (sag_xx, sag_xy, sag_yy) at (x, y).
+
+        Base implementation nests forward-mode AD over the sag; shapes
+        with closed-form Hessians (Plane, Sphere, Conic) override.
+        """
+        x = jnp.asarray(x, dtype=float)
+        y = jnp.asarray(y, dtype=float)
+        ones = jnp.ones_like(x)
+        zeros = jnp.zeros_like(x)
+        _, (sag_xx, sag_xy) = jax.jvp(self._sag_gradient, (x, y),
+                                      (ones, zeros))
+        _, (_, sag_yy) = jax.jvp(self._sag_gradient, (x, y),
+                                 (zeros, ones))
+        return sag_xx, sag_xy, sag_yy
+
+    def sag_param_partials(self, x, y, name):
+        """(sag_t, gx_t, gy_t): partials wrt a scalar shape DOF at fixed x, y.
+
+        The base implementation rebuilds the shape with the named
+        parameter traced and differentiates sag + gradient with one
+        jvp — the generic path that lets freeform-coefficient
+        tolerances reuse the differential machinery without a re-trace.
+        """
+        params = self.params
+        if not params or name not in params:
+            raise ValueError(
+                f'shape has no parameter {name!r} to differentiate against')
+        builder = getattr(type(self), 'from_params', None)
+        if builder is None:
+            raise ValueError(
+                f'{type(self).__name__} cannot rebuild from params; '
+                'override sag_param_partials')
+        x = jnp.asarray(x, dtype=float)
+        y = jnp.asarray(y, dtype=float)
+
+        def f(v):
+            p = dict(params)
+            p[name] = v
+            shp = builder(p)
+            z = shp.sag(x, y)
+            gx, gy = Shape._sag_gradient(shp, x, y)
+            return z, gx, gy
+
+        v0 = jnp.asarray(float(params[name]))
+        _, (sag_t, gx_t, gy_t) = jax.jvp(f, (v0,), (jnp.ones_like(v0),))
+        return sag_t, gx_t, gy_t
+
 
 class CallableShape(Shape):
     """Shape from user callables sag(x, y) [and sag_and_normal(x, y)]."""
@@ -237,6 +294,12 @@ class Plane(Shape):
     def sag_and_normal(self, x, y):
         """Zero sag, +z normal."""
         return plane_sag_and_normal(x, y)
+
+    def sag_hessian(self, x, y):
+        """Plane sag Hessian (all zero)."""
+        z = jnp.zeros(jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y)),
+                      dtype=jnp.result_type(x, y))
+        return z, z, z
 
     def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
         """Closed-form plane intersection."""
@@ -293,6 +356,15 @@ class Conic(Shape):
     def sag_and_normal(self, x, y):
         """Conic sag and normal."""
         return conic_sag_and_normal(self.params['c'], self.params['k'], x, y)
+
+    def sag_hessian(self, x, y):
+        """Closed-form conic Hessian."""
+        return conic_sag_hessian(self.params['c'], self.params['k'], x, y)
+
+    def sag_param_partials(self, x, y, name):
+        """Partials of conic sag and gradient wrt 'c' or 'k'."""
+        return conic_sag_param_partials(self.params['c'], self.params['k'],
+                                        x, y, name)
 
     def intersect(self, P, S, sag_and_normal=None, tol_sag=None, maxiter=None):
         """Closed-form conic intersection."""

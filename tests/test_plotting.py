@@ -152,10 +152,20 @@ def test_mirror_outlines_and_plots():
                 FlatBackSubstrate(8.0), SurfaceSubstrate()):
         xs, ys = mirror_substrate_outline(m1, res, j, substrate=sub,
                                           radius=50.0)
+        if isinstance(sub, SurfaceSubstrate):
+            # face only, no drawn back
+            assert xs.shape == xx.shape
+            continue
+        # thick substrates close on themselves and extend at least t
+        # behind the deepest face point
         assert xs[0] == xs[-1] and ys[0] == ys[-1]
-        # thick substrates extend at least t behind the deepest face point
-        if not isinstance(sub, SurfaceSubstrate):
-            assert xs.max() - xx.min() >= 7.9
+        assert xs.max() - xx.min() >= 7.9
+    # a bored back renders as two disjoint loops (NaN separated)
+    xb, yb = mirror_substrate_outline(
+        m1, res, j, substrate=ParallelSubstrate(8.0, bore=10.0),
+        radius=50.0)
+    assert onp.isnan(xb).sum() == 1
+    assert (onp.abs(yb[onp.isfinite(yb)]) >= 9.99).all()
     # draw wrappers put one line each on the axes
     fig, ax = plot_mirror_surface(m1, res, j, radius=50.0)
     fig, ax = plot_mirror_substrate(m1, res, j,

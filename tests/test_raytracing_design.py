@@ -226,7 +226,8 @@ def test_problem_auto_gradient_route():
             prob.residuals(x0)
             onp.testing.assert_allclose(J, Jf, rtol=1e-4, atol=1e-10)
         else:
-            assert getattr(prob, 'residual_jacobian', None) is None
+            # fd mode: the method exists but declines (DLS then does FD)
+            assert prob.residual_jacobian(prob.x0()) is None
         with _w.catch_warnings():
             _w.simplefilter('ignore')
             res = prob.solve(maxiter=30)
@@ -241,3 +242,65 @@ def test_problem_auto_gradient_route():
     x = prob.x0() + onp.array([4e-3, -3e-3])
     J = prob.residual_jacobian(x)
     assert onp.isfinite(J).all()
+
+
+def test_wavefront_rms_auto_gradient_matches_fd():
+    """WavefrontRMS rows of the auto residual Jacobian come from the
+    forward-mode tangent engine (exit-pupil motion included) and must
+    match central differences of the operand itself."""
+    import warnings as _w
+
+    s = _system(rt, mat)
+    s.solve.image_distance()
+    s.opt.vary('curvature', [1, 3])
+    prob = rt.Problem(
+        s,
+        [rt.WavefrontRMS(field=s.field(1), wavelength=0.5876,
+                         sampling=rt.Sampling.hex(3)),
+         rt.RmsSpotRadius(field=s.field(0), wavelength=0.5876,
+                          sampling=rt.Sampling.hex(3))],
+        gradient='auto')
+    x0 = prob.x0()
+    with _w.catch_warnings():
+        _w.simplefilter('ignore')
+        J = prob.residual_jacobian(x0)
+        h = 1e-7
+        Jf = onp.zeros_like(J)
+        for k in range(x0.size):
+            xp = x0.copy()
+            xp[k] += h
+            fp = prob.residuals(xp)
+            xp[k] = x0[k] - h
+            fm = prob.residuals(xp)
+            Jf[:, k] = (fp - fm) / (2 * h)
+        prob.residuals(x0)
+    onp.testing.assert_allclose(J, Jf, rtol=2e-4, atol=1e-8)
+
+
+def test_merit_protocol_value_seed():
+    """The reference's duck-typed merit protocol: value() evaluates on a
+    traced bundle, seed() returns history-shaped cotangents consistent
+    with jax.grad, seedable/has_value report capability."""
+    s = _system(rt, mat)
+    s.solve.image_distance()
+    op = rt.RmsSpotRadius(field=s.field(0), wavelength=0.5876,
+                          sampling=rt.Sampling.hex(3))
+    assert op.seedable and op.has_value
+    P, S = rt.launch(s, s.field(0), 0.5876, rt.Sampling.hex(3))
+    P, S = onp.asarray(P), onp.asarray(S)
+    trace = rt.raytrace(s.lens.to_surfaces(), P, S, 0.5876)
+    cache = _TraceCache(s)
+    direct = op(s, cache)
+    assert op.value(trace, s, 0.5876) == pytest.approx(direct, rel=1e-9)
+    P_bar, S_bar, L_bar = op.seed(trace, s, 0.5876)
+    assert P_bar.shape == onp.asarray(trace.P).shape
+    assert L_bar.shape == onp.asarray(trace.OPL).shape
+    assert onp.isfinite(P_bar).all() and onp.abs(P_bar).max() > 0
+    assert op.direct_gradient(trace, s, 0.5876, []) is None
+    # a bare merit with no head refuses the protocol
+    efl = rt.EFL(target=100.0)
+    assert not efl.seedable and not efl.has_value
+    with pytest.raises(NotImplementedError):
+        efl.value(trace, s, 0.5876)
+    with pytest.raises(NotImplementedError):
+        efl.seed(trace, s, 0.5876)
