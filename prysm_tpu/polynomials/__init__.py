@@ -19,6 +19,12 @@ from .zernike import (  # NOQA
     zernikes_to_magnitude_angle,
     zernikes_to_magnitude_angle_nmkey, zero_separation,
 )
+# reference-named aliases (prysm/polynomials/__init__.py:136-144)
+from .zernike import (  # NOQA
+    zero_separation as zernike_zero_separation,
+    barplot as zernike_barplot,
+    barplot_magnitudes as zernike_barplot_magnitudes,
+)
 from .fitting import (  # NOQA
     sum_of_2d_modes, sum_of_2d_modes_adjoint, hopkins, lstsq,
     normalize_modes, orthogonalize_modes,

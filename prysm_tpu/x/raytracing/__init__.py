@@ -59,7 +59,17 @@ from .surfaces import (  # NOQA
 from .aperture import (  # NOQA
     AnnularClip,
     Aperture,
+    Chamfer,
     CircularClip,
+    CircularExtent,
+    Flat,
+    FlatBackSubstrate,
+    FlatParentSubstrate,
+    ParallelSubstrate,
+    Seat,
+    SquareCut,
+    Substrate,
+    SurfaceSubstrate,
     annular_aperture,
     as_aperture,
     circular_aperture,

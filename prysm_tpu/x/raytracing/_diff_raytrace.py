@@ -42,17 +42,8 @@ from .adjoint.seeds import (  # NOQA: F401  (re-exported, reference parity)
     seed_tilt,
     seed_index,
     seed_from_perturbation,
+    seeds_from_perturbations,
 )
-
-
-def seeds_from_perturbations(perturbations, *, pose_step=1e-6):
-    """One DiffSeed per tolerance.Perturbation, in the given order.
-
-    The returned seeds define the trailing parameter axis of
-    raytrace_with_tangents / wavefront_with_tangents.
-    """
-    return [seed_from_perturbation(p, pose_step=pose_step)
-            for p in perturbations]
 
 
 class DiffSeed:

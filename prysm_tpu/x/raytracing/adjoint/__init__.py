@@ -18,6 +18,19 @@ from .seeds import (  # NOQA
     seed_irregularity,
     seed_from_slot,
     seed_from_perturbation,
+    seeds_from_perturbations,
+)
+from .primitives import (  # NOQA
+    adj_transform_local,
+    adj_transform_global,
+    adj_intersect,
+    adj_refract,
+    adj_reflect,
+    adj_diffract,
+    adj_opl_segment,
+    adj_eic_closing,
+    adj_eic_closing_full,
+    adj_closest_point_on_axis,
 )
 from .engine import (  # NOQA
     adjoint_gradient,

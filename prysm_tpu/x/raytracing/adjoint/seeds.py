@@ -170,6 +170,16 @@ def seed_from_perturbation(perturbation, *, pose_step=1e-6):
                           pose_step=pose_step)
 
 
+def seeds_from_perturbations(perturbations, *, pose_step=1e-6):
+    """One DiffSeed per tolerance.Perturbation, in the given order.
+
+    The returned seeds define the trailing parameter axis of
+    raytrace_with_tangents / wavefront_with_tangents.
+    """
+    return [seed_from_perturbation(p, pose_step=pose_step)
+            for p in perturbations]
+
+
 def _pose_tangents(ld, slot, h):
     """Central-difference (Qdot, Rdot) of every compiled pose wrt one DOF."""
     nominal = float(ld._slot_value(slot))

@@ -405,3 +405,125 @@ def test_wavefront_with_tangents_composes_with_launch_tangents():
     fd = (closed(t0 + h) - closed(t0 - h)) / (2 * h)
     scale = max(float(onp.abs(fd).max()), 1e-9)
     assert float(onp.abs(dW[:, 0] - fd).max()) / scale < 1e-3
+
+
+def test_adj_primitives_inner_product_identities():
+    """<adj_f(bar), tangent> == <bar, d_f(tangent)> for every primitive
+    pair — the reverse rules are vjp pullbacks of the same kernels the
+    forward d_* wrappers push through, so the identities hold to
+    roundoff."""
+    from prysm_tpu.x.raytracing.adjoint import primitives as ap
+
+    rng = onp.random.default_rng(3)
+    N, npar = 6, 1
+    S = rng.normal(size=(N, 3))
+    S /= onp.linalg.norm(S, axis=1, keepdims=True)
+    n_hat = rng.normal(size=(N, 3))
+    n_hat /= onp.linalg.norm(n_hat, axis=1, keepdims=True)
+    P = rng.normal(size=(N, 3))
+    Q = rng.normal(size=3)
+    R = onp.linalg.qr(rng.normal(size=(3, 3)))[0]
+
+    def ip(*pairs):
+        return sum(onp.vdot(a, b) for a, b in pairs if a is not None)
+
+    # transform_local
+    Pdot = rng.normal(size=(N, 3, npar))
+    Sdot = rng.normal(size=(N, 3, npar))
+    Qdot = rng.normal(size=(3, npar))
+    Rdot = rng.normal(size=(3, 3, npar))
+    _, _, Pld, Sld = dr.d_transform_local(P, S, Q, R, Pdot, Sdot, Qdot, Rdot)
+    Pl_bar = rng.normal(size=(N, 3))
+    Sl_bar = rng.normal(size=(N, 3))
+    P_bar, S_bar, Q_bar, R_bar = ap.adj_transform_local(
+        P, S, Q, R, Pl_bar, Sl_bar)
+    lhs = ip((P_bar, Pdot[..., 0]), (S_bar, Sdot[..., 0]),
+             (Q_bar, Qdot[..., 0]), (R_bar, Rdot[..., 0]))
+    rhs = ip((Pl_bar, Pld[..., 0]), (Sl_bar, Sld[..., 0]))
+    assert lhs == pytest.approx(rhs, rel=1e-10)
+
+    # reflect
+    nhdot = rng.normal(size=(N, 3, npar))
+    _, dSp = dr.d_reflect(S, n_hat, Sdot, nhdot)
+    Sp_bar = rng.normal(size=(N, 3))
+    S_bar, nh_bar = ap.adj_reflect(S, n_hat, Sp_bar)
+    assert ip((S_bar, Sdot[..., 0]), (nh_bar, nhdot[..., 0])) == \
+        pytest.approx(ip((Sp_bar, dSp[..., 0])), rel=1e-10)
+
+    # refract with index channels
+    S_in = onp.array([[0.1, 0.05, 0.99]] * N)
+    S_in /= onp.linalg.norm(S_in, axis=1, keepdims=True)
+    nh = onp.array([[0.0, 0.0, 1.0]] * N)
+    ndot = rng.normal(size=npar)
+    npostdot = rng.normal(size=npar)
+    _, dSp2 = dr.d_refract(1.0, 1.5, S_in, nh, Sdot, nhdot,
+                           ndot_pre=ndot, ndot_post=npostdot)
+    Sp_bar = rng.normal(size=(N, 3))
+    n_bar, np_bar, S_bar, nh_bar = ap.adj_refract(1.0, 1.5, S_in, nh, Sp_bar)
+    lhs = (float(n_bar) * ndot[0] + float(np_bar) * npostdot[0]
+           + ip((S_bar, Sdot[..., 0]), (nh_bar, nhdot[..., 0])))
+    assert lhs == pytest.approx(ip((Sp_bar, dSp2[..., 0])), rel=1e-10)
+
+    # opl segment
+    seg = rng.normal(size=(N, 3))
+    dseg = rng.normal(size=(N, 3, npar))
+    dL = dr.d_opl_segment(1.5, ndot, seg, dseg)
+    L_bar = rng.normal(size=N)
+    npre_bar, seg_bar = ap.adj_opl_segment(1.5, seg, L_bar)
+    lhs = float(npre_bar) * ndot[0] + ip((seg_bar, dseg[..., 0]))
+    assert lhs == pytest.approx(ip((L_bar, dL[..., 0])), rel=1e-10)
+
+    # eic closing
+    C = onp.array([0.1, -0.2, 90.0])
+    kappa = 1 / 85.0
+    Pl = P + onp.array([0, 0, 88.0])
+    Cdot = rng.normal(size=(3, npar))
+    kdot = rng.normal(size=npar)
+    sdot = dr.d_eic_closing(Pl, S, Pdot, Sdot, C, Cdot, kappa, kdot)
+    s_bar = rng.normal(size=N)
+    P_bar, S_bar, C_bar, k_bar = ap.adj_eic_closing(Pl, S, C, kappa, s_bar)
+    lhs = (ip((P_bar, Pdot[..., 0]), (S_bar, Sdot[..., 0]),
+              (C_bar, Cdot[..., 0])) + float(k_bar) * kdot[0])
+    assert lhs == pytest.approx(ip((s_bar, sdot[..., 0])), rel=1e-10)
+
+    # closest point on axis
+    Pc = onp.array([0.3, -0.2, 90.0])
+    Sc = onp.array([0.02, 0.03, 0.999])
+    Sc /= onp.linalg.norm(Sc)
+    Pcdot = rng.normal(size=(3, npar))
+    Scdot = rng.normal(size=(3, npar))
+    _, xpdot = dr.d_closest_point_on_axis(
+        Pc, Sc, Pcdot, Scdot, onp.zeros(3), onp.array([0., 0., 1.]))
+    xp_bar = rng.normal(size=3)
+    P_bar, S_bar = ap.adj_closest_point_on_axis(
+        Pc, Sc, onp.zeros(3), onp.array([0., 0., 1.]), xp_bar)
+    lhs = ip((P_bar, Pcdot[..., 0]), (S_bar, Scdot[..., 0]))
+    assert lhs == pytest.approx(ip((xp_bar, xpdot[..., 0])), rel=1e-10)
+
+    # intersect with a curvature param channel
+    def sphere_san(x, y, c):
+        r2 = x * x + y * y
+        z = c * r2 / (1.0 + jnp.sqrt(jnp.maximum(1.0 - c * c * r2, 0.0)))
+        denom = jnp.sqrt(jnp.maximum(1.0 - c * c * r2, 1e-14))
+        nvec = jnp.stack([-c * x / denom, -c * y / denom,
+                          jnp.ones_like(x)], axis=-1)
+        norm = jnp.sqrt(jnp.sum(nvec * nvec, axis=-1, keepdims=True))
+        return z, nvec / norm
+
+    P0 = onp.array([[1.0, 0.5, -5.0], [0.2, -0.3, -5.0]])
+    S0 = onp.array([[0.0, 0.0, 1.0], [0.01, 0.0, 0.99995]])
+    S0 /= onp.linalg.norm(S0, axis=1, keepdims=True)
+    cdot = onp.array([1.0])
+    P0dot = rng.normal(size=P0.shape + (npar,))
+    S0dot = rng.normal(size=S0.shape + (npar,))
+    _, _, Qidot, nhidot = dr.d_intersect(
+        sphere_san, P0, S0, P0dot, S0dot, params=(1 / 62.0,),
+        params_dot=(cdot,))
+    Q_bar = rng.normal(size=P0.shape)
+    nh_bar = rng.normal(size=P0.shape)
+    P0_bar, S0_bar, c_bar = ap.adj_intersect(
+        sphere_san, P0, S0, Q_bar, nh_bar, params=(1 / 62.0,))
+    lhs = (ip((P0_bar, P0dot[..., 0]), (S0_bar, S0dot[..., 0]))
+           + float(c_bar) * cdot[0])
+    rhs = ip((Q_bar, Qidot[..., 0]), (nh_bar, nhidot[..., 0]))
+    assert lhs == pytest.approx(rhs, rel=1e-8)
