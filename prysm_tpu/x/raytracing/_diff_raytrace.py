@@ -27,6 +27,8 @@ from .spencer_and_murty import (
     intersect,
     refract,
     reflect,
+    diffract,
+    eic_closing,
     transform_to_local_coords,
     transform_to_global_coords,
     STYPE_REFRACT,
@@ -170,17 +172,16 @@ def raytrace_with_tangents(surfaces, P, S, wvl, seeds, Pdot0=None,
         Pdots.append(onp.asarray(dP))
         Sdots.append(onp.asarray(dS))
         Ldots.append(onp.asarray(dL))
+    trace = raytrace(surfaces, Pj, Sj, wvl, tol_sag=tol_sag,
+                     keep_intermediates=True)
     if n_params:
         Pdot = onp.stack(Pdots, axis=-1)
         Sdot = onp.stack(Sdots, axis=-1)
         Ldot = onp.stack(Ldots, axis=-1)
     else:
-        trace0 = raytrace(surfaces, Pj, Sj, wvl, tol_sag=tol_sag)
-        Pdot = onp.zeros(onp.asarray(trace0.P).shape + (0,))
+        Pdot = onp.zeros(onp.asarray(trace.P).shape + (0,))
         Sdot = onp.zeros_like(Pdot)
-        Ldot = onp.zeros(onp.asarray(trace0.OPL).shape + (0,))
-    trace = raytrace(surfaces, Pj, Sj, wvl, tol_sag=tol_sag,
-                     keep_intermediates=True)
+        Ldot = onp.zeros(onp.asarray(trace.OPL).shape + (0,))
     return DiffTraceResult(trace, Pdot, Sdot, list(seeds), Ldot=Ldot)
 
 
@@ -317,9 +318,17 @@ def wavefront_with_tangents(surfaces, P, S, wavelength, seeds, *,
         sin_ay = float(onp.sin(ay))
 
     design = _has_design_action(seeds)
+    if design:
+        from .adjoint.seeds import DiffSeed as _DesignSeed
+        # launch-only seeds become empty (no-action) design seeds so the
+        # eps axis stays aligned with the caller's seed order, matching
+        # raytrace_with_tangents
+        eff_seeds = [s if _is_design_seed(s)
+                     else _DesignSeed(name=getattr(s, 'name', None))
+                     for s in seeds]
 
     def f(eps, Pb, Sb):
-        surfs = apply_seeds(surfaces, seeds, eps) if design else surfaces
+        surfs = apply_seeds(surfaces, eff_seeds, eps) if design else surfaces
         r = raytrace(surfs, Pb, Sb, wavelength, tol_sag=tol_sag)
         P_last = r.P[-1]
         S_last = r.S[-1]
@@ -341,11 +350,7 @@ def wavefront_with_tangents(surfaces, P, S, wavelength, seeds, *,
             kappa = 1.0 / jnp.sqrt(jnp.sum(delta * delta))
         n_img = n_image0 + jnp.sum(
             eps * jnp.asarray(n_image_dot, dtype=eps.dtype))
-        rr = P_last - C
-        b = jnp.sum(S_last * rr, axis=-1)
-        m = b * b - jnp.sum(rr * rr, axis=-1)
-        disc = jnp.maximum(1.0 + kappa * kappa * m, 0.0)
-        s = -b - kappa * m / (1.0 + jnp.sqrt(disc))
+        s, _ = eic_closing(P_last, S_last, C, kappa)
         L_tot = L + n_img * s
         opd = L_tot - L_tot[fchief]
         if field is not None:
@@ -393,10 +398,9 @@ def wavefront_with_tangents(surfaces, P, S, wavelength, seeds, *,
                 'reference-sphere radius is degenerate; pass a '
                 'nondegenerate P_xp')
         kappa0 = 1.0 / R0
-        rr0 = P_last0 - C0
-        b0 = onp.sum(S_last0 * rr0, axis=-1)
-        m0 = b0 * b0 - onp.sum(rr0 * rr0, axis=-1)
-        disc_min = float(onp.min(1.0 + kappa0 * kappa0 * m0))
+        _, disc0 = eic_closing(jnp.asarray(P_last0), jnp.asarray(S_last0),
+                               jnp.asarray(C0), kappa0)
+        disc_min = float(jnp.min(disc0))
         tol = 64.0 * onp.finfo(onp.float64).eps
         if disc_min < -tol:
             raise ValueError(
@@ -558,16 +562,8 @@ def d_diffract(S_specular, n_hat, n_post, opl_grad_fn, Pj, dPj,
     """
     def fn(Ss, nh, Pv, npost):
         gx, gy = opl_grad_fn(Pv[..., 0], Pv[..., 1])
-        G = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1)
-        a = 1.0 / npost
-        s_dot_n = jnp.sum(Ss * nh, axis=-1)
-        s_tan = Ss - s_dot_n[..., None] * nh
-        G_dot_n = jnp.sum(G * nh, axis=-1)
-        G_tan = G - G_dot_n[..., None] * nh
-        t = s_tan + a * G_tan
-        tan_sq = jnp.sum(t * t, axis=-1)
-        nm = jnp.sqrt(jnp.maximum(1.0 - tan_sq, 0.0))
-        return t + (jnp.sign(s_dot_n) * nm)[..., None] * nh
+        out, _ = diffract(Ss, nh, gx, gy, npost)
+        return out
 
     Sd, dSd = _jvp_cols(
         fn, (S_specular, n_hat, Pj, onp.asarray(n_post, dtype=float)),
@@ -617,11 +613,7 @@ def d_eic_closing(P, S, Pdot, Sdot, C, Cdot, kappa, kappa_dot):
     (N, n_params).
     """
     def fn(Pv, Sv, Cv, kv):
-        r = Pv - Cv
-        b = jnp.sum(Sv * r, axis=-1)
-        m = b * b - jnp.sum(r * r, axis=-1)
-        disc = jnp.maximum(1.0 + kv * kv * m, 0.0)
-        return -b - kv * m / (1.0 + jnp.sqrt(disc))
+        return eic_closing(Pv, Sv, Cv, kv)[0]
 
     _, sdot = _jvp_cols(
         fn, (P, S, C, onp.asarray(kappa, dtype=float)),
@@ -678,7 +670,9 @@ def _walk_matrix_traced(surfaces, wvl, eps, zdot, cdot, ndot, n_object, *,
     if end_index is None:
         end_index = len(surfaces) - 1
     M = jnp.eye(2, dtype=eps.dtype)
-    n = jnp.asarray(float(n_object), dtype=eps.dtype)
+    # n_object may be the traced n_at_stop of an upstream walk (stop-to-
+    # image leg); jnp.asarray keeps the tangent where float() would choke
+    n = jnp.asarray(n_object, dtype=eps.dtype)
     z_prev = float(surfaces[start].P[2]) + jnp.sum(eps * zdot[start])
     for k in range(start, len(surfaces)):
         surf = surfaces[k]

@@ -22,6 +22,8 @@ from ..spencer_and_murty import (
     intersect,
     refract_with_tir,
     reflect,
+    diffract,
+    eic_closing,
     transform_to_local_coords,
     transform_to_global_coords,
 )
@@ -123,16 +125,8 @@ def adj_diffract(S_specular, n_hat, n_post, opl_grad_fn, Pj, S_diff_bar):
     """
     def fn(Ss, nh, npost, Pv):
         gx, gy = opl_grad_fn(Pv[..., 0], Pv[..., 1])
-        G = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1)
-        a = 1.0 / npost
-        s_dot_n = jnp.sum(Ss * nh, axis=-1)
-        s_tan = Ss - s_dot_n[..., None] * nh
-        G_dot_n = jnp.sum(G * nh, axis=-1)
-        G_tan = G - G_dot_n[..., None] * nh
-        t = s_tan + a * G_tan
-        tan_sq = jnp.sum(t * t, axis=-1)
-        nm = jnp.sqrt(jnp.maximum(1.0 - tan_sq, 0.0))
-        return t + (jnp.sign(s_dot_n) * nm)[..., None] * nh
+        out, _ = diffract(Ss, nh, gx, gy, npost)
+        return out
 
     return _vjp(fn, (S_specular, n_hat, onp.asarray(n_post, dtype=float),
                      Pj), S_diff_bar)
@@ -157,11 +151,7 @@ def adj_opl_segment(n_pre, seg, L_bar, S=None):
 
 
 def _eic_closing_expr(Pv, Sv, Cv, kv):
-    r = Pv - Cv
-    b = jnp.sum(Sv * r, axis=-1)
-    m = b * b - jnp.sum(r * r, axis=-1)
-    disc = jnp.maximum(1.0 + kv * kv * m, 0.0)
-    return -b - kv * m / (1.0 + jnp.sqrt(disc))
+    return eic_closing(Pv, Sv, Cv, kv)[0]
 
 
 def adj_eic_closing(P, S, C, kappa, s_bar):

@@ -255,6 +255,8 @@ def hopkins_eic_closing(P_hist, S_hist, OPL_hist, *, center, curvature,
     and the telecentric kappa -> 0 limit without cancellation (reference:
     prysm/x/raytracing/opt.py:401-468).
     """
+    from .spencer_and_murty import eic_closing
+
     C = np.asarray(center)
     P_last = np.asarray(P_hist[-1])
     S_last = np.asarray(S_hist[-1])
@@ -262,18 +264,15 @@ def hopkins_eic_closing(P_hist, S_hist, OPL_hist, *, center, curvature,
     if chief_index is None:
         chief_index = _pupil_center_chief_index(np.asarray(P_hist[0]))
     k = float(curvature)
-    r = P_last - C
-    b = (S_last * r).sum(axis=-1)
-    m = b * b - (r * r).sum(axis=-1)
-    disc = 1.0 + k * k * m
+    s, disc = eic_closing(P_last, S_last, C, k)
+    s = np.asarray(s)
+    disc = np.asarray(disc)
     min_disc = float(np.min(disc))
-    tol = 64.0 * np.finfo(np.asarray(disc).dtype).eps
+    tol = 64.0 * np.finfo(disc.dtype).eps
     if min_disc < -tol:
         raise ValueError(
             'ray does not intersect the reference sphere; check P_xp/center '
             'or use the telecentric curvature=0 limit')
-    disc = np.where(disc < 0.0, 0.0, disc)
-    s = -b - k * m / (1.0 + np.sqrt(disc))
     OPL_total = OPL_through + n_image * s
     return OPL_total - OPL_total[chief_index]
 

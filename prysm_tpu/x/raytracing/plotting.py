@@ -457,9 +457,18 @@ def plot_spot_diagrams(spot_grid, *, ncols=None, colors=None, marker='+',
 # ---------- mirror outlines --------------------------------------------------
 
 def _mirror_profile(surf, result, surface_index, points, radius, center):
-    """(N, 3) global meridional profile of a mirror's optical face."""
+    """(N, 3) global meridional profile of a mirror's optical face.
+
+    Returns (pts, yloc, sag, center) with center resolved to a number
+    so callers can reference downstream geometry (bores, back rules) to
+    the same origin as the sampled meridian.
+    """
     phist = None if result is None else result.P
     if center == 'chief':
+        if phist is None:
+            raise ValueError(
+                "center='chief' needs a trace result to locate the "
+                'bundle; pass result= or a numeric center')
         p = np.asarray(phist)[surface_index + 1]
         from .spencer_and_murty import transform_to_local_coords
         loc, _ = transform_to_local_coords(p, surf.P, np.zeros_like(p),
@@ -474,7 +483,7 @@ def _mirror_profile(surf, result, surface_index, points, radius, center):
     xloc = np.zeros_like(yloc)
     sag = np.asarray(surf.sag(xloc, yloc))
     pts = np.stack([xloc, yloc, sag], axis=1)
-    return pts, yloc, sag
+    return pts, yloc, sag, center
 
 
 def _profile_to_global(surf, pts):
@@ -491,8 +500,8 @@ def mirror_surface_outline(surf, result=None, surface_index=0, *, points=100,
     radius, else the traced ray footprint; center='chief' re-centers the
     profile on the bundle (reference: x/raytracing/plotting.py:334).
     """
-    pts, _, _ = _mirror_profile(surf, result, surface_index, points,
-                                radius, center)
+    pts, _, _, _ = _mirror_profile(surf, result, surface_index, points,
+                                   radius, center)
     g = _profile_to_global(surf, pts)
     ix, iy = _axis_pair(x, y)
     return g[:, ix], g[:, iy]
@@ -510,15 +519,13 @@ def mirror_substrate_outline(surf, result=None, surface_index=0, *,
     thickness; None draws the optical face only
     (reference: x/raytracing/plotting.py:374).
     """
-    pts, yloc, sag = _mirror_profile(surf, result, surface_index, points,
-                                     radius, center)
+    pts, yloc, sag, center = _mirror_profile(surf, result, surface_index,
+                                             points, radius, center)
     ix, iy = _axis_pair(x, y)
     if substrate is None:
         g = _profile_to_global(surf, pts)
         return g[:, ix], g[:, iy]
-    zz, yy = substrate.back_outline(surf, yloc, sag,
-                                    center=float(center)
-                                    if center != 'chief' else 0.0)
+    zz, yy = substrate.back_outline(surf, yloc, sag, center=center)
     path = np.stack([np.zeros_like(yy), yy, zz], axis=1)
     # NaN separators (bored backs) survive the rigid transform
     g = _profile_to_global(surf, path)

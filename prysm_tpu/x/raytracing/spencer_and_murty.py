@@ -273,6 +273,51 @@ def reflect(S, n_hat):
     return S - 2.0 * cosI[..., None] * n_hat
 
 
+def diffract(S_specular, n_hat, gx, gy, n_post):
+    """Tangential momentum kick of a grating OPL gradient.
+
+    (gx, gy) is the in-plane gradient of the grating OPL (order and
+    period folded in).  Returns (S_out, valid); evanescent orders keep
+    the specular direction and are masked invalid.  Branch-free masked
+    jnp — this single expression serves the nominal trace and its
+    forward/reverse differentials (``_diff_raytrace.d_diffract``,
+    ``adjoint.primitives.adj_diffract``) so the rules cannot drift.
+    """
+    G = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1)
+    G_dot_n = (G * n_hat).sum(-1, keepdims=True)
+    G_tan = G - G_dot_n * n_hat
+    s_dot_n = (S_specular * n_hat).sum(-1, keepdims=True)
+    s_specular_tan = S_specular - s_dot_n * n_hat
+    s_diff_tan = s_specular_tan + G_tan / n_post
+    tan_sq = (s_diff_tan * s_diff_tan).sum(-1)
+    valid = tan_sq <= 1.0
+    normal_mag = jnp.sqrt(jnp.where(valid, 1.0 - tan_sq, 0.0))
+    sign = jnp.sign(s_dot_n[..., 0])
+    S_diff = s_diff_tan + (sign * normal_mag)[..., None] * n_hat
+    S_diff = jnp.where(valid[..., None], S_diff, S_specular)
+    return S_diff, valid
+
+
+def eic_closing(P, S, C, kappa):
+    """Determinate EIC closing segment to the reference sphere.
+
+    s~ = -b - kappa m / (1 + sqrt(max(1 + kappa^2 m, 0))) with
+    r = P - C, b = S.r, m = b^2 - r.r; spans finite pupils and the
+    telecentric kappa -> 0 limit without cancellation (reference:
+    prysm/x/raytracing/opt.py:401-468).  Returns (s, disc) — disc is
+    the UNclamped discriminant so host callers can validate that the
+    clamp was not exercised.  Single traceable expression shared by
+    ``opt.hopkins_eic_closing``, ``_diff_raytrace`` (wavefront tangents,
+    ``d_eic_closing``), and ``adjoint.primitives.adj_eic_closing``.
+    """
+    r = P - C
+    b = jnp.sum(S * r, axis=-1)
+    m = b * b - jnp.sum(r * r, axis=-1)
+    disc = 1.0 + kappa * kappa * m
+    s = -b - kappa * m / (1.0 + jnp.sqrt(jnp.maximum(disc, 0.0)))
+    return s, disc
+
+
 def _launch_medium_index(surfaces, wvl):
     """Index of the medium the bundle launches in (object-space material)."""
     if len(surfaces) > 0:

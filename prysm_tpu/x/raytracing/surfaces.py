@@ -41,6 +41,7 @@ from .spencer_and_murty import (
     STATUS_OK, STATUS_MISS, STATUS_NEWTON, STATUS_CLIP, STATUS_TIR,
     STATUS_EVANESCENT,
     refract, refract_with_tir, reflect,
+    diffract as _diffract_kernel,
     transform_to_local_coords, transform_to_global_coords,
     intersect as newton_intersect,
     SURFACE_INTERSECTION_DEFAULT_MAXITER,
@@ -1006,19 +1007,7 @@ class Surface:
                 Q_loc[..., 0], Q_loc[..., 1], wavelength)
         else:
             gx, gy = grad
-        G = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1)
-        G_dot_n = (G * n_hat).sum(-1, keepdims=True)
-        G_tan = G - G_dot_n * n_hat
-        s_dot_n = (S_specular * n_hat).sum(-1, keepdims=True)
-        s_specular_tan = S_specular - s_dot_n * n_hat
-        s_diff_tan = s_specular_tan + G_tan / n_post
-        tan_sq = (s_diff_tan * s_diff_tan).sum(-1)
-        valid = tan_sq <= 1.0
-        normal_mag = jnp.sqrt(jnp.where(valid, 1.0 - tan_sq, 0.0))
-        sign = jnp.sign(s_dot_n[..., 0])
-        S_diff = s_diff_tan + (sign * normal_mag)[..., None] * n_hat
-        S_diff = jnp.where(valid[..., None], S_diff, S_specular)
-        return S_diff, valid
+        return _diffract_kernel(S_specular, n_hat, gx, gy, n_post)
 
     def intersect(self, P, S, tol_sag=None, maxiter=None, forward_only=False):
         """Intersect rays with the surface shape -> (Q, n, valid).

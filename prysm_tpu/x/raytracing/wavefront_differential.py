@@ -36,24 +36,48 @@ def _closed_wavefront(lensdata, P, S, wavelength, *, chief_index, P_xp,
 def _xp_z_tangents_robust(surfaces, wavelength, seeds, stop_index):
     """Per-seed exit-pupil z tangents: analytic where paraxially
     eligible, host central differences of the ynu walk otherwise."""
-    from ._diff_raytrace import paraxial_exit_pupil_z_tangents
+    from ._diff_raytrace import (
+        paraxial_exit_pupil_z_tangents,
+        _paraxial_seed_arrays,
+    )
     from .adjoint.engine import apply_seeds
-    from .paraxial import ynu_first_order
+    from .paraxial import ynu_first_order, NonAxialSystemError
     import jax.numpy as jnp
 
     out = np.zeros(len(seeds), dtype=_PREC)
-    for k, seed in enumerate(seeds):
+    if not seeds:
+        return out
+    # one batched analytic call covers the common all-eligible set
+    d = paraxial_exit_pupil_z_tangents(
+        surfaces, wavelength, seeds, stop_index=stop_index)
+    if d is not None:
+        return np.asarray(d, dtype=_PREC)
+    eligible = [k for k, sd in enumerate(seeds)
+                if _paraxial_seed_arrays(surfaces, [sd]) is not None]
+    analytic = frozenset()
+    if eligible:
         d = paraxial_exit_pupil_z_tangents(
-            surfaces, wavelength, [seed], stop_index=stop_index)
+            surfaces, wavelength, [seeds[k] for k in eligible],
+            stop_index=stop_index)
         if d is not None:
-            out[k] = d[0]
+            out[eligible] = d
+            analytic = frozenset(eligible)
+        # else: degenerate (telecentric) nominal — fall through to FD,
+        # which detects the None xp_z per probe and zeros the tangent
+    h = 1e-6
+    for k, seed in enumerate(seeds):
+        if k in analytic:
             continue
-        h = 1e-6
         zs = []
         for sgn in (+1.0, -1.0):
             ss = apply_seeds(surfaces, [seed], jnp.array([sgn * h]))
-            zs.append(ynu_first_order(ss, wavelength,
-                                      stop_index=stop_index).xp_z)
+            try:
+                zs.append(ynu_first_order(ss, wavelength,
+                                          stop_index=stop_index).xp_z)
+            except NonAxialSystemError:
+                # a transverse decenter/tilt breaks the axial ynu walk,
+                # but does not move the paraxial pupil to first order
+                zs.append(None)
         if zs[0] is None or zs[1] is None:
             continue  # telecentric under perturbation: no stable tangent
         out[k] = (zs[0] - zs[1]) / (2.0 * h)
@@ -135,12 +159,23 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
 
     resolve_xp = (P_xp is None
                   and getattr(lensdata, 'stop_index', None) is not None)
+    if resolve_xp:
+        from .paraxial import NonAxialSystemError
+        xp_nominal = resolve_exit_pupil(lensdata, wavelength, field=field)
 
     def closed():
         # re-resolve a stop-driven exit pupil each probe so the finite
         # difference carries d(P_xp)/d(tau), matching the tangent engine
-        xp = (resolve_exit_pupil(lensdata, wavelength, field=field)
-              if resolve_xp else P_xp)
+        if resolve_xp:
+            try:
+                xp = resolve_exit_pupil(lensdata, wavelength, field=field)
+            except NonAxialSystemError:
+                # a decentered/tilted probe breaks the axial ynu walk;
+                # transverse pose motion does not move the paraxial
+                # pupil to first order, so the nominal anchor stands
+                xp = xp_nominal
+        else:
+            xp = P_xp
         return _closed_wavefront(lensdata, P, S, wavelength,
                                  chief_index=chief_index, P_xp=xp,
                                  field=field, axis_point=axis_point,

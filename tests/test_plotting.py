@@ -217,3 +217,38 @@ def test_sag_derivative_helpers():
                                  jnp.asarray((x - h) / 11.0),
                                  jnp.asarray(y / 11.0)))
     assert onp.abs(dzdx - (zp - zm) / (2 * h)).max() < 1e-7
+
+
+def test_mirror_substrate_chief_center_forwarded():
+    """center='chief' must reference the bore (and any back rule) to the
+    resolved chief center: the outline equals the same call with the
+    numeric center, and a missing trace result fails with a clear
+    message instead of an indexing error."""
+    from prysm_tpu.x.raytracing.plotting import (
+        mirror_substrate_outline, _mirror_profile)
+    from prysm_tpu.x.raytracing.aperture import ParallelSubstrate
+    import pytest as _pytest
+    rc = rt.RitcheyChretien(efl=800.0, bfl=180.0, separation=120.0)
+    sys_ = rt.OpticalSystem(rc.to_lensdata(), aperture=100.0,
+                            fields=[rt.Field(0, 0), rt.Field(0, 1.5)],
+                            wavelengths=[0.6328], stop_index=1)
+    surfs = sys_.lens.to_surfaces()
+    m1 = next(s for s in surfs
+              if getattr(s, 'typ', None) == rt.STYPE_REFLECT)
+    j = surfs.index(m1)
+    P, S = rt.launch(sys_, sys_.field(1), 0.6328, rt.Sampling.hex(4))
+    res = rt.raytrace(surfs, onp.asarray(P), onp.asarray(S), 0.6328)
+    _, _, _, c = _mirror_profile(m1, res, j, 64, 30.0, 'chief')
+    assert c != 0.0  # the off-axis bundle lands off the vertex
+    sub = ParallelSubstrate(8.0, bore=5.0)
+    xc, yc = mirror_substrate_outline(m1, res, j, substrate=sub,
+                                      radius=30.0, center='chief')
+    xn, yn = mirror_substrate_outline(m1, res, j, substrate=sub,
+                                      radius=30.0, center=c)
+    onp.testing.assert_array_equal(xc, xn)
+    onp.testing.assert_array_equal(yc, yn)
+    # the bore is cut about the chief center, not the vertex
+    assert onp.isnan(xc).sum() == 1
+    with _pytest.raises(ValueError, match='chief'):
+        mirror_substrate_outline(m1, None, j, substrate=sub,
+                                 radius=30.0, center='chief')

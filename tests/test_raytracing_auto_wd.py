@@ -182,3 +182,35 @@ def test_wavefront_differential_tangent_vs_fd_methods():
     with pytest.raises(ValueError, match="method must be"):
         rt.wavefront_differential(sys_, perts, P, S, 0.5876,
                                   method='nope')
+
+
+def test_wavefront_differential_decenter_tilt_tangent_vs_fd():
+    """Pose tolerances (decenter/tilt through a coordinate break) run
+    through BOTH map sources: the analytic-ineligible seeds fall back to
+    host FD of the ynu walk without tripping the axial-geometry guard,
+    and the two engines agree to FD truncation accuracy."""
+    bk7 = mat.model_glass(1.5168, 64.17, name='BK7')
+    lens = rt.LensData()
+    lens.add_coordbreak()
+    lens.add(rt.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(rt.Sphere(-1 / 128.0), thickness=81.7, material=mat.air)
+    sys_ = rt.OpticalSystem(lens, aperture=20.0, wavelengths=[0.5876],
+                            stop_index=2)
+    P, S = rt.launch(sys_, sys_.field(), 0.5876, rt.Sampling.hex(3))
+    P = onp.asarray(P)
+    S = onp.asarray(S)
+    perts = [rt.Perturbation.normal(sys_, 'decenter', 1, 1e-3, name='dy',
+                                    component=1),
+             rt.Perturbation.normal(sys_, 'tilt', 1, 1e-4, name='tx',
+                                    component=0),
+             rt.Perturbation.normal(sys_, 'curvature', 2, 1e-5,
+                                    name='c1')]
+    wt = rt.wavefront_differential(sys_, perts, P, S, 0.5876,
+                                   method='tangent')
+    wf = rt.wavefront_differential(sys_, perts, P, S, 0.5876,
+                                   method='fd')
+    assert onp.isfinite(wt.dW).all()
+    onp.testing.assert_allclose(wt.dW, wf.dW, rtol=1e-3, atol=5e-8)
+    # the pose columns are live, not silently zeroed
+    assert onp.abs(wt.dW[:, 0]).max() > 0.0
+    assert onp.abs(wt.dW[:, 1]).max() > 0.0

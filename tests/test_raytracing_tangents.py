@@ -527,3 +527,39 @@ def test_adj_primitives_inner_product_identities():
            + float(c_bar) * cdot[0])
     rhs = ip((Q_bar, Qidot[..., 0]), (nh_bar, nhidot[..., 0]))
     assert lhs == pytest.approx(rhs, rel=1e-8)
+
+
+def test_wavefront_with_tangents_mixed_design_and_launch_seeds(
+        singlet_offaxis):
+    """A design seed and a bare launch seed share one seed list: the eps
+    axis must stay aligned with the caller's order (launch-only seeds
+    become empty design seeds, as in raytrace_with_tangents)."""
+    sys_, P, S = singlet_offaxis
+    surfs = sys_.lens.to_surfaces()
+    n_params = 2
+    seeds = [adj.seed_curvature(1, name='c1'), dr.DiffSeed('dx')]
+    Pdot0 = onp.zeros(P.shape + (n_params,))
+    Pdot0[:, 0, 1] = 1.0  # column 1: rigid +x launch shift
+    opd, _, _, dW = dr.wavefront_with_tangents(
+        surfs, P, S, WVL, seeds, Pdot0=Pdot0)
+    assert dW.shape == (opd.shape[0], n_params)
+    assert onp.isfinite(dW).all()
+    # each column matches the same seed run alone
+    _, _, _, dW_c = dr.wavefront_with_tangents(
+        surfs, P, S, WVL, [adj.seed_curvature(1, name='c1')])
+    onp.testing.assert_allclose(dW[:, 0], dW_c[:, 0], rtol=1e-12,
+                                atol=1e-12)
+    _, _, _, dW_l = dr.wavefront_with_tangents(
+        surfs, P, S, WVL, [dr.DiffSeed('dx')],
+        Pdot0=Pdot0[..., 1:])
+    onp.testing.assert_allclose(dW[:, 1], dW_l[:, 0], rtol=1e-12,
+                                atol=1e-12)
+
+
+def test_raytrace_with_tangents_empty_seed_list(singlet_offaxis):
+    """Zero seeds returns zero-width tangents without a redundant trace."""
+    sys_, P, S = singlet_offaxis
+    surfs = sys_.lens.to_surfaces()
+    res = dr.raytrace_with_tangents(surfs, P, S, WVL, [])
+    assert res.Pdot.shape == onp.asarray(res.trace.P).shape + (0,)
+    assert res.Ldot.shape == onp.asarray(res.trace.OPL).shape + (0,)
