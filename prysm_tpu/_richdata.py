@@ -157,9 +157,9 @@ class RichData:
 
     def plot2d(self, xlim=None, ylim=None, clim=None, cmap=None,
                log=False, power=1, interpolation=None,
-               show_colorbar=True, colorbar_label=None, axis_labels=(None, None),
-               fig=None, ax=None):
-        """Plot the data as an image with spatial extent."""
+               show_colorbar=True, colorbar_label=None, extend='both',
+               axis_labels=(None, None), zorder=3, fig=None, ax=None):
+        """Plot the data as an image with spatial extent (ref _richdata.py:311)."""
         import numpy as np
         from matplotlib import colors
         from .plotting import share_fig_ax
@@ -175,9 +175,10 @@ class RichData:
         exty = self.support_y / 2
         im = ax.imshow(data, extent=[-extx, extx, -exty, exty], cmap=cmap,
                        norm=norm, clim=clim, origin='lower',
-                       interpolation=interpolation)
+                       interpolation=interpolation, zorder=zorder)
         if show_colorbar:
-            fig.colorbar(im, ax=ax, label=colorbar_label, fraction=0.046)
+            fig.colorbar(im, ax=ax, label=colorbar_label, fraction=0.046,
+                         extend=extend)
         ax.set(xlabel=axis_labels[0], ylabel=axis_labels[1], xlim=xlim, ylim=ylim)
         return fig, ax
 

@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..mathops import kronecker, gamma, sign
+from .jacobi import jacobi_sum_clenshaw_der  # NOQA: F401 - importable from qpoly as in the reference
 
 _INV_SQRT19 = 1.0 / math.sqrt(19)
 

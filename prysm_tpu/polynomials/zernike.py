@@ -21,6 +21,7 @@ from .jacobi import (  # NOQA - re-exported as part of the zernike toolkit
     jacobi_der,
     jacobi_seq,
     jacobi_seq_with_der,
+    jacobi_sum_clenshaw_der,
     jacobi_with_der,
     recurrence_abc,
 )

@@ -15,7 +15,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..fttools import _host_fftrange, plan_mdft, plan_czt, plan_fftdft
+from ..fttools import (  # NOQA: F401 - MDFT/CZT/FFTDFT importable from here as in the reference (propagation/dft.py imports)
+    MDFT,
+    CZT,
+    FFTDFT,
+    fftrange,
+    _host_fftrange,
+    plan_mdft,
+    plan_czt,
+    plan_fftdft,
+)
 
 
 def coordinates_for_focus(pupil_dx, pupil_samples, focal_dx, focal_samples,

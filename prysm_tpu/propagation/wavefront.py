@@ -155,14 +155,28 @@ class Wavefront:
         return Wavefront(Gbar, self.wavelength, self.dx, self.space)
 
     # -- shaping ------------------------------------------------------------
-    def pad2d(self, Q, value=0, mode='constant', out_shape=None):
-        """Return a new Wavefront with FFT-aligned padded data."""
+    def pad2d(self, Q, value=0, mode='constant', out_shape=None, inplace=True):
+        """Wavefront with FFT-aligned padded data (ref wavefront.py:300).
+
+        inplace=True rebinds this object's data and returns self (arrays
+        themselves are immutable under JAX); False returns a new Wavefront.
+        """
         padded = pad2d(self.data, Q=Q, value=value, mode=mode, out_shape=out_shape)
+        if inplace:
+            self.data = padded
+            return self
         return Wavefront(padded, self.wavelength, self.dx, self.space)
 
-    def crop(self, out_shape):
-        """Return a new Wavefront cropped to the centermost out_shape."""
+    def crop(self, out_shape, inplace=True):
+        """Wavefront cropped to the centermost out_shape (ref wavefront.py:334).
+
+        inplace=True rebinds this object's data and returns self (arrays
+        themselves are immutable under JAX); False returns a new Wavefront.
+        """
         cropped = crop_center(self.data, out_shape)
+        if inplace:
+            self.data = cropped
+            return self
         return Wavefront(cropped, self.wavelength, self.dx, self.space)
 
     # -- arithmetic ---------------------------------------------------------

@@ -185,17 +185,20 @@ class CompositeHexagonalAperture:
         self.opd_grids = grids
         return grids, bases
 
-    def compose_opd(self, coefs):
+    def compose_opd(self, coefs, out=None):
         """Compose per-segment OPD; pure function of coefs, differentiable.
 
-        coefs has shape (len(self.segment_ids), len(orders)).
+        coefs has shape (len(self.segment_ids), len(orders)).  When ``out``
+        is given, the composed OPD is accumulated onto it functionally
+        (``out + opd`` — JAX arrays are immutable) and the sum returned,
+        matching the reference's in-place accumulation (ref segmented.py:261).
         """
-        out = jnp.zeros_like(self.x)
+        acc = jnp.zeros_like(self.x) if out is None else jnp.asarray(out)
         for win, mask, base, c in zip(self.windows, self.local_masks,
                                       self.opd_bases, coefs):
             tile = sum_of_2d_modes(base, c) * mask
-            out = out.at[win].add(tile)
-        return out
+            acc = acc.at[win].add(tile)
+        return acc
 
 
 def _composite_hexagonal_aperture(rings, segment_diameter, segment_separation,
@@ -390,9 +393,13 @@ class CompositeKeystoneAperture:
         self.opd_grids = grids
         return grids, bases
 
-    def compose_opd(self, center_coefs, segment_coefs):
-        """Compose center + segment OPD; pure and differentiable."""
-        out = jnp.zeros_like(self.x)
+    def compose_opd(self, center_coefs, segment_coefs, out=None):
+        """Compose center + segment OPD; pure and differentiable.
+
+        When ``out`` is given, the composed OPD is accumulated onto it
+        functionally and the sum returned (ref segmented.py:568).
+        """
+        out = jnp.zeros_like(self.x) if out is None else jnp.asarray(out)
         center_coefs = jnp.asarray(center_coefs, dtype=self.opd_bases[0].dtype)
         tile = sum_of_2d_modes(self.opd_bases[0], center_coefs)
         out = out.at[self.center_window].add(tile * self.center_mask)
