@@ -16,6 +16,14 @@ EXECUTABLE = {
     'tutorials/01-first-psf.md': None,
     'tutorials/02-phase-retrieval.md': 3,
     'tutorials/03-raytracing.md': None,
+    'tutorials/05-image-simulation.md': None,
+    'tutorials/06-interferometry.md': None,
+    'tutorials/07-jones-calculus.md': None,
+    'tutorials/08-fibers.md': None,
+    'how-tos/telescope-apertures.md': None,
+    'how-tos/radiometry.md': None,
+    'how-tos/optimization.md': None,
+    'how-tos/polychromatic.md': 2,
 }
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.S)
