@@ -348,12 +348,10 @@ def raytrace(surfaces, P, S, wvl, tol_sag=None, keep_intermediates=False):
     except TypeError as e:
         raise TypeError('raytrace requires a sized compiled surface sequence') from e
 
-    P = jnp.asarray(P)
-    S = jnp.asarray(S)
-    if not jnp.issubdtype(P.dtype, jnp.floating):
-        P = P.astype(config.precision)
-    if not jnp.issubdtype(S.dtype, jnp.floating):
-        S = S.astype(config.precision)
+    # config.precision wins over the input dtype, as at every allocation
+    # site in the reference (see tests/test_config_precision.py)
+    P = jnp.asarray(P).astype(config.precision)
+    S = jnp.asarray(S).astype(config.precision)
     squeeze_batch = (P.ndim == 1)
     if squeeze_batch:
         P = P[None, :]

@@ -33,3 +33,9 @@ def test_coronagraph_example():
     mod = runpy.run_path(f'{EXAMPLES}/coronagraph_dark_hole.py')
     suppression = mod['main'](N=96, fN=48, plot=False)
     assert suppression > 50.0
+
+
+def test_lowfs_example():
+    mod = runpy.run_path(f'{EXAMPLES}/lowfs_realtime.py')
+    err = mod['main'](N=128, fN=48)
+    assert err < 0.5  # nm, linear-regime estimation at a 3 nm stimulus
