@@ -288,21 +288,44 @@ class Slices:
              ylim=(None, None), yscale='log',
              show_legend=True, axis_labels=(None, None),
              fig=None, ax=None):
-        """Plot named slices ('x', 'y', 'azavg', ...) on shared axes."""
+        """Plot named slices ('x', 'y', 'azavg', ...) on shared axes.
+
+        lw/alpha/zorder may be scalars (applied to every slice) or
+        sequences parallel to ``slices``; a scalar ``xlim`` means
+        (-xlim, xlim) when the slices are two-sided (reference
+        prysm/_richdata.py:587-690).
+        """
         import numpy as np
+        from numbers import Number
         from .plotting import share_fig_ax
-        fig, ax = share_fig_ax(fig, ax)
+
         if isinstance(slices, str):
             slices = [slices]
-        for slice_ in slices:
+        if alpha is None or isinstance(alpha, Number):
+            alpha = [alpha] * len(slices)
+        if lw is None or isinstance(lw, Number):
+            lw = [lw or 2] * len(slices)
+        if zorder is None or isinstance(zorder, int):
+            zorder = [zorder or 3] * len(slices)
+        if not hasattr(xlim, '__iter__') and self.twosided:
+            xlim = (-xlim, xlim)
+
+        fig, ax = share_fig_ax(fig, ax)
+        for slice_, alpha_, lw_, zorder_ in zip(slices, alpha, lw, zorder):
             u, v = getattr(self, slice_)
-            u = np.asarray(u)
-            v = np.asarray(v)
+            u = np.asarray(u).copy()
+            v = np.asarray(v).copy()
             if invert_x:
+                # 1/u explodes at DC; blank those samples instead
+                zeros = np.abs(u) < 1e-9
+                u[zeros] = np.nan
+                v[zeros] = np.nan
                 u = 1 / u
-            ax.plot(u, v, lw=lw, alpha=alpha, zorder=zorder, label=slice_)
+            ax.plot(u, v, lw=lw_, alpha=alpha_, zorder=zorder_, label=slice_)
         if show_legend:
             ax.legend(title='Slice')
         ax.set(xscale=xscale, xlim=xlim, yscale=yscale, ylim=ylim,
                xlabel=axis_labels[0], ylabel=axis_labels[1])
+        if invert_x:
+            ax.invert_xaxis()
         return fig, ax

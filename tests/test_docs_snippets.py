@@ -20,6 +20,8 @@ EXECUTABLE = {
     'tutorials/06-interferometry.md': None,
     'tutorials/07-jones-calculus.md': None,
     'tutorials/08-fibers.md': None,
+    'tutorials/09-double-slit.md': None,
+    'tutorials/10-lens-mtf.md': None,
     'how-tos/telescope-apertures.md': None,
     'how-tos/radiometry.md': None,
     'how-tos/optimization.md': None,
