@@ -29,9 +29,16 @@ SCIPY_ALLOWED = {
     'x/materials/fitted.py',      # dispersion-formula fitting
     'x/raytracing/field.py',      # pupil-grid interpolation
     'x/optym/lbfgsb.py',          # scipy's compiled reverse-comm driver
+    'mathops.py',                 # lazy imports inside set_backend_to_numpy
 }
 
 BANNED_MODULES = {'cupy', 'torch', 'mlx'}
+
+# the sanctioned backend-swap surface: set_backend_to_{cupy,pytorch,mlx}
+# lazily import the foreign framework ONLY inside the function the user
+# calls (reference parity, prysm/mathops.py:48-110).  Nothing on a
+# compute path may touch them.
+FOREIGN_FRAMEWORK_ALLOWED = {'mathops.py'}
 
 
 def _imports(tree):
@@ -63,6 +70,15 @@ def test_scipy_only_in_allowed_modules():
 def test_no_foreign_accelerator_frameworks():
     offenders = []
     for rel, tree in _sources():
+        if rel in FOREIGN_FRAMEWORK_ALLOWED:
+            # still must be lazy: no foreign import at module top level
+            top = {a.name for n in tree.body if isinstance(n, ast.Import)
+                   for a in n.names}
+            top |= {n.module for n in tree.body
+                    if isinstance(n, ast.ImportFrom) and n.module}
+            eager = {m for m in top if m.split('.')[0] in BANNED_MODULES}
+            assert not eager, f'{rel}: foreign framework imported eagerly: {eager}'
+            continue
         for mod in _imports(tree):
             if mod.split('.')[0] in BANNED_MODULES:
                 offenders.append((rel, mod))
