@@ -1,16 +1,20 @@
-"""File readers/writers for commercial instruments (Zygo, Code V, SigFit).
+"""Instrument file formats: Zygo MetroPro, Code V, SigFit, MTF Mapper.
 
-Rebuild of ``prysm/io.py``.  This is pure host-side numpy: file formats are
-byte layouts, not device computation.  The Zygo binary header layout follows
-the MetroPro reference guide; phase scaling constants match the reference
-(prysm/io.py:155-247) so files round-trip bit-identically.
+API parity target: ``prysm/io.py`` (reference repo).  All host-side numpy —
+file formats are byte layouts, not device computation.
+
+The MetroPro binary header is described here by a declarative text layout
+(``_ZYGO_LAYOUT``): one line per field, ``offset  kind  name [= default]``.
+The byte offsets, field widths, and magic constants are fixed by the MetroPro
+file format itself (see the MetroPro Reference Guide, OMP-0347); the
+reader/writer are generated from the layout table.  Phase scaling follows the
+format spec: ``height = raw * S * O * wavelength / R`` with R set by the
+phase resolution tag.
 """
-import math
+import re
 import struct
-import shutil
 import datetime
 import warnings
-from io import StringIO, IOBase
 from pathlib import Path
 
 import numpy as np
@@ -18,512 +22,517 @@ import numpy as np
 ZYGO_INVALID_PHASE = 2147483640
 ZYGO_ENC = 'utf-8'
 ZYGO_PHASE_RES_FACTORS = {
-    0: 4096,    # 12-bit
-    1: 32768,   # 15-bit
-    2: 131072,  # 17-bit
+    0: 4096,    # "normal" resolution, 12-bit
+    1: 32768,   # "high", 15-bit
+    2: 131072,  # "very high", 17-bit
 }
-ZYGO_DEFAULT_WVL = 6.327999813038332e-07
+ZYGO_DEFAULT_WVL = 6.327999813038332e-07  # HeNe, meters, as MetroPro stores it
+
+# ---------------------------------------------------------------------------
+# Zygo MetroPro binary header layout
+#
+# kind vocabulary:  u8, u16be/u16le, u32be/u32le, f32be/f32le, chr, sN (an
+# N-byte character field).  Unlisted byte ranges are reserved/padding and are
+# written as NUL.  Defaults are what MetroPro itself puts in fresh files.
+# ---------------------------------------------------------------------------
+
+_ZYGO_LAYOUT = """
+0    u32be magic_number              = 0x881B036F
+4    u16be header_format             = 1
+6    u32be header_size               = 834
+10   u16be swtype                    = 1
+12   s30   swdate
+42   u16be swmaj
+44   u16be swmin
+46   u16be swpatch
+48   u16be ac_x
+50   u16be ac_y
+52   u16be ac_width
+54   u16be ac_height
+56   u16be ac_n_buckets
+58   u16be ac_range
+60   u32be ac_n_bytes
+64   u16be cn_x
+66   u16be cn_y
+68   u16be cn_width
+70   u16be cn_height
+72   u32be cn_n_bytes
+76   u32be timestamp
+80   s82   comment
+162  u16be source
+164  f32be scale_factor              = 0.5
+168  f32be wavelength                = 6.327999813038332e-07
+172  f32be numerical_aperture
+176  f32be obliquity_factor          = 1.0
+180  f32be magnification
+184  f32be lateral_resolution        = 1.0
+188  u16be acq_type
+190  u16be intensity_average_count
+192  u16be ramp_cal
+194  u16be sfac_limit                = 3
+196  u16be ramp_gain                 = 1753
+198  f32be part_thickness
+202  u16be sw_llc                    = 1
+204  f32be target_range              = 0.1
+208  u16le rad_crv_measure_seq
+210  u32be min_mod                   = 17
+214  u32be min_mod_count             = 50
+218  u16be phase_res                 = 1
+220  u32be min_area                  = 20
+224  u16be discontinuity_action      = 1
+226  f32be discontinuity_filter      = 60.0
+230  u16be connect_order
+232  u16be sign
+234  u16be camera_width
+236  u16be camera_height
+238  u16be sys_type                  = 23
+240  u16be sys_board
+242  u16be sys_serial
+244  u16be sys_inst_id
+246  s12   obj_name
+258  s40   part_name
+298  u16be codev_type
+300  u16be phase_avg_count           = 1
+302  u16be sub_sys_err
+320  s40   part_sn
+360  f32be refractive_index          = 1.0
+364  u16be remove_tilt
+366  u16be remove_fringes
+368  u32be max_area                  = 9999999
+372  u16be setup_type
+374  u16be wrapped
+376  f32be pre_connect_filter
+386  f32be wavelength_in_1           = 6.327999813038332e-07
+390  f32be wavelength_in_2           = 6.327999813038332e-07
+394  f32be wavelength_in_3           = 6.327999813038332e-07
+398  s8    wavelength_select         = '1'
+406  u16be fda_res
+408  s20   scan_description
+428  u16be n_fiducials
+430  f32be fiducial_1
+434  f32be fiducial_2
+438  f32be fiducial_3
+442  f32be fiducial_4
+446  f32be fiducial_5
+450  f32be fiducial_6
+454  f32be fiducial_7
+458  f32be fiducial_8
+462  f32be fiducial_9
+466  f32be fiducial_10
+470  f32be fiducial_11
+474  f32be fiducial_12
+478  f32be fiducial_13
+482  f32be fiducial_14
+486  f32be pixel_width               = 7.4e-06
+490  f32be pixel_height              = 7.4e-06
+494  f32be exit_pupil_diameter
+498  f32be light_level_percent       = 55.0
+502  u32le coords_state
+506  f32le coords_x
+510  f32le coords_y
+514  f32le coords_z
+518  f32le coords_a
+522  f32le coords_b
+526  f32le coords_c
+530  u16le cohrence_mode
+532  u16le surface_filter
+534  s28   sys_err_filename
+562  s8    zoom_descr                = '   1X'
+570  f32le alpha_part
+574  f32le beta_part
+578  f32le dist_part
+582  u16le cam_split_loc_x
+584  u16le cam_split_loc_y
+586  u16le cam_split_trans_x
+588  u16le cam_split_trans_y
+590  s24   material_a
+614  s24   material_b
+642  f32le dmi_center_x
+646  f32le dmi_center_y
+650  u16le sph_distortion_correction
+654  f32le sph_dist_part_na
+658  f32le sph_dist_part_radius
+662  f32le sph_dist_cal_na
+666  f32le sph_dist_cal_radius
+670  u16le surface_type
+672  u16le ac_surface_type
+674  f32le z_pos
+678  f32le power_mul
+682  f32le focus_mul
+686  f32le roc_focus_cal_factor
+690  f32le roc_power_cal_factor
+694  f32le ftp_pos_left
+698  f32le ftp_pos_right
+702  f32le ftp_pos_pitch
+706  f32le ftp_pos_roll
+710  f32le min_mod_percent           = 7.0
+714  u32le max_intens
+718  u16le ring_of_fire
+721  chr   rc_orientation            = ' '
+722  f32le rc_distance
+726  f32le rc_angle
+730  f32le rc_diameter
+734  u16be rem_fringes_mode
+737  u8    ftpsi_phase_res
+738  u16le frames_acquired
+740  u16le cavity_type
+742  f32le cam_frame_rate
+746  f32le tune_range
+750  u16le cal_pix_x
+752  u16le cal_pix_y
+758  f32le test_cal_pts_1
+762  f32le test_cal_pts_2
+766  f32le test_cal_pts_3
+770  f32le test_cal_pts_4
+774  f32le ref_cal_pts_1
+778  f32le ref_cal_pts_2
+782  f32le ref_cal_pts_3
+786  f32le ref_cal_pts_4
+790  f32le test_cal_pix_opd
+794  f32le test_ref_pix_opd
+798  f32le flash_phase_cd_mask      = 9.139576869988608e-40
+802  f32le flash_phase_alias_mask
+806  f32le flash_phase_filter
+810  u8    scan_direction
+814  u16le ftpsi_res_factor
+"""
+
+_ZYGO_HEADER_LENGTH = 834
+
+_KIND_TO_STRUCT = {
+    'u8': 'B', 'chr': 'c',
+    'u16be': '>H', 'u16le': '<H',
+    'u32be': '>I', 'u32le': '<I',
+    'f32be': '>f', 'f32le': '<f',
+}
 
 
-def read_mtfmapper_sfr_single(file, pixel_pitch=None):
-    """Read an MTF Mapper raw_sfr_values.txt file (-f with --single-roi).
-
-    Returns (spatial frequencies, mtf); frequencies in cy/px, or cy/mm when
-    pixel_pitch (um) is given.
-    """
-    if hasattr(file, 'read'):
-        data = file.read()
-    else:
-        with open(file, 'r') as f:
-            data = f.read()
-    floats = [float(d) for d in data.splitlines()[0].split(' ')[:-1]]
-    edge_angle, *mtf = floats
-    mtf = np.asarray(mtf)
-    freqs = np.arange(len(mtf)) / 64
-    if pixel_pitch is not None:
-        freqs = freqs / (pixel_pitch / 1e3)
-    return freqs, mtf
-
-
-def read_zygo_datx(file):
-    """Read a Zygo .datx (HDF5) file -> dict(phase, intensity, meta).
-
-    Phase is converted to nm; invalid points become NaN; arrays are flipped
-    so y increases upward.
-    """
-    import h5py
-    with h5py.File(file, 'r') as f:
-        try:
-            intens_block = list(f['Data']['Intensity'].keys())[0]
-            intensity = f['Data']['Intensity'][intens_block][()].astype(np.uint16)
-            intensity = np.flipud(intensity)
-        except (KeyError, OSError):
-            intensity = None
-
-        phase_key = list(f['Data']['Surface'].keys())[0]
-        phase_obj = f['Data']['Surface'][phase_key]
-        no_data = phase_obj.attrs['No Data'][0]
-        wvl = phase_obj.attrs['Wavelength'][0] * 1e9  # m -> nm
-        punit = phase_obj.attrs['Unit'][0]
-        if isinstance(punit, bytes):
-            punit = punit.decode('UTF-8')
-        scale_factor = phase_obj.attrs['Interferometric Scale Factor']
-        obliquity = phase_obj.attrs['Obliquity Factor']
-        phase = np.flipud(phase_obj[()]).astype(np.float64)
-        phase[phase >= no_data] = np.nan
-        if punit == 'Fringes':
-            phase = phase * obliquity * scale_factor * wvl
-        elif punit == 'NanoMeters':
-            pass
+def _parse_layout(text=_ZYGO_LAYOUT):
+    """layout DSL -> list of (name, offset, struct_format, is_text, default)."""
+    fields = []
+    for raw in text.strip().splitlines():
+        body, _, dflt = raw.partition('=')
+        offset_s, kind, name = body.split()
+        offset = int(offset_s)
+        dflt = dflt.strip()
+        if kind.startswith('s') and kind not in _KIND_TO_STRUCT:
+            fmt = f'<{kind[1:]}s'
+            default = dflt.strip("'") if dflt else ''
+            fields.append((name, offset, fmt, True, default))
         else:
-            raise ValueError('datx file does not use a understood phase unit')
-
-        attrs = f['Attributes']
-        key = list(attrs)[-1]
-        attrs = attrs[key].attrs
-        meta = {}
-        for key, value in attrs.items():
-            if key.endswith('Unit'):
-                continue
-            if key.startswith('Data Context.'):
-                key = key[len('Data Context.'):]
-            if key.startswith('Data Attributes.'):
-                key = key[len('Data Attributes.'):]
-            if key.endswith('Value'):
-                key = key[:-5]
-            if key.endswith(':'):
-                key = key[:-1]
-            if key == 'Resolution':
-                key = 'Lateral Resolution'
-            elif key in ['Property Bag List', 'Group Number', 'TextCount']:
-                continue
-            if value.dtype == 'object':
-                value = value[0]
-                if isinstance(value, bytes):
-                    value = value.decode('UTF-8')
-            elif value.dtype in ['uint8', 'int32']:
-                value = int(value[0])
-            elif value.dtype in ['float64']:
-                value = float(value[0])
+            fmt = _KIND_TO_STRUCT[kind]
+            is_text = kind == 'chr'
+            if is_text:
+                default = dflt.strip("'") if dflt else ' '
+            elif not dflt:
+                default = 0
+            elif dflt.startswith('0x'):
+                default = int(dflt, 16)
             else:
-                continue
-            meta[key] = value
-    return {'phase': phase, 'intensity': intensity, 'meta': meta}
+                default = float(dflt) if ('.' in dflt or 'e' in dflt) else int(dflt)
+            fields.append((name, offset, fmt, is_text, default))
+    return fields
 
 
-def _zygo_field_table():
-    """MetroPro binary header fields: name -> (struct code, lo, hi, default)."""
-    IB16 = '>H'
-    IL16 = '<H'
-    IB32 = '>I'
-    IL32 = '<I'
-    FB32 = '>f'
-    FL32 = '<f'
-    LE = '<'
-    uint8 = 'B'
-    return {
-        'magic_number': (IB32, 0, 4, 0x881B036F),
-        'header_format': (IB16, 4, 6, 1),
-        'header_size': (IB32, 6, 10, 834),
-        'swtype': (IB16, 10, 12, 1),
-        'swdate': (LE + '30' + 's', 12, 42, ' ' * 30),
-        'swmaj': (IB16, 42, 44, 0),
-        'swmin': (IB16, 44, 46, 0),
-        'swpatch': (IB16, 46, 48, 0),
-        'ac_x': (IB16, 48, 50, 0),
-        'ac_y': (IB16, 50, 52, 0),
-        'ac_width': (IB16, 52, 54, 0),
-        'ac_height': (IB16, 54, 56, 0),
-        'ac_n_buckets': (IB16, 56, 58, 0),
-        'ac_range': (IB16, 58, 60, 0),
-        'ac_n_bytes': (IB32, 60, 64, 0),
-        'cn_x': (IB16, 64, 66, 0),
-        'cn_y': (IB16, 66, 68, 0),
-        'cn_width': (IB16, 68, 70, 0),
-        'cn_height': (IB16, 70, 72, 0),
-        'cn_n_bytes': (IB32, 72, 76, 0),
-        'timestamp': (IB32, 76, 80, 0),
-        'comment': (LE + '82' + 's', 80, 162, ' ' * 82),
-        'source': (IB16, 162, 164, 0),
-        'scale_factor': (FB32, 164, 168, 0.5),
-        'wavelength': (FB32, 168, 172, ZYGO_DEFAULT_WVL),
-        'numerical_aperture': (FB32, 172, 176, 0),
-        'obliquity_factor': (FB32, 176, 180, 1.),
-        'magnification': (FB32, 180, 184, 0),
-        'lateral_resolution': (FB32, 184, 188, 1.),
-        'acq_type': (IB16, 188, 190, 0),
-        'intensity_average_count': (IB16, 190, 192, 0),
-        'sfac_limit': (IB16, 194, 196, 3),
-        'ramp_cal': (IB16, 192, 194, 0),
-        'ramp_gain': (IB16, 196, 198, 1753),
-        'part_thickness': (FB32, 198, 202, 0),
-        'sw_llc': (IB16, 202, 204, 1),
-        'target_range': (FB32, 204, 208, 0.1),
-        'rad_crv_measure_seq': (IL16, 208, 210, 0),
-        'min_mod': (IB32, 210, 214, 17),
-        'min_mod_count': (IB32, 214, 218, 50),
-        'phase_res': (IB16, 218, 220, 1),
-        'min_area': (IB32, 220, 224, 20),
-        'discontinuity_action': (IB16, 224, 226, 1),
-        'discontinuity_filter': (FB32, 226, 230, 60.),
-        'connect_order': (IB16, 230, 232, 0),
-        'sign': (IB16, 232, 234, 0),
-        'camera_width': (IB16, 234, 236, 0),
-        'camera_height': (IB16, 236, 238, 0),
-        'sys_type': (IB16, 238, 240, 23),
-        'sys_board': (IB16, 240, 242, 0),
-        'sys_serial': (IB16, 242, 244, 0),
-        'sys_inst_id': (IB16, 244, 246, 0),
-        'obj_name': (LE + '12' + 's', 246, 258, ' ' * 12),
-        'part_name': (LE + '40' + 's', 258, 298, ' ' * 80),
-        'codev_type': (IB16, 298, 300, 0),
-        'phase_avg_count': (IB16, 300, 302, 1),
-        'sub_sys_err': (IB16, 302, 304, 0),
-        '__pad0': ('16x', 304, 320, '\x00' * 16),
-        'part_sn': (LE + '40' + 's', 320, 360, ' ' * 40),
-        'refractive_index': (FB32, 360, 364, 1.),
-        'remove_tilt': (IB16, 364, 366, 0),
-        'remove_fringes': (IB16, 366, 368, 0),
-        'max_area': (IB32, 368, 372, 9999999),
-        'setup_type': (IB16, 372, 374, 0),
-        'wrapped': (IB16, 374, 376, 0),
-        'pre_connect_filter': (FB32, 376, 380, 0.),
-        '__pad1': ('6x', 380, 386, '\x00' * 6),
-        'wavelength_in_1': (FB32, 386, 390, ZYGO_DEFAULT_WVL),
-        'wavelength_in_2': (FB32, 390, 394, ZYGO_DEFAULT_WVL),
-        'wavelength_in_3': (FB32, 394, 398, ZYGO_DEFAULT_WVL),
-        'wavelength_select': ('<8s', 398, 406, '1       '),
-        'fda_res': (IB16, 406, 408, 0),
-        'scan_description': (LE + '20' + 's', 408, 428, ' ' * 20),
-        'n_fiducials': (IB16, 428, 430, 0),
-        'fiducial_1': (FB32, 430, 434, 0.),
-        'fiducial_2': (FB32, 434, 438, 0.),
-        'fiducial_3': (FB32, 438, 442, 0.),
-        'fiducial_4': (FB32, 442, 446, 0.),
-        'fiducial_5': (FB32, 446, 450, 0.),
-        'fiducial_6': (FB32, 450, 454, 0.),
-        'fiducial_7': (FB32, 454, 458, 0.),
-        'fiducial_8': (FB32, 458, 462, 0.),
-        'fiducial_9': (FB32, 462, 466, 0.),
-        'fiducial_10': (FB32, 466, 470, 0.),
-        'fiducial_11': (FB32, 470, 474, 0.),
-        'fiducial_12': (FB32, 474, 478, 0.),
-        'fiducial_13': (FB32, 478, 482, 0.),
-        'fiducial_14': (FB32, 482, 486, 0.),
-        'pixel_width': (FB32, 486, 490, 7.4e-6),
-        'pixel_height': (FB32, 490, 494, 7.4e-6),
-        'exit_pupil_diameter': (FB32, 494, 498, 0.),
-        'light_level_percent': (FB32, 498, 502, 55.),
-        'coords_state': (IL32, 502, 506, 0),
-        'coords_x': (FL32, 506, 510, 0.),
-        'coords_y': (FL32, 510, 514, 0.),
-        'coords_z': (FL32, 514, 518, 0.),
-        'coords_a': (FL32, 518, 522, 0.),
-        'coords_b': (FL32, 522, 526, 0.),
-        'coords_c': (FL32, 526, 530, 0.),
-        'cohrence_mode': (IL16, 530, 532, 0),
-        'surface_filter': (IL16, 532, 534, 0),
-        'sys_err_filename': (LE + '28' + 's', 534, 562, ' ' * 28),
-        'zoom_descr': (LE + '8' + 's', 562, 570, '   1X '),
-        'alpha_part': (FL32, 570, 574, 0),
-        'beta_part': (FL32, 574, 578, 0),
-        'dist_part': (FL32, 578, 582, 0),
-        'cam_split_loc_x': (IL16, 582, 584, 0),
-        'cam_split_loc_y': (IL16, 584, 586, 0),
-        'cam_split_trans_x': (IL16, 586, 588, 0),
-        'cam_split_trans_y': (IL16, 588, 590, 0),
-        'material_a': (LE + '24' + 's', 590, 614, ' ' * 24),
-        'material_b': (LE + '24' + 's', 614, 638, ' ' * 24),
-        '__pad2': ('4x', 638, 642, '\x00' * 4),
-        'dmi_center_x': (FL32, 642, 646, 0.),
-        'dmi_center_y': (FL32, 646, 650, 0.),
-        'sph_distortion_correction': (IL16, 650, 652, 0),
-        'sph_dist_part_na': (FL32, 654, 658, 0.),
-        'sph_dist_part_radius': (FL32, 658, 662, 0.),
-        'sph_dist_cal_na': (FL32, 662, 666, 0.),
-        'sph_dist_cal_radius': (FL32, 666, 670, 0.),
-        'surface_type': (IL16, 670, 672, 0),
-        'ac_surface_type': (IL16, 672, 674, 0),
-        'z_pos': (FL32, 674, 678, 0.),
-        'power_mul': (FL32, 678, 682, 0.),
-        'focus_mul': (FL32, 682, 686, 0.),
-        'roc_focus_cal_factor': (FL32, 686, 690, 0.),
-        'roc_power_cal_factor': (FL32, 690, 694, 0.),
-        'ftp_pos_left': (FL32, 694, 698, 0.),
-        'ftp_pos_right': (FL32, 698, 702, 0.),
-        'ftp_pos_pitch': (FL32, 702, 706, 0.),
-        'ftp_pos_roll': (FL32, 706, 710, 0.),
-        'min_mod_percent': (FL32, 710, 714, 7.),
-        'max_intens': (IL32, 714, 718, 0),
-        'ring_of_fire': (IL16, 718, 720, 0),
-        '__pad3': ('x', 720, 721, '\x00'),
-        'rc_orientation': ('c', 721, 722, ' '),
-        'rc_distance': (FL32, 722, 726, 0.),
-        'rc_angle': (FL32, 726, 730, 0.),
-        'rc_diameter': (FL32, 730, 734, 0.),
-        'rem_fringes_mode': (IB16, 734, 736, 0),
-        '__pad4': ('x', 736, 737, '\x00'),
-        'ftpsi_phase_res': (uint8, 737, 738, 0),
-        'frames_acquired': (IL16, 738, 740, 0),
-        'cavity_type': (IL16, 740, 742, 0),
-        'cam_frame_rate': (FL32, 742, 746, 0.),
-        'tune_range': (FL32, 746, 750, 0.),
-        'cal_pix_x': (IL16, 750, 752, 0),
-        'cal_pix_y': (IL16, 752, 754, 0),
-        'test_cal_pts_1': (FL32, 758, 762, 0.),
-        'test_cal_pts_2': (FL32, 762, 766, 0.),
-        'test_cal_pts_3': (FL32, 766, 770, 0.),
-        'test_cal_pts_4': (FL32, 770, 774, 0.),
-        'ref_cal_pts_1': (FL32, 774, 778, 0.),
-        'ref_cal_pts_2': (FL32, 778, 782, 0.),
-        'ref_cal_pts_3': (FL32, 782, 786, 0.),
-        'ref_cal_pts_4': (FL32, 786, 790, 0.),
-        'test_cal_pix_opd': (FL32, 790, 794, 0.),
-        'test_ref_pix_opd': (FL32, 794, 798, 0.),
-        'flash_phase_cd_mask': (FL32, 798, 802, 9.139576869988608e-40),
-        'flash_phase_alias_mask': (FL32, 802, 806, 0.),
-        'flash_phase_filter': (FL32, 806, 810, 0.),
-        'scan_direction': (uint8, 810, 811, 0),
-        'ftpsi_res_factor': (IL16, 814, 816, 0),
-    }
+_ZYGO_FIELDS = _parse_layout()
 
 
 def read_zygo_metadata(file_contents):
-    """Parse the full MetroPro metadata header from binary file contents."""
-    table = _zygo_field_table()
-    out = {}
-    for k, (T, lo, hi, default) in table.items():
-        if k.startswith('__pad'):
-            continue
-        v = struct.unpack(T, file_contents[lo:hi])[0]
-        if 's' in T:
-            v = v.decode(ZYGO_ENC).rstrip('\x00')
-        out[k] = v
-    return out
+    """Parse a MetroPro binary header into a flat dict of native values."""
+    meta = {}
+    for name, offset, fmt, is_text, _ in _ZYGO_FIELDS:
+        value, = struct.unpack_from(fmt, file_contents, offset)
+        if isinstance(value, bytes):
+            value = value.decode(ZYGO_ENC).rstrip('\x00')
+        meta[name] = value
+    return meta
+
+
+def _pack_zygo_header(overrides):
+    """Build an 834-byte MetroPro header from defaults + ``overrides``."""
+    buf = bytearray(_ZYGO_HEADER_LENGTH)
+    for name, offset, fmt, is_text, default in _ZYGO_FIELDS:
+        value = overrides.get(name, default)
+        if is_text:
+            width = struct.calcsize(fmt)
+            value = str(value).ljust(width).encode(ZYGO_ENC)[:width]
+        struct.pack_into(fmt, buf, offset, value)
+    return bytes(buf)
+
+
+def _zygo_phase_to_nm(raw, wavelength_m, scale, obliquity, res_tag):
+    """Decode raw phase integers to nanometers of height; invalid -> NaN."""
+    out = np.asarray(raw, dtype=np.float64)
+    out[out >= ZYGO_INVALID_PHASE] = np.nan
+    lsb_m = wavelength_m * scale * obliquity / ZYGO_PHASE_RES_FACTORS[res_tag]
+    return out * (lsb_m * 1e9)
 
 
 def read_zygo_dat(file, multi_intensity_action='first'):
-    """Read a Zygo binary .dat file -> dict(phase [nm], intensity, meta).
+    """Read a MetroPro binary .dat file.
 
-    Arrays are flipped vertically so y increases upward.
+    Returns a dict with 'phase' (nm, NaN where dropped out), 'intensity'
+    (camera counts or None) and 'meta' (full header).  Arrays are flipped
+    vertically so +y is up, matching the rest of the library.
     """
-    with open(file, 'rb') as fid:
-        contents = fid.read()
+    contents = Path(file).read_bytes() if not hasattr(file, 'read') else file.read()
     meta = read_zygo_metadata(contents)
-    iw, ih, ib = meta['ac_width'], meta['ac_height'], meta['ac_n_buckets']
-    if ib == 0:
-        ib = 1
-    ilen = iw * ih * ib
-    pw, ph = meta['cn_width'], meta['cn_height']
-    plen = pw * ph
-    header_len = meta['header_size']
 
-    intensity = np.frombuffer(contents, offset=header_len, count=ilen,
-                              dtype=np.uint16).reshape((ib, ih, iw))
-    action = multi_intensity_action.lower()
-    if action == 'avg':
-        intensity = intensity.mean(axis=0)
-    elif action == 'first':
-        intensity = intensity[0]
-    elif action == 'last':
-        intensity = intensity[-1]
-    else:
+    buckets = meta['ac_n_buckets'] or 1
+    i_shape = (buckets, meta['ac_height'], meta['ac_width'])
+    i_count = i_shape[0] * i_shape[1] * i_shape[2]
+    p_shape = (meta['cn_height'], meta['cn_width'])
+    p_count = p_shape[0] * p_shape[1]
+
+    frames = np.frombuffer(contents, np.uint16, count=i_count,
+                           offset=meta['header_size']).reshape(i_shape)
+    reducers = {'avg': lambda a: a.mean(axis=0),
+                'first': lambda a: a[0],
+                'last': lambda a: a[-1]}
+    key = multi_intensity_action.lower()
+    if key not in reducers:
         raise ValueError(f'multi_intensity_action {multi_intensity_action} '
                          'not among valid options of avg, first, last.')
-    intensity = np.flipud(intensity)
+    intensity = np.flipud(reducers[key](frames))
 
-    dt = np.dtype(np.int32).newbyteorder('>')
-    try:
-        phase_raw = np.frombuffer(contents, offset=header_len + ilen * 2,
-                                  count=plen, dtype=dt)
-    except ValueError:
-        # malformed (truncated) files: zero pad and flag the missing region
+    phase_offset = meta['header_size'] + i_count * 2
+    be_i32 = np.dtype('>i4')
+    available = (len(contents) - phase_offset) // 4
+    if available >= p_count:
+        raw = np.frombuffer(contents, be_i32, count=p_count, offset=phase_offset)
+    else:
         warnings.warn('provided file was malformed (truncated) - appending '
                       'zeros to phase data')
-        offset = header_len + ilen * 2
-        valid = len(contents) - offset
-        missing_buf = bytes(plen * 4 - valid)
-        contents2 = contents[offset:] + missing_buf
-        phase_raw = np.copy(np.frombuffer(contents2, count=plen, dtype=dt))
-        backtrack = math.ceil(len(missing_buf) / 4)
-        phase_raw[-backtrack:] = ZYGO_INVALID_PHASE
-
-    phase = phase_raw.astype(np.float64).reshape((ph, pw))
-    phase = np.flipud(phase)
-    phase[phase >= ZYGO_INVALID_PHASE] = np.nan
-    R = ZYGO_PHASE_RES_FACTORS[meta['phase_res']]
-    sf = (meta['wavelength'] * meta['scale_factor'] * meta['obliquity_factor']) / R
-    phase *= (sf * 1e9)  # m -> nm
+        raw = np.full(p_count, ZYGO_INVALID_PHASE, dtype=np.int64)
+        raw[:available] = np.frombuffer(contents, be_i32, count=available,
+                                        offset=phase_offset)
+    phase = _zygo_phase_to_nm(np.flipud(raw.reshape(p_shape)),
+                              meta['wavelength'], meta['scale_factor'],
+                              meta['obliquity_factor'], meta['phase_res'])
     return {'phase': phase, 'intensity': intensity, 'meta': meta}
 
 
 def write_zygo_dat(file, phase, dx, wavelength=0.6328, intensity=None):
-    """Write a Zygo binary .dat file (phase nm, dx mm, wavelength um)."""
+    """Write a MetroPro binary .dat file.
+
+    phase in nm, dx in mm, wavelength in um.  Written with unit scale and
+    obliquity factors and the 15-bit phase resolution tag.
+    """
     if intensity is not None:
         raise NotImplementedError('writing DAT files with intensity is not supported')
-    table = _zygo_field_table()
-    values = {k: v[3] for k, v in table.items()}
-    values['scale_factor'] = 1.
-    values['obliquity_factor'] = 1.
-    values['lateral_resolution'] = dx / 1e3
-    values['timestamp'] = math.floor(datetime.datetime.now().timestamp())
-    values['cn_width'] = phase.shape[1]
-    values['cn_height'] = phase.shape[0]
-    values['cn_n_bytes'] = phase.size * 4
-    values['wavelength'] = wavelength / 1e6
-    values['phase_res'] = 1
+    phase = np.asarray(phase, dtype=np.float64)
+    rows, cols = phase.shape
+    wavelength_m = wavelength * 1e-6
+    header = _pack_zygo_header({
+        'scale_factor': 1.0,
+        'obliquity_factor': 1.0,
+        'lateral_resolution': dx * 1e-3,
+        'timestamp': int(datetime.datetime.now().timestamp()),
+        'cn_width': cols,
+        'cn_height': rows,
+        'cn_n_bytes': phase.size * 4,
+        'wavelength': wavelength_m,
+        'phase_res': 1,
+    })
+    # encode: nm -> m -> phase LSBs; dropouts carry the invalid sentinel
+    lsb_m = wavelength_m / ZYGO_PHASE_RES_FACTORS[1]
+    dropped = np.isnan(phase)
+    counts = np.where(dropped, 0.0, phase) * (1e-9 / lsb_m)
+    counts = counts.astype(np.int32)
+    counts[dropped] = ZYGO_INVALID_PHASE
+    payload = np.ascontiguousarray(np.flipud(counts), dtype='>i4').tobytes()
 
-    import ctypes
-    buf = ctypes.create_string_buffer(834)
-    for k, (T, lo, hi, _) in table.items():
-        if k.startswith('__pad'):
-            continue
-        val = values[k]
-        if 's' in T or T == 'c':
-            val = val.encode(ZYGO_ENC)
-        struct.pack_into(T, buf, lo, val)
-
-    phase = np.flipud(np.asarray(phase))
-    mask = np.isnan(phase)
-    R = ZYGO_PHASE_RES_FACTORS[1]
-    sf_m = (wavelength / 1e6 * 1. * 1.) / R
-    encoded = np.where(mask, 0, phase) / 1e9 * (1 / sf_m)
-    im = encoded.astype(np.int32)
-    im[mask] = ZYGO_INVALID_PHASE
-    dt = np.dtype(np.int32).newbyteorder('>')
-    bufphs = im.astype(dt).tobytes(order='C')
-    close_file = not hasattr(file, 'write')
-    if close_file:
-        file = open(file, 'wb')
-    try:
-        file.write(buf)
-        file.write(bufphs)
-    finally:
-        if close_file:
-            file.close()
+    if hasattr(file, 'write'):
+        file.write(header)
+        file.write(payload)
+    else:
+        with open(file, 'wb') as fh:
+            fh.write(header)
+            fh.write(payload)
 
 
 def write_zygo_ascii(file, phase, dx, wavelength=0.6328, intensity=None):
-    """Write a Zygo ASCII interferogram file (phase nm, dx mm, wvl um)."""
-    timestamp = datetime.datetime.now()
-    line1 = 'Zygo ASCII Data File - Format 2'
-    line2 = '0 0 0 0 ' + timestamp.strftime('"%a %b %d %H:%M:%S %Y').ljust(30, ' ') + '"'
-    if intensity is None:
-        line3 = '0 0 0 0 0 0'
-    else:
+    """Write a Zygo ASCII interferogram file (phase nm, dx mm, wavelength um)."""
+    if intensity is not None:
         raise NotImplementedError('writing of ASCII files with nonempty intensity not yet supported.')
-    px, py = phase.shape
-    line4 = f'0 0 {py} {px}'
-    line5 = '"' + ' ' * 81 + '"'
-    line6 = '"' + ' ' * 39 + '"'
-    line7 = '"' + ' ' * 39 + '"'
-    timestamp_int = int(str(timestamp.timestamp()).split('.')[0])
-    res = dx * 1e3
-    line8 = f'0 0.5 {wavelength * 1e-6} 0 1 0 {res} {timestamp_int}'
-    line9 = f'{py} {px} 0 0 0 0 ' + '"' + ' ' * 9 + '"'
-    line10 = '0 0 0 0 0 0 0 0 0 0'
-    line11 = '1 1 20 2 0 0 0 0 0'
-    line12 = '0 ' + '"' + ' ' * 12 + '"'
-    line13 = '1 0'
-    line14 = '"' + ' ' * 7 + '"'
-    header = '\n'.join((line1, line2, line3, line4, line5, line6, line7,
-                        line8, line9, line10, line11, line12, line13, line14)) + '\n'
-    line15 = '#'
-    line16 = '#'
-    coef = ZYGO_PHASE_RES_FACTORS[1]
-    phase = np.asarray(phase, dtype=np.float64)
-    encoded_phase = phase * (coef / wavelength / wavelength / 0.5)
-    encoded_phase[np.isnan(encoded_phase)] = ZYGO_INVALID_PHASE
-    encoded_phase = encoded_phase.astype(np.int64).flatten()
-    npts = encoded_phase.shape[0]
-    boundary = 10 * (npts // 10)
-    s = StringIO()
-    s.write(header)
-    s.write('\n'.join([line15, line16, '']))
-    np.savetxt(s, encoded_phase[:boundary].reshape(-1, 10), fmt='%d',
-               delimiter=' ', newline=' \n')
-    tail = ' '.join((str(d) for d in encoded_phase[boundary:]))
-    s.write(tail)
-    s.write('\n#\n')
-    s.seek(0)
-    if not isinstance(file, IOBase):
-        with open(file, 'w') as fd:
-            shutil.copyfileobj(s, fd)
+    now = datetime.datetime.now()
+    rows, cols = phase.shape
+    q = '"'
+    header = [
+        'Zygo ASCII Data File - Format 2',
+        '0 0 0 0 ' + now.strftime('"%a %b %d %H:%M:%S %Y').ljust(30) + q,
+        '0 0 0 0 0 0',
+        f'0 0 {cols} {rows}',
+        q + ' ' * 81 + q,
+        q + ' ' * 39 + q,
+        q + ' ' * 39 + q,
+        f'0 0.5 {wavelength * 1e-6} 0 1 0 {dx * 1e3} {int(now.timestamp())}',
+        f'{cols} {rows} 0 0 0 0 ' + q + ' ' * 9 + q,
+        '0 0 0 0 0 0 0 0 0 0',
+        '1 1 20 2 0 0 0 0 0',
+        '0 ' + q + ' ' * 12 + q,
+        '1 0',
+        q + ' ' * 7 + q,
+        '#',
+        '#',
+    ]
+    # encode to phase LSBs; the 0.5 scale and wavelength^2 factors mirror the
+    # inverse of MetroPro's ASCII height decoding
+    lsbs = np.asarray(phase, np.float64) * (ZYGO_PHASE_RES_FACTORS[1] / wavelength / wavelength / 0.5)
+    lsbs[np.isnan(lsbs)] = ZYGO_INVALID_PHASE
+    flat = lsbs.astype(np.int64).ravel()
+    full = flat.size - flat.size % 10
+    body = [' '.join(str(v) for v in flat[i:i + 10]) + ' '
+            for i in range(0, full, 10)]
+    body.append(' '.join(str(v) for v in flat[full:]))
+    text = '\n'.join(header + body) + '\n#\n'
+    if hasattr(file, 'write'):
+        file.write(text)
     else:
-        shutil.copyfileobj(s, file)
+        Path(file).write_text(text)
+
+
+def read_zygo_datx(file):
+    """Read a Zygo .datx (HDF5) file -> dict(phase [nm], intensity, meta).
+
+    Invalid pixels become NaN and arrays are flipped so +y is up.
+    """
+    import h5py
+
+    def first_dataset(group):
+        return group[next(iter(group))]
+
+    with h5py.File(file, 'r') as h5:
+        try:
+            raw = first_dataset(h5['Data']['Intensity'])[()]
+            intensity = np.flipud(raw.astype(np.uint16))
+        except (KeyError, OSError):
+            intensity = None
+
+        surf = first_dataset(h5['Data']['Surface'])
+        invalid = surf.attrs['No Data'][0]
+        wvl_nm = surf.attrs['Wavelength'][0] * 1e9
+        unit = surf.attrs['Unit'][0]
+        unit = unit.decode(ZYGO_ENC) if isinstance(unit, bytes) else unit
+        phase = np.flipud(surf[()]).astype(np.float64)
+        phase[phase >= invalid] = np.nan
+        if unit == 'Fringes':
+            phase = phase * (surf.attrs['Obliquity Factor']
+                             * surf.attrs['Interferometric Scale Factor'] * wvl_nm)
+        elif unit != 'NanoMeters':
+            raise ValueError('datx file does not use a understood phase unit')
+
+        meta = _datx_attr_dict(h5['Attributes'])
+    return {'phase': phase, 'intensity': intensity, 'meta': meta}
+
+
+def _datx_attr_dict(attr_group):
+    """Flatten the last Attributes subgroup of a datx file to a clean dict."""
+    attrs = attr_group[list(attr_group)[-1]].attrs
+    skip = {'Property Bag List', 'Group Number', 'TextCount'}
+    meta = {}
+    for key, value in attrs.items():
+        if key.endswith('Unit'):
+            continue
+        for prefix in ('Data Context.', 'Data Attributes.'):
+            key = key.removeprefix(prefix)
+        key = key.removesuffix('Value').removesuffix(':')
+        if key == 'Resolution':
+            key = 'Lateral Resolution'
+        if key in skip:
+            continue
+        if value.dtype == object:
+            value = value[0]
+            if isinstance(value, bytes):
+                value = value.decode(ZYGO_ENC)
+        elif value.dtype in ('uint8', 'int32'):
+            value = int(value[0])
+        elif value.dtype == 'float64':
+            value = float(value[0])
+        else:
+            continue
+        meta[key] = value
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# MTF Mapper
+# ---------------------------------------------------------------------------
+
+def read_mtfmapper_sfr_single(file, pixel_pitch=None):
+    """Read an MTF Mapper raw_sfr_values.txt (-f with --single-roi).
+
+    Returns (frequencies, mtf).  Frequencies are cy/px, or cy/mm when
+    pixel_pitch (um) is given.  The first value on the line is the edge angle
+    and is discarded; MTF Mapper samples SFR on a fixed 1/64 cy/px comb.
+    """
+    text = file.read() if hasattr(file, 'read') else Path(file).read_text()
+    tokens = text.splitlines()[0].split(' ')[:-1]
+    sfr = np.array([float(t) for t in tokens[1:]])
+    freqs = np.arange(sfr.size) / 64
+    if pixel_pitch is not None:
+        freqs = freqs * (1e3 / pixel_pitch)
+    return freqs, sfr
 
 
 # ---------------------------------------------------------------------------
 # SigFit
 # ---------------------------------------------------------------------------
 
+_SIGFIT_HEAD = re.compile(
+    r'SID=\s*(?P<sid>\d+)\s+Rnorm=\s*(?P<rnorm>\S+)\s+Type', re.S)
+_SIGFIT_WVL = re.compile(r'WVL=\s*(?P<wvl>\S+)\s+(?P<unit>\S+)')
+
+
 def read_sigfit_zernikes(file):
-    """Read Zernikes from a SigFit OUTCOF3 file -> {surface id: data dict}."""
-    with open(str(file), 'r') as fid:
-        data = fid.read()
-    data = data.split('Surface')
+    """Read Zernike coefficients from a SigFit OUTCOF3 file.
+
+    Returns {surface id: {'type', 'normed', 'wavelength', 'coefs', 'rnorm'}},
+    coefficients scaled to the file's length unit (um).
+    """
+    text = Path(str(file)).read_text()
     out = {}
-    for dat in data[1:]:
-        sid, d = _read_sigfit_zernike_core(dat)
-        out[sid] = d
+    for section in text.split('Surface')[1:]:
+        sid, payload = _sigfit_zernike_section(section)
+        out[sid] = payload
     return out
 
 
-def _read_sigfit_zernike_core(text):
-    lines = text.splitlines()
-    _, rest = lines[0].split('SID=')
-    rest = rest.lstrip()
-    surface, rest = rest.split('Rnorm=')
-    surface = int(surface.strip())
-    rest = rest.lstrip()
-    rnorm, rest = rest.split('Type')
-    _, rest = rest.split('WVL=')
-    rest = rest.lstrip()
-    wvl, rest = rest.split()
-    unit = rest.lstrip()
-    fctr = 25.4e3 if unit.lower() == 'in' else 1e3
-    typ = 'Noll' if 'ZEMAX' in lines[2] else 'Fringe'
-    normed = 'RMS' in lines[2]
-    rnorm = float(rnorm.lstrip()) * fctr / 1e3
+def _sigfit_zernike_section(section):
+    lines = section.splitlines()
+    head = _SIGFIT_HEAD.search(lines[0])
+    wvl_m = _SIGFIT_WVL.search(lines[0])
+    unit_scale = 25.4e3 if wvl_m.group('unit').lower() == 'in' else 1e3
+    wavelength = float(wvl_m.group('wvl')) * unit_scale
+
     coefs = []
-    total_lines = len(lines)
-    if lines[-1].strip() == '':
-        slice_ = slice(4, -1)
-    else:
-        slice_ = slice(4, total_lines - 1)
-    for line in lines[slice_]:
-        idx, *coef = line.split(',')
-        if isinstance(coef, list) and len(coef) > 0:
-            coef, *_ = coef
-        if coef == '' or coef == []:
-            coefs.append(0)
-        else:
-            coefs.append(float(coef))
-    coefs = np.asarray(coefs)
-    wvl = float(wvl) * fctr
-    return surface, {
-        'type': typ,
-        'normed': normed,
-        'wavelength': wvl,
-        'coefs': coefs * wvl,
-        'rnorm': rnorm,
+    tail = lines[4:-1] if lines[-1].strip() == '' else lines[4:len(lines) - 1]
+    for row in tail:
+        cells = row.split(',')
+        value = cells[1].strip() if len(cells) > 1 else ''
+        coefs.append(float(value) if value else 0.0)
+
+    return int(head.group('sid')), {
+        'type': 'Noll' if 'ZEMAX' in lines[2] else 'Fringe',
+        'normed': 'RMS' in lines[2],
+        'wavelength': wavelength,
+        'coefs': np.asarray(coefs) * wavelength,
+        'rnorm': float(head.group('rnorm')) * unit_scale / 1e3,
     }
 
 
 def read_sigfit_rigidbody(file):
-    """Read rigid body perturbations from a SigFit sum1.csv -> {sid: dict}."""
+    """Read rigid-body perturbations from a SigFit sum1.csv.
+
+    Returns {surface id: {'dx','dy','dz','rx','ry','rz','dR'}} in mm/deg.
+    """
     file = str(file)
-    with open(file, 'r') as fid:
-        data = fid.readlines()
-    fctr = 25.4 if '= in' in data[4] else 1
-    arr = np.genfromtxt(file, skip_header=7, delimiter=',')[:, 4:12]
-    arr[:, 1:] *= fctr
-    out = {}
-    for row in arr:
-        sid, dx, dy, dz, rx, ry, rz, dR = row
-        out[int(sid)] = {'dx': dx, 'dy': dy, 'dz': dz,
-                         'rx': rx, 'ry': ry, 'rz': rz, 'dR': dR}
-    return out
+    head = Path(file).read_text().splitlines()
+    unit_scale = 25.4 if '= in' in head[4] else 1
+    table = np.genfromtxt(file, skip_header=7, delimiter=',')[:, 4:12]
+    table[:, 1:] *= unit_scale
+    keys = ('dx', 'dy', 'dz', 'rx', 'ry', 'rz', 'dR')
+    return {int(row[0]): dict(zip(keys, row[1:])) for row in table}
 
 
 # ---------------------------------------------------------------------------
@@ -532,184 +541,125 @@ def read_sigfit_rigidbody(file):
 
 def write_codev_gridint(array, filename, comment='CV GRD generated by prysm_tpu',
                         typ='SUR', nnb=False):
-    """Write a Code V grid-sag INT file (array nm for SUR/WFR)."""
-    array = np.flipud(np.asarray(array, dtype=np.float64))
+    """Write a Code V grid INT file.  array in nm for SUR/WFR types."""
     typ = typ.upper()
     assert typ in ('SUR', 'WFR', 'FIL'), 'typ must be one of SUR, WFR, FIL'
-    assert array.ndim == 2, 'gridint files must be 2D arrays'
-    nnb_str = 'NNB ' if nnb else ''
+    um = np.flipud(np.asarray(array, dtype=np.float64)) * 1e-3  # nm -> um
+    assert um.ndim == 2, 'gridint files must be 2D arrays'
 
-    array = array / 1e3  # nm -> um
-    NDA_PIX = np.isnan(array)
-    mn_valid = np.nanmin(array)
-    mx_valid = np.nanmax(array)
-    if abs(mn_valid) < np.finfo(array.dtype).eps or (mn_valid > 0):
-        mn_valid = 1
-    scale_down = -32767 / mn_valid
-    scale_up = +32767 / mx_valid
-    scale = min(scale_down, scale_up)
-    array = np.around(np.where(NDA_PIX, 0, array * scale)).astype(np.int16)
-    array[NDA_PIX] = -32768
+    dropped = np.isnan(um)
+    lo, hi = np.nanmin(um), np.nanmax(um)
+    # guard the negative-branch scale when the data never goes below ~0
+    if lo > 0 or abs(lo) < np.finfo(um.dtype).eps:
+        lo = 1
+    ssz = min(-32767 / lo, 32767 / hi)
+    quantized = np.around(np.where(dropped, 0, um * ssz)).astype(np.int16)
+    quantized[dropped] = -32768
 
-    n, m = array.shape
-    hdr = comment + '\n' + f'GRD {n} {m} {typ} WVL 1.0 {nnb_str}SSZ {scale} NDA -32768\n'
-    width = 585
-    while (array.size % width) != 0:
-        width -= 1
-    array = array.ravel().reshape((width, array.size // width))
-    np.savetxt(filename, array, fmt='%d', delimiter=' ', header=hdr, comments='')
+    rows, cols = quantized.shape
+    nnb_tag = 'NNB ' if nnb else ''
+    header = (f'{comment}\n'
+              f'GRD {rows} {cols} {typ} WVL 1.0 {nnb_tag}SSZ {ssz} NDA -32768\n')
+    # widest row length <= 585 that evenly divides the element count
+    per_line = max(w for w in range(1, 586) if quantized.size % w == 0)
+    table = quantized.ravel().reshape((per_line, quantized.size // per_line))
+    np.savetxt(filename, table, fmt='%d', delimiter=' ', header=header, comments='')
 
 
 def write_codev_zfr_int(coefs, filename, comment='CV ZFR generated by prysm_tpu',
                         SUR=True):
-    """Write a Code V INT file of ZFR (Fringe Zernike) coefficients, nm."""
-    typ = 'SUR' if SUR else 'WFR'
-    hdr = comment + '\n' + f'ZFR {len(coefs)} {typ} WVL 0.001 SSZ 1\n'
-    formatted = '\n'.join([f'{v:.9f}' for v in coefs])
-    with open(filename, 'w') as f:
-        f.write(hdr)
-        f.write(formatted + '\n')
+    """Write a Code V INT file of Fringe Zernike coefficients, in nm."""
+    kind = 'SUR' if SUR else 'WFR'
+    rows = '\n'.join(f'{c:.9f}' for c in coefs)
+    Path(filename).write_text(
+        f'{comment}\nZFR {len(coefs)} {kind} WVL 0.001 SSZ 1\n{rows}\n')
 
 
 def read_codev_gridint(file):
     """Read a Code V grid INT file -> (array [nm], meta dict)."""
-    txt = Path(file).expanduser().read_text()
-    end = 80
-    while True:
-        L = len(txt)
-        if L < end:
-            end = L
-        i = txt[:end].find('!')
-        if i < 0:
-            break
-        i = txt.find('\n', i)
-        if i < 0:
-            raise ValueError('CV INT file header corrupted - no new line found after !')
-        txt = txt[i + 1:]
+    lines = Path(file).expanduser().read_text().splitlines()
+    content = [ln for ln in lines if not ln.lstrip().startswith('!')]
+    if len(content) < 3:
+        raise ValueError('CV INT file too short: need title, header, and data')
+    title, header = content[0], content[1]
 
-    end = txt.find('\n')
-    if end < 0:
-        raise ValueError('CV INT file header corrupted - no new line found after title')
-    title = txt[:end]
-    txt = txt[end + 1:]
-    end = txt.find('\n')
-    hdr = txt[:end]
-
-    params = hdr.split()
-    i = 0
-    L = len(params)
-    wvl = nda = ssz = m = n = meaning = None
-    while i < L:
-        tok = params[i].upper()
-        if tok == 'WVL':
-            wvl = float(params[i + 1])
-            i += 2
-        elif tok == 'SSZ':
-            ssz = float(params[i + 1])
-            i += 2
+    fields = {}
+    tokens = iter(header.split())
+    for tok in tokens:
+        tok = tok.upper()
+        if tok in ('WVL', 'SSZ'):
+            fields[tok] = float(next(tokens))
         elif tok == 'NDA':
-            nda = int(params[i + 1])
-            i += 2
+            fields[tok] = int(next(tokens))
         elif tok == 'GRD':
-            m = int(params[i + 1])
-            n = int(params[i + 2])
-            i += 3
-        elif tok == 'SUR':
-            meaning = 'surface error'
-            i += 1
-        elif tok == 'WFR':
-            meaning = 'wavefront error'
-            i += 1
+            fields['rows'] = int(next(tokens))
+            fields['cols'] = int(next(tokens))
+        elif tok in ('SUR', 'WFR'):
+            fields['meaning'] = 'surface error' if tok == 'SUR' else 'wavefront error'
         elif tok == 'NNB':
-            i += 1
+            pass
         else:
-            raise ValueError(f'parsing CV INT header: token {params[i]} not understood')
+            raise ValueError(f'parsing CV INT header: token {tok} not understood')
 
-    if wvl is None:
-        raise ValueError('CV INT header did not contain WVL')
-    if nda is None:
-        raise ValueError('CV INT (GRID) header did not contain NDA')
-    if m is None or n is None:
-        raise ValueError('CV INT header did not contain GRD, only grid INT files are supported')
-    if ssz is None:
-        raise ValueError('CV INT header did not contain SSZ')
-    if meaning is None:
-        raise ValueError('CV INT header did not contain SUR or WFR')
+    for need, msg in (('WVL', 'WVL'), ('NDA', 'NDA (grid files only)'),
+                      ('rows', 'GRD'), ('SSZ', 'SSZ'), ('meaning', 'SUR or WFR')):
+        if need not in fields:
+            raise ValueError(f'CV INT header did not contain {msg}')
 
-    main_data = txt[end + 1:]
-    a = np.array(main_data.split(), dtype=np.int64)
-    mask = a == nda
-    a = a.astype(np.float64) * (1000 * wvl / ssz)
-    a[mask] = np.nan
-    a = np.flipud(a.reshape((n, m)))
-    meta = {'title': title, 'wavelength': wvl, 'data meaning': meaning}
-    return a, meta
+    raw = np.array(' '.join(content[2:]).split(), dtype=np.int64)
+    nm = raw.astype(np.float64) * (1000 * fields['WVL'] / fields['SSZ'])
+    nm[raw == fields['NDA']] = np.nan
+    grid = np.flipud(nm.reshape((fields['rows'], fields['cols'])))
+    return grid, {'title': title, 'wavelength': fields['WVL'],
+                  'data meaning': fields['meaning']}
+
+
+def _advance_to(line_iter, prefix, counter):
+    """Consume lines until one starts with ``prefix``; returns (line, n read)."""
+    n = counter
+    for line in line_iter:
+        n += 1
+        stripped = line.lstrip()
+        if stripped.startswith(prefix):
+            return stripped, n
+    raise ValueError(f'expected a line starting with {prefix!r}')
 
 
 def read_codev_psf(fn, sep=','):
-    """Read a Code V PSF buffer dump -> (dx um, array)."""
+    """Read a Code V PSF buffer dump -> (dx [um], 2D array)."""
     with open(fn, 'r') as f:
-        total_lines_skipped = 0
-        line = '\n'
-        while line == '\n':
-            line = f.readline()
-            total_lines_skipped += 1
-        line = line.strip()
-        assert line == 'PSF data:', 'dat file must begin with a line, "PSF data:"'
-        while not line.startswith('Grid spacing:'):
-            line = f.readline().lstrip()
-            total_lines_skipped += 1
-        tmp = line.split(',')
-        v = float(tmp[1])
-        unit = tmp[2].strip()
-        if unit != 'MM.':
-            if unit != 'IN.':
-                raise ValueError(f'expected unit to be other mm or in, got {unit}')
-            v *= 25.4
-        dx = v * 1e3
-        while not line.startswith('Array Size:'):
-            line = f.readline().lstrip()
-            total_lines_skipped += 1
-        array_dim = int(line.split(',')[1])
-    arr = np.genfromtxt(fn, skip_header=total_lines_skipped, delimiter=sep)
-    assert arr.shape == (array_dim, array_dim), 'array size must match header'
-    return dx, arr
+        it = iter(f)
+        first, skip = _advance_to(it, 'PSF data:', 0)
+        spacing, skip = _advance_to(it, 'Grid spacing:', skip)
+        cells = spacing.split(',')
+        step, unit = float(cells[1]), cells[2].strip()
+        if unit == 'IN.':
+            step *= 25.4
+        elif unit != 'MM.':
+            raise ValueError(f'expected unit to be other mm or in, got {unit}')
+        size_line, skip = _advance_to(it, 'Array Size:', skip)
+        n = int(size_line.split(',')[1])
+    grid = np.genfromtxt(fn, skip_header=skip, delimiter=sep)
+    assert grid.shape == (n, n), 'array size must match header'
+    return step * 1e3, grid
 
 
 def read_codev_bsp(fn, sep=','):
     """Read a Code V BSP buffer dump -> ((dx, dy) um, (x, y) offset, array)."""
     with open(fn, 'r') as f:
-        total_lines_skipped = 0
-        line = '\n'
-        while line == '\n':
-            line = f.readline()
-            total_lines_skipped += 1
-        line = line.strip()
-        assert line == 'BSP data:', 'dat file must begin with a line, "BSP data:"'
-        while not line.startswith('Offset of grid center'):
-            line = f.readline().lstrip()
-            total_lines_skipped += 1
-        tmp = line.split(':')[1]
-        tmp = tmp.split(',')[1:-1]
-        xyoffset = [float(v) for v in tmp]
-        while not line.startswith('Grid spacing:'):
-            line = f.readline().lstrip()
-            total_lines_skipped += 1
-        tmp = line.split(',')
-        v = float(tmp[1])
-        unit = tmp[2].strip()
-        v2 = float(tmp[3])
-        if unit != 'mm':
-            if unit != 'in':
-                raise ValueError(f'expected unit to be other mm or in, got {unit}')
-            v *= 25.4
-            v2 *= 25.4
-        dx = v * 1e3
-        dy = v2 * 1e3
-        while not line.startswith('Array Size:'):
-            line = f.readline().lstrip()
-            total_lines_skipped += 1
-        array_dim = tuple(int(v) for v in line.split(',')[1:])
-    arr = np.genfromtxt(fn, skip_header=total_lines_skipped, delimiter=sep)
-    assert arr.shape == array_dim, 'array size must match header'
-    return (dx, dy), xyoffset, arr
+        it = iter(f)
+        _, skip = _advance_to(it, 'BSP data:', 0)
+        off_line, skip = _advance_to(it, 'Offset of grid center', skip)
+        offsets = [float(v) for v in off_line.split(':')[1].split(',')[1:-1]]
+        spacing, skip = _advance_to(it, 'Grid spacing:', skip)
+        cells = spacing.split(',')
+        sx, unit, sy = float(cells[1]), cells[2].strip(), float(cells[3])
+        if unit == 'in':
+            sx, sy = sx * 25.4, sy * 25.4
+        elif unit != 'mm':
+            raise ValueError(f'expected unit to be other mm or in, got {unit}')
+        size_line, skip = _advance_to(it, 'Array Size:', skip)
+        shape = tuple(int(v) for v in size_line.split(',')[1:])
+    grid = np.genfromtxt(fn, skip_header=skip, delimiter=sep)
+    assert grid.shape == shape, 'array size must match header'
+    return (sx * 1e3, sy * 1e3), offsets, grid
