@@ -1,69 +1,63 @@
-"""Cost functions (figures of merit) returning (cost, gradient).
+"""Figures of merit returning ``(cost, gradient)``.
 
-Rebuild of ``prysm/x/optym/cost.py``.  Masking is weight-based (static
-shapes) instead of boolean compression, so the costs jit.
+API parity target: ``prysm/x/optym/cost.py``.  The reference hand-derives
+each gradient; here every cost is written as a pure scalar jnp function and
+the gradient comes from ``jax.value_and_grad`` — exact (the bias/gain
+invariant error's fit coefficients drop out of the derivative by the
+envelope theorem, so AD reproduces the reference's "frozen alpha" gradient).
+
+Masks select a subset of pixels.  Selection happens host-side (boolean
+indexing is a dynamic shape), gradients scatter back to the full grid.
 """
 import functools
-import numbers
 
+import numpy as onp
+
+import jax
 import jax.numpy as jnp
 
 
-def _masked_cost(fn):
-    """Add mask handling and dtype validation to a cost function."""
-    @functools.wraps(fn)
-    def wrapper(M, D, mask=None):
+def _grad_pair(scalar_fn):
+    """Wrap a scalar-valued f(M, D) into (cost, dcost/dM) with mask support."""
+    value_and_grad = jax.value_and_grad(scalar_fn)
+
+    @functools.wraps(scalar_fn)
+    def wrapped(M, D, mask=None):
         if hasattr(M, 'dtype') and hasattr(D, 'dtype') and M.dtype != D.dtype:
             raise TypeError(
-                f'{fn.__name__}: input dtype mismatch; first array is '
+                f'{scalar_fn.__name__}: input dtype mismatch; first array is '
                 f'{M.dtype}, second is {D.dtype}; cast one to match before calling')
         if mask is None:
-            return fn(M, D)
-        # weight-based masking: evaluate on selected entries, scatter grad
-        import numpy as onp
-        msk = onp.asarray(mask)
-        M_m = jnp.asarray(M)[msk]
-        D_m = D if isinstance(D, numbers.Number) else jnp.asarray(D)[msk]
-        cost, grad_m = fn(M_m, D_m)
-        grad = jnp.zeros_like(jnp.asarray(M))
-        grad = grad.at[msk].set(grad_m)
-        return cost, grad
-    return wrapper
+            return value_and_grad(jnp.asarray(M), D)
+        sel = onp.asarray(mask)
+        D_sel = jnp.asarray(D)[sel] if getattr(D, 'ndim', 0) else D
+        cost, partial = value_and_grad(jnp.asarray(M)[sel], D_sel)
+        full = jnp.zeros(jnp.shape(M), dtype=partial.dtype).at[sel].set(partial)
+        return cost, full
+
+    return wrapped
 
 
-@_masked_cost
+@_grad_pair
 def bias_and_gain_invariant_error(I, D):  # NOQA
-    """Bias and gain invariant error: (cost, dcost/dI)."""
-    Ihat = I - I.mean()
-    Dhat = D - D.mean()
-    num = (Ihat * Dhat).sum()
-    den = (Ihat * Ihat).sum()
-    alpha = num / den
-    alphaI = alpha * I
-    beta = D.mean() - alpha * I.mean()
-    R = 1 / ((D * D).sum())
-    raw_err = (alphaI + beta) - D
-    err = R * (raw_err * raw_err).sum()
-    grad = 2 * R * alpha * raw_err
-    return err, grad
+    """Error between I and D, invariant to overall bias and gain in I."""
+    I0 = I - I.mean()
+    D0 = D - D.mean()
+    gain = (I0 * D0).sum() / (I0 * I0).sum()
+    bias = D.mean() - gain * I.mean()
+    misfit = gain * I + bias - D
+    return (misfit * misfit).sum() / (D * D).sum()
 
 
-@_masked_cost
+@_grad_pair
 def mean_square_error(M, D):
-    """Mean square error: (cost, dcost/dM)."""
-    diff = M - D
-    alpha = 1 / diff.size
-    cost = (diff * diff).sum() * alpha
-    grad = 2 * alpha * diff
-    return cost, grad
+    """Mean square error between model M and data D."""
+    delta = M - D
+    return (delta * delta).mean()
 
 
-@_masked_cost
+@_grad_pair
 def negative_loglikelihood(y, yhat):
-    """Negative log likelihood: (cost, dcost/dy)."""
-    sub1 = 1 - y
-    sub2 = 1 - yhat
-    prefix = 1 / y.size
-    cost = -prefix * (yhat * jnp.log(y) + sub2 * jnp.log(sub1)).sum()
-    dcost = ((-yhat / y) + (sub2 / sub1)) * prefix
-    return cost, dcost
+    """Mean negative log-likelihood of Bernoulli data yhat under model y."""
+    per_pixel = yhat * jnp.log(y) + (1 - yhat) * jnp.log(1 - y)
+    return -per_pixel.mean()

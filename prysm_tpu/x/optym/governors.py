@@ -1,230 +1,266 @@
-"""Composable stop conditions for optym optimizers.
+"""Stop-condition combinators for optimizer driver loops.
 
-Rebuild of ``prysm/x/optym/governors.py``; this is host-side control flow
-observing per-step records (device arrays are reduced to floats only at the
-decision points).
+API parity target: ``prysm/x/optym/governors.py``.  Architecture here is a
+small functional core: every concrete governor is a predicate closure over
+the stream of :class:`StepRecord` observations, installed into a shared
+:class:`Governor` shell.  Governors compose with ``|`` (stop on first) and
+``&`` (stop when all have fired), or the explicit ``AnyGovernor`` /
+``AllGovernor`` wrappers.
+
+This layer is host control flow by design: device arrays inside records are
+reduced to Python floats only at decision points, so nothing here forces a
+sync inside a jitted step.
 """
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
 import numpy as np
 
 
+@dataclass
 class StepRecord:
-    """Observation of one completed optimizer step."""
+    """Observation of one completed optimizer step.
 
-    __slots__ = ('optimizer', 'iteration', 'x', 'f', 'g', 'x_next', 'metadata')
+    ``x``/``g`` may alias optimizer buffers; snapshot before constructing a
+    record if the optimizer mutates in place.
+    """
 
-    def __init__(self, optimizer, iteration, x, f, g, x_next, metadata=None):
-        self.optimizer = optimizer
-        self.iteration = int(iteration)
-        self.x = x
-        self.f = float(f)
-        self.g = g
-        self.x_next = x_next
-        self.metadata = {} if metadata is None else dict(metadata)
+    optimizer: object
+    iteration: int
+    x: object
+    f: float
+    g: object
+    x_next: object
+    metadata: dict = None
+
+    def __post_init__(self):
+        self.iteration = int(self.iteration)
+        self.f = float(self.f)
+        self.metadata = dict(self.metadata) if self.metadata else {}
 
 
-class GovernorDecision:
-    """Decision returned by a governor: stop / success / message."""
+class GovernorDecision(NamedTuple):
+    """Verdict from a governor: whether to stop, and why."""
 
-    __slots__ = ('stop', 'success', 'message')
-
-    def __init__(self, stop=False, success=False, message=''):
-        self.stop = bool(stop)
-        self.success = bool(success)
-        self.message = message
+    stop: bool = False
+    success: bool = False
+    message: str = ''
 
     def __bool__(self):
-        """Return the stop flag."""
+        """Truthiness is the stop flag."""
         return self.stop
 
 
+CONTINUE = GovernorDecision()
+
+
+def _halt(message, success=True):
+    return GovernorDecision(True, success, message)
+
+
+@dataclass
 class OptimizationResult:
-    """Result from a governed optimizer run."""
+    """Terminal state of a governed optimizer run."""
 
-    __slots__ = ('x', 'success', 'message', 'nit', 'nfev', 'njev',
-                 'decision', 'records', 'optimizer')
+    x: object
+    decision: GovernorDecision
+    records: list
+    optimizer: object = None
+    success: bool = field(init=False)
+    message: str = field(init=False)
+    nit: int = field(init=False)
+    nfev: int = field(init=False)
+    njev: int = field(init=False)
 
-    def __init__(self, x, decision, records, optimizer=None):
-        self.x = x
-        self.success = bool(decision.success)
-        self.message = decision.message
-        self.nit = len(records)
-        self.nfev = getattr(optimizer, 'nfev', None)
-        self.njev = getattr(optimizer, 'njev', None)
-        self.decision = decision
-        self.records = records
-        self.optimizer = optimizer
+    def __post_init__(self):
+        self.success = bool(self.decision.success)
+        self.message = self.decision.message
+        self.nit = len(self.records)
+        self.nfev = getattr(self.optimizer, 'nfev', None)
+        self.njev = getattr(self.optimizer, 'njev', None)
 
     def __repr__(self):
-        """Return a compact representation."""
+        """Compact representation."""
         return (f'OptimizationResult(success={self.success}, '
                 f'message={self.message!r}, nit={self.nit})')
 
 
 class Governor:
-    """Base class for reusable optimizer stop conditions."""
+    """Base stop condition; subclasses install a predicate via _watch()."""
+
+    _rule = None
+
+    def _watch(self, rule):
+        self._rule = rule
+        return self
 
     def observe(self, record):
-        """Observe a step record."""
-        return GovernorDecision(False, False, '')
+        """Feed one step record; returns a GovernorDecision."""
+        if self._rule is None:
+            return CONTINUE
+        verdict = self._rule(record)
+        return verdict if verdict is not None else CONTINUE
+
+    def __or__(self, other):
+        return AnyGovernor([self, other])
+
+    def __and__(self, other):
+        return AllGovernor([self, other])
 
 
 class AnyGovernor(Governor):
-    """Stop when any child governor stops."""
+    """Stop as soon as any member governor stops."""
 
     def __init__(self, governors):
-        self.governors = tuple(governors)
+        members = tuple(governors)
 
-    def observe(self, record):
-        """Return the first stopping child decision."""
-        decisions = [g.observe(record) for g in self.governors]
-        for decision in decisions:
-            if decision.stop:
-                return decision
-        return GovernorDecision(False, False, '')
+        def rule(record):
+            verdicts = [member.observe(record) for member in members]
+            return next((v for v in verdicts if v.stop), None)
+
+        self.governors = members
+        self._watch(rule)
 
 
 class AllGovernor(Governor):
-    """Stop after every child governor has stopped at least once."""
+    """Stop once every member governor has stopped at least once."""
 
     def __init__(self, governors):
-        self.governors = tuple(governors)
-        self._decisions = [None] * len(self.governors)
+        members = tuple(governors)
+        fired = {}
 
-    def observe(self, record):
-        """Stop once all child governors have stopped at least once."""
-        for idx, governor in enumerate(self.governors):
-            decision = governor.observe(record)
-            if decision.stop:
-                self._decisions[idx] = decision
-        if self._decisions and all(d is not None for d in self._decisions):
-            success = all(d.success for d in self._decisions)
-            message = '; '.join(d.message for d in self._decisions if d.message)
-            return GovernorDecision(True, success, message)
-        return GovernorDecision(False, False, '')
+        def rule(record):
+            for idx, member in enumerate(members):
+                verdict = member.observe(record)
+                if verdict.stop:
+                    fired[idx] = verdict
+            if len(fired) == len(members) and members:
+                return GovernorDecision(
+                    True,
+                    all(v.success for v in fired.values()),
+                    '; '.join(v.message for v in fired.values() if v.message))
+            return None
+
+        self.governors = members
+        self._watch(rule)
 
 
-def _validate_nonnegative(value, name):
+def _require_nonnegative(value, label):
     if value < 0:
-        raise ValueError(f'{name} must be nonnegative')
+        raise ValueError(f'{label} must be nonnegative')
+    return value
 
 
-def _vector_norm(x, norm):
-    x = np.asarray(x)
-    if x.size == 0:
+def _reduce_norm(vector, order):
+    arr = np.asarray(vector)
+    if arr.size == 0:
         return 0.0
-    if norm == np.inf or norm == 'inf':
-        return float(np.max(np.abs(x)))
-    return float(np.linalg.norm(x.ravel(), ord=norm))
+    if order in (np.inf, 'inf'):
+        return float(np.abs(arr).max())
+    return float(np.linalg.norm(arr.ravel(), ord=order))
 
 
 class MaxIterations(Governor):
-    """Stop after a fixed number of accepted optimizer steps."""
+    """Stop after ``n`` accepted optimizer steps (not a success condition)."""
 
     def __init__(self, n):
-        n = int(n)
-        _validate_nonnegative(n, 'n')
-        self.n = n
-
-    def observe(self, record):
-        """Stop when record.iteration reaches n."""
-        if record.iteration >= self.n:
-            return GovernorDecision(True, False, 'maximum iterations reached')
-        return GovernorDecision(False, False, '')
+        self.n = _require_nonnegative(int(n), 'n')
+        self._watch(lambda rec: _halt('maximum iterations reached', False)
+                    if rec.iteration >= self.n else None)
 
 
 class MaxEvaluations(Governor):
-    """Stop when optimizer.nfev reaches a fixed limit."""
+    """Stop once the optimizer reports ``nfev`` at or beyond ``n``."""
 
     def __init__(self, n):
-        n = int(n)
-        _validate_nonnegative(n, 'n')
-        self.n = n
+        self.n = _require_nonnegative(int(n), 'n')
 
-    def observe(self, record):
-        """Stop when the optimizer reports nfev >= n."""
-        nfev = getattr(record.optimizer, 'nfev', None)
-        if nfev is not None and nfev >= self.n:
-            return GovernorDecision(True, False,
-                                    'maximum function evaluations reached')
-        return GovernorDecision(False, False, '')
+        def rule(record):
+            evals = getattr(record.optimizer, 'nfev', None)
+            if evals is not None and evals >= self.n:
+                return _halt('maximum function evaluations reached', False)
+            return None
+
+        self._watch(rule)
 
 
 class FunctionTolerance(Governor):
-    """Stop when consecutive objective values change by no more than ftol."""
+    """Stop when consecutive objective values agree to within ``ftol``.
+
+    With ``relative=True`` the tolerance scales by max(1, |f|) of the pair.
+    An optimizer that knows its post-step value can supply it as
+    ``metadata['f_next']``, letting the governor fire on the very first
+    record instead of needing two.
+    """
 
     def __init__(self, ftol, relative=True):
-        _validate_nonnegative(float(ftol), 'ftol')
-        self.ftol = float(ftol)
+        self.ftol = _require_nonnegative(float(ftol), 'ftol')
         self.relative = bool(relative)
-        self._previous_f = None
+        memory = []  # last seen objective value, if any
 
-    def observe(self, record):
-        """Stop when consecutive function values differ by <= ftol."""
-        has_f_next = 'f_next' in record.metadata
-        current_f = float(record.metadata.get('f_next', record.f))
-        previous_f = self._previous_f
-        if previous_f is None:
-            if not has_f_next:
-                self._previous_f = current_f
-                return GovernorDecision(False, False, '')
-            previous_f = record.f
-        self._previous_f = current_f
-        scale = 1.0
-        if self.relative:
-            scale = max(1.0, abs(previous_f), abs(current_f))
-        if abs(previous_f - current_f) <= self.ftol * scale:
-            return GovernorDecision(True, True, 'function tolerance reached')
-        return GovernorDecision(False, False, '')
+        def rule(record):
+            f_now = float(record.metadata.get('f_next', record.f))
+            if memory:
+                f_before = memory[0]
+            elif 'f_next' in record.metadata:
+                f_before = record.f
+            else:
+                memory.append(f_now)
+                return None
+            memory[:] = [f_now]
+            span = max(1.0, abs(f_before), abs(f_now)) if self.relative else 1.0
+            if abs(f_before - f_now) <= self.ftol * span:
+                return _halt('function tolerance reached')
+            return None
+
+        self._watch(rule)
 
 
 class GradientTolerance(Governor):
-    """Stop when the gradient norm is below gtol."""
+    """Stop when the gradient norm falls to ``gtol`` or below."""
 
     def __init__(self, gtol, norm=np.inf):
-        _validate_nonnegative(float(gtol), 'gtol')
-        self.gtol = float(gtol)
+        self.gtol = _require_nonnegative(float(gtol), 'gtol')
         self.norm = norm
-
-    def observe(self, record):
-        """Stop when the gradient norm is below gtol."""
-        if _vector_norm(record.g, self.norm) <= self.gtol:
-            return GovernorDecision(True, True, 'gradient tolerance reached')
-        return GovernorDecision(False, False, '')
+        self._watch(lambda rec: _halt('gradient tolerance reached')
+                    if _reduce_norm(rec.g, self.norm) <= self.gtol else None)
 
 
 class StepTolerance(Governor):
-    """Stop when the optimizer step norm is below xtol."""
+    """Stop when the iterate displacement falls to ``xtol`` or below."""
 
     def __init__(self, xtol, relative=True, norm=np.inf):
-        _validate_nonnegative(float(xtol), 'xtol')
-        self.xtol = float(xtol)
+        self.xtol = _require_nonnegative(float(xtol), 'xtol')
         self.relative = bool(relative)
         self.norm = norm
 
-    def observe(self, record):
-        """Stop when the step norm is below xtol."""
-        step_norm = _vector_norm(np.asarray(record.x_next) - np.asarray(record.x),
+        def rule(record):
+            moved = _reduce_norm(np.asarray(record.x_next) - np.asarray(record.x),
                                  self.norm)
-        scale = 1.0
-        if self.relative:
-            scale = max(1.0, _vector_norm(record.x, self.norm))
-        if step_norm <= self.xtol * scale:
-            return GovernorDecision(True, True, 'step tolerance reached')
-        return GovernorDecision(False, False, '')
+            span = max(1.0, _reduce_norm(record.x, self.norm)) if self.relative else 1.0
+            if moved <= self.xtol * span:
+                return _halt('step tolerance reached')
+            return None
+
+        self._watch(rule)
 
 
 class ConstraintTolerance(Governor):
-    """Stop when reported constraint violation is below tol."""
+    """Stop when the reported constraint violation falls to ``tol`` or below.
+
+    Looks in ``metadata['constraint_violation']`` first, then for a
+    ``constraint_violation`` attribute on the optimizer.
+    """
 
     def __init__(self, tol):
-        _validate_nonnegative(float(tol), 'tol')
-        self.tol = float(tol)
+        self.tol = _require_nonnegative(float(tol), 'tol')
 
-    def observe(self, record):
-        """Stop when the reported constraint violation is below tol."""
-        violation = record.metadata.get('constraint_violation', None)
-        if violation is None:
-            violation = getattr(record.optimizer, 'constraint_violation', None)
-        if violation is not None and float(violation) <= self.tol:
-            return GovernorDecision(True, True, 'constraint tolerance reached')
-        return GovernorDecision(False, False, '')
+        def rule(record):
+            v = record.metadata.get('constraint_violation')
+            if v is None:
+                v = getattr(record.optimizer, 'constraint_violation', None)
+            if v is not None and float(v) <= self.tol:
+                return _halt('constraint tolerance reached')
+            return None
+
+        self._watch(rule)

@@ -1,42 +1,169 @@
-"""Constrained damped least squares (Levenberg-Marquardt with active sets).
+"""Constrained damped least squares (Levenberg–Marquardt with active sets).
 
-Rebuild of ``prysm/x/optym/least_squares.py``.  The KKT subproblems are
-small dense host solves (lens design scale); residual Jacobians come from
-``problem.residual_jacobian`` when available (use ``jax.jacfwd`` of your
-residual function to provide one) or finite differences.
+API parity target: ``prysm/x/optym/least_squares.py``.  Architecture: an
+immutable :class:`Evaluation` snapshot per candidate point, a pure
+Gauss-Newton/KKT core (:func:`_equality_qp`, :func:`_active_set_qp`), and a
+thin :class:`DampedLeastSquares` shell that owns configuration, counters,
+and the accept/damp/stop policy.
+
+The outer loop is host control flow — lens-design problems have tens of
+variables, so the KKT solves are small dense host solves.  The residual and
+Jacobian callables may be jitted JAX functions; when the problem exposes
+``residual_jacobian`` (e.g. ``jax.jacfwd`` of a jitted residual) it is
+preferred over central finite differences.
 """
 import math
+from dataclasses import dataclass, field
 
 import numpy as np
 
-from .governors import (
-    AllGovernor, AnyGovernor, ConstraintTolerance, FunctionTolerance,
-    MaxIterations, StepRecord, StepTolerance,
-)
+
+# ---------------------------------------------------------------------------
+# evaluation snapshots
+# ---------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class Evaluation:
+    """One candidate point: parameters, residuals, constraint values."""
+
+    x: np.ndarray
+    r: np.ndarray
+    eq: np.ndarray
+    ineq: np.ndarray
+
+    @property
+    def cost(self):
+        """Half sum of squared residuals."""
+        return 0.5 * float(self.r @ self.r)
+
+    @property
+    def infeasibility(self):
+        """Euclidean norm of constraint violations (ineq counted below 0)."""
+        total = float(self.eq @ self.eq) if self.eq.size else 0.0
+        if self.ineq.size:
+            shortfall = np.minimum(self.ineq, 0.0)
+            total += float(shortfall @ shortfall)
+        return math.sqrt(total)
+
+
+def _tuple_of_callables(spec):
+    if spec is None:
+        return ()
+    return (spec,) if callable(spec) else tuple(spec)
+
+
+def _stacked(funcs, x):
+    if not funcs:
+        return np.zeros(0)
+    return np.concatenate([np.asarray(f(x), dtype=float).ravel() for f in funcs])
+
+
+def _central_differences(fn, x, base, h_scale):
+    """Columnwise central-difference Jacobian of ``fn`` at ``x``."""
+    flat = np.asarray(x, dtype=float).ravel()
+    steps = h_scale * np.maximum(1.0, np.abs(flat))
+    columns = []
+    for j, h in enumerate(steps):
+        bump = np.zeros_like(flat)
+        bump[j] = h
+        hi = np.asarray(fn((flat + bump).reshape(np.shape(x))), dtype=float).ravel()
+        lo = np.asarray(fn((flat - bump).reshape(np.shape(x))), dtype=float).ravel()
+        columns.append((hi - lo) / (2 * h))
+    if not columns:
+        return np.zeros((np.asarray(base).size, 0))
+    return np.stack(columns, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# QP core: minimize 1/2 dx'H dx + g'dx  s.t.  A dx = b (then active sets)
+# ---------------------------------------------------------------------------
+
+
+def _dense_solve(A, rhs):
+    try:
+        return np.linalg.solve(A, rhs)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(A, rhs, rcond=None)[0]
+
+
+def _equality_qp(H, g, A, b):
+    """Solve the equality-constrained QP via the KKT system.
+
+    Returns (dx, multipliers).  With no constraints this is the damped
+    normal-equations solve.
+    """
+    n_var = H.shape[0]
+    n_con = A.shape[0]
+    if n_con == 0:
+        return _dense_solve(H, -g), np.zeros(0)
+    kkt = np.block([[H, A.T], [A, np.zeros((n_con, n_con))]])
+    sol = _dense_solve(kkt, np.concatenate([-g, b]))
+    return sol[:n_var], sol[n_var:]
+
+
+def _active_set_qp(H, g, Aeq, beq, Aineq, cineq, working, tol, max_rounds):
+    """Active-set loop over the inequality constraints.
+
+    ``working`` is the initial working set (indices into the inequality
+    rows); constraints violated by the linearized step are added, constraints
+    whose multipliers say they pull the wrong way are dropped.  Returns
+    (dx, eq multipliers, ineq multipliers (full-length), final working set).
+    """
+    working = sorted(working)
+    n_eq = beq.size
+    dx = np.zeros(H.shape[0])
+    mults = np.zeros(0)
+    for _ in range(max_rounds):
+        if working:
+            A = np.vstack([Aeq, Aineq[working]]) if Aeq.size else Aineq[working]
+            b = np.concatenate([beq, -cineq[working]]) if n_eq else -cineq[working]
+        else:
+            A, b = Aeq, beq
+        dx, mults = _equality_qp(H, g, A, b)
+
+        if cineq.size:
+            predicted = cineq + Aineq @ dx
+            joins = [i for i in np.flatnonzero(predicted < -tol) if i not in working]
+            if joins:
+                working = sorted(working + joins)
+                continue
+        leaving = [working[k] for k, lam in enumerate(mults[n_eq:])
+                   if lam > tol and cineq[working[k]] >= -tol]
+        if leaving:
+            working = [i for i in working if i not in leaving]
+            continue
+        break
+
+    lam_eq = mults[:n_eq] if n_eq else np.zeros(0)
+    lam_ineq = np.zeros(cineq.size)
+    if working:
+        lam_ineq[np.asarray(working, dtype=int)] = mults[n_eq:]
+    return dx, lam_eq, lam_ineq, np.asarray(working, dtype=int)
+
+
+# ---------------------------------------------------------------------------
+# result object
+# ---------------------------------------------------------------------------
+
+
+@dataclass
 class DampedLeastSquaresResult:
-    """Result object returned by damped_least_squares."""
+    """Terminal state of a damped least squares run."""
 
-    __slots__ = ('x', 'residuals', 'cost', 'success', 'message', 'nit',
-                 'nfev', 'njev', 'ncev', 'lambda_eq', 'lambda_ineq',
-                 'active_inequalities', 'history')
-
-    def __init__(self, x, residuals, cost, success, message, nit, nfev, njev,
-                 ncev, lambda_eq, lambda_ineq, active_inequalities, history):
-        self.x = x
-        self.residuals = residuals
-        self.cost = cost
-        self.success = bool(success)
-        self.message = message
-        self.nit = int(nit)
-        self.nfev = int(nfev)
-        self.njev = int(njev)
-        self.ncev = int(ncev)
-        self.lambda_eq = lambda_eq
-        self.lambda_ineq = lambda_ineq
-        self.active_inequalities = active_inequalities
-        self.history = history
+    x: np.ndarray
+    residuals: np.ndarray
+    cost: float
+    success: bool
+    message: str
+    nit: int
+    nfev: int
+    njev: int
+    ncev: int
+    lambda_eq: np.ndarray
+    lambda_ineq: np.ndarray
+    active_inequalities: np.ndarray
+    history: list = field(default_factory=list)
 
     def __repr__(self):
         """Compact representation."""
@@ -44,278 +171,30 @@ class DampedLeastSquaresResult:
                 f'cost={self.cost:.6g}, nit={self.nit}, nfev={self.nfev})')
 
 
-class _DLSState:
-    __slots__ = ('x', 'residuals', 'eq', 'ineq', 'cost', 'violation', 'nfev',
-                 'njev', 'ncev', 'lambda_eq', 'lambda_ineq', 'active', 'history')
-
-    def __init__(self, x, residuals, eq, ineq):
-        self.x = x
-        self.residuals = residuals
-        self.eq = eq
-        self.ineq = ineq
-        self.cost = _cost(residuals)
-        self.violation = _constraint_violation(eq, ineq)
-        self.nfev = 1
-        self.njev = 0
-        self.ncev = 1
-        self.lambda_eq = np.zeros(0, dtype=float)
-        self.lambda_ineq = np.zeros(0, dtype=float)
-        self.active = np.zeros(0, dtype=int)
-        self.history = []
-
-    def result(self, success, message, iteration):
-        return DampedLeastSquaresResult(
-            self.x, self.residuals, self.cost, success, message, iteration,
-            self.nfev, self.njev, self.ncev, self.lambda_eq,
-            self.lambda_ineq, self.active, self.history)
+# ---------------------------------------------------------------------------
+# the optimizer shell
+# ---------------------------------------------------------------------------
 
 
-class _ResidualProblemView:
-    __slots__ = ('problem', 'eq_constraints', 'ineq_constraints')
-
-    def __init__(self, problem, equality_constraints, inequality_constraints):
-        self.problem = problem
-        self.eq_constraints = _as_constraint_list(equality_constraints)
-        self.ineq_constraints = _as_constraint_list(inequality_constraints)
-
-    def residuals(self, x):
-        return np.asarray(self.problem.residuals(x), dtype=float).ravel()
-
-    def jacobian(self, x, f0=None, step=1e-6):
-        """(J, used_fd); prefers problem.residual_jacobian."""
-        analytic = getattr(self.problem, 'residual_jacobian', None)
-        if callable(analytic):
-            J = analytic(x)
-            if J is not None:
-                return np.asarray(J, dtype=float), False
-        J = _finite_difference_jacobian(self.residuals, x, f0=f0, step=step)
-        return J, True
-
-    def eq(self, x):
-        return _eval_constraint_vector(self.eq_constraints, x)
-
-    def ineq(self, x):
-        return _eval_constraint_vector(self.ineq_constraints, x)
-
-
-def _as_constraint_list(constraints):
-    if constraints is None:
-        return ()
-    if callable(constraints):
-        return (constraints,)
-    return tuple(constraints)
-
-
-def _eval_constraint_vector(constraints, x):
-    vals = [np.asarray(c(x), dtype=float).ravel() for c in constraints]
-    if not vals:
-        return np.zeros(0, dtype=float)
-    return np.concatenate(vals)
-
-
-def _cost(residuals):
-    return 0.5 * float(np.sum(residuals * residuals))
-
-
-def _norm(x):
-    return float(np.sqrt(np.sum(x * x)))
-
-
-def _finite_difference_jacobian(fun, x, f0=None, step=1e-6):
-    x = np.asarray(x, dtype=float)
-    if f0 is None:
-        f0 = np.asarray(fun(x), dtype=float).ravel()
-    else:
-        f0 = np.asarray(f0, dtype=float).ravel()
-    jac = np.empty((f0.size, x.size), dtype=float)
-    xflat = x.ravel()
-    for j in range(x.size):
-        h = float(step) * max(1.0, abs(float(xflat[j])))
-        xp = x.copy()
-        xm = x.copy()
-        xp.ravel()[j] = xflat[j] + h
-        xm.ravel()[j] = xflat[j] - h
-        fp = np.asarray(fun(xp), dtype=float).ravel()
-        fm = np.asarray(fun(xm), dtype=float).ravel()
-        jac[:, j] = (fp - fm) / (2 * h)
-    return jac
-
-
-def _constraint_violation(eq, ineq):
-    sq = 0.0
-    if eq.size:
-        sq += float(np.sum(eq * eq))
-    if ineq.size:
-        neg = np.minimum(ineq, 0.0)
-        sq += float(np.sum(neg * neg))
-    return math.sqrt(sq)
-
-
-def _solve_kkt(H, grad, A, b):
-    n = H.shape[0]
-    m = A.shape[0]
-    if m == 0:
-        try:
-            return np.linalg.solve(H, -grad), np.zeros(0, dtype=H.dtype)
-        except np.linalg.LinAlgError:
-            return np.linalg.lstsq(H, -grad, rcond=None)[0], np.zeros(0, dtype=H.dtype)
-    K = np.zeros((n + m, n + m), dtype=H.dtype)
-    K[:n, :n] = H
-    K[:n, n:] = A.T
-    K[n:, :n] = A
-    rhs = np.concatenate([-grad, b])
-    try:
-        sol = np.linalg.solve(K, rhs)
-    except np.linalg.LinAlgError:
-        sol = np.linalg.lstsq(K, rhs, rcond=None)[0]
-    return sol[:n], sol[n:]
-
-
-def _normal_matrix(residuals, jacobian, damping):
-    H = jacobian.T @ jacobian
-    damping = np.asarray(damping, dtype=float)
-    if np.any(damping):
-        idx = np.arange(jacobian.shape[1])
-        H[idx, idx] += damping.astype(H.dtype, copy=False)
-    return H, jacobian.T @ residuals
-
-
-def _as_vector(value, n, name):
-    value = np.asarray(value, dtype=float)
-    if value.ndim == 0:
-        return np.full(n, float(value), dtype=float)
-    value = value.ravel()
-    if value.size != n:
-        raise ValueError(f'{name} must be scalar or length {n}')
-    return value.copy()
-
-
-def _sensitivity_diagonal(J, Aeq, Aineq):
-    diag = np.zeros(J.shape[1], dtype=float)
-    if J.size:
-        diag += np.sum(J * J, axis=0)
-    if Aeq.size:
-        diag += np.sum(Aeq * Aeq, axis=0)
-    if Aineq.size:
-        diag += np.sum(Aineq * Aineq, axis=0)
-    return diag
-
-
-def _damping_diagonal(J, Aeq, Aineq, damping, mode, floor):
-    damping = _as_vector(damping, J.shape[1], 'damping')
-    if mode == 'identity':
-        return damping
-    if mode == 'sensitivity':
-        scale = np.maximum(_sensitivity_diagonal(J, Aeq, Aineq), float(floor))
-        return damping * scale
-    raise ValueError("damping_mode must be 'identity' or 'sensitivity'")
-
-
-def _constraint_matrix(active, Aeq, Aineq, eq, ineq):
-    if len(active):
-        A = np.vstack([Aeq, Aineq[active]]) if Aeq.size else Aineq[active]
-        b_active = -ineq[active]
-        b = np.concatenate([-eq, b_active]) if eq.size else b_active
-        return A, b
-    return Aeq, -eq
-
-
-def _active_set_step(state, J, Aeq, Aineq, damping, constraint_tol,
-                     active_tol, max_active_iter):
-    H, grad = _normal_matrix(state.residuals, J, damping)
-    active = []
-    if state.ineq.size:
-        active = np.nonzero(state.ineq <= active_tol)[0].tolist()
-
-    dx = np.zeros(J.shape[1], dtype=float)
-    raw_multipliers = np.zeros(0, dtype=float)
-    for _ in range(max_active_iter):
-        A, b = _constraint_matrix(active, Aeq, Aineq, state.eq, state.ineq)
-        dx, raw_multipliers = _solve_kkt(H, grad, A, b)
-
-        if state.ineq.size:
-            linear_ineq = state.ineq + Aineq @ dx
-            missing = [i for i in np.nonzero(linear_ineq < -constraint_tol)[0]
-                       if i not in active]
-            if missing:
-                active.extend(missing)
-                active.sort()
-                continue
-        # drop constraints whose multipliers indicate inactivity
-        act_mult = raw_multipliers[state.eq.size:]
-        drop = [active[i] for i, lm in enumerate(act_mult)
-                if lm > constraint_tol and state.ineq[active[i]] >= -constraint_tol]
-        if drop:
-            active = [idx for idx in active if idx not in drop]
-            continue
-        break
-
-    lambda_eq = np.zeros(state.eq.size, dtype=float)
-    lambda_ineq = np.zeros(state.ineq.size, dtype=float)
-    if state.eq.size:
-        lambda_eq = raw_multipliers[:state.eq.size]
-    if len(active):
-        lambda_ineq[np.asarray(active, dtype=int)] = raw_multipliers[state.eq.size:]
-    return dx, lambda_eq, lambda_ineq, np.asarray(active, dtype=int)
-
-
-def _trust_radii_vector(trust_radii, n):
-    if trust_radii is None:
-        return None
-    radii = _as_vector(trust_radii, n, 'trust_radii')
-    if np.any(radii <= 0):
-        raise ValueError('trust_radii entries must be positive')
-    return radii
-
-
-def _apply_trust_radii(dx, trust_radii):
-    if trust_radii is None or dx.size == 0:
-        return dx, 1.0
-    finite = np.isfinite(trust_radii)
-    limited = finite & (np.abs(dx) > trust_radii)
-    if not np.any(limited):
-        return dx, 1.0
-    scale = float(np.min(trust_radii[limited] / np.abs(dx[limited])))
-    return dx * scale, scale
-
-
-def _initial_x(problem, x0):
-    if x0 is not None:
-        return np.asarray(x0, dtype=float).copy()
-    if not hasattr(problem, 'x0'):
-        raise TypeError('x0 is required when problem has no x0 method')
-    return np.asarray(problem.x0(), dtype=float)
-
-
-def _eval_state(view, x):
-    return _DLSState(x, view.residuals(x), view.eq(x), view.ineq(x))
-
-
-def _accept_trial(state, trial, ftol, constraint_tol):
-    feasible = trial.violation <= constraint_tol
-    cost_ok = trial.cost <= state.cost + ftol * max(1.0, state.cost)
-    if state.violation > constraint_tol:
-        return trial.violation < state.violation
-    return feasible and cost_ok
-
-
-def _line_search(view, state, dx, ftol, constraint_tol, max_line_search):
-    alpha = 1.0
-    evaluations = 0
-    for _ in range(max_line_search + 1):
-        trial = _eval_state(view, state.x + alpha * dx)
-        evaluations += 1
-        if _accept_trial(state, trial, ftol, constraint_tol):
-            return alpha, trial, evaluations
-        alpha *= 0.5
-    return None, None, evaluations
+def _broadcast(value, n, label):
+    arr = np.asarray(value, dtype=float)
+    if arr.ndim == 0:
+        return np.full(n, float(arr))
+    arr = arr.ravel()
+    if arr.size != n:
+        raise ValueError(f'{label} must be scalar or length {n}')
+    return arr.copy()
 
 
 class DampedLeastSquares:
-    """Constrained damped least-squares optimizer with a step() method.
+    """Constrained damped least-squares optimizer with a ``step()`` API.
 
-    See the reference docstring (prysm/x/optym/least_squares.py:435-468) for
-    the full parameter semantics; behavior matches.
+    Parameters follow the reference implementation
+    (prysm/x/optym/least_squares.py:435-468): ``damping`` (scalar or
+    per-variable), ``damping_mode`` 'identity' | 'sensitivity',
+    ``trust_radii`` per-variable step caps, ``adaptive_damping`` with
+    increase/decrease factors, tolerances ``xtol``/``ftol``/
+    ``constraint_tol``, and equality/inequality constraint callables.
     """
 
     def __init__(self, problem, x0=None, *, equality_constraints=None,
@@ -328,263 +207,273 @@ class DampedLeastSquares:
                  maxiter=25, xtol=1e-10, ftol=1e-12,
                  constraint_tol=1e-10, active_tol=1e-10,
                  fd_step=1e-6, max_active_iter=20, max_line_search=12):
-        """Create a new constrained damped least-squares optimizer."""
+        """Create the optimizer; evaluates the problem once at x0."""
+        if damping_mode not in ('identity', 'sensitivity'):
+            raise ValueError("damping_mode must be 'identity' or 'sensitivity'")
+        if damping_floor < 0:
+            raise ValueError('damping_floor must be nonnegative')
+        if damping_increase <= 1:
+            raise ValueError('damping_increase must be greater than 1')
+        if not 0 < damping_decrease < 1:
+            raise ValueError('damping_decrease must be between 0 and 1')
+
         self.problem = problem
-        self.view = _ResidualProblemView(problem, equality_constraints,
-                                         inequality_constraints)
-        self.state = _eval_state(self.view, _initial_x(problem, x0))
-        self.x0 = self.state.x.copy()
-        self.x = self.state.x
+        self._eq_fns = _tuple_of_callables(equality_constraints)
+        self._ineq_fns = _tuple_of_callables(inequality_constraints)
+
+        if x0 is None:
+            if not hasattr(problem, 'x0'):
+                raise TypeError('x0 is required when problem has no x0 method')
+            x0 = problem.x0()
+        start = np.array(x0, dtype=float)
+        n = start.size
+
         self.damping = damping
         self.damping_mode = damping_mode
         self.damping_floor = float(damping_floor)
-        self.trust_radii = _trust_radii_vector(trust_radii, self.x.size)
         self.adaptive_damping = bool(adaptive_damping)
         self.damping_increase = float(damping_increase)
         self.damping_decrease = float(damping_decrease)
-        self.damping_min = _as_vector(damping_min, self.x.size, 'damping_min')
-        self.damping_max = _as_vector(damping_max, self.x.size, 'damping_max')
-        self.max_damping_attempts = int(max_damping_attempts)
-        if damping_mode not in ('identity', 'sensitivity'):
-            raise ValueError("damping_mode must be 'identity' or 'sensitivity'")
-        if self.damping_floor < 0:
-            raise ValueError('damping_floor must be nonnegative')
-        if self.damping_increase <= 1:
-            raise ValueError('damping_increase must be greater than 1')
-        if not 0 < self.damping_decrease < 1:
-            raise ValueError('damping_decrease must be between 0 and 1')
+        self.damping_min = _broadcast(damping_min, n, 'damping_min')
+        self.damping_max = _broadcast(damping_max, n, 'damping_max')
         if np.any(self.damping_min < 0):
             raise ValueError('damping_min entries must be nonnegative')
         if np.any(self.damping_max < self.damping_min):
             raise ValueError('damping_max must be >= damping_min')
+        self.max_damping_attempts = int(max_damping_attempts)
+        if trust_radii is None:
+            self.trust_radii = None
+        else:
+            self.trust_radii = _broadcast(trust_radii, n, 'trust_radii')
+            if np.any(self.trust_radii <= 0):
+                raise ValueError('trust_radii entries must be positive')
+
         self.maxiter = int(maxiter)
-        self.xtol = xtol
-        self.ftol = ftol
-        self.constraint_tol = constraint_tol
-        self.active_tol = active_tol
-        self.fd_step = fd_step
-        self.max_active_iter = max_active_iter
-        self.max_line_search = max_line_search
+        self.xtol = float(xtol)
+        self.ftol = float(ftol)
+        self.constraint_tol = float(constraint_tol)
+        self.active_tol = float(active_tol)
+        self.fd_step = float(fd_step)
+        self.max_active_iter = int(max_active_iter)
+        self.max_line_search = int(max_line_search)
+
+        self.nfev = self.njev = self.ncev = 0
         self.iter = 0
         self.done = False
         self.success = False
         self.message = ''
-        self.last_step_norm = None
-        self.last_alpha = None
+        self.history = []
         self.last_step_metadata = {}
-        self._governor = AnyGovernor([
-            StepTolerance(xtol, relative=True),
-            AllGovernor([
-                FunctionTolerance(ftol, relative=True),
-                ConstraintTolerance(constraint_tol),
-            ]),
-            MaxIterations(self.maxiter),
-        ])
-        self._result_iteration = 0
+        self._lam_eq = np.zeros(0)
+        self._lam_ineq = np.zeros(0)
+        self._working = np.zeros(0, dtype=int)
 
-    def _finish(self, success, message, iteration):
+        self.current = self._evaluate(start)
+        self.x0 = start.copy()
+
+    # -- evaluation plumbing ------------------------------------------------
+
+    def _evaluate(self, x):
+        self.nfev += 1
+        if self._eq_fns or self._ineq_fns:
+            self.ncev += 1
+        return Evaluation(
+            x=np.asarray(x, dtype=float),
+            r=np.asarray(self.problem.residuals(x), dtype=float).ravel(),
+            eq=_stacked(self._eq_fns, x),
+            ineq=_stacked(self._ineq_fns, x))
+
+    def _residual_jacobian(self, at):
+        maker = getattr(self.problem, 'residual_jacobian', None)
+        if callable(maker):
+            J = maker(at.x)
+            if J is not None:
+                self.njev += 1
+                return np.asarray(J, dtype=float)
+        self.njev += 1
+        self.nfev += 2 * at.x.size
+        return _central_differences(
+            lambda x: self.problem.residuals(x), at.x, at.r, self.fd_step)
+
+    def _constraint_jacobians(self, at):
+        n = at.x.size
+        Aeq = (_central_differences(lambda x: _stacked(self._eq_fns, x), at.x,
+                                    at.eq, self.fd_step)
+               if at.eq.size else np.zeros((0, n)))
+        Aineq = (_central_differences(lambda x: _stacked(self._ineq_fns, x), at.x,
+                                      at.ineq, self.fd_step)
+                 if at.ineq.size else np.zeros((0, n)))
+        if at.eq.size or at.ineq.size:
+            self.ncev += 2 * n
+        return Aeq, Aineq
+
+    # -- damping ------------------------------------------------------------
+
+    def _damping_vector(self, J, Aeq, Aineq):
+        lam = _broadcast(self.damping, J.shape[1], 'damping')
+        if self.damping_mode == 'sensitivity':
+            sens = np.zeros(J.shape[1])
+            for M in (J, Aeq, Aineq):
+                if M.size:
+                    sens += np.einsum('ij,ij->j', M, M)
+            lam = lam * np.maximum(sens, self.damping_floor)
+        return lam
+
+    def _scale_damping(self, factor):
+        scaled = np.clip(_broadcast(self.damping, self.current.x.size, 'damping')
+                         * factor, self.damping_min, self.damping_max)
+        self.damping = float(scaled[0]) if np.ndim(self.damping) == 0 else scaled
+
+    # -- the LM step --------------------------------------------------------
+
+    def _propose(self, at):
+        """Linearize at ``at`` and solve the damped, constrained subproblem."""
+        J = self._residual_jacobian(at)
+        Aeq, Aineq = self._constraint_jacobians(at)
+        gradient = J.T @ at.r
+        H = J.T @ J
+        H[np.diag_indices_from(H)] += self._damping_vector(J, Aeq, Aineq)
+
+        seed = (np.flatnonzero(at.ineq <= self.active_tol).tolist()
+                if at.ineq.size else [])
+        dx, lam_eq, lam_ineq, working = _active_set_qp(
+            H, gradient, Aeq, -at.eq, Aineq, at.ineq, seed,
+            self.constraint_tol, self.max_active_iter)
+
+        if self.trust_radii is not None and dx.size:
+            over = np.isfinite(self.trust_radii) & (np.abs(dx) > self.trust_radii)
+            if np.any(over):
+                dx = dx * float(np.min(self.trust_radii[over] / np.abs(dx[over])))
+        return dx, gradient, lam_eq, lam_ineq, working
+
+    def _backtrack(self, at, dx):
+        """Halving line search; returns (alpha, accepted Evaluation) or None."""
+        alpha = 1.0
+        for _ in range(self.max_line_search + 1):
+            trial = self._evaluate(at.x + alpha * dx)
+            if self._acceptable(at, trial):
+                return alpha, trial
+            alpha *= 0.5
+        return None
+
+    def _acceptable(self, at, trial):
+        if at.infeasibility > self.constraint_tol:
+            return trial.infeasibility < at.infeasibility
+        good_cost = trial.cost <= at.cost + self.ftol * max(1.0, at.cost)
+        return trial.infeasibility <= self.constraint_tol and good_cost
+
+    # -- convergence policy -------------------------------------------------
+
+    def _stop(self, message, iteration, success=None):
         self.done = True
-        self.success = bool(success)
         self.message = message
-        self._result_iteration = int(iteration)
+        feasible = self.current.infeasibility <= self.constraint_tol
+        self.success = feasible if success is None else bool(success)
+        self._nit = iteration
+
+    # -- public API ---------------------------------------------------------
 
     @property
-    def nfev(self):
-        """Number of residual function evaluations."""
-        return self.state.nfev
-
-    @property
-    def njev(self):
-        """Number of residual Jacobian evaluations."""
-        return self.state.njev
-
-    @property
-    def ncev(self):
-        """Number of constraint function evaluations."""
-        return self.state.ncev
+    def x(self):
+        """Current iterate."""
+        return self.current.x
 
     @property
     def constraint_violation(self):
         """Current combined constraint violation."""
-        return self.state.violation
-
-    def _rescale_damping(self, factor):
-        damping = _as_vector(self.damping, self.x.size, 'damping')
-        damping = np.clip(damping * float(factor),
-                          self.damping_min, self.damping_max)
-        if np.asarray(self.damping).ndim == 0:
-            self.damping = float(damping[0])
-        else:
-            self.damping = damping
-
-    def _metadata(self, step_norm, alpha, accepted, f_next=None):
-        if f_next is None:
-            f_next = self.state.cost
-        return {
-            'step_norm': step_norm,
-            'alpha': alpha,
-            'constraint_violation': self.state.violation,
-            'active_inequalities': self.state.active.copy(),
-            'lambda_eq': self.state.lambda_eq.copy(),
-            'lambda_ineq': self.state.lambda_ineq.copy(),
-            'damping': np.asarray(self.damping, dtype=float).copy(),
-            'damping_mode': self.damping_mode,
-            'f_next': f_next,
-            'accepted': accepted,
-        }
-
-    def _observe_governor(self, iteration, x, f, g):
-        record = StepRecord(optimizer=self, iteration=iteration, x=x, f=f,
-                            g=g, x_next=self.x,
-                            metadata=self.last_step_metadata)
-        return self._governor.observe(record)
-
-    def _finish_from_decision(self, decision, iteration):
-        message = decision.message
-        success = decision.success
-        feasible = self.state.violation <= self.constraint_tol
-        if 'function tolerance reached' in message:
-            message = 'cost tolerance reached'
-            success = feasible
-        elif message in ('maximum iterations reached', 'step tolerance reached'):
-            success = feasible
-        self._finish(success, message, iteration)
-
-    def result(self):
-        """Return the current result object."""
-        return self.state.result(self.success, self.message,
-                                 self._result_iteration)
-
-    def _linearized_step(self):
-        state = self.state
-        J, used_fd = self.view.jacobian(state.x, f0=state.residuals,
-                                        step=self.fd_step)
-        if used_fd:
-            state.nfev += 2 * state.x.size
-        state.njev += 1
-        grad = J.T @ state.residuals
-
-        if state.eq.size:
-            Aeq = _finite_difference_jacobian(self.view.eq, state.x,
-                                              f0=state.eq, step=self.fd_step)
-        else:
-            Aeq = np.zeros((0, state.x.size), dtype=float)
-        if state.ineq.size:
-            Aineq = _finite_difference_jacobian(self.view.ineq, state.x,
-                                                f0=state.ineq, step=self.fd_step)
-        else:
-            Aineq = np.zeros((0, state.x.size), dtype=float)
-        if state.eq.size or state.ineq.size:
-            state.ncev += 2 * state.x.size
-
-        damping_diag = _damping_diagonal(J, Aeq, Aineq, self.damping,
-                                         self.damping_mode, self.damping_floor)
-        dx, state.lambda_eq, state.lambda_ineq, state.active = \
-            _active_set_step(state, J, Aeq, Aineq, damping_diag,
-                             self.constraint_tol, self.active_tol,
-                             self.max_active_iter)
-        dx, trust_scale = _apply_trust_radii(dx, self.trust_radii)
-        metadata = {
-            'damping': np.asarray(self.damping, dtype=float).copy(),
-            'damping_diagonal': damping_diag.copy(),
-            'damping_mode': self.damping_mode,
-            'trust_scale': trust_scale,
-        }
-        return dx, grad, metadata
+        return self.current.infeasibility
 
     def step(self):
-        """Perform one iteration; returns pre-update (x, f, g)."""
+        """One LM iteration; returns the pre-update (x, f, g)."""
         if self.done:
             raise StopIteration(self.result())
 
-        iteration = self.iter + 1
-        x = self.state.x
-        f = self.state.cost
-
-        attempt = 0
+        at = self.current
+        f_before = at.cost
+        attempts = 0
         while True:
-            dx, g, step_metadata = self._linearized_step()
-            step_norm = _norm(dx)
-            self.last_step_norm = step_norm
-            x_norm = _norm(self.state.x)
-            if (step_norm <= self.xtol * (self.xtol + x_norm)
-                    and self.state.violation <= self.constraint_tol):
-                self.last_alpha = None
-                self.last_step_metadata = self._metadata(step_norm, None, False)
-                self.last_step_metadata.update(step_metadata)
-                self.last_step_metadata['damping_attempts'] = attempt
-                decision = self._observe_governor(iteration, x, f, g)
-                self._finish_from_decision(decision, iteration - 1)
-                return x, f, g
+            dx, gradient, lam_eq, lam_ineq, working = self._propose(at)
+            self._lam_eq, self._lam_ineq, self._working = lam_eq, lam_ineq, working
+            dx_norm = float(np.linalg.norm(dx))
 
-            alpha, trial, evaluations = _line_search(
-                self.view, self.state, dx, self.ftol, self.constraint_tol,
-                self.max_line_search)
-            self.last_alpha = alpha
-            self.state.nfev += evaluations
-            self.state.ncev += evaluations
-            if trial is not None:
+            # predicted step already negligible at a feasible point: converged
+            if (dx_norm <= self.xtol * (self.xtol + float(np.linalg.norm(at.x)))
+                    and at.infeasibility <= self.constraint_tol):
+                self.last_step_metadata = self._describe(dx_norm, None, False)
+                self._stop('step tolerance reached', self.iter)
+                return at.x, f_before, gradient
+
+            found = self._backtrack(at, dx)
+            if found is not None:
+                alpha, trial = found
                 break
+            if not self.adaptive_damping or attempts >= self.max_damping_attempts:
+                self.last_step_metadata = self._describe(dx_norm, None, False)
+                self._stop('line search failed', self.iter + 1, success=False)
+                return at.x, f_before, gradient
+            self._scale_damping(self.damping_increase)
+            attempts += 1
 
-            if (not self.adaptive_damping
-                    or attempt >= self.max_damping_attempts):
-                self.last_step_metadata = self._metadata(step_norm, alpha, False)
-                self.last_step_metadata.update(step_metadata)
-                self.last_step_metadata['line_search_failed'] = True
-                self.last_step_metadata['damping_attempts'] = attempt
-                self._finish(False, 'line search failed', iteration)
-                return x, f, g
-
-            self._rescale_damping(self.damping_increase)
-            attempt += 1
-
-        f_next = trial.cost
-        history_metadata = step_metadata.copy()
-        history_metadata['damping_attempts'] = attempt
-        self.state.history.append({
+        self.current = trial
+        self.iter += 1
+        self.history.append({
             'x': trial.x.copy(),
             'cost': trial.cost,
-            'constraint_violation': trial.violation,
-            'step_norm': step_norm,
+            'constraint_violation': trial.infeasibility,
+            'step_norm': dx_norm,
             'alpha': alpha,
-            'active_inequalities': self.state.active.copy(),
-            **history_metadata,
+            'active_inequalities': working.copy(),
+            'damping_attempts': attempts,
         })
-        st = self.state
-        st.x = trial.x
-        st.residuals = trial.residuals
-        st.eq = trial.eq
-        st.ineq = trial.ineq
-        st.cost = trial.cost
-        st.violation = trial.violation
-        self.x = st.x
-        self.iter += 1
-        self.last_step_metadata = self._metadata(step_norm, alpha, True,
-                                                 f_next=f_next)
-        self.last_step_metadata.update(step_metadata)
-        self.last_step_metadata['damping_attempts'] = attempt
+        self.last_step_metadata = self._describe(dx_norm, alpha, True,
+                                                 f_next=trial.cost)
 
         if self.adaptive_damping:
-            if alpha == 1.0:
-                self._rescale_damping(self.damping_decrease)
-            else:
-                self._rescale_damping(self.damping_increase)
+            self._scale_damping(self.damping_decrease if alpha == 1.0
+                                else self.damping_increase)
 
-        decision = self._observe_governor(self.iter, x, f, g)
-        if (decision.stop
-                and not (decision.message == 'step tolerance reached'
-                         and self.state.violation > self.constraint_tol)):
-            self._finish_from_decision(decision, self.iter)
-        return x, f, g
+        feasible = trial.infeasibility <= self.constraint_tol
+        moved = float(np.max(np.abs(trial.x - at.x))) if trial.x.size else 0.0
+        f_after = trial.cost
+        if feasible and moved <= self.xtol * max(1.0, float(np.max(np.abs(at.x)))
+                                                 if at.x.size else 1.0):
+            self._stop('step tolerance reached', self.iter)
+        elif (feasible and abs(f_before - f_after)
+              <= self.ftol * max(1.0, abs(f_before), abs(f_after))):
+            self._stop('cost tolerance reached', self.iter)
+        elif self.iter >= self.maxiter:
+            self._stop('maximum iterations reached', self.iter)
+        return at.x, f_before, gradient
+
+    def _describe(self, step_norm, alpha, accepted, f_next=None):
+        return {
+            'step_norm': step_norm,
+            'alpha': alpha,
+            'accepted': accepted,
+            'constraint_violation': self.current.infeasibility,
+            'active_inequalities': self._working.copy(),
+            'damping': np.asarray(self.damping, dtype=float).copy(),
+            'damping_mode': self.damping_mode,
+            'f_next': self.current.cost if f_next is None else f_next,
+        }
 
     def run(self):
-        """Run until the configured stopping condition."""
+        """Iterate to a stopping condition; returns the result object."""
         if self.maxiter <= 0 and not self.done:
-            success = self.state.violation <= self.constraint_tol
-            self._finish(success, 'maximum iterations reached', 0)
+            self._stop('maximum iterations reached', 0)
         while not self.done:
             self.step()
         return self.result()
+
+    def result(self):
+        """Snapshot the current state as a result object."""
+        return DampedLeastSquaresResult(
+            x=self.current.x, residuals=self.current.r,
+            cost=self.current.cost, success=self.success,
+            message=self.message, nit=getattr(self, '_nit', self.iter),
+            nfev=self.nfev, njev=self.njev, ncev=self.ncev,
+            lambda_eq=self._lam_eq, lambda_ineq=self._lam_ineq,
+            active_inequalities=self._working, history=self.history)
 
 
 def damped_least_squares(problem, x0=None, **kwargs):
