@@ -1,7 +1,13 @@
-"""Coefficient-backed materials fitted from wavelength samples.
+"""Dispersion-model fitting: coefficient-backed materials from samples.
 
-Rebuild of ``prysm/x/materials/fitted.py``: constant / Cauchy / Schott
-linear least squares and nonlinear Sellmeier fits with full diagnostics.
+API parity target: ``prysm/x/materials/fitted.py``.  Design: each model is a
+:class:`_ModelSpec` entry in a registry — parameter naming, term resolution,
+evaluation, and the fitting strategy (linear design matrix vs nonlinear
+residual) all hang off the spec, so :func:`fit_material` is one generic
+driver rather than per-model branches.
+
+Models: 'constant', 'cauchy' (inverse-even-power series), 'schott'
+(polynomial in w^2 fit against n^2), 'sellmeier1' (nonlinear resonance fit).
 """
 from dataclasses import dataclass
 
@@ -13,244 +19,229 @@ from .formulas import schott, sellmeier
 from .tabulated import MaterialData, TabulatedMaterial
 
 
+def _require(cond, message):
+    if not cond:
+        raise ValueError(message)
+
+
 @dataclass(frozen=True)
 class FitReport:
     """Diagnostics from fitting a dispersion model to measured samples."""
 
     model: str
     coefficients: dict
-    residuals: np.ndarray
-    max_abs_error: float
     rms_error: float
+    max_abs_error: float
+    residuals: 'np.ndarray'
+    wavelength_range: tuple
     sample_count: int
     parameter_count: int
     degrees_of_freedom: int
-    wavelength_range: tuple
     condition_number: float
     warnings: tuple
-    success: bool = True
     message: str = ''
+    success: bool = True
 
 
-def _normalize_model(model):
-    key = str(model).lower()
-    if key not in ('constant', 'cauchy', 'sellmeier1', 'schott'):
-        raise ValueError(
-            f'unknown fit model {model!r}; expected constant, cauchy, '
-            'sellmeier1, or schott')
-    return key
+# ---------------------------------------------------------------------------
+# model registry
+# ---------------------------------------------------------------------------
 
 
-def _model_terms(model, terms, sample_count):
-    if model == 'constant':
-        return 1
-    if model == 'cauchy':
-        if sample_count == 1:
-            raise ValueError('one sample supports only the constant fit model')
-        return 2 if terms is None else int(terms)
-    if model == 'sellmeier1':
-        return 1 if terms is None else int(terms)
-    if model == 'schott':
-        return 6
-    raise ValueError(model)
+def _even_inverse_powers(wvl, coeffs):
+    """c0 + c1/w^2 + c2/w^4 + ... (the Cauchy series)."""
+    total = coeffs[0] + wvl * 0
+    for i, c in enumerate(coeffs[1:], start=1):
+        total = total + c * wvl ** (-2 * i)
+    return total
 
 
-def _parameter_names(model, terms):
-    if model == 'constant':
-        return ('n0',)
-    if model == 'cauchy':
-        return tuple(f'A{i}' for i in range(terms))
-    if model == 'sellmeier1':
-        return (tuple(f'B{i}' for i in range(terms))
-                + tuple(f'C{i}' for i in range(terms)))
-    if model == 'schott':
-        return tuple(f'c{i}' for i in range(6))
-    raise ValueError(model)
+@dataclass(frozen=True)
+class _ModelSpec:
+    key: str
+    names_for: callable          # terms -> parameter name tuple
+    resolve_terms: callable      # (terms, n_samples) -> int
+    evaluate: callable           # (wvl, coeffs, terms) -> n
+    design: callable = None      # (wvl, terms) -> matrix (linear models)
+    target: callable = None      # (n,) -> fitted quantity (default n itself)
+    sigma_map: callable = None   # (n, sigma) -> sigma of the fitted quantity
 
 
-def _cauchy_design(wvl, terms):
-    return np.column_stack([wvl ** (-2 * i) for i in range(terms)])
+def _fixed(value):
+    return lambda terms, n_samples: value
 
 
-def _schott_design(wvl):
-    w2 = wvl * wvl
-    return np.column_stack([np.ones_like(wvl), w2, 1 / w2, 1 / w2 ** 2,
-                            1 / w2 ** 3, 1 / w2 ** 4])
+def _cauchy_terms(terms, n_samples):
+    if n_samples == 1:
+        raise ValueError('a single sample supports only the constant model')
+    return 2 if terms is None else int(terms)
 
 
-def _sellmeier1_eval(wvl, coeffs, terms):
-    return sellmeier(wvl, coeffs[:terms], coeffs[terms:])
+_REGISTRY = {
+    'constant': _ModelSpec(
+        key='constant',
+        names_for=lambda terms: ('n0',),
+        resolve_terms=_fixed(1),
+        evaluate=lambda wvl, c, terms: c[0] + wvl * 0,
+        design=lambda wvl, terms: np.ones((wvl.size, 1))),
+    'cauchy': _ModelSpec(
+        key='cauchy',
+        names_for=lambda terms: tuple(f'A{i}' for i in range(terms)),
+        resolve_terms=_cauchy_terms,
+        evaluate=lambda wvl, c, terms: _even_inverse_powers(wvl, c[:terms]),
+        design=lambda wvl, terms: np.stack(
+            [wvl ** (-2 * i) for i in range(terms)], axis=1)),
+    'schott': _ModelSpec(
+        key='schott',
+        names_for=lambda terms: tuple(f'c{i}' for i in range(6)),
+        resolve_terms=_fixed(6),
+        evaluate=lambda wvl, c, terms: schott(wvl, *c[:6]),
+        design=lambda wvl, terms: np.stack(
+            [wvl * 0 + 1, wvl ** 2, wvl ** -2.0, wvl ** -4.0,
+             wvl ** -6.0, wvl ** -8.0], axis=1),
+        target=lambda n: n * n,
+        sigma_map=lambda n, s: 2 * n * s),
+    'sellmeier1': _ModelSpec(
+        key='sellmeier1',
+        names_for=lambda terms: (tuple(f'B{i}' for i in range(terms))
+                                 + tuple(f'C{i}' for i in range(terms))),
+        resolve_terms=lambda terms, n_samples: 1 if terms is None else int(terms),
+        evaluate=lambda wvl, c, terms: sellmeier(wvl, c[:terms], c[terms:])),
+}
 
 
-def _evaluate_fit_model(model, coeffs, wvl, terms):
-    """Evaluate a fitted model as direct sums (scalar-in, scalar-out)."""
-    if model == 'constant':
-        return coeffs[0] + wvl * 0
-    if model == 'cauchy':
-        out = coeffs[0] + wvl * 0
-        for i in range(1, terms):
-            out = out + coeffs[i] * wvl ** (-2 * i)
-        return out
-    if model == 'sellmeier1':
-        return _sellmeier1_eval(wvl, coeffs, terms)
-    if model == 'schott':
-        return schott(wvl, *coeffs[:6])
-    raise ValueError(model)
+def _spec_for(model):
+    spec = _REGISTRY.get(str(model).lower())
+    if spec is None:
+        raise ValueError(f'unknown fit model {model!r}; expected one of '
+                         + ', '.join(sorted(_REGISTRY)))
+    return spec
 
 
-def _normalize_bounds(bounds, n_params):
+# ---------------------------------------------------------------------------
+# fitting engines
+# ---------------------------------------------------------------------------
+
+
+def _bound_pair(bounds, n_params):
     if bounds is None:
         return None
-    lo, hi = bounds
-    lo = np.broadcast_to(np.asarray(lo, dtype=float), (n_params,)).copy()
-    hi = np.broadcast_to(np.asarray(hi, dtype=float), (n_params,)).copy()
+    lo, hi = (np.broadcast_to(np.asarray(side, dtype=float), (n_params,)).copy()
+              for side in bounds)
     if np.any(lo > hi):
-        raise ValueError('lower bounds must not exceed upper bounds')
+        raise ValueError('a lower bound exceeds its upper bound')
     return lo, hi
 
 
-def _weighted_design(A, y, sigma):
-    if sigma is None:
-        return A, y
-    weights = 1 / sigma
-    return A * weights[:, None], y * weights
-
-
-def _linear_fit(A, y, *, sigma=None, bounds=None):
-    A_w, y_w = _weighted_design(A, y, sigma)
+def _solve_linear(spec, data, terms, bounds):
+    """Weighted (optionally bounded) linear least squares for the model."""
+    A = spec.design(data.wavelengths, terms)
+    y = spec.target(data.n) if spec.target else data.n
+    sigma = data.sigma_n
+    if sigma is not None and spec.sigma_map:
+        sigma = spec.sigma_map(data.n, sigma)
+    if sigma is not None:
+        A = A / sigma[:, None]
+        y = y / sigma
     if bounds is None:
-        coeffs, _, rank, svals = np.linalg.lstsq(A_w, y_w, rcond=None)
-        return coeffs, rank, svals, 'linear least squares'
-    bounds = _normalize_bounds(bounds, A.shape[1])
-    result = optimize.lsq_linear(A_w, y_w, bounds=bounds)
-    svals = np.linalg.svd(A_w, compute_uv=False)
-    rank = int(np.linalg.matrix_rank(A_w))
-    if not result.success:
-        raise ValueError(f'bounded linear fit failed: {result.message}')
-    return result.x, rank, svals, result.message
+        coeffs, _, rank, svals = np.linalg.lstsq(A, y, rcond=None)
+        return coeffs, rank, svals, 'unconstrained linear least squares'
+    solved = optimize.lsq_linear(A, y, bounds=_bound_pair(bounds, A.shape[1]))
+    if not solved.success:
+        raise ValueError(f'bounded linear fit failed: {solved.message}')
+    return (solved.x, int(np.linalg.matrix_rank(A)),
+            np.linalg.svd(A, compute_uv=False), solved.message)
 
 
-def _sellmeier_initial(n, terms):
-    strength = max(float(np.mean(n) ** 2 - 1), 0.1)
-    b = np.full(terms, strength / terms, dtype=float)
-    c = 0.01 * (np.arange(terms, dtype=float) + 1)
-    return np.concatenate([b, c])
-
-
-def _fit_sellmeier1(data, terms, *, bounds=None, initial=None):
-    n_params = len(_parameter_names('sellmeier1', terms))
+def _solve_sellmeier(spec, data, terms, bounds, initial):
+    """Nonlinear resonance fit via scipy least_squares."""
+    n_params = 2 * terms
     if initial is None:
-        initial = _sellmeier_initial(data.n, terms)
+        # strengths split a rough n^2-1 budget; resonances seeded small & apart
+        budget = max(float(np.mean(data.n) ** 2 - 1), 0.1)
+        initial = np.concatenate([np.full(terms, budget / terms),
+                                  0.01 * np.arange(1, terms + 1, dtype=float)])
     else:
         initial = np.asarray(initial, dtype=float)
     if initial.shape != (n_params,):
-        raise ValueError(f'initial must contain {n_params} parameters')
-    bounds = _normalize_bounds(bounds, n_params)
-    if bounds is None:
-        bounds = (-np.inf * np.ones(n_params), np.inf * np.ones(n_params))
+        raise ValueError(f'initial guess needs exactly {n_params} parameters')
+    box = _bound_pair(bounds, n_params) or (np.full(n_params, -np.inf),
+                                            np.full(n_params, np.inf))
 
-    def residuals(p):
-        model_n = _sellmeier1_eval(data.wavelengths, p, terms)
-        resid = model_n - data.n
-        if not np.all(np.isfinite(resid)):
-            resid = np.full(data.n.shape, 1e12, dtype=float)
-        if data.sigma_n is not None:
-            resid = resid / data.sigma_n
-        return resid
+    def mismatch(p):
+        delta = spec.evaluate(data.wavelengths, p, terms) - data.n
+        if not np.all(np.isfinite(delta)):
+            delta = np.full(data.n.shape, 1e12)
+        return delta if data.sigma_n is None else delta / data.sigma_n
 
-    result = optimize.least_squares(residuals, initial, bounds=bounds)
-    if not result.success:
-        raise ValueError(f'sellmeier1 fit failed: {result.message}')
-    svals = np.linalg.svd(result.jac, compute_uv=False)
-    rank = int(np.linalg.matrix_rank(result.jac))
-    return result.x, rank, svals, result.message
+    solved = optimize.least_squares(mismatch, initial, bounds=box)
+    if not solved.success:
+        raise ValueError(f'sellmeier1 fit failed: {solved.message}')
+    return (solved.x, int(np.linalg.matrix_rank(solved.jac)),
+            np.linalg.svd(solved.jac, compute_uv=False), solved.message)
 
 
-def _fit_coefficients(data, model, terms, *, bounds=None, initial=None):
-    if model == 'constant':
-        A = np.ones((data.wavelengths.size, 1), dtype=float)
-        return _linear_fit(A, data.n, sigma=data.sigma_n, bounds=bounds)
-    if model == 'cauchy':
-        A = _cauchy_design(data.wavelengths, terms)
-        return _linear_fit(A, data.n, sigma=data.sigma_n, bounds=bounds)
-    if model == 'schott':
-        A = _schott_design(data.wavelengths)
-        sigma = None if data.sigma_n is None else 2 * data.n * data.sigma_n
-        return _linear_fit(A, data.n * data.n, sigma=sigma, bounds=bounds)
-    if model == 'sellmeier1':
-        return _fit_sellmeier1(data, terms, bounds=bounds, initial=initial)
-    raise ValueError(model)
-
-
-def _condition_number(svals):
-    if svals is None or len(svals) == 0:
-        return np.inf
-    smax = float(np.max(svals))
-    smin = float(np.min(svals))
-    return np.inf if smin == 0 else smax / smin
-
-
-def _fit_warnings(rank, n_params, dof, cond, allow_exact):
-    warnings = []
-    if dof < 0:
-        warnings.append('fit is underdetermined; coefficients are not unique')
-    elif dof == 0:
-        warnings.append('fit has zero degrees of freedom')
-    if rank < n_params:
-        warnings.append('fit Jacobian or design matrix is rank deficient')
-    if cond > 1e12:
-        warnings.append('fit Jacobian or design matrix is ill conditioned')
-    if allow_exact:
-        warnings.append('allow_exact=True was used')
-    return tuple(warnings)
-
-
-def _make_fit_report(model, names, coeffs, data, terms, rank, svals, message,
-                     allow_exact):
-    residuals = (_evaluate_fit_model(model, coeffs, data.wavelengths, terms)
-                 - data.n)
+def _diagnose(spec, names, coeffs, data, terms, rank, svals, message,
+              allow_exact):
+    """Build the FitReport and its warning list."""
+    residuals = spec.evaluate(data.wavelengths, coeffs, terms) - data.n
     if not np.all(np.isfinite(residuals)):
-        raise ValueError(f'{model} fit produced non-finite residuals')
-    max_abs = float(np.max(np.abs(residuals)))
-    rms = float(np.sqrt(np.mean(residuals * residuals)))
+        raise ValueError(f'{spec.key} fit produced non-finite residuals')
     dof = int(data.wavelengths.size - len(coeffs))
-    cond = float(_condition_number(svals))
+    if svals is None or len(svals) == 0 or float(np.min(svals)) == 0:
+        cond = np.inf
+    else:
+        cond = float(np.max(svals)) / float(np.min(svals))
+    notes = []
+    if dof < 0:
+        notes.append('fit is underdetermined; coefficients are not unique')
+    elif dof == 0:
+        notes.append('fit has zero degrees of freedom')
+    if rank < len(coeffs):
+        notes.append('fit Jacobian or design matrix is rank deficient')
+    if cond > 1e12:
+        notes.append('fit Jacobian or design matrix is ill conditioned')
+    if allow_exact:
+        notes.append('allow_exact=True was used')
     return FitReport(
-        model=model,
-        coefficients={n: float(v) for n, v in zip(names, coeffs)},
+        model=spec.key,
+        coefficients={k: float(v) for k, v in zip(names, coeffs)},
         residuals=residuals.copy(),
-        max_abs_error=max_abs,
-        rms_error=rms,
+        max_abs_error=float(np.max(np.abs(residuals))),
+        rms_error=float(np.sqrt(np.mean(residuals * residuals))),
         sample_count=int(data.wavelengths.size),
         parameter_count=int(len(coeffs)),
         degrees_of_freedom=dof,
         wavelength_range=data.wavelength_range,
-        condition_number=cond,
-        warnings=_fit_warnings(rank, len(coeffs), dof, cond, allow_exact),
+        condition_number=float(cond),
+        warnings=tuple(notes),
         success=True,
-        message=str(message),
-    )
+        message=str(message))
 
 
-def _check_error_thresholds(report, max_abs_error, rms_error):
-    if max_abs_error is not None and report.max_abs_error > max_abs_error:
-        raise ValueError(
-            f'{report.model} fit max_abs_error {report.max_abs_error:g} '
-            f'exceeds requested {float(max_abs_error):g}')
-    if rms_error is not None and report.rms_error > rms_error:
-        raise ValueError(
-            f'{report.model} fit rms_error {report.rms_error:g} '
-            f'exceeds requested {float(rms_error):g}')
+# ---------------------------------------------------------------------------
+# material
+# ---------------------------------------------------------------------------
 
 
-def _check_sellmeier_poles(name, coeffs, terms, wavelength_range):
-    lo, hi = wavelength_range
-    c = coeffs[terms:]
-    poles = np.sqrt(c[c > 0])
-    if np.any((poles >= lo) & (poles <= hi)):
-        raise ValueError(
-            f'sellmeier1 fit for {name} has a pole inside the fitted '
-            'wavelength range')
+def _terms_from_coefficients(spec, coefficients):
+    """Infer the term count from an explicit coefficient container."""
+    try:
+        count = len(coefficients)
+    except TypeError:
+        count = None
+    if spec.key == 'constant':
+        return 1
+    if spec.key == 'schott':
+        return 6
+    if count is None:
+        return 1 if spec.key == 'sellmeier1' else 2
+    if spec.key == 'sellmeier1':
+        if count % 2:
+            raise ValueError(
+                'sellmeier1 coefficients must contain paired B and C values')
+        return count // 2
+    return count
 
 
 class FittedMaterial(BaseMaterial):
@@ -258,62 +249,35 @@ class FittedMaterial(BaseMaterial):
 
     def __init__(self, name, model, coefficients, *, wavelength_range,
                  terms=None, fit_report=None, extrapolate=False, **kwargs):
-        model = _normalize_model(model)
+        spec = _spec_for(model)
         if terms is None:
-            try:
-                n_coefficients = len(coefficients)
-            except TypeError:
-                n_coefficients = None
-            if model == 'constant':
-                terms = 1
-            elif model == 'cauchy' and n_coefficients is not None:
-                terms = n_coefficients
-            elif model == 'sellmeier1' and n_coefficients is not None:
-                if n_coefficients % 2:
-                    raise ValueError(
-                        'sellmeier1 coefficients must contain paired B and C '
-                        'values')
-                terms = n_coefficients // 2
-            elif model == 'schott':
-                terms = 6
-            else:
-                terms = 1 if model == 'sellmeier1' else 2
-        terms = int(terms)
-        if model == 'schott':
-            terms = 6
-        elif terms < 1:
-            raise ValueError(f'{model} terms must be at least one')
-        names = _parameter_names(model, terms)
+            terms = _terms_from_coefficients(spec, coefficients)
+        terms = 6 if spec.key == 'schott' else int(terms)
+        if terms < 1:
+            raise ValueError(f'{spec.key} terms must be at least one')
+        names = spec.names_for(terms)
         if isinstance(coefficients, dict):
-            coeffs = np.asarray([coefficients[n] for n in names], dtype=float)
-        else:
-            coeffs = np.asarray(coefficients, dtype=float)
-        if coeffs.shape != (len(names),):
-            raise ValueError(f'coefficients must contain {len(names)} values')
-        if not np.all(np.isfinite(coeffs)):
-            raise ValueError('coefficients must be finite')
+            coefficients = [coefficients[k] for k in names]
+        coeffs = np.asarray(coefficients, dtype=float)
+        _require(coeffs.shape == (len(names),),
+                 f'expected exactly {len(names)} coefficients')
+        _require(np.all(np.isfinite(coeffs)), 'coefficients must all be finite')
 
         lo, hi = wavelength_range
-        if lo is None or hi is None or lo <= 0 or hi <= 0 or lo > hi:
-            raise ValueError('wavelength_range must be positive and ordered')
+        _require(not (lo is None or hi is None or lo <= 0 or hi <= 0 or lo > hi),
+                 'wavelength_range must be positive and ordered')
         metadata = dict(kwargs.pop('metadata', {}) or {})
         if extrapolate:
             metadata['extrapolate_wavelength'] = True
-        metadata.update({
-            'model': model,
-            'terms': terms,
-            'coefficients': {n: float(v) for n, v in zip(names, coeffs)},
-            'extrapolate': bool(extrapolate),
-        })
+        metadata.update(model=spec.key, terms=terms,
+                        coefficients={k: float(v) for k, v in zip(names, coeffs)},
+                        extrapolate=bool(extrapolate))
         super().__init__(name, wavelength_range=(float(lo), float(hi)),
                          metadata=metadata, **kwargs)
-        self.model = model
-        self.terms = terms
-        self.parameter_names = names
-        self.coefficients = coeffs.copy()
+        self.model, self._spec, self.terms = spec.key, spec, terms
+        self.parameter_names, self.coefficients = names, coeffs.copy()
         self.coefficient_table = metadata['coefficients']
-        self.extrapolate = bool(extrapolate)
-        self.fit_report = fit_report
+        self.extrapolate, self.fit_report = bool(extrapolate), fit_report
 
     @classmethod
     def from_samples(cls, name, wavelengths, n, *, model='cauchy', terms=None,
@@ -321,43 +285,54 @@ class FittedMaterial(BaseMaterial):
                      extrapolate=False, allow_exact=False, bounds=None,
                      initial=None, **kwargs):
         """Fit a model from measured wavelength + n samples."""
-        data = MaterialData(
-            np.asarray(wavelengths, dtype=float),
-            np.asarray(n, dtype=float),
-            sigma_n=(None if sigma_n is None
-                     else np.asarray(sigma_n, dtype=float)),
-            metadata=kwargs.get('metadata'))
-        if data.wavelengths.ndim != 1 or data.wavelengths.size == 0:
-            raise ValueError('wavelengths must be a non-empty 1D array')
-        if data.n.shape != data.wavelengths.shape:
-            raise ValueError('wavelengths and n must have the same length')
-        if (data.sigma_n is not None
-                and data.sigma_n.shape != data.wavelengths.shape):
-            raise ValueError('wavelengths and sigma_n must have the same length')
-        for label, arr in (('wavelengths', data.wavelengths), ('n', data.n),
-                           ('sigma_n', data.sigma_n)):
-            if arr is not None and not np.all(np.isfinite(arr)):
-                raise ValueError(f'{label} must contain only finite values')
-        if np.any(data.wavelengths <= 0) or np.any(np.diff(data.wavelengths) <= 0):
+        as_f64 = lambda v: None if v is None else np.asarray(v, dtype=float)  # NOQA
+        data = MaterialData(as_f64(wavelengths), as_f64(n),
+                            sigma_n=as_f64(sigma_n),
+                            metadata=kwargs.get('metadata'))
+        wvls = data.wavelengths
+        _require(wvls.ndim == 1 and wvls.size > 0,
+                 'wavelengths must be a non-empty 1D array')
+        _require(data.n.shape == wvls.shape,
+                 'wavelengths and n must agree in length')
+        _require(data.sigma_n is None or data.sigma_n.shape == wvls.shape,
+                 'wavelengths and sigma_n must agree in length')
+        for label, column in (('wavelengths', wvls), ('n', data.n),
+                              ('sigma_n', data.sigma_n)):
+            _require(column is None or np.all(np.isfinite(column)),
+                     f'{label} must be entirely finite')
+        _require(not np.any(wvls <= 0) and not np.any(np.diff(wvls) <= 0),
+                 'wavelengths must be strictly increasing, without duplicates')
+
+        spec = _spec_for(model)
+        terms = spec.resolve_terms(terms, data.wavelengths.size)
+        names = spec.names_for(terms)
+        if data.wavelengths.size < len(names) and not allow_exact:
             raise ValueError(
-                'wavelengths must be strictly increasing with no duplicates')
-        model = _normalize_model(model)
-        terms = _model_terms(model, terms, data.wavelengths.size)
-        n_params = len(_parameter_names(model, terms))
-        if data.wavelengths.size < n_params and not bool(allow_exact):
-            raise ValueError(
-                f'{model} fit is underdetermined: {data.wavelengths.size} '
-                f'samples for {n_params} parameters; pass allow_exact=True '
+                f'{spec.key} fit is underdetermined: {data.wavelengths.size} '
+                f'samples for {len(names)} parameters; pass allow_exact=True '
                 'to request an exact underdetermined fit')
-        coeffs, rank, svals, message = _fit_coefficients(
-            data, model, terms, bounds=bounds, initial=initial)
-        if model == 'sellmeier1':
-            _check_sellmeier_poles(name, coeffs, terms, data.wavelength_range)
-        names = _parameter_names(model, terms)
-        report = _make_fit_report(model, names, coeffs, data, terms, rank,
-                                  svals, message, bool(allow_exact))
-        _check_error_thresholds(report, max_abs_error, rms_error)
-        return cls(name, model, coeffs, wavelength_range=data.wavelength_range,
+        if spec.design is not None:
+            coeffs, rank, svals, message = _solve_linear(spec, data, terms, bounds)
+        else:
+            coeffs, rank, svals, message = _solve_sellmeier(
+                spec, data, terms, bounds, initial)
+            resonances = coeffs[terms:]
+            poles = np.sqrt(resonances[resonances > 0])
+            lo, hi = data.wavelength_range
+            if np.any((poles >= lo) & (poles <= hi)):
+                raise ValueError(
+                    f'sellmeier1 fit for {name} has a pole inside the fitted '
+                    'wavelength range')
+        report = _diagnose(spec, names, coeffs, data, terms, rank, svals,
+                           message, bool(allow_exact))
+        for bound_name, bound in (('max_abs_error', max_abs_error),
+                                  ('rms_error', rms_error)):
+            if bound is not None and getattr(report, bound_name) > bound:
+                raise ValueError(
+                    f'{spec.key} fit {bound_name} '
+                    f'{getattr(report, bound_name):g} exceeds requested '
+                    f'{float(bound):g}')
+        return cls(name, spec.key, coeffs, wavelength_range=data.wavelength_range,
                    terms=terms, fit_report=report, extrapolate=extrapolate,
                    **kwargs)
 
@@ -368,7 +343,7 @@ class FittedMaterial(BaseMaterial):
         if np.any((wvl < lo) | (wvl > hi)):
             raise MaterialRangeError(
                 f'wavelength for {self.name} outside material range '
-                f'{lo:g} to {hi:g} um')
+                f'{lo:g} to {hi:g} um (fitted model)')
 
     def __call__(self, wvl_um):
         """Alias for n(wvl_um)."""
@@ -377,8 +352,7 @@ class FittedMaterial(BaseMaterial):
     def n(self, wvl_um, temperature=None):
         """Real refractive index from the fitted model."""
         self._check_range(wvl_um)
-        return _evaluate_fit_model(self.model, self.coefficients, wvl_um,
-                                   self.terms)
+        return self._spec.evaluate(wvl_um, self.coefficients, self.terms)
 
     def k(self, wvl_um, temperature=None):
         """Zero extinction (real-index fits)."""
@@ -392,8 +366,7 @@ def from_samples(name, wavelengths, n, *, k=None, model=None, method='linear',
     if model is None:
         return TabulatedMaterial(name, wavelengths, n, k=k, method=method,
                                  **kwargs)
-    if k is not None:
-        raise ValueError('fitted materials do not support k samples yet')
+    _require(k is None, 'fitted materials do not yet accept k samples')
     return FittedMaterial.from_samples(name, wavelengths, n, model=model,
                                        **kwargs)
 

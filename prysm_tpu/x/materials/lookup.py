@@ -1,66 +1,60 @@
-"""Material lookup helpers (MIRROR sentinel, air/vacuum, glass names).
+"""Glass-token resolution: MIRROR sentinel, air/vacuum, catalog names.
 
-Rebuild of ``prysm/x/materials/lookup.py``.
+API parity target: ``prysm/x/materials/lookup.py``.  Resolution is a chain
+of small matchers tried in order; the first one that recognizes the spec
+wins.
 """
 from .core import ConstantMaterial
 
 MIRROR = '__MIRROR__'
 
-_DEFAULT_CATALOG = None
+air, vacuum = (ConstantMaterial(1.0, name=label)
+               for label in ('air', 'vacuum'))
 
-air = ConstantMaterial(1.0, name='air')
-vacuum = ConstantMaterial(1.0, name='vacuum')
+_SHARED_DB = []
 
 
 def _default_catalog():
-    """Module-cached refractiveindex.info catalog (downloads once)."""
-    global _DEFAULT_CATALOG
-    if _DEFAULT_CATALOG is None:
+    """Process-wide cached ri.info catalog (fetched once)."""
+    if not _SHARED_DB:
         from .rii import RefractiveIndexCatalog
-        _DEFAULT_CATALOG = RefractiveIndexCatalog.from_database()
-    return _DEFAULT_CATALOG
+        _SHARED_DB.append(RefractiveIndexCatalog.from_database())
+    return _SHARED_DB[0]
 
 
 def glass(name, database=None, **qualifiers):
-    """Resolve a glass name through a catalog or the default database."""
-    if database is None:
-        database = _default_catalog()
-    if hasattr(database, 'material_for_name'):
-        return database.material_for_name(name, **qualifiers)
-    raise TypeError(
-        'database must be a material catalog exposing material_for_name(name)')
+    """Resolve a glass name through a catalog (default: the ri.info db)."""
+    db = database if database is not None else _default_catalog()
+    resolver = getattr(db, 'material_for_name', None)
+    if resolver is None:
+        raise TypeError('database must expose material_for_name(name)')
+    return resolver(name, **qualifiers)
 
 
 def resolve_index(spec, name_resolver=None):
-    """Resolve any index spec to a callable n(wvl), MIRROR, air, or None.
+    """Turn any index spec into a callable n(wvl), MIRROR, air, or None.
 
-    Strings 'MIRROR', 'AIR', 'VACUUM' are special; other strings route
-    through name_resolver; numbers become constant callables.
+    Strings 'MIRROR', 'AIR', 'VACUUM' are special tokens; other strings
+    route through ``name_resolver``; numbers become constant callables;
+    callables pass through unchanged.
     """
-    if spec is None:
-        return None
-    if spec is MIRROR:
-        return MIRROR
-    if isinstance(spec, str):
-        key = spec.strip().upper()
-        if spec == MIRROR or key == 'MIRROR':
-            return MIRROR
-        if not key or key in ('AIR', 'VACUUM'):
-            return air
-        if name_resolver is None:
-            raise TypeError(
-                f'cannot resolve glass name {spec!r} without a catalog')
-        return name_resolver(spec)
-    if callable(spec):
+    if spec is None or spec is MIRROR:
         return spec
-    value = spec
-    return lambda wvl: value
+    if not isinstance(spec, str):
+        # a bare number becomes a constant; an n(wvl) callable passes through
+        return spec if callable(spec) else (lambda wvl, value=spec: value)
+    token = spec.strip().upper()
+    if token == 'MIRROR':
+        return MIRROR
+    if token in ('', 'AIR', 'VACUUM'):
+        return air
+    if name_resolver is None:
+        raise TypeError(f'glass name {spec!r} needs a catalog to resolve')
+    return name_resolver(spec)
 
 
 def lookup(name, database=None, **qualifiers):
-    """Resolve a glass token to a material, air, or the MIRROR sentinel."""
-    resolved = resolve_index(
-        name,
-        name_resolver=lambda token: glass(token, database=database,
-                                          **qualifiers))
-    return air if resolved is None else resolved
+    """Map a glass token to a material, air, or the MIRROR sentinel."""
+    found = resolve_index(
+        name, name_resolver=lambda s: glass(s, database=database, **qualifiers))
+    return air if found is None else found

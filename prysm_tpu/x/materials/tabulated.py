@@ -1,15 +1,22 @@
-"""Tabulated n(wvl) and n(wvl, T) materials.
+"""Sample-table materials: n(wvl) and n(wvl, T) lookup with interpolation.
 
-Rebuild of ``prysm/x/materials/tabulated.py``: validated sample tables
-with linear / nearest / log / pchip interpolation and separable bilinear
-temperature-grid lookup.
+API parity target: ``prysm/x/materials/tabulated.py``.  Design: interpolation
+is compiled once at construction into closures (``_make_interpolator``),
+selected from a registry of interpolator factories; queries just call the
+prepared closure.  The temperature grid uses one shared bracketing helper
+(:func:`_segment_weights`) for both axes of the separable bilinear lookup.
 """
 import warnings
 
 import numpy as np
-from scipy import interpolate
+from scipy import interpolate as _scipy_interp
 
 from .core import BaseMaterial, MaterialRangeError, MissingKError
+
+
+def _out_of_range(name, lo, hi):
+    raise MaterialRangeError(
+        f'wavelength for {name} outside material range {lo:g} to {hi:g} um')
 
 
 class MaterialData:
@@ -28,88 +35,131 @@ class MaterialData:
         return float(self.wavelengths[0]), float(self.wavelengths[-1])
 
 
-def _match_query_dtype(value, query):
+def _query_dtype(query):
     dtype = getattr(query, 'dtype', None)
-    if dtype is None or not np.issubdtype(dtype, np.floating):
-        dtype = np.dtype(np.float64)
-    if hasattr(value, 'astype'):
-        return value.astype(dtype, copy=False)
-    return dtype.type(value)
+    if dtype is not None and np.issubdtype(dtype, np.floating):
+        return dtype
+    return np.dtype(np.float64)
 
 
-def _nearest_interp(x, xp, fp):
-    idx = np.clip(np.searchsorted(xp, x, side='left'), 0, len(xp) - 1)
-    left = np.clip(idx - 1, 0, len(xp) - 1)
-    choose_left = np.abs(x - xp[left]) <= np.abs(x - xp[idx])
-    return fp[np.where(choose_left, left, idx)]
+def _cast_like(values, query):
+    dtype = _query_dtype(query)
+    if hasattr(values, 'astype'):
+        return values.astype(dtype, copy=False)
+    return dtype.type(values)
 
 
-def _linear_interp(x, xp, fp, extrapolate):
-    out = _match_query_dtype(np.interp(x, xp, fp), x)
-    if not extrapolate or len(xp) < 2:
-        return out
-    lslope = (fp[1] - fp[0]) / (xp[1] - xp[0])
-    rslope = (fp[-1] - fp[-2]) / (xp[-1] - xp[-2])
-    left = fp[0] + np.subtract(x, xp[0]) * lslope
-    right = fp[-1] + np.subtract(x, xp[-1]) * rslope
-    out = np.where(np.less(x, xp[0]), left, out)
-    out = np.where(np.greater(x, xp[-1]), right, out)
-    return out
+def _segment_weights(knots, queries, allow_outside):
+    """Bracket queries in a sorted knot vector.
+
+    Returns (lo index, hi index, fraction).  Fractions are clamped to [0, 1]
+    unless ``allow_outside``, in which case the edge segments extend.
+    """
+    if knots.shape[0] == 1:
+        zero = np.zeros_like(np.asarray(queries, dtype=float))
+        return 0, 0, zero
+    hi = np.clip(np.searchsorted(knots, queries, side='right'), 1,
+                 knots.shape[0] - 1)
+    lo = hi - 1
+    t = (queries - knots[lo]) / (knots[hi] - knots[lo])
+    if not allow_outside:
+        t = np.clip(t, 0.0, 1.0)
+    return lo, hi, t
 
 
-def _interp1d(x, xp, fp, method, extrapolate):
-    if method == 'linear':
-        return _linear_interp(x, xp, fp, extrapolate)
-    if method == 'nearest':
-        return _nearest_interp(x, xp, fp)
-    if method == 'log':
-        if np.any(fp <= 0):
-            raise ValueError('log interpolation requires positive samples')
-        return np.exp(_linear_interp(x, xp, np.log(fp), extrapolate))
-    if method == 'pchip':
-        pchip = interpolate.PchipInterpolator(xp, fp, extrapolate=extrapolate)
-        return _match_query_dtype(pchip(x), x)
-    raise ValueError(
-        "interpolation method must be 'linear', 'nearest', 'pchip', or 'log'")
+# -- interpolator factories: (knots, values, allow_outside) -> f(query) ------
 
 
-def _normalize_interp_method(method):
+def _build_linear(knots, values, allow_outside):
+    def run(q):
+        lo, hi, t = _segment_weights(knots, q, allow_outside)
+        return _cast_like(values[lo] + (values[hi] - values[lo]) * t, q)
+    return run
+
+
+def _build_nearest(knots, values, allow_outside):
+    def run(q):
+        left = np.clip(np.searchsorted(knots, q, side='left'), 0,
+                       knots.size - 1)
+        prior = np.clip(left - 1, 0, knots.size - 1)
+        take_prior = np.abs(q - knots[prior]) <= np.abs(q - knots[left])
+        return values[np.where(take_prior, prior, left)]
+    return run
+
+
+def _build_log(knots, values, allow_outside):
+    if np.any(values <= 0):
+        raise ValueError('log interpolation requires positive samples')
+    inner = _build_linear(knots, np.log(values), allow_outside)
+    return lambda q: np.exp(inner(q))
+
+
+def _build_pchip(knots, values, allow_outside):
+    spline = _scipy_interp.PchipInterpolator(knots, values,
+                                             extrapolate=allow_outside)
+    return lambda q: _cast_like(spline(q), q)
+
+
+_INTERPOLATORS = {
+    'linear': _build_linear,
+    'nearest': _build_nearest,
+    'log': _build_log,
+    'pchip': _build_pchip,
+}
+
+
+def _make_interpolator(method, knots, values, allow_outside):
+    factory = _INTERPOLATORS.get(str(method).lower())
+    if factory is None:
+        raise ValueError(
+            "interpolation method must be 'linear', 'nearest', 'pchip', or 'log'")
+    return factory(knots, values, allow_outside)
+
+
+def _valid_method(method):
     key = str(method).lower()
-    if key not in ('linear', 'nearest', 'pchip', 'log'):
+    if key not in _INTERPOLATORS:
         raise ValueError(
             "interpolation method must be 'linear', 'nearest', 'pchip', or 'log'")
     return key
 
 
-def _validate_axis(values, name):
-    if not np.all(np.isfinite(values)):
-        raise ValueError(f'{name} must contain only finite values')
-    if np.any(values <= 0):
-        raise ValueError(f'{name} must be positive')
-    if values.size > 1 and np.any(np.diff(values) <= 0):
-        raise ValueError(
-            f'{name} must be strictly increasing with no duplicates')
+# -- validation --------------------------------------------------------------
 
 
-def _validate_samples(wavelengths, n, k, sigma_n, sigma_k):
-    if wavelengths.ndim != 1:
-        raise ValueError('wavelengths must be a 1D array')
-    if wavelengths.size == 0:
-        raise ValueError('wavelengths must contain at least one value')
-    _validate_axis(wavelengths, 'wavelengths')
-    if n.shape != wavelengths.shape:
-        raise ValueError('n samples must match wavelengths')
-    if not np.all(np.isfinite(n)):
-        raise ValueError('n samples must contain only finite values')
-    for label, arr in (('k', k), ('sigma_n', sigma_n), ('sigma_k', sigma_k)):
-        if arr is None:
+def _require(cond, message):
+    if not cond:
+        raise ValueError(message)
+
+
+def _check_axis(axis, label):
+    _require(np.all(np.isfinite(axis)), f'{label} must contain only finite values')
+    _require(not np.any(axis <= 0), f'{label} must be positive')
+    if axis.size > 1:
+        _require(np.all(np.diff(axis) > 0),
+                 f'{label} must be strictly increasing with no duplicates')
+
+
+def _check_table(wavelengths, n, extras):
+    _require(wavelengths.ndim == 1, 'wavelengths must be a 1D array')
+    _require(wavelengths.size > 0, 'wavelengths must contain at least one value')
+    _check_axis(wavelengths, 'wavelengths')
+    _require(n.shape == wavelengths.shape, 'n samples must match wavelengths')
+    _require(np.all(np.isfinite(n)), 'n samples must contain only finite values')
+    for label, column in extras.items():
+        if column is None:
             continue
-        if arr.shape != wavelengths.shape:
-            raise ValueError(f'{label} samples must match wavelengths')
-        if not np.all(np.isfinite(arr)):
-            raise ValueError(f'{label} samples must contain only finite values')
-    if k is not None and np.any(k < 0):
-        raise ValueError('k must be nonnegative')
+        _require(column.shape == wavelengths.shape,
+                 f'{label} samples must match wavelengths')
+        _require(np.all(np.isfinite(column)),
+                 f'{label} samples must contain only finite values')
+    k = extras.get('k')
+    if k is not None:
+        _require(not np.any(k < 0), 'k must be nonnegative')
+
+
+def _optional_f64(value):
+    return None if value is None else np.array(value, dtype=np.float64)
 
 
 class TabulatedMaterial(BaseMaterial):
@@ -123,131 +173,98 @@ class TabulatedMaterial(BaseMaterial):
         missing_k = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
         wavelengths = np.array(wavelengths, dtype=np.float64)
         n = np.array(n, dtype=np.float64)
-        k = None if k is None else np.array(k, dtype=np.float64)
-        sigma_n = None if sigma_n is None else np.array(sigma_n, dtype=np.float64)
-        sigma_k = None if sigma_k is None else np.array(sigma_k, dtype=np.float64)
-        _validate_samples(wavelengths, n, k, sigma_n, sigma_k)
-        if wavelengths.size < 2 and (method or interpolation) != 'nearest':
-            raise ValueError(
-                'at least two samples are required for interpolation')
+        k = _optional_f64(k)
+        sigma_n = _optional_f64(sigma_n)
+        sigma_k = _optional_f64(sigma_k)
+        _check_table(wavelengths, n,
+                     {'k': k, 'sigma_n': sigma_n, 'sigma_k': sigma_k})
         if method is not None:
             interpolation = method
-        interpolation = _normalize_interp_method(interpolation)
-        n_interpolation = _normalize_interp_method(n_interpolation or interpolation)
-        k_interpolation = _normalize_interp_method(k_interpolation or interpolation)
+        if wavelengths.size < 2 and interpolation != 'nearest':
+            raise ValueError('at least two samples are required for interpolation')
+        n_method = _valid_method(n_interpolation or interpolation)
+        k_method = _valid_method(k_interpolation or interpolation)
         if k_zero_policy not in ('raise', 'linear'):
             raise ValueError("k_zero_policy must be 'raise' or 'linear'")
-        if (k_interpolation == 'log' and k is not None and np.any(k == 0)
-                and k_zero_policy == 'raise'):
-            raise ValueError(
-                "log interpolation for k requires positive k samples; set "
-                "k_zero_policy='linear' to handle zeros explicitly")
+        if k_method == 'log' and k is not None and np.any(k == 0):
+            if k_zero_policy == 'raise':
+                raise ValueError(
+                    "log interpolation for k requires positive k samples; set "
+                    "k_zero_policy='linear' to handle zeros explicitly")
+            k_method = 'linear'
+
         metadata = dict(kwargs.pop('metadata', {}) or {})
         if extrapolate:
             metadata['extrapolate_wavelength'] = True
-        metadata.update({
-            'method': n_interpolation,
-            'extrapolate': bool(extrapolate),
-            'missing_k': missing_k,
-            'k_zero_policy': k_zero_policy,
-        })
+        metadata.update(method=n_method, extrapolate=bool(extrapolate),
+                        missing_k=missing_k, k_zero_policy=k_zero_policy)
         wavelength_range = kwargs.pop(
             'wavelength_range', (float(wavelengths[0]), float(wavelengths[-1])))
         super().__init__(name, wavelength_range=wavelength_range,
                          metadata=metadata, missing_k=missing_k, **kwargs)
-        self.wavelengths = wavelengths
-        self.n_samples = n
-        self.k_samples = k
-        self.sigma_n = sigma_n
-        self.sigma_k = sigma_k
-        self.n_interpolation = n_interpolation
-        self.k_interpolation = k_interpolation
-        self.method = n_interpolation
-        self.k_zero_policy = k_zero_policy
-        self.extrapolate = extrapolate
+        self.wavelengths, self.n_samples, self.k_samples = wavelengths, n, k
+        self.sigma_n, self.sigma_k = sigma_n, sigma_k
+        self.n_interpolation = self.method = n_method
+        self.k_interpolation, self.k_zero_policy = k_method, k_zero_policy
+        self.extrapolate = bool(extrapolate)
         self.data = MaterialData(wavelengths, n, k=k, sigma_n=sigma_n,
                                  metadata=metadata)
         self.fit_report = None
+        # compile the lookups once
+        self._n_of = _make_interpolator(n_method, wavelengths, n, self.extrapolate)
+        self._k_of = (None if k is None else
+                      _make_interpolator(k_method, wavelengths, k, self.extrapolate))
 
     def _check_wavelength(self, wvl):
         if self.metadata.get('extrapolate_wavelength'):
             return
         lo, hi = self.wavelength_range
         if np.any(np.less(wvl, lo) | np.greater(wvl, hi)):
-            raise MaterialRangeError(
-                f'wavelength for {self.name} outside material range '
-                f'{lo:g} to {hi:g} um')
+            _out_of_range(self.name, lo, hi)
+
+    def _guard(self, wvl, temperature):
+        self._check_wavelength(wvl)
+        self._check_temperature(temperature)
 
     def n(self, wvl_um, temperature=None):
         """Interpolated real index."""
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temperature)
-        return _interp1d(wvl_um, self.wavelengths, self.n_samples,
-                         self.n_interpolation, self.extrapolate)
+        self._guard(wvl_um, temperature)
+        return self._n_of(wvl_um)
 
     def k(self, wvl_um, temperature=None):
         """Interpolated extinction coefficient."""
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temperature)
-        if self.k_samples is None:
+        self._guard(wvl_um, temperature)
+        if self._k_of is None:
             if self.missing_k == 'raise':
-                raise MissingKError(f'material {self.name} has no k samples')
+                raise MissingKError(f'no k samples on material {self.name}')
             return self._missing_k(wvl_um)
-        method = self.k_interpolation
-        if (method == 'log' and np.any(self.k_samples == 0)
-                and self.k_zero_policy == 'linear'):
-            method = 'linear'
-        return _interp1d(wvl_um, self.wavelengths, self.k_samples, method,
-                         self.extrapolate)
+        return self._k_of(wvl_um)
 
 
-def _coerce_temperature_grid(grid, temperatures, wavelengths, label,
-                             layout=None):
+# -- wavelength x temperature grids ------------------------------------------
+
+
+def _orient_grid(grid, n_temps, n_wvls, label, layout):
+    """Coerce a 2D sample grid into (temperature, wavelength) layout."""
     if grid is None:
         return None
     arr = np.array(grid, dtype=np.float64)
-    tw = (len(temperatures), len(wavelengths))
-    wt = (len(wavelengths), len(temperatures))
-    if tw == wt and arr.shape == tw:
-        if layout == ('wavelength', 'temperature'):
-            return arr.T
+    if n_temps == n_wvls and arr.shape == (n_temps, n_wvls):
+        # square: ambiguous; honor the explicit layout, default (T, w)
+        return arr.T if layout == ('wavelength', 'temperature') else arr
+    if arr.shape == (n_temps, n_wvls):
         return arr
-    if arr.shape == tw:
-        return arr
-    if arr.shape == wt:
+    if arr.shape == (n_wvls, n_temps):
         return arr.T
     raise ValueError(f'{label} grid must have shape temperature x wavelength')
 
 
-def _bracket(xp, x, extrapolate):
-    """Bracketing indices + fraction; clamped unless extrapolating."""
-    if xp.shape[0] == 1:
-        return 0, 0, x * 0
-    idx = np.clip(np.searchsorted(xp, x, side='right'), 1, xp.shape[0] - 1)
-    x0 = xp[idx - 1]
-    frac = (x - x0) / (xp[idx] - x0)
-    if not extrapolate:
-        frac = np.clip(frac, 0.0, 1.0)
-    return idx - 1, idx, frac
-
-
-def _interp_grid(wavelengths, temperatures, grid, wvl, temp, extrapolate):
-    """Separable bilinear grid interpolation, vectorized over queries."""
-    wvl_b, temp_b = np.broadcast_arrays(wvl, temp)
-    w = np.reshape(wvl_b, (-1,))
-    t = np.reshape(temp_b, (-1,))
-    iw0, iw1, fw = _bracket(wavelengths, w, extrapolate)
-    it0, it1, ft = _bracket(temperatures, t, extrapolate)
-    g0 = grid[it0, iw0] + (grid[it0, iw1] - grid[it0, iw0]) * fw
-    g1 = grid[it1, iw0] + (grid[it1, iw1] - grid[it1, iw0]) * fw
-    out = g0 + (g1 - g0) * ft
-    if hasattr(out, 'astype'):
-        out = out.astype(grid.dtype, copy=False)
-    return np.reshape(out, wvl_b.shape)
-
-
 class TemperatureGridMaterial(BaseMaterial):
-    """Material with n(wvl, T) samples on a wavelength-temperature grid."""
+    """Material with n(wvl, T) sampled on a rectangular grid.
+
+    Lookup is separable bilinear: one bracketing per axis, then a lerp of
+    lerps, fully vectorized over broadcast (wvl, T) queries.
+    """
 
     def __init__(self, name, wavelengths, temperatures, n, *, k=None,
                  dn_dlambda=None, dn_dT=None, sigma_n=None,
@@ -255,33 +272,24 @@ class TemperatureGridMaterial(BaseMaterial):
         missing_k = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
         wavelengths = np.array(wavelengths, dtype=np.float64)
         temperatures = np.array(temperatures, dtype=np.float64)
-        if wavelengths.ndim != 1:
-            raise ValueError('wavelengths must be a 1D array')
-        if temperatures.ndim != 1:
-            raise ValueError('temperatures must be a 1D array')
-        w_order = np.argsort(wavelengths)
-        t_order = np.argsort(temperatures)
-        wavelengths = wavelengths[w_order]
-        temperatures = temperatures[t_order]
-        _validate_axis(wavelengths, 'wavelengths')
-        _validate_axis(temperatures, 'temperatures')
-        if layout is None and len(wavelengths) == len(temperatures):
+        _require(wavelengths.ndim == 1, 'wavelengths must be a 1D array')
+        _require(temperatures.ndim == 1, 'temperatures must be a 1D array')
+        w_sort = np.argsort(wavelengths)
+        t_sort = np.argsort(temperatures)
+        wavelengths = wavelengths[w_sort]
+        temperatures = temperatures[t_sort]
+        _check_axis(wavelengths, 'wavelengths')
+        _check_axis(temperatures, 'temperatures')
+        if layout is None and wavelengths.size == temperatures.size:
             warnings.warn(
                 f'{name} grid is square; assuming (temperature, wavelength) '
                 "layout. Pass layout=('temperature', 'wavelength') or "
                 "('wavelength', 'temperature') to disambiguate.",
                 stacklevel=2)
 
-        def coerce(g, label):
-            g = _coerce_temperature_grid(g, temperatures, wavelengths, label,
-                                         layout)
-            return None if g is None else g[t_order][:, w_order]
-
-        n_grid = coerce(n, 'n')
-        k_grid = coerce(k, 'k')
-        dn_dlambda_grid = coerce(dn_dlambda, 'dn_dlambda')
-        dn_dT_grid = coerce(dn_dT, 'dn_dT')
-        sigma_n_grid = coerce(sigma_n, 'sigma_n')
+        def prepared(g, label):
+            g = _orient_grid(g, temperatures.size, wavelengths.size, label, layout)
+            return None if g is None else g[t_sort][:, w_sort]
 
         metadata = dict(kwargs.pop('metadata', {}) or {})
         if extrapolate:
@@ -290,65 +298,66 @@ class TemperatureGridMaterial(BaseMaterial):
         wavelength_range = kwargs.pop(
             'wavelength_range', (float(wavelengths[0]), float(wavelengths[-1])))
         temperature_range = kwargs.pop(
-            'temperature_range',
-            (float(temperatures[0]), float(temperatures[-1])))
+            'temperature_range', (float(temperatures[0]), float(temperatures[-1])))
         super().__init__(name, wavelength_range=wavelength_range,
                          temperature_range=temperature_range,
                          metadata=metadata, missing_k=missing_k, **kwargs)
-        self.wavelengths = wavelengths
-        self.temperatures = temperatures
-        self.n_grid = n_grid
-        self.k_grid = k_grid
-        self.dn_dlambda_grid = dn_dlambda_grid
-        self.dn_dT_grid = dn_dT_grid
-        self.sigma_n = sigma_n_grid
-        self.extrapolate = extrapolate
+        self.wavelengths, self.temperatures = wavelengths, temperatures
+        self.n_grid = prepared(n, 'n')
+        self.k_grid = prepared(k, 'k')
+        self.dn_dlambda_grid = prepared(dn_dlambda, 'dn_dlambda')
+        self.dn_dT_grid = prepared(dn_dT, 'dn_dT')
+        self.sigma_n = prepared(sigma_n, 'sigma_n')
+        self.extrapolate = bool(extrapolate)
 
-    def _temperature(self, temperature):
+    def _lookup(self, grid, wvl, temp):
+        wvl_b, temp_b = np.broadcast_arrays(wvl, temp)
+        w = wvl_b.reshape(-1)
+        t = temp_b.reshape(-1)
+        wl_lo, wl_hi, wf = _segment_weights(self.wavelengths, w, self.extrapolate)
+        t_lo, t_hi, tf = _segment_weights(self.temperatures, t, self.extrapolate)
+        cold = grid[t_lo, wl_lo] * (1 - wf) + grid[t_lo, wl_hi] * wf
+        warm = grid[t_hi, wl_lo] * (1 - wf) + grid[t_hi, wl_hi] * wf
+        out = cold * (1 - tf) + warm * tf
+        if hasattr(out, 'astype'):
+            out = out.astype(grid.dtype, copy=False)
+        return out.reshape(wvl_b.shape)
+
+    def _guarded_temp(self, wvl, temperature):
+        """Default a missing temperature, then run both range checks."""
         if temperature is None:
-            if len(self.temperatures) == 1:
-                return self.temperatures[0]
-            raise ValueError(f'temperature is required for {self.name}')
+            if self.temperatures.size != 1:
+                raise ValueError(f'temperature is required for {self.name}')
+            temperature = self.temperatures[0]
+        self._check_wavelength(wvl)
+        self._check_temperature(temperature)
         return temperature
 
     def n(self, wvl_um, temperature=None):
         """Bilinear n(wvl, T)."""
-        temp = self._temperature(temperature)
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temp)
-        return _interp_grid(self.wavelengths, self.temperatures, self.n_grid,
-                            wvl_um, temp, self.extrapolate)
+        temp = self._guarded_temp(wvl_um, temperature)
+        return self._lookup(self.n_grid, wvl_um, temp)
 
     def k(self, wvl_um, temperature=None):
         """Bilinear k(wvl, T), or the missing-k policy."""
-        temp = self._temperature(temperature)
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temp)
+        temp = self._guarded_temp(wvl_um, temperature)
         if self.k_grid is None:
             if self.missing_k == 'raise':
-                raise MissingKError(f'material {self.name} has no k grid')
+                raise MissingKError(f'no k grid on material {self.name}')
             wvl_b, temp_b = np.broadcast_arrays(wvl_um, temp)
             return np.zeros(wvl_b.shape, dtype=self.n_grid.dtype) + temp_b * 0
-        return _interp_grid(self.wavelengths, self.temperatures, self.k_grid,
-                            wvl_um, temp, self.extrapolate)
+        return self._lookup(self.k_grid, wvl_um, temp)
 
     def dn_dlambda(self, wvl_um, temperature=None):
         """Measured dn/dwvl if gridded, else finite differences."""
         if self.dn_dlambda_grid is None:
             return super().dn_dlambda(wvl_um, temperature=temperature)
-        temp = self._temperature(temperature)
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temp)
-        return _interp_grid(self.wavelengths, self.temperatures,
-                            self.dn_dlambda_grid, wvl_um, temp,
-                            self.extrapolate)
+        temp = self._guarded_temp(wvl_um, temperature)
+        return self._lookup(self.dn_dlambda_grid, wvl_um, temp)
 
     def dn_dT(self, wvl_um, temperature):
         """Measured dn/dT if gridded, else finite differences."""
         if self.dn_dT_grid is None:
             return super().dn_dT(wvl_um, temperature)
-        self._check_wavelength(wvl_um)
-        self._check_temperature(temperature)
-        return _interp_grid(self.wavelengths, self.temperatures,
-                            self.dn_dT_grid, wvl_um, temperature,
-                            self.extrapolate)
+        self._guarded_temp(wvl_um, temperature)
+        return self._lookup(self.dn_dT_grid, wvl_um, temperature)
