@@ -1,11 +1,21 @@
-"""Needle optimization for coating synthesis.
+"""Needle synthesis for multilayer coating design.
 
-Rebuild of ``prysm/x/coatings/needle.py``: the needle P(z) function
-(merit derivative of a zero-thickness insertion at depth z), insertion,
-cleanup, and the grow-refine-prune synthesis loop.  P(z) is evaluated
-vectorized over the whole depth grid in one shot.
+API parity target: ``prysm/x/coatings/needle.py``.  The needle function
+P(z) is the merit derivative of inserting a zero-thickness layer of a
+candidate material at depth z; negative P means the insertion helps.  P is
+evaluated vectorized over the whole depth grid: the host layer's partial
+characteristic matrices above and below each z are formed in one batch, and
+the candidate's thin-layer generator is contracted against the assembly
+cotangent from the merit terms.
+
+Synthesis alternates insertion at the most negative P with gradient
+refinement and pruning of sub-tolerance layers.
 """
+from dataclasses import dataclass
+from itertools import groupby
+
 import numpy as onp
+
 import jax.numpy as jnp
 
 from ...conf import config
@@ -17,147 +27,162 @@ from .merit import as_merit
 from .refine import refine
 
 
-def _boundary_depths(stack):
-    th = onp.asarray(stack.thicknesses, dtype=config.precision)
-    return onp.concatenate([onp.zeros(1, dtype=config.precision),
-                            onp.cumsum(th)])
+def _layer_boundaries(stack):
+    """Cumulative boundary depths [0, d1, d1+d2, ...]."""
+    depth = onp.asarray(stack.thicknesses, dtype=config.precision)
+    return onp.concatenate([[0.0], onp.cumsum(depth)]).astype(config.precision)
 
 
-def _needle_P_for_sample(fwd, c_M, needle_material, z, Z):
+def _thin_layer_generator(fwd, needle_material, sample_shape):
+    """d(char matrix)/d(thickness) of a zero-thickness candidate layer."""
+    ambient = _resolve(fwd.stack.ambient_index, fwd.wvl)
+    candidate = _resolve(needle_material, fwd.wvl)
+    cos_t = _cos_snell(ambient, candidate, fwd.theta0)
+    admittance = jnp.broadcast_to(
+        _admittance(candidate, cos_t, fwd.pol) + 0j, sample_shape)
+    phase_rate = jnp.broadcast_to(
+        (2 * jnp.pi * candidate * cos_t) / fwd.wvl + 0j, sample_shape)
+    return (phase_rate[..., None, None]
+            * _dchar_dbeta(jnp.zeros(sample_shape), admittance))
+
+
+def _insertion_gradient(fwd, c_M, needle_material, z, Z):
     """P(z) contribution from one (ForwardEval, M-cotangent) pair."""
-    stack = fwd.stack
-    wvl, theta0, pol = fwd.wvl, fwd.theta0, fwd.pol
-    N = len(stack)
-    calc_shape = jnp.shape(fwd.r)
-    ndc = len(calc_shape)
+    sample_shape = jnp.shape(fwd.r)
+    n_sample_axes = len(sample_shape)
+    host_count = len(fwd.stack)
 
-    # thin-layer generator for the candidate material at this illumination
-    n0 = _resolve(stack.ambient_index, wvl)
-    nn = _resolve(needle_material, wvl)
-    cost_n = _cos_snell(n0, nn, theta0)
-    eta_n = _admittance(nn, cost_n, pol)
-    beta_dd_n = (2 * jnp.pi * nn * cost_n) / wvl
-    eta_n_b = jnp.broadcast_to(eta_n + 0j, calc_shape)
-    G = (jnp.broadcast_to(beta_dd_n + 0j, calc_shape)[..., None, None]
-         * _dchar_dbeta(jnp.zeros(calc_shape), eta_n_b))
+    G = _thin_layer_generator(fwd, needle_material, sample_shape)
 
-    # per-z host layer and the partial matrices above / below z
-    j = onp.clip(onp.searchsorted(Z, z, side='right') - 1, 0, N - 1)
-    top_t = z - Z[j]
-    bot_t = Z[j + 1] - z
-    extra = (1,) * ndc
-    top_b = jnp.asarray(top_t).reshape((-1,) + extra)
-    bot_b = jnp.asarray(bot_t).reshape((-1,) + extra)
+    # which host layer each z lives in, and the split thicknesses
+    host = onp.clip(onp.searchsorted(Z, z, side='right') - 1, 0, host_count - 1)
+    lead = (slice(None),) + (None,) * n_sample_axes
+    above_t = jnp.asarray(z - Z[host])[lead]
+    below_t = jnp.asarray(Z[host + 1] - z)[lead]
 
-    dbdd = jnp.stack([jnp.broadcast_to(d + 0j, calc_shape)
-                      for d in fwd.dbeta_dd], 0)
-    etas = jnp.stack([jnp.broadcast_to(e + 0j, calc_shape)
-                      for e in fwd.etas], 0)
-    dbdd_j = dbdd[j]
-    etas_j = etas[j]
-    M_top = _char_matrix(dbdd_j * top_b, etas_j)
-    M_bot = _char_matrix(dbdd_j * bot_b, etas_j)
+    def batched(parts):
+        return jnp.stack([jnp.broadcast_to(p + 0j, sample_shape)
+                          for p in parts], 0)
 
-    tshape = calc_shape + (2, 2)
-    Lstack = jnp.stack([jnp.broadcast_to(Lk + 0j, tshape) for Lk in fwd.L], 0)
-    Rstack = jnp.stack([jnp.broadcast_to(Rk + 0j, tshape) for Rk in fwd.R], 0)
-    Lz = Lstack[j] @ M_top
-    Rz = M_bot @ Rstack[j + 1]
-    dM = Lz @ G[None] @ Rz
+    phase_rates = batched(fwd.dbeta_dd)[host]
+    admittances = batched(fwd.etas)[host]
+    upper = _char_matrix(phase_rates * above_t, admittances)
+    lower = _char_matrix(phase_rates * below_t, admittances)
 
-    contrib = jnp.real(jnp.sum(jnp.conj(c_M)[None] * dM, axis=(-2, -1)))
-    if ndc:
-        contrib = jnp.sum(contrib, axis=tuple(range(1, contrib.ndim)))
-    return contrib
+    mat_shape = sample_shape + (2, 2)
+    L_all = jnp.stack([jnp.broadcast_to(Lk + 0j, mat_shape) for Lk in fwd.L], 0)
+    R_all = jnp.stack([jnp.broadcast_to(Rk + 0j, mat_shape) for Rk in fwd.R], 0)
+    dM = (L_all[host] @ upper) @ G[None] @ (lower @ R_all[host + 1])
+
+    per_z = jnp.real(jnp.sum(jnp.conj(c_M)[None] * dM, axis=(-2, -1)))
+    if n_sample_axes:
+        per_z = jnp.sum(per_z, axis=tuple(range(1, per_z.ndim)))
+    return per_z
 
 
 def needle_function(stack, targets, needle_material, z):
-    """Merit derivative P(z) for inserting needle_material at depth z.
+    """Merit derivative P(z) of inserting ``needle_material`` at depth z.
 
     Negative values mean the insertion lowers the merit.
     """
     merit = as_merit(targets)
     z = onp.atleast_1d(onp.asarray(z, dtype=config.precision))
-    Z = _boundary_depths(stack)
-    P = jnp.zeros(z.shape, dtype=config.precision)
-    for term in merit.terms:
-        for fwd, c_M in term.assembly_seeds(stack):
-            P = P + _needle_P_for_sample(fwd, c_M, needle_material, z, Z)
-    return P
+    Z = _layer_boundaries(stack)
+    contributions = [
+        _insertion_gradient(fwd, c_M, needle_material, z, Z)
+        for term in merit.terms
+        for fwd, c_M in term.assembly_seeds(stack)
+    ]
+    total = jnp.zeros(z.shape, dtype=config.precision)
+    for c in contributions:
+        total = total + c
+    return total
 
 
 def insert_needle(stack, z, material, thickness=1e-3, return_index=False):
-    """Insert a layer at depth z, splitting the host layer."""
-    Z = _boundary_depths(stack)
-    N = len(stack)
-    if N == 0:
+    """Split the host layer at depth z and insert ``material`` there."""
+    Z = _layer_boundaries(stack)
+    if len(stack) == 0:
         raise ValueError('insert_needle requires at least one layer')
-    total = float(Z[-1])
     z = float(z)
-    if z < 0.0 or z > total:
+    if not 0.0 <= z <= float(Z[-1]):
         raise ValueError('z must lie within the coating stack')
-    j = int(onp.clip(onp.searchsorted(Z, z, side='right') - 1, 0, N - 1))
-    top_t = float(z - Z[j])
-    bot_t = float(Z[j + 1] - z)
+    host = int(onp.clip(onp.searchsorted(Z, z, side='right') - 1,
+                        0, len(stack) - 1))
 
-    idx = list(stack.indices)
-    th = list(onp.asarray(stack.thicknesses, dtype=config.precision))
-    new_idx = idx[:j] + [idx[j], material, idx[j]] + idx[j + 1:]
-    new_th = th[:j] + [top_t, float(thickness), bot_t] + th[j + 1:]
-    inserted = Stack(new_idx, new_th, stack.substrate_index,
-                     stack.ambient_index)
-    if return_index:
-        return inserted, j + 1
-    return inserted
+    media = list(stack.indices)
+    depths = [float(t) for t in onp.asarray(stack.thicknesses,
+                                            dtype=config.precision)]
+    media[host:host + 1] = [media[host], material, media[host]]
+    depths[host:host + 1] = [z - float(Z[host]), float(thickness),
+                             float(Z[host + 1]) - z]
+    grown = Stack(media, depths, stack.substrate_index, stack.ambient_index)
+    return (grown, host + 1) if return_index else grown
 
 
-def _same_material(a, b):
-    if callable(a) or callable(b):
-        return a is b
-    return bool(onp.isclose(complex(a), complex(b)))
+class _MediumKey:
+    """Equality wrapper so adjacent-layer merging can groupby materials."""
+
+    __slots__ = ('medium',)
+
+    def __init__(self, medium):
+        self.medium = medium
+
+    def __eq__(self, other):
+        a, b = self.medium, other.medium
+        if callable(a) or callable(b):
+            return a is b
+        return bool(onp.isclose(complex(a), complex(b)))
+
+    def __hash__(self):
+        return 0
 
 
 def cleanup(stack, prune_tol=2e-3, keep_indices=None):
-    """Drop sub-tolerance layers and merge adjacent same-material layers."""
-    idx = list(stack.indices)
-    th = list(onp.asarray(stack.thicknesses, dtype=config.precision))
-    keep_indices = set(() if keep_indices is None else keep_indices)
-
-    kept_idx = []
-    kept_th = []
-    for k, (i, t) in enumerate(zip(idx, th)):
-        if t >= prune_tol or k in keep_indices:
-            kept_idx.append(i)
-            kept_th.append(t)
-
-    midx = []
-    mth = []
-    for i, t in zip(kept_idx, kept_th):
-        if midx and _same_material(midx[-1], i):
-            mth[-1] = mth[-1] + t
-        else:
-            midx.append(i)
-            mth.append(t)
-    return Stack(midx, mth, stack.substrate_index, stack.ambient_index)
+    """Drop sub-tolerance layers, then merge adjacent same-material runs."""
+    protected = frozenset(keep_indices or ())
+    survivors = [
+        (medium, float(t))
+        for k, (medium, t) in enumerate(zip(stack.indices, stack.thicknesses))
+        if float(t) >= prune_tol or k in protected
+    ]
+    media, depths = [], []
+    for key, run in groupby(survivors, key=lambda pair: _MediumKey(pair[0])):
+        media.append(key.medium)
+        depths.append(sum(t for _, t in run))
+    return Stack(media, depths, stack.substrate_index, stack.ambient_index)
 
 
+@dataclass
 class NeedleResult:
-    """Outcome of needle synthesis: stack, merit, n_layers, iterations,
-    and whether the loop reached a stationary design."""
+    """Outcome of needle synthesis."""
 
-    __slots__ = ('stack', 'merit', 'n_layers', 'iterations', 'success')
+    stack: Stack
+    merit: float
+    iterations: int
+    success: bool
 
-    def __init__(self, stack, merit, iterations, success):
-        self.stack = stack
-        self.merit = float(merit)
-        self.n_layers = len(stack)
-        self.iterations = int(iterations)
-        self.success = bool(success)
+    @property
+    def n_layers(self):
+        """Layer count of the synthesized stack."""
+        return len(self.stack)
 
     def __repr__(self):
+        """Compact representation."""
         return (f'NeedleResult(merit={self.merit:.3e}, '
                 f'n_layers={self.n_layers}, iterations={self.iterations}, '
                 f'success={self.success})')
+
+
+def _best_insertion(stack, merit, materials, z):
+    """(P value, material, depth) of the most favorable insertion."""
+    champion = (onp.inf, None, None)
+    for mat in materials:
+        P = onp.asarray(needle_function(stack, merit, mat, z))
+        k = int(onp.argmin(P))
+        if P[k] < champion[0]:
+            champion = (float(P[k]), mat, float(z[k]))
+    return champion
 
 
 def synthesize(stack0, targets, materials, *, z_samples=240, max_layers=40,
@@ -170,47 +195,34 @@ def synthesize(stack0, targets, materials, *, z_samples=240, max_layers=40,
         raise ValueError('materials pool is empty')
     refine_kwargs = dict(refine_kwargs or {})
 
-    stack = refine(stack0, merit, **refine_kwargs).stack
+    def polish(s):
+        return refine(s, merit, **refine_kwargs).stack
+
+    stack = polish(stack0)
     stationary = False
-    iterations = 0
-    for iterations in range(1, max_iters + 1):
-        if len(stack) >= max_layers:
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        total_depth = float(onp.sum(onp.asarray(stack.thicknesses)))
+        if len(stack) >= max_layers or len(stack) == 0 or total_depth <= 0:
             break
-        total = float(onp.sum(onp.asarray(stack.thicknesses)))
-        if total <= 0 or len(stack) == 0:
-            break
-        z = onp.linspace(0.0, total, z_samples)
-
-        best_P = onp.inf
-        best_mat = None
-        best_z = None
-        for mat in materials:
-            P = onp.asarray(needle_function(stack, merit, mat, z))
-            i = int(onp.argmin(P))
-            if P[i] < best_P:
-                best_P = float(P[i])
-                best_mat = mat
-                best_z = float(z[i])
-
-        if best_P >= -tol:
+        depth_grid = onp.linspace(0.0, total_depth, z_samples)
+        P_best, mat_best, z_best = _best_insertion(stack, merit, materials,
+                                                   depth_grid)
+        if P_best >= -tol:
             stationary = True
             break
 
-        stack, inserted_idx = insert_needle(
-            stack, best_z, best_mat, thickness=seed_thickness,
-            return_index=True)
-        stack = refine(stack, merit, **refine_kwargs).stack
-        cleaned = cleanup(stack, prune_tol=prune_tol,
-                          keep_indices=[inserted_idx])
-        if len(cleaned) == 0:
-            stack = cleaned
+        stack, where = insert_needle(stack, z_best, mat_best,
+                                     thickness=seed_thickness,
+                                     return_index=True)
+        stack = polish(stack)
+        pruned = cleanup(stack, prune_tol=prune_tol, keep_indices=[where])
+        if len(pruned) == 0:
+            stack = pruned
             break
-        if len(cleaned) != len(stack):
-            stack = refine(cleaned, merit, **refine_kwargs).stack
-        else:
-            stack = cleaned
+        stack = polish(pruned) if len(pruned) != len(stack) else pruned
 
-    return NeedleResult(stack, merit.value(stack), iterations, stationary)
+    return NeedleResult(stack, merit.value(stack), rounds, stationary)
 
 
 __all__ = [

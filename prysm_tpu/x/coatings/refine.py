@@ -1,70 +1,74 @@
 """Gradient refinement of coating stacks.
 
-Rebuild of ``prysm/x/coatings/refine.py`` over prysm_tpu optym.
+API parity target: ``prysm/x/coatings/refine.py``.  Two drivers over the
+shared :class:`CoatingProblem`: bounded quasi-Newton (PrysmLBFGSB) and
+constrained damped least squares, selected by a driver table.
 """
+from dataclasses import dataclass
+
 import numpy as onp
 
 from ...conf import config
 from ..optym.optimizers import run_until
 from ..optym.lbfgsb import PrysmLBFGSB
 from ..optym.least_squares import damped_least_squares
-from ..optym.governors import (
-    AnyGovernor,
-    MaxIterations,
-    FunctionTolerance,
-    GradientTolerance,
-)
+from ..optym.governors import (AnyGovernor, MaxIterations,
+                               FunctionTolerance, GradientTolerance)
 
 from .merit import as_merit
 from .problem import CoatingProblem
 
 
+@dataclass
 class CoatingResult:
-    """Outcome of a coating refinement: stack, x, merit, success, nit."""
+    """Outcome of a coating refinement."""
 
-    __slots__ = ('stack', 'x', 'merit', 'success', 'nit', 'optimizer_result')
-
-    def __init__(self, stack, x, merit, success, nit, optimizer_result):
-        self.stack = stack
-        self.x = x
-        self.merit = float(merit)
-        self.success = bool(success)
-        self.nit = int(nit)
-        self.optimizer_result = optimizer_result
+    stack: object
+    x: object
+    merit: float
+    success: bool
+    nit: int
+    optimizer_result: object
 
     def __repr__(self):
-        return (f'CoatingResult(merit={self.merit:.3e}, '
-                f'success={self.success}, nit={self.nit})')
+        """Compact representation."""
+        return (f'CoatingResult(merit={self.merit:.3e}, nit={self.nit}, '
+                f'success={self.success})')
 
 
-def _box_bounds(n, bounds, min_thickness, max_thickness):
+def _thickness_box(n, bounds, min_thickness, max_thickness):
+    """(lower, upper) per-variable bounds from whichever spec was given."""
     if bounds is not None:
-        lo, hi = bounds
-        lb = onp.full(n, lo, dtype=config.precision)
-        ub = onp.full(n, hi, dtype=config.precision)
+        lo, hi = bounds[0], bounds[1]
     else:
-        lb = onp.full(n, min_thickness, dtype=config.precision)
-        ub = (onp.full(n, onp.inf, dtype=config.precision)
-              if max_thickness is None
-              else onp.full(n, max_thickness, dtype=config.precision))
-    return lb, ub
+        lo = min_thickness
+        hi = onp.inf if max_thickness is None else max_thickness
+    return (onp.full(n, lo, dtype=config.precision),
+            onp.full(n, hi, dtype=config.precision))
 
 
-def _as_constraint_list(constraints):
-    if constraints is None:
-        return []
-    if callable(constraints):
-        return [constraints]
-    return list(constraints)
+def _run_lbfgsb(problem, x0, lb, ub, maxiter, ftol, gtol, memory, kwargs):
+    opt = PrysmLBFGSB(problem.fg, x0, lower_bounds=lb, upper_bounds=ub,
+                      memory=memory, **kwargs)
+    stop = AnyGovernor([MaxIterations(maxiter), FunctionTolerance(ftol),
+                        GradientTolerance(gtol)])
+    return run_until(opt, stop, maxiter=maxiter)
 
 
-def _box_inequality_constraints(lb, ub):
-    constraints = []
+def _run_lm(problem, x0, lb, ub, maxiter, ftol, gtol, memory, kwargs):
+    fences = kwargs.pop('inequality_constraints', None)
+    fences = ([fences] if callable(fences) else list(fences or ()))
+    # encode the box as linear inequality constraints g(x) >= 0
     if bool(onp.any(onp.isfinite(lb))):
-        constraints.append(lambda x, lb=lb: onp.asarray(x) - lb)
+        fences.append(lambda x, lb=lb: onp.asarray(x) - lb)
     if bool(onp.any(onp.isfinite(ub))):
-        constraints.append(lambda x, ub=ub: ub - onp.asarray(x))
-    return constraints
+        fences.append(lambda x, ub=ub: ub - onp.asarray(x))
+    return damped_least_squares(problem, x0=x0, maxiter=maxiter,
+                                inequality_constraints=fences or None,
+                                **kwargs)
+
+
+_DRIVERS = {'lbfgsb': _run_lbfgsb, 'lm': _run_lm}
 
 
 def refine(stack, targets, *, method='lbfgsb', variable_layers=None,
@@ -76,41 +80,18 @@ def refine(stack, targets, *, method='lbfgsb', variable_layers=None,
     method 'lbfgsb' = bounded quasi-Newton; 'lm' = damped least squares.
     variables selects per-layer thickness or index as the design vector.
     """
+    driver = _DRIVERS.get(method)
+    if driver is None:
+        raise ValueError("method must be either 'lbfgsb' or 'lm'")
     merit = as_merit(targets)
-    problem = CoatingProblem(stack, merit, variable_layers=variable_layers,
-                             variables=variables)
+    problem = CoatingProblem(stack, merit, variables=variables,
+                             variable_layers=variable_layers)
     x0 = problem.x0()
-    n = x0.size
-    lb, ub = _box_bounds(n, bounds, min_thickness, max_thickness)
-
-    if method == 'lbfgsb':
-        opt = PrysmLBFGSB(problem.fg, x0, memory=memory,
-                          lower_bounds=lb, upper_bounds=ub, **kwargs)
-        governor = AnyGovernor([
-            MaxIterations(maxiter),
-            FunctionTolerance(ftol),
-            GradientTolerance(gtol),
-        ])
-        result = run_until(opt, governor, maxiter=maxiter)
-        x = result.x
-        success = result.success
-        nit = result.nit
-    elif method == 'lm':
-        user_ineq = kwargs.pop('inequality_constraints', None)
-        ineq = _as_constraint_list(user_ineq)
-        ineq.extend(_box_inequality_constraints(lb, ub))
-        result = damped_least_squares(
-            problem, x0=x0, maxiter=maxiter,
-            inequality_constraints=ineq or None, **kwargs)
-        x = result.x
-        success = result.success
-        nit = result.nit
-    else:
-        raise ValueError("method must be 'lbfgsb' or 'lm'")
-
-    final_stack = problem.stack_from_x(x)
-    return CoatingResult(final_stack, x, merit.value(final_stack), success,
-                         nit, result)
+    lb, ub = _thickness_box(x0.size, bounds, min_thickness, max_thickness)
+    outcome = driver(problem, x0, lb, ub, maxiter, ftol, gtol, memory, kwargs)
+    refined = problem.stack_from_x(outcome.x)
+    return CoatingResult(refined, outcome.x, float(merit.value(refined)),
+                         bool(outcome.success), int(outcome.nit), outcome)
 
 
-__all__ = ['refine', 'CoatingResult']
+__all__ = ['CoatingResult', 'refine']

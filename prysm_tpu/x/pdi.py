@@ -1,9 +1,13 @@
 """Point Diffraction Interferometry (PS/PDI, Medecki).
 
-Rebuild of ``prysm/x/pdi.py``: the two interferometer arms are matrix-DFT
-FPM round trips with precomputed plans; the forward model is a pure
-function of the input wave and phase shift.
+API parity target: ``prysm/x/pdi.py``.  Design: each interferometer arm is
+an :class:`_Arm` — a focal-plane mask plus a precomputed matrix-DFT plan —
+built once by :func:`_focal_arm`; the forward model multiplies the input
+wave by the (phase-shifted) grating and sums the arms' FPM round trips.
+Everything after construction is pure jnp, so the forward model jits and
+differentiates.
 """
+from dataclasses import dataclass
 from functools import partial
 
 import jax.numpy as jnp
@@ -16,20 +20,48 @@ from ..geometry import circle
 def rectangle_pulse(x, duty=0.5, amplitude=0.5, offset=0.5, period=2 * jnp.pi):
     """Rectangular pulse in [0, 1]; generalized square wave."""
     x = jnp.asarray(x)
-    xwrapped = jnp.mod(x, period)
-    mask = xwrapped < (duty * period)
-    mask3 = jnp.abs(xwrapped) < jnp.finfo(x.dtype).eps
-    hi = offset + amplitude
-    lo = offset - amplitude
-    y = jnp.where(mask, hi, lo)
-    return jnp.where(mask3, offset, y)
+    phase = jnp.mod(x, period)
+    high = phase < (duty * period)
+    on_edge = jnp.abs(phase) < jnp.finfo(x.dtype).eps
+    signal = jnp.where(high, offset + amplitude, offset - amplitude)
+    return jnp.where(on_edge, offset, signal)
+
+
+def _sinusoidal_amplitude_grating(rulings, half_aperture):
+    """90%-transmission sinusoidal amplitude grating profile."""
+    spatial_rate = rulings * jnp.pi / half_aperture
+
+    def profile(x):
+        unit = (jnp.sin(spatial_rate * x) + 1) / 2
+        return 1 - 0.1 * unit
+
+    return profile
+
+
+@dataclass(frozen=True)
+class _Arm:
+    """One interferometer arm: focal mask + its matrix-DFT plan."""
+
+    mask: object
+    plan: object
+    gain: float = 1.0
+
+    def round_trip(self, wave, return_more=False):
+        out = wave.to_fpm_and_back(self.mask, self.plan,
+                                   return_more=return_more)
+        if self.gain == 1:
+            return out
+        if return_more:
+            beam, at_fpm, after_fpm = out
+            return beam * self.gain, at_fpm, after_fpm
+        return out * self.gain
 
 
 class PSPDI:
     """Phase Shifting Point Diffraction Interferometer.
 
     See the reference docstring (prysm/x/pdi.py:54-110) for parameter
-    semantics; geometry and executors are built identically.
+    semantics; the mask geometry and transform plans are identical.
     """
 
     def __init__(self, x, y, efl, epd, wavelength,
@@ -43,36 +75,27 @@ class PSPDI:
                  grating_type='sin_amp',
                  grating_axis='x'):
         """Build gratings, masks, and the per-arm transform plans."""
-        grating_type = grating_type.lower()
-        grating_axis = grating_axis.lower()
-        self.x = x
-        self.y = y
+        self.x, self.y = x, y
         self.dx = float(x[0, 1] - x[0, 0])
-        self.efl = efl
-        self.epd = epd
-        self.wavelength = wavelength
+        self.efl, self.epd, self.wavelength = efl, epd, wavelength
         self.fno = efl / epd
         self.flambd = self.fno * self.wavelength
 
         self.grating_rulings = grating_rulings
-        self.grating_period = self.epd / grating_rulings
-        self.grating_type = grating_type
-        self.grating_axis = grating_axis
-
+        self.grating_period = epd / grating_rulings
+        self.grating_type = grating_type = grating_type.lower()
+        self.grating_axis = grating_axis = grating_axis.lower()
         if grating_type == 'ronchi':
-            f = partial(rectangle_pulse, duty=0.5, amplitude=0.5, offset=0.5,
-                        period=self.grating_period)
+            self.grating_func = partial(rectangle_pulse, duty=0.5,
+                                        amplitude=0.5, offset=0.5,
+                                        period=self.grating_period)
         elif grating_type == 'sin_amp':
-            def f(x):
-                prefix = grating_rulings * jnp.pi / (epd / 2)
-                sin = jnp.sin(prefix * x)
-                shifted_sin = (sin + 1) / 2
-                squished = shifted_sin * 0.1
-                return 1 - squished
+            self.grating_func = _sinusoidal_amplitude_grating(grating_rulings,
+                                                              epd / 2)
         else:
             raise ValueError('unsupported grating type')
-        self.grating_func = f
 
+        # -- test arm: offset window of test_arm_fov lambda/D ----------------
         self.test_arm_offset = test_arm_offset
         self.test_arm_fov = test_arm_fov
         self.test_arm_samples = test_arm_samples
@@ -80,80 +103,69 @@ class PSPDI:
         self.test_arm_fov_compute = (test_arm_fov + self.test_arm_eps) * self.flambd
         self.test_arm_mask_rsq = (test_arm_fov * self.flambd / 2) ** 2
         self.test_arm_transmissivity = test_arm_transmissivity
+        carrier = grating_rulings * self.flambd
+        self.test_arm_shift = ((carrier, 0) if grating_axis == 'x'
+                               else (0, carrier))
 
-        if self.grating_axis == 'x':
-            self.test_arm_shift = (grating_rulings * self.flambd, 0)
-        else:
-            self.test_arm_shift = (0, grating_rulings * self.flambd)
-
+        # -- pinhole (reference) arm -----------------------------------------
         self.pinhole_diameter = pinhole_diameter * self.flambd
         self.pinhole_samples = pinhole_samples
         self.dx_pinhole = pinhole_diameter / (pinhole_samples - 1)
         self.pinhole_fov_radius = pinhole_samples / 2 * self.dx_pinhole
 
-        xph, yph = make_xy_grid(pinhole_samples, diameter=2 * self.pinhole_fov_radius)
-        rphsq = xph * xph + yph * yph
-        self.pinhole = circle((pinhole_diameter / 2) ** 2, rphsq)
+        def window_mask(n_samples, window_diameter, radius_sq):
+            wx, wy = make_xy_grid(n_samples, diameter=window_diameter)
+            return circle(radius_sq, wx * wx + wy * wy), float(wx[0, 1] - wx[0, 0])
 
-        xt, yt = make_xy_grid(test_arm_samples, diameter=self.test_arm_fov_compute)
-        self.dx_test_arm = float(xt[0, 1] - xt[0, 0])
-        rtsq = xt * xt + yt * yt
-        self.test_mask = circle(self.test_arm_mask_rsq, rtsq)
+        self.pinhole, _ = window_mask(pinhole_samples,
+                                      2 * self.pinhole_fov_radius,
+                                      (pinhole_diameter / 2) ** 2)
+        self.test_mask, self.dx_test_arm = window_mask(
+            test_arm_samples, self.test_arm_fov_compute, self.test_arm_mask_rsq)
 
-        pupil_samples = self.x.shape
-        self.pinhole_executor = prepare_executor(
-            pupil_dx=self.dx, pupil_samples=pupil_samples,
-            focal_dx=self.dx_pinhole, focal_samples=self.pinhole.shape,
-            wavelength=self.wavelength, efl=self.efl)
-        self.test_executor = prepare_executor(
-            pupil_dx=self.dx, pupil_samples=pupil_samples,
-            focal_dx=self.dx_test_arm, focal_samples=self.test_mask.shape,
-            wavelength=self.wavelength, efl=self.efl,
-            focal_shift=self.test_arm_shift)
+        plan = partial(prepare_executor, pupil_dx=self.dx,
+                       pupil_samples=self.x.shape, wavelength=wavelength,
+                       efl=efl)
+        self.pinhole_executor = plan(focal_dx=self.dx_pinhole,
+                                     focal_samples=self.pinhole.shape)
+        self.test_executor = plan(focal_dx=self.dx_test_arm,
+                                  focal_samples=self.test_mask.shape,
+                                  focal_shift=self.test_arm_shift)
+        self._arms = {
+            'ref': _Arm(self.pinhole, self.pinhole_executor),
+            'test': _Arm(self.test_mask, self.test_executor,
+                         gain=test_arm_transmissivity),
+        }
+
+    def _shifted_grating(self, phase_shift):
+        if phase_shift == 0:
+            return self.grating_func(self.x)
+        motion = phase_shift / (2 * jnp.pi) * self.grating_period
+        return self.grating_func(self.x + motion)
 
     def forward_model(self, wave_in, phase_shift=0, debug=False):
         """Intensity at the detector for an input wave and PSI phase shift."""
-        if phase_shift != 0:
-            shift = phase_shift / (2 * jnp.pi) * self.grating_period
-            x = self.x + shift
-        else:
-            x = self.x
-        grating = self.grating_func(x)
-        i = wave_in * grating
-        if not isinstance(i, WF):
-            i = WF(i, self.wavelength, self.dx)
+        modulated = wave_in * self._shifted_grating(phase_shift)
+        if not isinstance(modulated, WF):
+            modulated = WF(modulated, self.wavelength, self.dx)
 
         if debug:
-            ref_beam, ref_at_fpm, ref_after_fpm = \
-                i.to_fpm_and_back(self.pinhole, self.pinhole_executor, return_more=True)
-            test_beam, test_at_fpm, test_after_fpm = \
-                i.to_fpm_and_back(self.test_mask, self.test_executor, return_more=True)
-        else:
-            ref_beam = i.to_fpm_and_back(self.pinhole, self.pinhole_executor)
-            test_beam = i.to_fpm_and_back(self.test_mask, self.test_executor)
-
-        if self.test_arm_transmissivity != 1:
-            test_beam = test_beam * self.test_arm_transmissivity
-
-        self.ref_beam = ref_beam
-        self.test_beam = test_beam
-        total_field = ref_beam + test_beam
-        if debug:
+            detail = {label: arm.round_trip(modulated, return_more=True)
+                      for label, arm in self._arms.items()}
+            self.ref_beam = detail['ref'][0]
+            self.test_beam = detail['test'][0]
             return {
-                'total_field': total_field,
-                'at_camera': {'ref': ref_beam, 'test': test_beam},
-                'at_fpm': {
-                    'ref': (ref_at_fpm, ref_after_fpm),
-                    'test': (test_at_fpm, test_after_fpm),
-                },
+                'total_field': self.ref_beam + self.test_beam,
+                'at_camera': {k: v[0] for k, v in detail.items()},
+                'at_fpm': {k: (v[1], v[2]) for k, v in detail.items()},
             }
-        return total_field.intensity
+        self.ref_beam = self._arms['ref'].round_trip(modulated)
+        self.test_beam = self._arms['test'].round_trip(modulated)
+        return (self.ref_beam + self.test_beam).intensity
 
 
 def evaluate_test_ref_arm_matching(debug_dict):
     """Ratio of mean ref to mean test intensity (fringe-visibility tuning)."""
-    pak = debug_dict['at_camera']
-    I1 = pak['ref'].intensity
-    I2 = pak['test'].intensity
-    ratio = I1.data.mean() / I2.data.mean()
-    return ratio, I1, I2
+    beams = debug_dict['at_camera']
+    I_ref, I_test = beams['ref'].intensity, beams['test'].intensity
+    return I_ref.data.mean() / I_test.data.mean(), I_ref, I_test
