@@ -1,49 +1,49 @@
-"""Object/image-space index helpers over compiled surfaces.
+"""Object/image-space medium bookkeeping over compiled surface lists.
 
-Rebuild of ``prysm/x/raytracing/_meta.py``.
+API parity target: ``prysm/x/raytracing/_meta.py``.  The medium on each
+side of the system is found by walking the refracting surfaces in order,
+carrying the most recent material's index forward.
 """
 from .spencer_and_murty import STYPE_REFRACT, _is_measurement_surf
 
 
-def _surface_medium_index(surface, wavelength, fallback):
+def _index_of(surface, wavelength, carried):
+    """Index after ``surface``: its material's n, or the carried value."""
     material = getattr(surface, 'material', None)
-    if material is not None:
-        return float(material.n(wavelength))
-    return float(fallback)
+    return float(carried) if material is None else float(material.n(wavelength))
+
+
+def _is_eval_surface(surface):
+    return _is_measurement_surf(getattr(surface, 'typ', None))
 
 
 def object_space_index(surfaces, wavelength):
     """Object-space medium index from the object surface (air if absent)."""
     if hasattr(surfaces, 'to_surfaces'):
         surfaces = surfaces.to_surfaces()
-    if (len(surfaces) > 0
-            and _is_measurement_surf(getattr(surfaces[0], 'typ', None))):
-        return _surface_medium_index(surfaces[0], wavelength, 1.0)
+    if len(surfaces) and _is_eval_surface(surfaces[0]):
+        return _index_of(surfaces[0], wavelength, 1.0)
     return 1.0
-
-
-def object_image_indices(surfaces, wavelength):
-    """(n_object, n_image); the image side falls back to the object side."""
-    n_object = object_space_index(surfaces, wavelength)
-    n_image = image_space_index(surfaces, wavelength, fallback=n_object)
-    return n_object, n_image
 
 
 def image_space_index(surfaces, wavelength, fallback=1.0):
     """Image-space medium index from an explicit image surface."""
     if len(surfaces) == 0:
         return float(fallback)
-    if not _is_measurement_surf(getattr(surfaces[-1], 'typ', None)):
+    if not _is_eval_surface(surfaces[-1]):
         raise ValueError(
             'image-space index requires a trailing eval image surface; '
             'append an explicit image surface instead of relying on a bare '
             'final powered surface.')
-    n = object_space_index(surfaces, wavelength)
-    if len(surfaces) == 1:
-        return n
-    start = 1 if _is_measurement_surf(
-        getattr(surfaces[0], 'typ', None)) else 0
-    for surface in surfaces[start:]:
+    carried = object_space_index(surfaces, wavelength)
+    interior = surfaces[1:] if _is_eval_surface(surfaces[0]) else surfaces
+    for surface in interior:
         if getattr(surface, 'typ', None) == STYPE_REFRACT:
-            n = _surface_medium_index(surface, wavelength, n)
-    return float(n)
+            carried = _index_of(surface, wavelength, carried)
+    return float(carried)
+
+
+def object_image_indices(surfaces, wavelength):
+    """(n_object, n_image); the image side falls back to the object side."""
+    n_obj = object_space_index(surfaces, wavelength)
+    return n_obj, image_space_index(surfaces, wavelength, fallback=n_obj)

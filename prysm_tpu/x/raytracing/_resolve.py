@@ -1,71 +1,67 @@
-"""System-entry metadata resolvers.
+"""Normalization of trace entry points (system object vs bare surface list).
 
-Rebuild of ``prysm/x/raytracing/_resolve.py``.
+API parity target: ``prysm/x/raytracing/_resolve.py``.  Public analysis
+functions accept either an OpticalSystem or a plain surface sequence; this
+module funnels both into a :class:`TraceContext` carrying the compiled
+surfaces, the resolved wavelength, and lazily-computed medium indices.
 """
-from ._meta import object_space_index, image_space_index
+from functools import cached_property
+
+from ._meta import image_space_index, object_space_index
 
 
 def compiled_surfaces(system):
-    """Compiled Surface list for a system or a bare sequence."""
-    to_surfaces = getattr(system, 'to_surfaces', None)
-    if callable(to_surfaces):
-        return to_surfaces()
-    return list(system)
+    """Compile a system into its Surface list (sequences pass through)."""
+    compiler = getattr(system, 'to_surfaces', None)
+    return compiler() if callable(compiler) else list(system)
 
 
 def resolve_wavelength(system, wavelength):
-    """Resolve wavelength, using the system reference when available."""
-    resolver = getattr(system, 'wavelength', None)
-    if callable(resolver):
-        return float(resolver(wavelength))
+    """Resolve a possibly-None wavelength through the system's reference."""
+    system_resolver = getattr(system, 'wavelength', None)
+    if callable(system_resolver):
+        return float(system_resolver(wavelength))
     if wavelength is None:
         raise ValueError(
-            'wavelength must be given for a bare surface sequence; only an '
-            'OpticalSystem resolves a None wavelength to its reference.')
+            'a bare surface sequence cannot default its wavelength; pass '
+            'wavelength= explicitly (an OpticalSystem resolves None to its '
+            'reference wavelength)')
     return float(wavelength)
 
 
 class TraceContext:
-    """Compiled surfaces and trace metadata."""
-
-    __slots__ = ('surfaces', 'wavelength', 'epd', 'stop_index',
-                 '_n_object', '_n_image')
+    """Compiled surfaces plus trace metadata, with lazy medium indices."""
 
     def __init__(self, surfaces, wavelength, epd=None, stop_index=None):
-        self.surfaces = surfaces
-        self.wavelength = float(wavelength)
+        self.surfaces, self.wavelength = surfaces, float(wavelength)
         self.epd = None if epd is None else float(epd)
         self.stop_index = None if stop_index is None else int(stop_index)
-        self._n_object = None
-        self._n_image = None
 
-    @property
+    @cached_property
     def n_object(self):
-        """Object-space medium index."""
-        if self._n_object is None:
-            self._n_object = object_space_index(self.surfaces,
-                                                self.wavelength)
-        return self._n_object
+        """Medium index on the object side."""
+        return object_space_index(self.surfaces, self.wavelength)
 
-    @property
+    @cached_property
     def n_image(self):
-        """Image-space medium index, falling back to the object side."""
-        if self._n_image is None:
-            self._n_image = image_space_index(self.surfaces, self.wavelength,
-                                              fallback=self.n_object)
-        return self._n_image
+        """Medium index on the image side (object side when absent)."""
+        return image_space_index(self.surfaces, self.wavelength,
+                                 fallback=self.n_object)
 
 
 def trace_context(system, wavelength=None, *, chief=False, epd=None,
                   stop_index=None):
-    """Resolve a system or bare sequence into a TraceContext."""
+    """Resolve a system or bare sequence into a TraceContext.
+
+    ``chief=True`` additionally pulls the entrance pupil diameter and stop
+    index off the system (when it can supply them) for chief-ray aiming.
+    """
     surfaces = compiled_surfaces(system)
     wvl = resolve_wavelength(system, wavelength)
     if chief:
-        if epd is None:
-            resolver = getattr(system, 'entrance_pupil_diameter', None)
-            if callable(resolver):
-                epd = resolver(wvl)
-        if stop_index is None:
-            stop_index = getattr(system, 'stop_index', None)
+        epd_resolver = getattr(system, 'entrance_pupil_diameter', None)
+        if epd is None and callable(epd_resolver):
+            epd = epd_resolver(wvl)
+        stop_index = (getattr(system, 'stop_index', None)
+                      if stop_index is None else stop_index)
     return TraceContext(surfaces, wvl, epd=epd, stop_index=stop_index)
