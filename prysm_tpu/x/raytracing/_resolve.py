@@ -21,21 +21,22 @@ def resolve_wavelength(system, wavelength):
     system_resolver = getattr(system, 'wavelength', None)
     if callable(system_resolver):
         return float(system_resolver(wavelength))
-    if wavelength is None:
-        raise ValueError(
-            'a bare surface sequence cannot default its wavelength; pass '
-            'wavelength= explicitly (an OpticalSystem resolves None to its '
-            'reference wavelength)')
-    return float(wavelength)
+    if wavelength is not None:
+        return float(wavelength)
+    raise ValueError(
+        'a bare surface sequence cannot default its wavelength; pass '
+        'wavelength= explicitly (an OpticalSystem resolves None to its '
+        'reference wavelength)')
 
 
 class TraceContext:
     """Compiled surfaces plus trace metadata, with lazy medium indices."""
 
     def __init__(self, surfaces, wavelength, epd=None, stop_index=None):
+        coerced = (float(epd) if epd is not None else None,
+                   int(stop_index) if stop_index is not None else None)
         self.surfaces, self.wavelength = surfaces, float(wavelength)
-        self.epd = None if epd is None else float(epd)
-        self.stop_index = None if stop_index is None else int(stop_index)
+        self.epd, self.stop_index = coerced
 
     @cached_property
     def n_object(self):
@@ -51,12 +52,11 @@ class TraceContext:
 
 def trace_context(system, wavelength=None, *, chief=False, epd=None,
                   stop_index=None):
-    """Resolve a system or bare sequence into a TraceContext.
+    """Funnel a system or bare sequence into a TraceContext.
 
     ``chief=True`` additionally pulls the entrance pupil diameter and stop
     index off the system (when it can supply them) for chief-ray aiming.
     """
-    surfaces = compiled_surfaces(system)
     wvl = resolve_wavelength(system, wavelength)
     if chief:
         epd_resolver = getattr(system, 'entrance_pupil_diameter', None)
@@ -64,4 +64,5 @@ def trace_context(system, wavelength=None, *, chief=False, epd=None,
             epd = epd_resolver(wvl)
         stop_index = (getattr(system, 'stop_index', None)
                       if stop_index is None else stop_index)
-    return TraceContext(surfaces, wvl, epd=epd, stop_index=stop_index)
+    return TraceContext(compiled_surfaces(system), wvl, epd=epd,
+                        stop_index=stop_index)
