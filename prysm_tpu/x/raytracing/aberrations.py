@@ -1,273 +1,269 @@
 """Third-order Seidel and primary chromatic aberrations.
 
-Rebuild of ``prysm/x/raytracing/aberrations.py``: marginal/chief
-paraxial traces in real-slope coordinates feed the classical Seidel
-surface sums (with rotationally symmetric fourth-order aspheric
-contributions) and the primary axial/lateral color sums.  Host scalar
-math.
+API parity target: ``prysm/x/raytracing/aberrations.py``.  Design: the
+paraxial marginal/chief rays are traced into a struct-of-arrays
+(:class:`ParaxialTrace` — one numpy vector per quantity across surfaces)
+and the classical Seidel surface sums evaluate fully vectorized over the
+surface axis, including the rotationally-symmetric fourth-order aspheric
+contributions and the primary axial/lateral color sums.
 """
 import numpy as np
 
-from .spencer_and_murty import STYPE_REFLECT, STYPE_REFRACT
-from .paraxial import (
-    _assert_first_order_geometry,
-    _paraxial_curvature,
-    entrance_pupil_z,
-    local_vertex_curvatures,
-)
-from ._resolve import compiled_surfaces, trace_context
+from .spencer_and_murty import STYPE_REFRACT, STYPE_REFLECT
+from .paraxial import (_first_order_surfaces, _paraxial_curvature,
+                       entrance_pupil_z, local_vertex_curvatures)
 from ._meta import object_space_index
-
-_PREC = np.float64
+from ._resolve import compiled_surfaces, trace_context
 
 # microns of wavelength per one system length unit (waves conversion)
-_MICRONS_PER_UNIT = {
-    'm': 1.0e6, 'cm': 1.0e4, 'mm': 1.0e3, 'um': 1.0, 'nm': 1.0e-3,
-    'micron': 1.0, 'microns': 1.0, 'in': 25400.0, 'inch': 25400.0,
-}
+_MICRONS_PER_UNIT = {'m': 1e6, 'cm': 1e4, 'mm': 1e3, 'um': 1.0,
+                     'nm': 1e-3, 'micron': 1.0, 'microns': 1.0,
+                     'in': 25400.0, 'inch': 25400.0}
 
 
-class _ParaxialRecord:
-    """Per-surface paraxial state for one traced ray."""
+class ParaxialTrace:
+    """Struct-of-arrays paraxial ray history: one vector per quantity.
 
-    __slots__ = ('y', 'theta_b', 'theta_a', 'n_b', 'n_a', 'c', 'shape',
-                 'typ')
+    Attributes are numpy arrays over the surface axis: ``y`` (height),
+    ``u_in``/``u_out`` (real slopes before/after), ``n_in``/``n_out``
+    (signed indices), ``c`` (vertex curvature); ``shapes`` is the parallel
+    list of surface shape objects.
+    """
 
-    def __init__(self, y, theta_b, theta_a, n_b, n_a, c, shape, typ):
-        self.y = y
-        self.theta_b = theta_b
-        self.theta_a = theta_a
-        self.n_b = n_b
-        self.n_a = n_a
-        self.c = c
-        self.shape = shape
-        self.typ = typ
+    def __init__(self, y, u_in, u_out, n_in, n_out, c, shapes):
+        self.y, self.u_in, self.u_out = y, u_in, u_out
+        self.n_in, self.n_out, self.c = n_in, n_out, c
+        self.shapes = shapes
+
+    def __len__(self):
+        return self.y.size
 
 
 def paraxial_trace(system, y0, theta0, wvl, n_ambient):
-    """Trace one paraxial ray in real-slope coordinates, per surface.
+    """Trace one paraxial ray in real-slope coordinates.
 
     theta is the real ray slope (not the reduced angle n*theta);
-    reflections flip the running index (n' = -n).
+    reflections flip the running index (n' = -n).  Returns a
+    :class:`ParaxialTrace`.
     """
-    surfaces = compiled_surfaces(system)
-    _assert_first_order_geometry(surfaces)
-    recs = []
-    n = float(n_ambient)
-    y = float(y0)
-    theta = float(theta0)
+    surfaces = _first_order_surfaces(compiled_surfaces(system))
+    count = len(surfaces)
+    columns = {k: np.zeros(count) for k in
+               ('y', 'u_in', 'u_out', 'n_in', 'n_out', 'c')}
+    shapes = []
+
+    n, y, u = float(n_ambient), float(y0), float(theta0)
     z_prev = float(surfaces[0].P[2])
     for k, surf in enumerate(surfaces):
-        if k > 0:
-            t = float(surf.P[2]) - z_prev
-            y = y + t * theta
+        z_here = float(surf.P[2])
+        if k:
+            y += (z_here - z_prev) * u
         c = _paraxial_curvature(surf)
-        theta_b = theta
-        n_b = n
         if surf.typ == STYPE_REFRACT:
-            n_a = float(surf.material.n(wvl))
-            theta_a = (n_b * theta_b - y * (n_a - n_b) * c) / n_a
+            n_next = float(surf.material.n(wvl))
+            u_next = (n * u - y * (n_next - n) * c) / n_next
         elif surf.typ == STYPE_REFLECT:
-            n_a = -n_b
-            theta_a = (n_b * theta_b - y * (n_a - n_b) * c) / n_a
+            n_next = -n
+            u_next = (n * u - y * (n_next - n) * c) / n_next
         else:
-            n_a = n_b
-            theta_a = theta_b
-        recs.append(_ParaxialRecord(y, theta_b, theta_a, n_b, n_a, c,
-                                    getattr(surf, 'shape', None), surf.typ))
-        n = n_a
-        theta = theta_a
-        z_prev = float(surf.P[2])
-    return recs
+            n_next, u_next = n, u
+        for name, value in (('y', y), ('u_in', u), ('u_out', u_next),
+                            ('n_in', n), ('n_out', n_next), ('c', c)):
+            columns[name][k] = value
+        shapes.append(getattr(surf, 'shape', None))
+        n, u, z_prev = n_next, u_next, z_here
+    return ParaxialTrace(shapes=shapes, **columns)
 
 
 def _assert_rotational_third_order_geometry(surfaces):
-    _assert_first_order_geometry(surfaces)
+    _first_order_surfaces(surfaces)
     for idx, surf in enumerate(surfaces):
         if surf.typ not in (STYPE_REFLECT, STYPE_REFRACT):
             continue
         c_x, c_y = local_vertex_curvatures(surf)
-        scale = max(1.0, abs(c_x), abs(c_y))
-        if abs(c_x - c_y) > 1e-12 * scale:
+        if abs(c_x - c_y) > 1e-12 * max(1.0, abs(c_x), abs(c_y)):
             raise ValueError(
-                'Seidel aberrations require centered rotational surfaces; '
-                f'surface {idx} has different local x and y vertex '
+                'Seidel sums are defined for centered rotational surfaces '
+                f'only; surface {idx} has unequal local x/y vertex '
                 'curvatures.')
 
 
-def _signed_indices(surfaces, wvl, n_ambient):
-    """(n_before, n_after) per surface; mirrors flip the running sign."""
-    n_b = []
-    n_a = []
+def _signed_index_columns(surfaces, wvl, n_ambient):
+    """(n_before, n_after) arrays; mirrors flip the running sign."""
+    before, after = [], []
     n = float(n_ambient)
     for surf in surfaces:
-        n_b.append(n)
+        before.append(n)
         if surf.typ == STYPE_REFRACT:
             n = float(surf.material.n(wvl))
         elif surf.typ == STYPE_REFLECT:
             n = -n
-        n_a.append(n)
-    return n_b, n_a
+        after.append(n)
+    return np.asarray(before), np.asarray(after)
 
 
 def _fourth_order_asphere_term(shape):
     """Coefficient G of r^4 in the sag departure from the vertex sphere."""
     if shape is None:
         return 0.0
-    name = type(shape).__name__
     params = getattr(shape, 'params', None) or {}
-    c = float(params.get('c', 0.0))
-    k = float(params.get('k', 0.0))
-    if name in ('Sphere',):
-        return 0.0
-    if name in ('Conic', 'OffAxisConic'):
-        return k * c ** 3 / 8.0
-    if name == 'EvenAsphere':
+    conic_part = (float(params.get('k', 0.0))
+                  * float(params.get('c', 0.0)) ** 3 / 8.0)
+    kind = type(shape).__name__
+    if kind in ('Conic', 'OffAxisConic'):
+        return conic_part
+    if kind == 'EvenAsphere':
         coefs = params.get('coefs', ()) or ()
-        a4 = float(coefs[0]) if len(coefs) > 0 else 0.0
-        return k * c ** 3 / 8.0 + a4
+        return conic_part + (float(coefs[0]) if len(coefs) else 0.0)
     return 0.0
 
 
 def _reduce_field(field):
     if field.kind == 'angle':
         ax, ay = field.angle_radians()
-        mag = float(np.hypot(np.tan(ax), np.tan(ay)))
-        return None, mag, True
-    h = float(np.hypot(field.hx, field.hy))
-    return field.object_z, h, False
+        return None, float(np.hypot(np.tan(ax), np.tan(ay))), True
+    return field.object_z, float(np.hypot(field.hx, field.hy)), False
 
 
 def _max_field(fields):
-    best = None
-    best_mag = -1.0
-    for f in fields:
+    def magnitude(f):
         if f.kind == 'angle':
-            ax, ay = f.angle_radians()
-            mag = float(np.hypot(ax, ay))
-        else:
-            mag = float(np.hypot(f.hx, f.hy))
-        if mag > best_mag:
-            best_mag = mag
-            best = f
-    return best
+            return float(np.hypot(*f.angle_radians()))
+        return float(np.hypot(f.hx, f.hy))
+
+    return max(fields, key=magnitude)
 
 
 def _marginal_chief_launch(ctx, field):
     """Object-space (y, theta) launches for the marginal and chief rays."""
-    surfaces = ctx.surfaces
-    z_ep = entrance_pupil_z(surfaces, ctx.wavelength,
+    z_ep = entrance_pupil_z(ctx.surfaces, ctx.wavelength,
                             stop_index=ctx.stop_index)
     if z_ep is None:
         raise ValueError(
-            'cannot locate the entrance pupil (no aperture stop, or the '
-            'system is telecentric in object space); Seidel sums need a '
-            'defined chief ray.  Set stop_index on the OpticalSystem.')
-    z_s1 = float(surfaces[0].P[2])
-    a = ctx.epd / 2.0
+            'the entrance pupil could not be located (no aperture stop, or '
+            'object-space telecentric); Seidel sums need a defined chief '
+            'ray.  Set stop_index on the OpticalSystem.')
+    z_first = float(ctx.surfaces[0].P[2])
+    half_pupil = ctx.epd / 2.0
 
-    obj_z, fld, is_angle = _reduce_field(field)
+    obj_z, field_mag, is_angle = _reduce_field(field)
     if is_angle:
-        y0_m, theta0_m = a, 0.0
-        theta0_c = fld
-        y0_c = fld * (z_s1 - z_ep)
+        marginal = (half_pupil, 0.0)
+        chief = (field_mag * (z_first - z_ep), field_mag)
     else:
         span = z_ep - obj_z
         if abs(span) < 1e-30:
             raise ValueError(
-                'object plane coincides with the entrance pupil; cannot '
-                'build paraxial marginal/chief rays.')
-        theta0_m = a / span
-        y0_m = theta0_m * (z_s1 - obj_z)
-        theta0_c = -fld / span
-        y0_c = fld + theta0_c * (z_s1 - obj_z)
-    return (y0_m, theta0_m), (y0_c, theta0_c)
+                'the object plane coincides with the entrance pupil; the '
+                'paraxial marginal/chief rays are degenerate.')
+        u_m = half_pupil / span
+        u_c = -field_mag / span
+        marginal = (u_m * (z_first - obj_z), u_m)
+        chief = (field_mag + u_c * (z_first - obj_z), u_c)
+    return marginal, chief
 
 
 class SeidelResult:
     """Surface-by-surface Seidel (SI..SV) and chromatic (CI, CII) sums."""
 
-    __slots__ = ('SI', 'SII', 'SIII', 'SIV', 'SV', 'CI', 'CII',
-                 'sums', 'optical_invariant', 'wavelength', 'unit', 'field',
-                 'n_image')
+    _NAMES = ('SI', 'SII', 'SIII', 'SIV', 'SV')
 
     def __init__(self, SI, SII, SIII, SIV, SV, CI, CII, optical_invariant,
                  wavelength, unit, field, n_image):
-        self.SI = SI
-        self.SII = SII
-        self.SIII = SIII
-        self.SIV = SIV
-        self.SV = SV
-        self.CI = CI
-        self.CII = CII
+        self.SI, self.SII, self.SIII, self.SIV, self.SV = SI, SII, SIII, SIV, SV
+        self.CI, self.CII = CI, CII
         self.optical_invariant = float(optical_invariant)
         self.wavelength = float(wavelength)
-        self.unit = unit
-        self.field = field
+        self.unit, self.field = unit, field
         self.n_image = float(n_image)
-        sums = {
-            'SI': float(SI.sum()), 'SII': float(SII.sum()),
-            'SIII': float(SIII.sum()), 'SIV': float(SIV.sum()),
-            'SV': float(SV.sum()),
-        }
+        self.sums = {name: float(getattr(self, name).sum())
+                     for name in self._NAMES}
         if CI is not None:
-            sums['CI'] = float(CI.sum())
-            sums['CII'] = float(CII.sum())
-        self.sums = sums
+            self.sums['CI'] = float(CI.sum())
+            self.sums['CII'] = float(CII.sum())
 
     def _wavelength_in_length(self):
-        mpu = _MICRONS_PER_UNIT.get(self.unit, _MICRONS_PER_UNIT['mm'])
-        return self.wavelength / mpu
+        per_unit = _MICRONS_PER_UNIT.get(self.unit, _MICRONS_PER_UNIT['mm'])
+        return self.wavelength / per_unit
 
     def wavefront_coefficients(self):
         """W040/W131/W222/W220/W311 totals in waves (Welford factors)."""
-        wvl_len = self._wavelength_in_length()
+        waves = self._wavelength_in_length()
         s = self.sums
         return {
-            'W040': 0.125 * s['SI'] / wvl_len,
-            'W131': 0.5 * s['SII'] / wvl_len,
-            'W222': 0.5 * s['SIII'] / wvl_len,
-            'W220': 0.25 * (s['SIV'] + s['SIII']) / wvl_len,
-            'W311': 0.5 * s['SV'] / wvl_len,
+            'W040': 0.125 * s['SI'] / waves,
+            'W131': 0.5 * s['SII'] / waves,
+            'W222': 0.5 * s['SIII'] / waves,
+            'W220': 0.25 * (s['SIV'] + s['SIII']) / waves,
+            'W311': 0.5 * s['SV'] / waves,
         }
 
     def transverse_aberrations(self, n_image=None, image_slope=None):
         """TSA/TCO/TAS/SAS/PTB/DST totals, scaled by 1/(2 n' u')."""
-        if n_image is None:
-            n_image = self.n_image
         if image_slope is None:
             raise ValueError(
-                'transverse_aberrations needs the image-space marginal '
-                "slope (image_slope=...); it is u' from the paraxial "
-                'marginal ray.')
-        cnvrt = 1.0 / (2.0 * n_image * image_slope)
+                "transverse_aberrations requires the image-space marginal "
+                "slope (image_slope=...) -- u' of the paraxial marginal "
+                'ray.')
+        scale = 1.0 / (2.0 * (self.n_image if n_image is None else n_image)
+                       * image_slope)
         s = self.sums
         return {
-            'TSA': cnvrt * s['SI'],
-            'TCO': cnvrt * 3.0 * s['SII'],
-            'TAS': cnvrt * (3.0 * s['SIII'] + s['SIV']),
-            'SAS': cnvrt * (s['SIII'] + s['SIV']),
-            'PTB': cnvrt * s['SIV'],
-            'DST': cnvrt * s['SV'],
+            'TSA': scale * s['SI'],
+            'TCO': scale * 3.0 * s['SII'],
+            'TAS': scale * (3.0 * s['SIII'] + s['SIV']),
+            'SAS': scale * (s['SIII'] + s['SIV']),
+            'PTB': scale * s['SIV'],
+            'DST': scale * s['SV'],
         }
 
     def __repr__(self):
-        names = ['SI', 'SII', 'SIII', 'SIV', 'SV']
-        arrs = [self.SI, self.SII, self.SIII, self.SIV, self.SV]
+        names = list(self._NAMES)
         if self.CI is not None:
             names += ['CI', 'CII']
-            arrs += [self.CI, self.CII]
-        nsurf = len(self.SI)
-        header = '  surf | ' + ' '.join(f'{nm:>11s}' for nm in names)
-        lines = ['SeidelResult', header, '  ' + '-' * (len(header) - 2)]
-        for i in range(nsurf):
-            row = ' '.join(f'{float(a[i]):11.4e}' for a in arrs)
-            lines.append(f'  {i:>4d} | {row}')
-        sums = ' '.join(f'{self.sums[nm]:11.4e}' for nm in names)
-        lines.append('  ' + '-' * (len(header) - 2))
-        lines.append(f'  {"sum":>4s} | {sums}')
-        lines.append(f'  optical invariant: {self.optical_invariant:.6g}')
-        return '\n'.join(lines)
+        columns = [getattr(self, nm) for nm in names]
+        head = '  surf | ' + ' '.join(f'{nm:>11s}' for nm in names)
+        body = ['SeidelResult', head, '  ' + '-' * (len(head) - 2)]
+        for i in range(len(self.SI)):
+            body.append(f'  {i:>4d} | '
+                        + ' '.join(f'{float(col[i]):11.4e}' for col in columns))
+        body.append('  ' + '-' * (len(head) - 2))
+        body.append(f'  {"sum":>4s} | '
+                    + ' '.join(f'{self.sums[nm]:11.4e}' for nm in names))
+        body.append(f'  optical invariant: {self.optical_invariant:.6g}')
+        return '\n'.join(body)
+
+
+def _seidel_columns(marg, chief, H):
+    """Vectorized classical Seidel surface contributions (SI..SV)."""
+    c, y, ybar = marg.c, marg.y, chief.y
+    n_in, n_out = marg.n_in, marg.n_out
+    # refraction invariants A = n' i' = n i with i = u + y c
+    A = n_out * (marg.u_out + y * c)
+    Abar = n_out * (chief.u_out + ybar * c)
+    slope_jump = marg.u_out / n_out - marg.u_in / n_in
+    petzval = c * (1.0 / n_out - 1.0 / n_in)
+    inv_sq_jump = 1.0 / n_out ** 2 - 1.0 / n_in ** 2
+
+    SI = -A * A * y * slope_jump
+    SII = -A * Abar * y * slope_jump
+    SIII = -Abar * Abar * y * slope_jump
+    SIV = -H * H * petzval
+    SV = -Abar * (Abar * Abar * inv_sq_jump * y
+                  - (H + Abar * y) * ybar * petzval)
+
+    # fourth-order aspheric departures add through the eccentricity ladder
+    G = np.asarray([_fourth_order_asphere_term(s) for s in marg.shapes])
+    live = (G != 0.0) & (y != 0.0)
+    if live.any():
+        e = np.where(live, np.divide(ybar, y, out=np.zeros_like(y),
+                                     where=y != 0), 0.0)
+        star = np.where(live, 8.0 * G * (n_out - n_in) * y ** 4, 0.0)
+        SI = SI + star
+        SII = SII + star * e
+        SIII = SIII + star * e * e
+        SV = SV + star * e * e * e
+    return SI, SII, SIII, SIV, SV, A, Abar
 
 
 def seidel_aberrations(system, field=None, wvl=None, *,
@@ -278,102 +274,49 @@ def seidel_aberrations(system, field=None, wvl=None, *,
     Field-dependent terms evaluate at the largest-magnitude system field
     by default; chromatic terms need two or more wavelengths.
     """
-    ctx = trace_context(system, wvl, chief=True, epd=epd,
-                        stop_index=stop_index)
-    surfaces = ctx.surfaces
-    wvl = ctx.wavelength
-    n_object = ctx.n_object
+    ctx = trace_context(system, wvl, chief=True, stop_index=stop_index,
+                        epd=epd)
     if ctx.epd is None:
-        raise ValueError('an entrance pupil diameter is required (epd=...)')
+        raise ValueError('an entrance pupil diameter (epd=...) is required')
     if field is None:
         fields = getattr(system, 'fields', None)
         if not fields:
-            raise ValueError(
-                'a field is required (field=...); the system carries '
-                'no fields to default from.')
+            raise ValueError('a field (field=...) is required; the system '
+                             'carries no fields to default from.')
         field = _max_field(fields)
-    if unit is None:
-        unit = getattr(system, 'unit', None) or 'mm'
-    if wavelengths is None:
-        wavelengths = getattr(system, 'wavelengths', None)
-    _assert_rotational_third_order_geometry(surfaces)
+    unit = unit or getattr(system, 'unit', None) or 'mm'
+    wavelengths = (getattr(system, 'wavelengths', None)
+                   if wavelengths is None else wavelengths)
+    _assert_rotational_third_order_geometry(ctx.surfaces)
 
     (y0_m, u0_m), (y0_c, u0_c) = _marginal_chief_launch(ctx, field)
-
-    marg = paraxial_trace(surfaces, y0_m, u0_m, wvl, n_object)
-    chief = paraxial_trace(surfaces, y0_c, u0_c, wvl, n_object)
+    marg = paraxial_trace(ctx.surfaces, y0_m, u0_m, ctx.wavelength,
+                          ctx.n_object)
+    chief = paraxial_trace(ctx.surfaces, y0_c, u0_c, ctx.wavelength,
+                           ctx.n_object)
 
     # Lagrange invariant (constant through the system)
-    H = float(n_object) * (marg[0].y * u0_c - chief[0].y * u0_m)
+    H = float(ctx.n_object) * (marg.y[0] * u0_c - chief.y[0] * u0_m)
+    SI, SII, SIII, SIV, SV, A, Abar = _seidel_columns(marg, chief, H)
 
-    nsurf = len(marg)
-    SI = np.zeros(nsurf, dtype=_PREC)
-    SII = np.zeros(nsurf, dtype=_PREC)
-    SIII = np.zeros(nsurf, dtype=_PREC)
-    SIV = np.zeros(nsurf, dtype=_PREC)
-    SV = np.zeros(nsurf, dtype=_PREC)
-
-    have_color = (wavelengths is not None
-                  and len({float(w) for w in wavelengths}) >= 2)
-    if have_color:
-        wl_sorted = sorted(float(w) for w in wavelengths)
-        wl_short, wl_long = wl_sorted[0], wl_sorted[-1]
-        n_object_short = object_space_index(surfaces, wl_short)
-        n_object_long = object_space_index(surfaces, wl_long)
-        nb_s, na_s = _signed_indices(surfaces, wl_short, n_object_short)
-        nb_l, na_l = _signed_indices(surfaces, wl_long, n_object_long)
-        CI = np.zeros(nsurf, dtype=_PREC)
-        CII = np.zeros(nsurf, dtype=_PREC)
+    distinct = (set() if wavelengths is None
+                else {float(w) for w in wavelengths})
+    if len(distinct) >= 2:
+        wl_short, wl_long = min(distinct), max(distinct)
+        nb_s, na_s = _signed_index_columns(
+            ctx.surfaces, wl_short, object_space_index(ctx.surfaces, wl_short))
+        nb_l, na_l = _signed_index_columns(
+            ctx.surfaces, wl_long, object_space_index(ctx.surfaces, wl_long))
+        # mirrors are non-dispersive; only refractions contribute
+        dispersion_jump = ((na_s - na_l) / marg.n_out
+                           - (nb_s - nb_l) / marg.n_in)
+        CI = A * marg.y * dispersion_jump
+        CII = Abar * marg.y * dispersion_jump
     else:
         CI = CII = None
 
-    for i in range(nsurf):
-        m = marg[i]
-        ch = chief[i]
-        c = m.c
-        n_b, n_a = m.n_b, m.n_a
-        y = m.y
-        ybar = ch.y
-        # refraction invariants A = n' i' = n i; i = theta + y c
-        A = n_a * (m.theta_a + y * c)
-        Abar = n_a * (ch.theta_a + ybar * c)
-        dun = m.theta_a / n_a - m.theta_b / n_b
-        P_pet = c * (1.0 / n_a - 1.0 / n_b)
-        dn2 = 1.0 / n_a ** 2 - 1.0 / n_b ** 2
-
-        si = -A * A * y * dun
-        sii = -A * Abar * y * dun
-        siii = -Abar * Abar * y * dun
-        siv = -H * H * P_pet
-        sv = -Abar * (Abar * Abar * dn2 * y
-                      - (H + Abar * y) * ybar * P_pet)
-
-        G = _fourth_order_asphere_term(m.shape)
-        if G != 0.0 and y != 0.0:
-            e = ybar / y
-            si_star = 8.0 * G * (n_a - n_b) * y ** 4
-            si += si_star
-            sii += si_star * e
-            siii += si_star * e * e
-            sv += si_star * e * e * e
-
-        SI[i] = si
-        SII[i] = sii
-        SIII[i] = siii
-        SIV[i] = siv
-        SV[i] = sv
-
-        if have_color:
-            # mirrors are non-dispersive; only refractions contribute
-            dn_b = nb_s[i] - nb_l[i]
-            dn_a = na_s[i] - na_l[i]
-            delta_rel_disp = dn_a / n_a - dn_b / n_b
-            CI[i] = A * y * delta_rel_disp
-            CII[i] = Abar * y * delta_rel_disp
-
-    n_image = marg[-1].n_a
-    return SeidelResult(SI, SII, SIII, SIV, SV, CI, CII, H, wvl, unit,
-                        field, n_image)
+    return SeidelResult(SI, SII, SIII, SIV, SV, CI, CII, H, ctx.wavelength,
+                        unit, field, marg.n_out[-1])
 
 
 __all__ = ['SeidelResult', 'seidel_aberrations', 'paraxial_trace']

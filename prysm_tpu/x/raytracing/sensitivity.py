@@ -1,10 +1,8 @@
-"""Scalar-merit Jacobian over a LensData free vector.
+"""Finite-difference Jacobians of scalar merits over lens free vectors.
 
-Rebuild of ``prysm/x/raytracing/sensitivity.py``.
+API parity target: ``prysm/x/raytracing/sensitivity.py``.
 """
 import numpy as np
-
-_PREC = np.float64
 
 
 def central_difference(probe, base, h):
@@ -13,43 +11,46 @@ def central_difference(probe, base, h):
 
 
 def fd_jacobian(f, x, step=1e-6, mask=None):
-    """Central-difference gradient of scalar f over vector x."""
-    x = np.asarray(x)
-    n = len(x)
-    J = np.zeros(n, dtype=_PREC)
-    for i in range(n):
-        if mask is not None and not mask[i]:
-            continue
-        v0 = float(x[i])
-        h = step * (abs(v0) if v0 != 0.0 else 1.0)
+    """Central-difference gradient of scalar f over vector x.
 
-        def probe(value, i=i):
-            xx = np.array(x, copy=True)
-            xx[i] = value
-            return f(xx)
+    Steps are relative (``step * |x_i|``, floored at ``step``); masked-out
+    entries keep a zero gradient.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    grad = np.zeros(x.size, dtype=np.float64)
+    live = range(x.size) if mask is None else np.flatnonzero(mask)
+    for i in live:
+        center = float(x[i])
+        h = step * (abs(center) or 1.0)
 
-        fp, fm = central_difference(probe, v0, h)
-        J[i] = (fp - fm) / (2.0 * h)
-    return J
+        def probe(value, slot=i):
+            bumped = x.copy()
+            bumped[slot] = value
+            return f(bumped)
+
+        hi, lo = central_difference(probe, center, h)
+        grad[i] = (hi - lo) / (2.0 * h)
+    return grad
 
 
 def merit_jacobian_free(dofs, merit, method='fd', step=1e-6):
     """Gradient of a scalar merit w.r.t. a system's dense free vector.
 
-    dofs is the DesignState (pack/update); restored before return.
+    ``dofs`` is the DesignState (pack/update); it is restored before return
+    even if the merit raises.
     """
-    x0 = dofs.pack()
     if method != 'fd':
         raise ValueError(f"method must be 'fd', got {method!r}")
+    frozen = dofs.pack()
 
-    def f(x):
+    def objective(x):
         dofs.update(x)
         return float(merit())
 
     try:
-        return fd_jacobian(f, x0, step=step)
+        return fd_jacobian(objective, frozen, step=step)
     finally:
-        dofs.update(x0)
+        dofs.update(frozen)
 
 
 __all__ = ['central_difference', 'fd_jacobian', 'merit_jacobian_free']
