@@ -1,8 +1,10 @@
-"""Shared field/wavelength trace-grid helpers.
+"""Field x wavelength trace-grid plumbing shared by the analysis layer.
 
-Rebuild of ``prysm/x/raytracing/_trace_grid.py``.
+API parity target: ``prysm/x/raytracing/_trace_grid.py``.  Resolution of
+the field/wavelength sets, pupil launches, and per-cell trace records.
 """
 import math
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -14,178 +16,165 @@ from ._resolve import compiled_surfaces, resolve_wavelength, trace_context
 def _resolve_fields(system, fields):
     """Fields to evaluate, defaulting to the system FieldSet, else on-axis."""
     if fields is not None:
-        resolved = list(fields)
-        if not resolved:
-            raise ValueError(
-                'an explicit fields iterable must contain at least one '
-                'field; pass fields=None for the implicit on-axis field')
-        return resolved
-    sys_fields = getattr(system, 'fields', None)
-    if sys_fields is not None and len(sys_fields) > 0:
-        return list(sys_fields)
+        chosen = list(fields)
+        if not chosen:
+            raise ValueError('an explicit fields iterable needs at least one '
+                             'field; fields=None means the on-axis field')
+        return chosen
+    carried = getattr(system, 'fields', None)
+    if carried is not None and len(carried) > 0:
+        return list(carried)
     return [Field(0.0, 0.0)]
+
+
+def _shared_or_none(values):
+    """The single shared value of an iterable, else None."""
+    distinct = set(values)
+    return distinct.pop() if len(distinct) == 1 else None
 
 
 def field_sweep(system, fields=None, samples=101):
     """Dense field samples spanning the system field set."""
-    base = _resolve_fields(system, fields)
-    if fields is not None or len(base) == 0:
-        return base
-    kinds = {f.kind for f in base}
-    if len(kinds) != 1:
-        return base
-    kind = kinds.pop()
+    anchors = _resolve_fields(system, fields)
+    if fields is not None or len(anchors) == 0:
+        return anchors
+    kind = _shared_or_none(f.kind for f in anchors)
+    if kind is None:
+        return anchors
     if kind == 'angle':
-        if len({f.unit for f in base}) != 1:
-            return base
+        if _shared_or_none(f.unit for f in anchors) is None:
+            return anchors
         object_z = None
     else:
-        if len({f.object_z for f in base}) != 1:
-            return base
-        object_z = base[0].object_z
-    unit = base[0].unit
-    mags = [math.hypot(f.hx, f.hy) for f in base]
-    mmax = max(mags)
-    if mmax <= 0.0:
-        return base
-    outer = base[mags.index(mmax)]
-    ux = outer.hx / mmax
-    uy = outer.hy / mmax
-    mmin = min(mags)
-    if mmin >= mmax:
-        mmin = 0.0
+        distinct_z = {f.object_z for f in anchors}
+        if len(distinct_z) != 1:
+            return anchors
+        object_z = anchors[0].object_z
+
+    magnitudes = [math.hypot(f.hx, f.hy) for f in anchors]
+    top = max(magnitudes)
+    if top <= 0.0:
+        return anchors
+    outermost = anchors[magnitudes.index(top)]
+    ux, uy = outermost.hx / top, outermost.hy / top
+    bottom = min(magnitudes)
+    if bottom >= top:
+        bottom = 0.0
     samples = max(int(samples), 2)
-    step = (mmax - mmin) / (samples - 1)
-    return [
-        Field(ux * (mmin + step * i), uy * (mmin + step * i),
-              kind=kind, unit=unit, object_z=object_z)
-        for i in range(samples)
-    ]
+    rungs = np.linspace(bottom, top, samples)
+    return [Field(ux * h, uy * h, kind=kind, unit=anchors[0].unit,
+                  object_z=object_z) for h in rungs]
 
 
 def _resolve_wavelengths(system, wavelengths):
     """Wavelengths (microns) to evaluate, defaulting to the system set."""
-    if wavelengths is not None:
+    if wavelengths is None:
+        wavelengths = getattr(system, 'wavelengths', None)
+    if wavelengths is not None and len(wavelengths):
         return [float(w) for w in wavelengths]
-    wv = getattr(system, 'wavelengths', None)
-    if wv is not None and len(wv):
-        return [float(w) for w in wv]
     try:
         return [resolve_wavelength(system, None)]
     except ValueError:
-        raise TypeError(
-            'wavelengths is required for a bare surface sequence; only an '
-            'OpticalSystem defaults the wavelength set.') from None
+        raise TypeError('only an OpticalSystem defaults the wavelength set; '
+                        'pass wavelengths= for a bare surface sequence.'
+                        ) from None
 
 
-def _require_epd(system, epd, wvl=None):
+def _require_epd(system, epd, wavelength_um=None):
     """Resolve epd from an explicit value or the system; error if neither."""
-    if epd is None:
-        epd = trace_context(system, wvl, chief=True).epd
-    if epd is None:
-        raise TypeError(
-            'epd is required; pass epd=... or supply an OpticalSystem whose '
-            'aperture spec resolves it.')
-    return float(epd)
+    resolved = (trace_context(system, wavelength_um, chief=True).epd
+                if epd is None else epd)
+    if resolved is None:
+        raise TypeError('epd is required; pass epd=... or supply an '
+                        'OpticalSystem whose aperture spec resolves it.')
+    return float(resolved)
 
 
+@dataclass
 class TraceRecord:
     """One traced (field, wavelength) cell: indices, bundle, and trace."""
 
-    __slots__ = ('i', 'j', 'field', 'wvl', 'epd', 'P', 'S', 'trace', 'valid')
-
-    def __init__(self, i, j, field, wvl, epd, P, S, trace, valid):
-        self.i = i
-        self.j = j
-        self.field = field
-        self.wvl = wvl
-        self.epd = epd
-        self.P = P
-        self.S = S
-        self.trace = trace
-        self.valid = valid
+    i: int
+    j: int
+    field: object
+    wavelength_um: float
+    epd: float
+    P: object
+    S: object
+    trace: object
+    valid: object
 
 
-def _launch_trace(system, field, wvl, sampling, *, epd, pupil_z, aim_to,
-                  trace_fn):
-    epd = _require_epd(system, epd, wvl)
-    P, S = launch(system, field, wvl, sampling, epd=epd, pupil_z=pupil_z,
-                  aim_to=aim_to, drop_unaimed=True)
-    trace = trace_fn(compiled_surfaces(system), P, S, wvl)
-    valid = np.asarray(valid_mask(trace.status, trace.P[-1]))
-    return epd, P, S, trace, valid
+def _launch_trace(system, field, wavelength_um, sampling, *, epd, pupil_z,
+                  aim_to, kernel):
+    epd = _require_epd(system, epd, wavelength_um)
+    P, S = launch(system, field, wavelength_um, sampling, epd=epd,
+                  pupil_z=pupil_z, aim_to=aim_to, drop_unaimed=True)
+    trace = kernel(compiled_surfaces(system), P, S, wavelength_um)
+    alive = np.asarray(valid_mask(trace.status, trace.P[-1]))
+    return epd, P, S, trace, alive
 
 
-def trace_cell(system, field, wvl, sampling, *, epd=None, pupil_z=None,
-               aim_to=None, trace_fn=raytrace):
+def trace_cell(system, field, wavelength_um, sampling, *, epd=None,
+               pupil_z=None, aim_to=None, kernel=raytrace):
     """Launch and trace one (field, wavelength) bundle -> TraceRecord."""
-    epd, P, S, trace, valid = _launch_trace(
-        system, field, wvl, sampling, epd=epd, pupil_z=pupil_z,
-        aim_to=aim_to, trace_fn=trace_fn)
-    return TraceRecord(0, 0, field, wvl, epd, P, S, trace, valid)
+    parts = _launch_trace(system, field, wavelength_um, sampling, epd=epd,
+                          pupil_z=pupil_z, aim_to=aim_to, kernel=kernel)
+    return TraceRecord(0, 0, field, wavelength_um, *parts)
 
 
 def iter_trace_grid(system, fields, wavelengths, sampling, *,
-                    epd=None, pupil_z=None, aim_to=None, trace_fn=raytrace):
+                    epd=None, pupil_z=None, aim_to=None, kernel=raytrace):
     """Trace one pupil sampling over every field x wavelength cell."""
-    fields = _resolve_fields(system, fields)
-    wavelengths = _resolve_wavelengths(system, wavelengths)
-    for i, field in enumerate(fields):
-        for j, wvl in enumerate(wavelengths):
-            epd_w, P, S, trace, valid = _launch_trace(
-                system, field, wvl, sampling, epd=epd, pupil_z=pupil_z,
-                aim_to=aim_to, trace_fn=trace_fn)
-            yield TraceRecord(i, j, field, wvl, epd_w, P, S, trace, valid)
+    for i, field in enumerate(_resolve_fields(system, fields)):
+        for j, wavelength_um in enumerate(_resolve_wavelengths(system, wavelengths)):
+            parts = _launch_trace(system, field, wavelength_um, sampling, epd=epd,
+                                  pupil_z=pupil_z, aim_to=aim_to,
+                                  kernel=kernel)
+            yield TraceRecord(i, j, field, wavelength_um, *parts)
 
 
+@dataclass
 class LayoutRecord:
     """One traced layout fan: the field, its trace, and the valid mask."""
 
-    __slots__ = ('field', 'trace', 'valid')
-
-    def __init__(self, field, trace, valid):
-        self.field = field
-        self.trace = trace
-        self.valid = valid
+    field: object
+    trace: object
+    valid: object
 
 
+@dataclass
 class _OutlineTrace:
     """Minimal P/S carrier for layout glass sizing over many fields."""
 
-    __slots__ = ('P', 'S')
-
-    def __init__(self, P, S):
-        self.P = P
-        self.S = S
+    P: object
+    S: object
 
 
-def _valid_only_positions(trace):
-    P = np.array(trace.P)
-    mask = valid_mask(trace.status, P[-1])
-    if mask is not None:
-        P[:, ~np.asarray(mask), :] = np.nan
-    return P
+def _alive_positions(trace):
+    history = np.array(trace.P)
+    alive = valid_mask(trace.status, history[-1])
+    if alive is not None:
+        history[:, ~np.asarray(alive), :] = np.nan
+    return history
 
 
 def layout_records(system, fields=None, wavelength=None, sampling=None,
                    axis='y'):
     """(records, outline): one traced fan per field for a 2D layout."""
-    wvl = resolve_wavelength(system, wavelength)
-    fields = _resolve_fields(system, fields)
-    if sampling is None:
-        sampling = Sampling.fan(n=3, axis=axis)
-    elif isinstance(sampling, int):
-        sampling = Sampling.fan(n=int(sampling), axis=axis)
+    wavelength_um = resolve_wavelength(system, wavelength)
+    if sampling is None or isinstance(sampling, int):
+        sampling = Sampling.fan(n=3 if sampling is None else int(sampling),
+                                axis=axis)
+    compiled = compiled_surfaces(system)
     records = []
-    for field in fields:
-        trace = raytrace(compiled_surfaces(system),
-                         *launch(system, field, wvl, sampling,
-                                 drop_unaimed=True), wvl)
-        records.append(LayoutRecord(field, trace,
-                                    valid_mask(trace.status, trace.P[-1])))
+    for field in _resolve_fields(system, fields):
+        bundle = launch(system, field, wavelength_um, sampling,
+                        drop_unaimed=True)
+        trace = raytrace(compiled, *bundle, wavelength_um)
+        records.append(
+            LayoutRecord(field, trace, valid_mask(trace.status, trace.P[-1])))
     outline = _OutlineTrace(
-        np.concatenate([_valid_only_positions(r.trace) for r in records],
-                       axis=1),
-        np.concatenate([np.asarray(r.trace.S) for r in records], axis=1),
-    )
+        np.concatenate([_alive_positions(r.trace) for r in records], axis=1),
+        np.concatenate([np.asarray(r.trace.S) for r in records], axis=1))
     return records, outline

@@ -1,9 +1,14 @@
-"""Ray (grid/fan) generation routines.
+"""Ray bundle generators: fans, grids, hexapolar and spiral samplings.
 
-Rebuild of ``prysm/x/raytracing/raygen.py``; generation is trace-time setup
-producing (N, 3) position/direction arrays.
+API parity target: ``prysm/x/raytracing/raygen.py``.  Generation is
+trace-time setup producing (N, 3) position/direction arrays; every
+generator funnels through :func:`_bundle` (stack transverse samples with a
+z plane) and :func:`_tilted_axis` (the collimated direction field).
 """
+from itertools import accumulate
+
 import numpy as onp
+
 import jax.numpy as jnp
 
 from ...conf import config
@@ -17,37 +22,33 @@ from ...coordinates import (
 
 def concat_rayfans(*rayfans):
     """Merge N (P, S) rayfans into one batch."""
-    ps = [p for p, s in rayfans]
-    ss = [s for p, s in rayfans]
-    return jnp.vstack(ps), jnp.vstack(ss)
+    return (jnp.vstack([p for p, _ in rayfans]),
+            jnp.vstack([s for _, s in rayfans]))
 
 
 def split_rayfans(P, chunksizes, S=None):
     """Split concatenated rayfans back into the input chunks."""
-    expected_N = sum(chunksizes)
-    if P.shape[0] != expected_N:
+    if P.shape[0] != sum(chunksizes):
         raise ValueError('P is not sum(chunksizes) in length')
-    ps = []
-    low = 0
-    for size in chunksizes:
-        ps.append(P[low:low + size])
-        low += size
+    edges = [0, *accumulate(chunksizes)]
+    spans = list(zip(edges[:-1], edges[1:]))
+    ps = [P[a:b] for a, b in spans]
     if S is None:
         return ps
-    ss = []
-    low = 0
-    for size in chunksizes:
-        ss.append(S[low:low + size])
-        low += size
-    return ps, ss
+    return ps, [S[a:b] for a, b in spans]
 
 
-def _make_collimated_S(npoints, yangle=0, xangle=0):
-    """(npoints, 3) direction cosines for collimated rays."""
-    S = jnp.asarray([0., 0., 1.], dtype=config.precision)
-    R = make_rotation_matrix((0, yangle, -xangle))
-    S = jnp.matmul(R, S)
-    return jnp.broadcast_to(S[None, :], (npoints, 3))
+def _tilted_axis(npoints, yangle=0, xangle=0):
+    """(npoints, 3) direction cosines of a tilted +z axis."""
+    nominal = jnp.asarray([0., 0., 1.], dtype=config.precision)
+    tilted = make_rotation_matrix((0, yangle, -xangle)) @ nominal
+    return jnp.broadcast_to(tilted[None, :], (npoints, 3))
+
+
+def _bundle(x, y, z):
+    """Stack transverse samples against a constant-z launch plane."""
+    plane = jnp.broadcast_to(jnp.asarray(z, dtype=config.precision), x.shape)
+    return jnp.stack([x, y, plane], axis=1)
 
 
 def generate_collimated_ray_fan(nrays, maxr, z=0, minr=None, azimuth=90,
@@ -55,89 +56,81 @@ def generate_collimated_ray_fan(nrays, maxr, z=0, minr=None, azimuth=90,
                                 key=None):
     """1D fan of collimated rays -> (P, S)."""
     dtype = config.precision
-    distribution = distribution.lower()
     if minr is None:
         minr = -maxr
-    S = _make_collimated_S(nrays, yangle=yangle, xangle=xangle)
-    r = sample_axis(distribution, minr, maxr, nrays, dtype=dtype, key=key)
-    t = jnp.broadcast_to(jnp.radians(jnp.asarray(azimuth, dtype=dtype)), r.shape)
-    x, y = polar_to_cart(r, t)
-    z = jnp.broadcast_to(jnp.asarray(z, dtype=dtype), x.shape)
-    return jnp.stack([x, y, z], axis=1), S
+    radii = sample_axis(distribution.lower(), minr, maxr, nrays, dtype=dtype,
+                        key=key)
+    azi = jnp.broadcast_to(jnp.radians(jnp.asarray(azimuth, dtype=dtype)),
+                           radii.shape)
+    x, y = polar_to_cart(radii, azi)
+    return _bundle(x, y, z), _tilted_axis(nrays, yangle=yangle, xangle=xangle)
 
 
 def generate_collimated_rect_ray_grid(nrays, maxx, z=0, minx=None, maxy=None,
                                       miny=None, yangle=0, xangle=0,
                                       distribution='uniform', key=None):
     """2D rectangular grid of collimated rays -> (P, S); nrays^2 total."""
-    distribution = distribution.lower()
-    if minx is None:
-        minx = -maxx
-    if maxy is None:
-        maxy = maxx
-    if miny is None:
-        miny = -maxy
-    S = _make_collimated_S(nrays * nrays, yangle=yangle, xangle=xangle)
+    minx = -maxx if minx is None else minx
+    maxy = maxx if maxy is None else maxy
+    miny = -maxy if miny is None else miny
     dtype = config.precision
-    x = sample_axis(distribution, minx, maxx, nrays, dtype=dtype, key=key)
-    y = sample_axis(distribution, miny, maxy, nrays, dtype=dtype, key=key)
-    xx, yy = jnp.meshgrid(x, y)
-    xx = xx.ravel()
-    yy = yy.ravel()
-    z = jnp.broadcast_to(jnp.asarray(z, dtype=dtype), xx.shape)
-    return jnp.stack([xx, yy, z], axis=1), S
+    distribution = distribution.lower()
+    cols = sample_axis(distribution, minx, maxx, nrays, dtype=dtype, key=key)
+    rows = sample_axis(distribution, miny, maxy, nrays, dtype=dtype, key=key)
+    xx, yy = jnp.meshgrid(cols, rows)
+    return (_bundle(xx.ravel(), yy.ravel(), z),
+            _tilted_axis(nrays * nrays, yangle=yangle, xangle=xangle))
 
 
 def generate_finite_ray_fan(nrays, na, P=0, min_na=None, azimuth=90,
                             yangle=0, xangle=0, n=1, distribution='uniform',
                             key=None):
     """1D fan of rays from a finite point with given NA -> (P, S)."""
-    P = promote_3d_point(P, dtype=config.precision)
-    distribution = distribution.lower()
+    origin = promote_3d_point(P, dtype=config.precision)
     if min_na is None:
         min_na = -na
-    max_t = float(onp.arcsin(na / n))
-    min_t = float(onp.arcsin(min_na / n))
-    t = sample_axis(distribution, min_t, max_t, nrays, key=key)
-    l = jnp.sin(t)  # NOQA
-    m = jnp.sqrt(1 - l * l)
-    k = jnp.zeros_like(l)
-    if azimuth == 0:
-        k, l = l, k  # NOQA
-    S = jnp.stack([k, l, m], axis=1)
+    angles = sample_axis(distribution.lower(),
+                         float(onp.arcsin(min_na / n)),
+                         float(onp.arcsin(na / n)), nrays, key=key)
+    sin_t = jnp.sin(angles)
+    cos_t = jnp.sqrt(1 - sin_t * sin_t)
+    flat = jnp.zeros_like(sin_t)
+    # azimuth 90 puts the fan in the y plane, 0 in the x plane
+    k, l = (sin_t, flat) if azimuth == 0 else (flat, sin_t)  # NOQA: E741
+    S = jnp.stack([k, l, cos_t], axis=1)
     if yangle != 0 or xangle != 0:
         R = make_rotation_matrix((0, yangle, -xangle))
-        S = jnp.matmul(R, S[..., None]).squeeze(-1)
-    P = jnp.broadcast_to(P[None, :], (nrays, 3))
-    return P, S
+        S = (R @ S[..., None]).squeeze(-1)
+    return jnp.broadcast_to(origin[None, :], (nrays, 3)), S
 
 
 def clip_to_aperture(rayfan, aperture):
     """Pre-trace filter: keep rays whose origins pass the aperture."""
     P, S = rayfan
-    inside = onp.asarray(aperture(P[..., 0], P[..., 1]), dtype=bool)
-    return P[inside], S[inside]
+    passes = onp.asarray(aperture(P[..., 0], P[..., 1]), dtype=bool)
+    return P[passes], S[passes]
+
+
+def _ring_points(radius, count, offset=0.0):
+    """(x list, y list) of count points evenly around a ring."""
+    azimuths = onp.linspace(0, 2 * onp.pi, count, endpoint=False) + offset
+    return ((radius * onp.cos(azimuths)).tolist(),
+            (radius * onp.sin(azimuths)).tolist())
 
 
 def generate_collimated_hex_ray_grid(nrings, spacing, z=0, yangle=0, xangle=0):
     """Hexapolar grid of collimated rays: N = 1 + 3 nrings (nrings+1)."""
     if nrings < 0:
         raise ValueError(f'nrings must be >= 0, got {nrings}')
-    pts_x = [0.0]
-    pts_y = [0.0]
-    for k in range(1, nrings + 1):
-        nazi = 6 * k
-        thetas = onp.linspace(0, 2 * onp.pi, nazi, endpoint=False)
-        r = k * spacing
-        pts_x.extend((r * onp.cos(thetas)).tolist())
-        pts_y.extend((r * onp.sin(thetas)).tolist())
-    nrays = 1 + 3 * nrings * (nrings + 1)
-    xs = jnp.asarray(pts_x, dtype=config.precision)
-    ys = jnp.asarray(pts_y, dtype=config.precision)
-    zs = jnp.broadcast_to(jnp.asarray(z, dtype=config.precision), (nrays,))
-    P = jnp.stack([xs, ys, zs], axis=1)
-    S = _make_collimated_S(nrays, yangle=yangle, xangle=xangle)
-    return P, S
+    xs, ys = [0.0], [0.0]
+    for ring in range(1, nrings + 1):
+        rx, ry = _ring_points(ring * spacing, 6 * ring)
+        xs += rx
+        ys += ry
+    count = 1 + 3 * nrings * (nrings + 1)
+    P = _bundle(jnp.asarray(xs, dtype=config.precision),
+                jnp.asarray(ys, dtype=config.precision), z)
+    return P, _tilted_axis(count, yangle=yangle, xangle=xangle)
 
 
 def generate_collimated_radial_spiral_ray_grid(nrings, maxr, z=0,
@@ -149,32 +142,23 @@ def generate_collimated_radial_spiral_ray_grid(nrings, maxr, z=0,
     if nrings < 1:
         raise ValueError(f'nrings must be >= 1, got {nrings}')
     if samples_per_ring is None:
-        def samples_per_ring(k):
-            return 6 * k
+        samples_per_ring = lambda ring: 6 * ring  # NOQA: E731
     if radial_distribution == 'cheby':
-        k = onp.arange(1, nrings + 1)
-        nodes = onp.cos((nrings - k + 0.5) * onp.pi / (2 * nrings))
-        radii = maxr * nodes
+        ring_no = onp.arange(1, nrings + 1)
+        radii = maxr * onp.cos((nrings - ring_no + 0.5) * onp.pi
+                               / (2 * nrings))
     else:
         radii = onp.asarray(sample_axis(radial_distribution, 0.0, maxr,
                                         nrings + 1))[1:]
-    pts_x = []
-    pts_y = []
-    if include_center:
-        pts_x.append(0.0)
-        pts_y.append(0.0)
-    for k, r in enumerate(radii, start=1):
-        nazi = int(samples_per_ring(k))
-        if nazi <= 0:
-            continue
-        offset = (onp.pi / nazi) * (k % 2)
-        thetas = onp.linspace(0, 2 * onp.pi, nazi, endpoint=False) + offset
-        pts_x.extend((float(r) * onp.cos(thetas)).tolist())
-        pts_y.extend((float(r) * onp.sin(thetas)).tolist())
-    nrays = len(pts_x)
-    xs = jnp.asarray(pts_x, dtype=config.precision)
-    ys = jnp.asarray(pts_y, dtype=config.precision)
-    zs = jnp.broadcast_to(jnp.asarray(z, dtype=config.precision), (nrays,))
-    P = jnp.stack([xs, ys, zs], axis=1)
-    S = _make_collimated_S(nrays, yangle=yangle, xangle=xangle)
-    return P, S
+    xs, ys = ([0.0], [0.0]) if include_center else ([], [])
+    for ring, radius in enumerate(radii, start=1):
+        count = int(samples_per_ring(ring))
+        if count > 0:
+            # alternate a half-step azimuthal offset ring to ring
+            rx, ry = _ring_points(float(radius), count,
+                                  offset=(onp.pi / count) * (ring % 2))
+            xs += rx
+            ys += ry
+    P = _bundle(jnp.asarray(xs, dtype=config.precision),
+                jnp.asarray(ys, dtype=config.precision), z)
+    return P, _tilted_axis(len(xs), yangle=yangle, xangle=xangle)
