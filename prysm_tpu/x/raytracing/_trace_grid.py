@@ -97,7 +97,7 @@ class TraceRecord:
     i: int
     j: int
     field: object
-    wavelength_um: float
+    wvl: float
     epd: float
     P: object
     S: object
