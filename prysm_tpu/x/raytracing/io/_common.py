@@ -1,134 +1,124 @@
-"""Shared helpers for the raytracing IO parsers (Zemax, Code V).
+"""Shared helpers for the raytracing prescription ports (Zemax, Code V).
 
-Rebuild of ``prysm/x/raytracing/io/_common.py``.
+API parity target: ``prysm/x/raytracing/io/_common.py``.  Unit scaling is
+rule-driven: ``_PARAM_SCALERS`` maps a normalized shape kind to the scaling
+rules its parameters obey when converting from source units to mm.
 """
 import math
-import re
 import warnings
+import re
 
-_VIGNETTING_RE = re.compile(
-    r'\b(VUX|VUY|VLX|VLY|VDX|VDY|VCX|VCY|VAN)\b', re.IGNORECASE)
+_VIGNETTING_TOKENS = ('VUX', 'VUY', 'VLX', 'VLY', 'VDX', 'VDY', 'VCX',
+                      'VCY', 'VAN')
+_VIGNETTING_RE = re.compile(r'\b(' + '|'.join(_VIGNETTING_TOKENS) + r')\b',
+                            re.IGNORECASE)
 
 
-def warn_vignetting_ignored(text, format_name):
+def warn_vignetting_ignored(text, dialect):
     """One-time note when a deck declares affine vignetting factors."""
-    if _VIGNETTING_RE.search(text or ''):
-        warnings.warn(
-            f'{format_name} vignetting factors were found and ignored; '
-            'vignetting is modeled by clipping at the per-surface clear '
-            'apertures rather than via affine pupil-scaling factors.',
-            stacklevel=3)
+    if not _VIGNETTING_RE.search(text or ''):
+        return
+    warnings.warn(
+            f'{dialect} declares vignetting factors, which are ignored: '
+            'vignetting is modeled by clipping at per-surface clear '
+            'apertures, not by affine pupil-scaling factors.', stacklevel=3)
 
 
-def read_text_or_path(path_or_text, is_text=False):
+def read_text_or_path(source, is_text=False):
     """(text, source-path metadata) for parser entry points."""
     if is_text:
-        return path_or_text, None
-    with open(path_or_text, 'r', encoding='utf-8', errors='replace') as f:
-        text = f.read()
-    return text, str(path_or_text)
+        return source, None
+    with open(source, encoding='utf-8', errors='replace') as fh:
+        return fh.read(), str(source)
 
 
-def fields_from_xy(x_values, y_values, kind='angle', unit='deg',
+def _padded(values, n, fill):
+    values = list(values)
+    return values + [fill] * (n - len(values))
+
+
+def fields_from_xy(hx_list, hy_list, kind='angle', unit='deg',
                    object_z=None, length_scale=1.0, vignetting=None):
     """Field records from possibly uneven x/y field lists."""
     from ..launch import Field
 
-    x_values = list(x_values)
-    y_values = list(y_values)
-    if not x_values and not y_values:
+    hx_list, hy_list = list(hx_list), list(hy_list)
+    if not (hx_list or hy_list):
         return []
-    n = max(len(x_values), len(y_values))
-    if not x_values:
-        x_values = [0.0] * n
-    if not y_values:
-        y_values = [0.0] * n
-    if len(x_values) < n:
-        x_values += [0.0] * (n - len(x_values))
-    if len(y_values) < n:
-        y_values += [0.0] * (n - len(y_values))
-    if vignetting is None:
-        vignetting = [None] * n
-    else:
-        vignetting = list(vignetting)
-        if len(vignetting) < n:
-            vignetting += [None] * (n - len(vignetting))
+    n = max(len(hx_list), len(hy_list))
+    triples = zip(_padded(hx_list, n, 0.0), _padded(hy_list, n, 0.0),
+                  _padded(vignetting or [], n, None))
     if kind == 'angle':
-        return [Field(hx, hy, kind='angle', unit=unit, vignetting=vig)
-                for hx, hy, vig in zip(x_values, y_values, vignetting)]
+        return [Field(hx, hy, vignetting=vig, kind='angle', unit=unit)
+                for hx, hy, vig in triples]
     object_z = scale_length_to_mm(object_z, length_scale)
     return [Field(scale_length_to_mm(hx, length_scale),
-                  scale_length_to_mm(hy, length_scale),
-                  kind=kind, object_z=object_z, vignetting=vig)
-            for hx, hy, vig in zip(x_values, y_values, vignetting)]
+                  scale_length_to_mm(hy, length_scale), vignetting=vig,
+                  kind=kind, object_z=object_z)
+            for hx, hy, vig in triples]
 
 
+_MM_PER = {'mm': 1.0, 'cm': 10.0, 'm': 1000.0, 'in': 25.4, 'ft': 304.8}
 _UNIT_TO_MM = {
-    'mm': 1.0, 'millimeter': 1.0, 'millimeters': 1.0,
-    'cm': 10.0, 'centimeter': 10.0, 'centimeters': 10.0,
-    'm': 1000.0, 'meter': 1000.0, 'meters': 1000.0,
-    'in': 25.4, 'inch': 25.4, 'inches': 25.4,
-    'ft': 304.8, 'foot': 304.8, 'feet': 304.8,
+    **_MM_PER,
+    **{name: _MM_PER['mm'] for name in ('millimeter', 'millimeters')},
+    **{name: _MM_PER['cm'] for name in ('centimeter', 'centimeters')},
+    **{name: _MM_PER['m'] for name in ('meter', 'meters')},
+    **{name: _MM_PER['in'] for name in ('inch', 'inches')},
+    **{name: _MM_PER['ft'] for name in ('foot', 'feet')},
 }
 
 
 def length_scale_to_mm(unit):
     """Factor converting one source length unit to millimeters."""
     if unit is None:
-        return 1.0
-    key = str(unit).strip().lower()
+        return float(1)
     try:
-        return _UNIT_TO_MM[key]
+        return _UNIT_TO_MM[str(unit).strip().lower()]
     except KeyError as e:
-        raise ValueError(
-            f'unsupported prescription length unit {unit!r}; supported '
-            'units are mm, cm, m, in, and ft') from e
+        raise ValueError(f'prescription length unit {unit!r} is not '
+                         'supported; use mm, cm, m, in, or ft') from e
 
 
 def scale_length_to_mm(value, scale):
-    """Scale a finite length-like value to millimeters."""
+    """Scale a finite length-like value into millimeters."""
     if value is None:
         return None
-    value = float(value)
-    if not math.isfinite(value):
-        return value
-    return value * scale
+    as_float = float(value)
+    return as_float * scale if math.isfinite(as_float) else as_float
 
 
-def _scale_curvature(value, scale):
-    return float(value) / scale
+def _curvature_rule(params, scale, keys):
+    for key in keys:
+        params[key] = float(params.get(key, 0.0)) / scale
 
 
-def _scale_even_asphere_coefs(coefs, scale):
-    scaled = []
-    for i, coef in enumerate(coefs, start=1):
-        power = 2 * (i + 1)   # i=1 is rho**4
-        scaled.append(float(coef) / (scale ** (power - 1)))
-    return tuple(scaled)
+def _asphere_rule(params, scale, key):
+    # i=1 is the rho**4 coefficient; rho**(2i+2) scales by scale**(2i+1)
+    params[key] = tuple(
+        float(coef) / scale ** (2 * (i + 1) - 1)
+        for i, coef in enumerate(params.get(key, ()), start=1))
 
 
 def scale_surface_params_to_mm(kind, params, scale):
     """Scale normalized SurfaceSpec shape params from source units to mm."""
+    params = dict(params)
     if scale == 1.0:
-        return dict(params)
-    out = dict(params)
-    if kind in ('conic', 'even_asphere', 'zernike', 'xy'):
-        out['c'] = _scale_curvature(out.get('c', 0.0), scale)
+        return params
+    if kind in ('conic', 'even_asphere', 'xy', 'zernike'):
+        _curvature_rule(params, scale, ('c',))
     if kind == 'even_asphere':
-        out['coefs'] = _scale_even_asphere_coefs(out.get('coefs', ()), scale)
-    elif kind == 'toroid':
-        out['c_x'] = _scale_curvature(out['c_x'], scale)
-        out['c_y'] = _scale_curvature(out['c_y'], scale)
-        out['coefs_y'] = _scale_even_asphere_coefs(
-            out.get('coefs_y', ()), scale)
-    elif kind == 'biconic':
-        out['c_x'] = _scale_curvature(out['c_x'], scale)
-        out['c_y'] = _scale_curvature(out['c_y'], scale)
-    elif kind in ('zernike', 'xy'):
-        out['normalization_radius'] = scale_length_to_mm(
-            out['normalization_radius'], scale)
-        out['coefs'] = tuple(float(c) * scale for c in out.get('coefs', ()))
-    return out
+        _asphere_rule(params, scale, 'coefs')
+    elif kind in ('toroid', 'biconic'):
+        _curvature_rule(params, scale, ('c_x', 'c_y'))
+        if kind == 'toroid':
+            _asphere_rule(params, scale, 'coefs_y')
+    elif kind in ('xy', 'zernike'):
+        params['normalization_radius'] = scale_length_to_mm(
+            params['normalization_radius'], scale)
+        params['coefs'] = tuple(float(c) * scale
+                                for c in params.get('coefs', ()))
+    return params
 
 
 def aperture_kwargs_from_radii(outer_radius, scale, inner_radius=None):
@@ -136,13 +126,13 @@ def aperture_kwargs_from_radii(outer_radius, scale, inner_radius=None):
     outer = scale_length_to_mm(outer_radius, scale)
     if outer is None:
         return {}
-    inner = scale_length_to_mm(inner_radius, scale)
     from ..aperture import Aperture, annular_aperture, CircularExtent
+    inner = scale_length_to_mm(inner_radius, scale)
     if inner is None:
         return {'aperture': Aperture(clip=float(outer))}
     if inner < 0 or outer <= 0 or inner >= outer:
-        raise ValueError(
-            'clear-aperture radii must satisfy 0 <= inner < outer')
+        raise ValueError('clear-aperture radii must satisfy '
+                         '0 <= inner < outer')
     return {'aperture': Aperture(
         clip=annular_aperture(inner, outer),
         extent=CircularExtent(float(outer), inner_radius=float(inner)))}
@@ -155,128 +145,134 @@ def fold_sign(n_refl):
     unfolded axis; LensData folds the frame and keeps thickness positive,
     so the sign alternates with the parity of n_refl.
     """
-    return -1.0 if (n_refl % 2) else 1.0
+    return 1.0 - 2.0 * (n_refl % 2)
 
 
 def writable_shape_or_raise(shape_kind, is_eval, writer):
     """Reject surface rows a prescription writer would serialize lossily."""
     if is_eval:
         return
-    from ..surfaces import Conic, Plane, Sphere
-    if shape_kind in (Conic, Plane, Sphere):
+    from ..surfaces import Conic, Sphere, Plane
+    if shape_kind in (Conic, Sphere, Plane):
         return
     raise NotImplementedError(
-        f'{writer} cannot export {shape_kind.__name__} without losing '
-        'shape data; supported writer shapes are Conic, Sphere, and Plane.')
+        f'exporting {shape_kind.__name__} through {writer} would lose '
+        'shape data; writers support only Conic, Sphere, and Plane.')
 
 
 def aperture_export_radii(aperture, *, allow_annular):
     """Strict (outer, inner) clip radii for a supported aperture."""
-    from ..aperture import AnnularClip, CircularClip
+    from ..aperture import CircularClip, AnnularClip
     clip = aperture.clip
     if clip is None:
-        if (aperture.extent is not None or aperture.substrate is not None
-                or aperture.features):
+        cosmetic = (aperture.extent is not None
+                    or aperture.substrate is not None or aperture.features)
+        if cosmetic:
             raise ValueError(
                 'cosmetic extent/substrate/features are unsupported')
-        return None, None
+        return (None,) * 2
     if isinstance(clip, CircularClip):
-        if clip.x0 != 0.0 or clip.y0 != 0.0:
-            raise ValueError('decentered circular clips are unsupported')
-        inner = None
-        outer = clip.radius
-    elif isinstance(clip, AnnularClip) and allow_annular:
-        if clip.x0 != 0.0 or clip.y0 != 0.0:
-            raise ValueError('decentered annular clips are unsupported')
-        inner = clip.inner_radius
-        outer = clip.outer_radius
+        bounds = (clip.radius, None)
+    elif allow_annular and isinstance(clip, AnnularClip):
+        bounds = (clip.outer_radius, clip.inner_radius)
     else:
-        raise ValueError(
-            f'{type(clip).__name__} clips are unsupported by this writer')
+        raise ValueError(f'{type(clip).__name__} clips are not supported '
+                         'by this writer')
+    if (clip.x0, clip.y0) != (0.0, 0.0):
+        kind = 'circular' if isinstance(clip, CircularClip) else 'annular'
+        raise ValueError(f'decentered {kind} clips are unsupported')
     if aperture.substrate is not None or aperture.features:
-        raise ValueError('substrate and edge features are unsupported')
-    extent = aperture.extent
-    if extent is not None:
-        if (float(extent.outer_radius) != float(outer)
-                or float(extent.inner_radius) != float(inner or 0.0)):
-            raise ValueError('drawn extent differs from the exported clip')
-    return float(outer), None if inner is None else float(inner)
+        raise ValueError('substrates and edge features are unsupported')
+    outer, inner = bounds
+    if aperture.extent is not None:
+        mismatched = (float(aperture.extent.outer_radius) != float(outer)
+                      or float(aperture.extent.inner_radius)
+                      != float(inner or 0.0))
+        if mismatched:
+            raise ValueError('the drawn extent differs from the exported '
+                             'clip')
+    return float(outer), float(inner) if inner is not None else None
+
+
+def _check_row(row, ri, writer, allow_annular, objections):
+    from ... import materials
+    from ..lensdata import CoordBreak, SurfaceRow
+    from ..spencer_and_murty import _is_measurement_surf, STYPE_REFLECT
+    from ..surfaces import _map_stype, Conic, Plane, Sphere
+
+    if isinstance(row, CoordBreak):
+        allowed = {'write_zmx': ('basic',)}.get(writer, ('basic', 'dar'))
+        if row.kind not in allowed:
+            objections.append(f'row {ri} CoordBreak kind {row.kind!r}')
+        if row.ret_target is not None:
+            objections.append(f'row {ri} CoordBreak ret_target')
+    elif not isinstance(row, SurfaceRow):
+        objections.append(f'row {ri} has an unknown row type')
+    else:
+        _check_surface_row(row, ri, allow_annular, objections)
+
+
+def _check_surface_row(row, ri, allow_annular, objections):
+    from ... import materials
+    from ..spencer_and_murty import _is_measurement_surf, STYPE_REFLECT
+    from ..surfaces import _map_stype, Conic, Plane, Sphere
+
+    stype = _map_stype(row.typ)
+    exportable_shape = row.shape_kind in (Conic, Plane, Sphere)
+    if not (_is_measurement_surf(stype) or exportable_shape):
+        objections.append(f'row {ri} shape {row.shape_kind.__name__}')
+    if row.grating is not None:  # OPL modifiers have no export encoding
+        objections.append(f'row {ri} OPLFunc/grating')
+    if row.coating is not None:
+        objections.append(f'row {ri} coating stack')
+    try:
+        aperture_export_radii(row.aperture, allow_annular=allow_annular)
+    except ValueError as exc:
+        objections.append(f'row {ri} aperture ({exc})')
+    nontrivial_medium = (stype != STYPE_REFLECT and row.material
+                         not in (None, materials.air, materials.vacuum))
+    if nontrivial_medium:
+        page = getattr(row.material, 'page_info', None)
+        if not page or not page.get('page'):
+            objections.append(f'row {ri} material lacks an external '
+                              'catalog name')
 
 
 def preflight_export(system, writer):
     """Aggregate every semantic feature a strict writer cannot represent."""
-    from ..lensdata import CoordBreak, SurfaceRow
-    from ..spencer_and_murty import STYPE_REFLECT, _is_measurement_surf
-    from ..surfaces import Conic, Plane, Sphere, _map_stype
-    from ... import materials
-
     if writer not in ('write_zmx', 'write_seq'):
         raise ValueError(f'unknown writer {writer!r}')
     allow_annular = writer == 'write_seq'
-    problems = []
-    lens = getattr(system, 'lens', system)
-    rows = getattr(lens, 'rows', None)
+    rows = getattr(getattr(system, 'lens', system), 'rows', None)
     if rows is None:
-        raise TypeError(f'{writer} requires LensData or OpticalSystem')
+        raise TypeError(f'{writer} wants a LensData or an OpticalSystem')
 
-    for row_index, row in enumerate(rows):
-        if isinstance(row, CoordBreak):
-            allowed = (('basic',) if writer == 'write_zmx'
-                       else ('basic', 'dar'))
-            if row.kind not in allowed:
-                problems.append(
-                    f'row {row_index}: CoordBreak kind {row.kind!r}')
-            if row.ret_target is not None:
-                problems.append(f'row {row_index}: CoordBreak ret_target')
-            continue
-        if not isinstance(row, SurfaceRow):
-            problems.append(f'row {row_index}: unknown row type')
-            continue
-        stype = _map_stype(row.typ)
-        if (not _is_measurement_surf(stype)
-                and row.shape_kind not in (Conic, Plane, Sphere)):
-            problems.append(
-                f'row {row_index}: shape {row.shape_kind.__name__}')
-        if row.grating is not None:
-            problems.append(f'row {row_index}: OPLFunc/grating')
-        if row.coating is not None:
-            problems.append(f'row {row_index}: coating stack')
-        try:
-            aperture_export_radii(row.aperture, allow_annular=allow_annular)
-        except ValueError as exc:
-            problems.append(f'row {row_index}: aperture ({exc})')
-        if stype != STYPE_REFLECT and row.material not in (
-                None, materials.air, materials.vacuum):
-            page = getattr(row.material, 'page_info', None)
-            if not page or not page.get('page'):
-                problems.append(
-                    f'row {row_index}: material has no external catalog '
-                    'name')
+    objections = []
+    for ri, row in enumerate(rows):
+        _check_row(row, ri, writer, allow_annular, objections)
 
-    aperture = getattr(system, 'aperture', None)
-    if aperture is not None and getattr(aperture, 'mode', None) != 'EPD':
-        problems.append(
-            f'system aperture mode {getattr(aperture, "mode", None)!r}')
-    fields = list(getattr(system, 'fields', ()) or ())
-    for i, field in enumerate(fields):
-        if field.kind == 'angle' and field.unit != 'deg':
-            problems.append(f'field {i}: angular unit {field.unit!r}')
-        if writer == 'write_seq' and field.kind != 'angle':
-            problems.append(f'field {i}: object-height field')
-        if writer == 'write_zmx' and field.vignetting is not None:
-            problems.append(f'field {i}: vignetting factors')
-    extras = getattr(system, 'extras', None) or {}
-    unsupported_extras = sorted(set(extras) - {'VERS', 'MODE'})
-    if unsupported_extras:
-        problems.append('system extras: ' + ', '.join(unsupported_extras))
-    if problems:
-        raise NotImplementedError(
-            f'{writer} cannot losslessly export: ' + '; '.join(problems))
+    ap_spec = getattr(system, 'aperture', None)
+    if ap_spec is not None and getattr(ap_spec, 'mode', None) != 'EPD':
+        objections.append(
+            f'system aperture mode {getattr(ap_spec, "mode", None)!r}')
+    for i, fld in enumerate(list(getattr(system, 'fields', ()) or ())):
+        if fld.kind == 'angle' and fld.unit != 'deg':
+            objections.append(f'field {i} angular unit {fld.unit!r}')
+        if writer == 'write_seq' and fld.kind != 'angle':
+            objections.append(f'field {i} is an object-height field')
+        if writer == 'write_zmx' and fld.vignetting is not None:
+            objections.append(f'field {i} vignetting factors')
+    leftovers = sorted(set(getattr(system, 'extras', None) or {})
+                       - {'VERS', 'MODE'})
+    if leftovers:
+        objections.append('system extras: ' + ', '.join(leftovers))
+    if objections:
+        raise NotImplementedError(f'{writer} cannot losslessly export: '
+                                  + '; '.join(objections))
 
 
 def parse_float(token):
     """Parse a numeric token; INF / INFINITY (any case) is +inf."""
-    t = token.strip()
-    if t.upper() in ('INF', 'INFINITY'):
-        return float('inf')
-    return float(t)
+    stripped = token.strip()
+    return (float('inf') if stripped.upper() in ('INF', 'INFINITY')
+            else float(stripped))

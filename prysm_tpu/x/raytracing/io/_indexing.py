@@ -1,2 +1,2 @@
-"""Polynomial indexing helpers shared by raytracing IO parsers."""
-from ....polynomials import noll_to_nm, fringe_to_nm, xy_j_to_mn  # NOQA: F401
+"""Polynomial index conversions re-exported for the IO parsers."""
+from ....polynomials import fringe_to_nm, noll_to_nm, xy_j_to_mn  # NOQA: F401
