@@ -1,10 +1,15 @@
 """Complex pupil fields from ray traces.
 
-Rebuild of ``prysm/x/raytracing/field.py``: the bridge from geometric
-traces to the physical-optics stack — per-ray Fresnel/coating
-amplitudes, sine-space exit-pupil coordinates, energy-conservation
+API parity target: ``prysm/x/raytracing/field.py``.  This is the bridge
+from geometric traces to the physical-optics stack: per-ray Fresnel and
+coating amplitudes, sine-space exit-pupil coordinates, energy-conservation
 apodization, polarization ray tracing (3x3 P matrices), and resampling
 onto a regular-grid Wavefront for diffraction propagation.
+
+Design notes: incidence data is re-derived from the recorded trace (the
+hot kernel stays untouched); Fresnel/coating amplitude rules live in a
+small dispatch layered over the coatings engine; the s-p-k rotation basis
+for PRT is factored into :func:`_spk_basis`.
 """
 import numpy as np
 from scipy import interpolate
@@ -33,32 +38,21 @@ def _row_dot(a, b):
     return np.sum(np.asarray(a) * np.asarray(b), axis=-1)
 
 
-def _complex_sqrt(x):
+def _csqrt(x):
     return np.sqrt(np.asarray(x, dtype=_CPREC))
 
 
-def _fresnel_ts(n0, n1, theta0, theta1):
-    """Fresnel s-transmission amplitude (host numpy; complex-safe)."""
-    num = 2 * n0 * np.cos(theta0)
-    den = n0 * np.cos(theta0) + n1 * np.cos(theta1)
-    return num / den
+def _unit(v):
+    return v / np.sqrt(np.sum(v * v, axis=-1, keepdims=True))
 
 
-def _fresnel_tp(n0, n1, theta0, theta1):
-    """Fresnel p-transmission amplitude (host numpy; complex-safe)."""
-    num = 2 * n0 * np.cos(theta0)
-    den = n0 * np.cos(theta1) + n1 * np.cos(theta0)
-    return num / den
+class _TraceCarrier:
+    """Base wrapper pairing a geometric trace with a physical payload."""
 
+    __slots__ = ('trace',)
 
-class FieldTraceResult:
-    """A geometric trace plus per-ray scalar amplitude."""
-
-    __slots__ = ('trace', 'amplitude')
-
-    def __init__(self, trace, amplitude):
+    def __init__(self, trace):
         self.trace = trace
-        self.amplitude = amplitude
 
     @property
     def P(self):
@@ -79,6 +73,29 @@ class FieldTraceResult:
     def status(self):
         """Status of the wrapped trace."""
         return self.trace.status
+
+
+class FieldTraceResult(_TraceCarrier):
+    """A geometric trace plus per-ray scalar amplitude."""
+
+    __slots__ = ('amplitude',)
+
+    def __init__(self, trace, amplitude):
+        super().__init__(trace)
+        self.amplitude = amplitude
+
+
+class PRTResult(_TraceCarrier):
+    """A geometric trace plus a per-ray 3x3 polarization ray-trace matrix."""
+
+    __slots__ = ('P_matrix',)
+
+    def __init__(self, trace, P_matrix):
+        super().__init__(trace)
+        self.P_matrix = P_matrix
+
+
+# ---------- per-interface incidence data ------------------------------------
 
 
 def _complex_index(material, wavelength, *, consumer):
@@ -91,105 +108,113 @@ def _complex_index(material, wavelength, *, consumer):
     return complex(nk(wavelength))
 
 
-def _complex_object_space_index(surfaces, wavelength, *, consumer):
-    if (surfaces and sm._is_measurement_surf(surfaces[0].typ)
-            and surfaces[0].material is not None):
-        return _complex_index(surfaces[0].material, wavelength,
+def _complex_object_space_index(prescription, wavelength, *, consumer):
+    if (prescription and sm._is_measurement_surf(prescription[0].typ)
+            and prescription[0].material is not None):
+        return _complex_index(prescription[0].material, wavelength,
                               consumer=consumer)
     return 1.0 + 0.0j
 
 
 def surface_normals_from_trace(system, trace, wavelength, *,
                                complex_indices=False):
-    """(cosI, n0, n1, typ): per-surface incidence data from a trace.
+    """(cos_inc, n_in, n_out, kind): per-surface incidence data from a trace.
 
     Re-evaluates sag_and_normal at the recorded intersections — the
     exact path the kernel walked — so the hot trace needs no changes.
     """
-    P_hist = np.asarray(trace.P)
-    S_hist = np.asarray(trace.S)
-    surfaces = list(system)
-    jj = len(surfaces)
-    n_rays = P_hist.shape[1]
-    cosI = np.empty((jj, n_rays), dtype=P_hist.dtype)
-    index_dtype = _CPREC if complex_indices else _PREC
-    n0 = np.empty(jj, dtype=index_dtype)
-    n1 = np.empty(jj, dtype=index_dtype)
-    typ = np.empty(jj, dtype=int)
+    P_track, S_track = np.asarray(trace.P), np.asarray(trace.S)
+    prescription = list(system)
+    cos_rows, n_before, n_after, kinds = [], [], [], []
 
     if complex_indices:
-        nj = _complex_object_space_index(
-            surfaces, wavelength, consumer='physical field tracing')
+        running = _complex_object_space_index(
+            prescription, wavelength, consumer='physical field tracing')
     else:
-        nj = object_space_index(surfaces, wavelength)
-    for j, surf in enumerate(surfaces):
-        XYZloc, Sloc = sm.transform_to_local_coords(
-            P_hist[j + 1], surf.P, S_hist[j], surf.R)
-        XYZloc = np.asarray(XYZloc)
-        Sloc = np.asarray(Sloc)
-        _, n_hat = surf.sag_and_normal(XYZloc[..., 0], XYZloc[..., 1])
-        cosI[j] = _row_dot(n_hat, Sloc)
-
-        n0[j] = nj
-        typ[j] = surf.typ
+        running = object_space_index(prescription, wavelength)
+    for j, surf in enumerate(prescription):
+        local_P, local_S = sm.transform_to_local_coords(
+            P_track[j + 1], surf.P, S_track[j], surf.R)
+        local_P, local_S = np.asarray(local_P), np.asarray(local_S)
+        _, n_hat = surf.sag_and_normal(local_P[..., 0], local_P[..., 1])
+        cos_rows.append(_row_dot(n_hat, local_S))
+        n_before.append(running)
+        kinds.append(surf.typ)
         if surf.typ == STYPE_REFRACT:
-            if complex_indices:
-                nprime = _complex_index(
-                    surf.material, wavelength,
-                    consumer='physical field tracing')
-            else:
-                nprime = float(surf.material.n(wavelength))
-            n1[j] = nprime
-            nj = nprime
-        else:
-            n1[j] = nj
-    return cosI, n0, n1, typ
+            running = (_complex_index(surf.material, wavelength,
+                                      consumer='physical field tracing')
+                       if complex_indices
+                       else float(surf.material.n(wavelength)))
+        n_after.append(running)
+
+    index_dtype = _CPREC if complex_indices else _PREC
+    return (np.asarray(cos_rows, dtype=P_track.dtype),
+            np.asarray(n_before, dtype=index_dtype),
+            np.asarray(n_after, dtype=index_dtype),
+            np.asarray(kinds, dtype=int))
 
 
-def _transmission_energy_norm(n0, n1, theta0, pol):
+# ---------- interface amplitude rules ---------------------------------------
+
+
+def _fresnel_transmission(n_in, n_out, aoi, aot):
+    """(t_s, t_p) Fresnel transmission amplitudes (complex-safe)."""
+    driving = 2 * n_in * np.cos(aoi)
+    t_s = driving / (n_in * np.cos(aoi) + n_out * np.cos(aot))
+    t_p = driving / (n_in * np.cos(aot) + n_out * np.cos(aoi))
+    return t_s, t_p
+
+
+def _refracted_cosine(n_in, n_out, aoi):
+    return _csqrt(1.0 - ((n_in / n_out) * np.sin(aoi)) ** 2)
+
+
+def _zero_dead_rays(cos_aot, *amplitudes):
+    """Zero TIR / non-finite entries (evanescent rays carry no power)."""
+    dead = np.imag(cos_aot) != 0
+    for a in amplitudes:
+        dead = dead | ~np.isfinite(a)
+    for a in amplitudes:
+        a[dead] = 0.0
+    return amplitudes
+
+
+def _transmission_energy_norm(n_in, n_out, aoi, pol):
     """Obliquity factor from field transmission to sqrt(power)."""
-    cost0 = np.cos(theta0)
-    cost1 = _complex_sqrt(1.0 - ((n0 / n1) * np.sin(theta0)) ** 2)
+    cos_aoi = np.cos(aoi)
+    cos_aot = _refracted_cosine(n_in, n_out, aoi)
     with np.errstate(divide='ignore', invalid='ignore'):
-        if pol == 's':
-            ratio = (n1 * cost1) / (n0 * cost0)
-        else:
-            ratio = (n1 * cost0) / (n0 * cost1)
-    return _complex_sqrt(np.real(ratio))
+        ratio = ((n_out * cos_aot) / (n_in * cos_aoi) if pol == 's'
+                 else (n_out * cos_aoi) / (n_in * cos_aot))
+    return _csqrt(np.real(ratio))
 
 
-def _coating_coefficients(coating, n0, n1, cosI, theta0, typ, wavelength):
+def _coating_coefficients(coating, n_in, n_out, cos_inc, aoi, kind, wvl_um):
     """Thin-film stack s/p amplitudes for one traced interface."""
-    if wavelength is None:
-        raise TypeError('a coated surface requires a wavelength')
-    if typ == STYPE_REFRACT:
-        stack = Stack(coating.indices, coating.thicknesses,
-                      substrate_index=n1, ambient_index=n0)
-        _, t_s = stack_rt(stack, wavelength, theta0, 's')
-        _, t_p = stack_rt(stack, wavelength, theta0, 'p')
-        t_s = np.asarray(t_s)
-        t_p = np.asarray(t_p)
-        a_s = (t_s * _transmission_energy_norm(n0, n1, theta0, 's')).astype(
-            _CPREC)
-        a_p = (t_p * _transmission_energy_norm(n0, n1, theta0, 'p')).astype(
-            _CPREC)
-        # TIR and grazing incidence transmit no power
-        cost1 = _complex_sqrt(1.0 - ((n0 / n1) * np.sin(theta0)) ** 2)
-        dead = (np.imag(cost1) != 0) | ~np.isfinite(a_s) | ~np.isfinite(a_p)
-        a_s[dead] = 0.0
-        a_p[dead] = 0.0
-        return a_s, a_p
-    if typ == STYPE_REFLECT:
-        stack = Stack(coating.indices, coating.thicknesses,
-                      substrate_index=coating.substrate_index,
-                      ambient_index=n0)
-        r_s, _ = stack_rt(stack, wavelength, theta0, 's')
-        r_p, _ = stack_rt(stack, wavelength, theta0, 'p')
+    if wvl_um is None:
+        raise TypeError('a coated surface requires a wvl_um')
+    if kind == STYPE_REFRACT:
+        layered = Stack(coating.indices, coating.thicknesses,
+                        substrate_index=n_out, ambient_index=n_in)
+        amplitudes = []
+        for pol in ('s', 'p'):
+            _, t = stack_rt(layered, wvl_um, aoi, pol)
+            amplitudes.append((np.asarray(t)
+                               * _transmission_energy_norm(n_in, n_out, aoi,
+                                                           pol)).astype(_CPREC))
+        return _zero_dead_rays(_refracted_cosine(n_in, n_out, aoi),
+                               *amplitudes)
+    if kind == STYPE_REFLECT:
+        layered = Stack(coating.indices, coating.thicknesses,
+                        substrate_index=coating.substrate_index,
+                        ambient_index=n_in)
+        r_s, _ = stack_rt(layered, wvl_um, aoi, 's')
+        r_p, _ = stack_rt(layered, wvl_um, aoi, 'p')
         # s-p-k basis signs match the bare ideal mirror limit (1, -1)
         return ((-np.asarray(r_s)).astype(_CPREC),
                 np.asarray(r_p).astype(_CPREC))
-    ones = np.ones_like(cosI, dtype=_CPREC)
-    return ones, ones
+    passthrough = np.ones_like(cos_inc, dtype=_CPREC)
+    return passthrough, passthrough
 
 
 def interface_coefficients(n0, n1, cosI, typ, *, coating=None,
@@ -198,60 +223,56 @@ def interface_coefficients(n0, n1, cosI, typ, *, coating=None,
 
     TIR returns zero; bare reflection is the ideal mirror (1, -1).
     """
-    cosI = np.abs(np.asarray(cosI))
-    theta0 = np.arccos(np.clip(cosI, 0.0, 1.0))
+    n_in, n_out, cos_inc, kind, wvl_um = n0, n1, cosI, typ, wavelength
+    cos_inc = np.abs(np.asarray(cos_inc))
+    aoi = np.arccos(np.clip(cos_inc, 0.0, 1.0))
     if coating is not None:
-        return _coating_coefficients(coating, n0, n1, cosI, theta0, typ,
-                                     wavelength)
-    if typ == STYPE_REFRACT:
-        sint1 = (n0 / n1) * np.sin(theta0)
-        cost1 = _complex_sqrt(1.0 - sint1 * sint1)
+        return _coating_coefficients(coating, n_in, n_out, cos_inc, aoi, kind,
+                                     wvl_um)
+    if kind == STYPE_REFRACT:
+        cos_aot = _refracted_cosine(n_in, n_out, aoi)
         with np.errstate(divide='ignore', invalid='ignore'):
-            theta1 = np.arccos(cost1)
-            t_s = _fresnel_ts(n0, n1, theta0, theta1)
-            t_p = _fresnel_tp(n0, n1, theta0, theta1)
-            oblique = _complex_sqrt((n1 * cost1) / (n0 * np.cos(theta0)))
-            a_s = (t_s * oblique).astype(_CPREC)
-            a_p = (t_p * oblique).astype(_CPREC)
-        dead = (np.imag(cost1) != 0) | ~np.isfinite(a_s) | ~np.isfinite(a_p)
-        a_s[dead] = 0.0
-        a_p[dead] = 0.0
-        return a_s, a_p
-    ones = np.ones_like(cosI, dtype=_CPREC)
-    if typ == STYPE_REFLECT:
-        return ones, -ones
-    return ones, ones
-
-
-def _power_coefficient(a_s, a_p):
-    return 0.5 * (np.abs(a_s) ** 2 + np.abs(a_p) ** 2)
+            t_s, t_p = _fresnel_transmission(n_in, n_out, aoi,
+                                             np.arccos(cos_aot))
+            oblique = _csqrt((n_out * cos_aot) / (n_in * np.cos(aoi)))
+            amp_s = (t_s * oblique).astype(_CPREC)
+            amp_p = (t_p * oblique).astype(_CPREC)
+        return _zero_dead_rays(cos_aot, amp_s, amp_p)
+    passthrough = np.ones_like(cos_inc, dtype=_CPREC)
+    if kind == STYPE_REFLECT:
+        return passthrough, -passthrough
+    return passthrough, passthrough
 
 
 def unpolarized_amplitude(system, trace, wavelength):
     """Per-ray scalar amplitude transmittance through the system."""
-    cosI, n0, n1, typ = surface_normals_from_trace(
-        system, trace, wavelength, complex_indices=True)
-    surfaces = list(system)
-    jj, n_rays = cosI.shape
-    amp = np.ones(n_rays, dtype=_PREC)
-    for j in range(jj):
-        coating = surfaces[j].coating
-        if coating is None and typ[j] != STYPE_REFRACT:
+    wvl_um = wavelength
+    cos_inc, n_in, n_out, kinds = surface_normals_from_trace(
+        system, trace, wvl_um, complex_indices=True)
+    prescription = list(system)
+    throughput = np.ones(cos_inc.shape[1], dtype=_PREC)
+    for j, surf in enumerate(prescription):
+        if surf.coating is None and kinds[j] != STYPE_REFRACT:
             continue
-        a_s, a_p = interface_coefficients(
-            n0[j], n1[j], cosI[j], typ[j], coating=coating,
-            wavelength=wavelength)
-        amp = amp * np.sqrt(np.clip(_power_coefficient(a_s, a_p), 0.0,
-                                    None))
-    return amp
+        amp_s, amp_p = interface_coefficients(
+            n_in[j], n_out[j], cos_inc[j], kinds[j], coating=surf.coating,
+            wavelength=wvl_um)
+        mean_power = 0.5 * (np.abs(amp_s) ** 2 + np.abs(amp_p) ** 2)
+        throughput = throughput * np.sqrt(np.clip(mean_power, 0.0, None))
+    return throughput
 
 
 def raytrace_field(system, P, S, wavelength):
     """Intensity-aware trace: geometry plus a scalar amplitude."""
-    surfaces = compiled_surfaces(system)
-    trace = raytrace(surfaces, P, S, wavelength)
-    amplitude = unpolarized_amplitude(surfaces, trace, wavelength)
-    return FieldTraceResult(trace, amplitude)
+    wvl_um = wavelength
+    prescription = compiled_surfaces(system)
+    trace = raytrace(prescription, P, S, wvl_um)
+    return FieldTraceResult(trace,
+                            unpolarized_amplitude(prescription, trace,
+                                                  wvl_um))
+
+
+# ---------- sine space & apodization ----------------------------------------
 
 
 def _axis_perp_basis(axis_dir, dtype):
@@ -261,13 +282,12 @@ def _axis_perp_basis(axis_dir, dtype):
     else:
         w = np.asarray(axis_dir, dtype=dtype)
         w = w / np.sqrt(np.sum(w * w))
-    helper = np.array([1.0, 0.0, 0.0], dtype=dtype)
-    if abs(float(np.sum(helper * w))) > 0.9:
-        helper = np.array([0.0, 1.0, 0.0], dtype=dtype)
-    u = helper - np.sum(helper * w) * w
+    seed = np.array([1.0, 0.0, 0.0], dtype=dtype)
+    if abs(float(np.sum(seed * w))) > 0.9:
+        seed = np.array([0.0, 1.0, 0.0], dtype=dtype)
+    u = seed - np.sum(seed * w) * w
     u = u / np.sqrt(np.sum(u * u))
-    v = np.cross(w, u)
-    return u, v
+    return u, np.cross(w, u)
 
 
 def sine_space_coords(S_last, S_chief, scale, axis_dir=None):
@@ -276,8 +296,8 @@ def sine_space_coords(S_last, S_chief, scale, axis_dir=None):
     S_chief = np.asarray(S_chief, dtype=S_last.dtype)
     u, v = _axis_perp_basis(axis_dir, S_last.dtype)
     # chief minus ray: the reference-sphere landing sits downstream of XP
-    d = float(scale) * (S_chief[None, :] - S_last)
-    return d @ u, d @ v
+    offsets = float(scale) * (S_chief[None, :] - S_last)
+    return offsets @ u, offsets @ v
 
 
 def _inpaint_nan(arr):
@@ -287,18 +307,21 @@ def _inpaint_nan(arr):
     if not np.any(hole):
         return arr
     arr[hole] = 0.0
-    cnt = np.zeros_like(arr)
-    cnt[1:] += 1.0
-    cnt[:-1] += 1.0
-    cnt[:, 1:] += 1.0
-    cnt[:, :-1] += 1.0
+    neighbor_count = np.zeros_like(arr)
+    for sl_to, sl_from in (((slice(1, None),), (slice(None, -1),)),
+                           ((slice(None, -1),), (slice(1, None),)),
+                           ((slice(None), slice(1, None)),
+                            (slice(None), slice(None, -1))),
+                           ((slice(None), slice(None, -1)),
+                            (slice(None), slice(1, None)))):
+        neighbor_count[sl_to] += 1.0
     for _ in range(int(max(arr.shape))):
-        acc = np.zeros_like(arr)
-        acc[1:] += arr[:-1]
-        acc[:-1] += arr[1:]
-        acc[:, 1:] += arr[:, :-1]
-        acc[:, :-1] += arr[:, 1:]
-        arr[hole] = acc[hole] / cnt[hole]
+        spread = np.zeros_like(arr)
+        spread[1:] += arr[:-1]
+        spread[:-1] += arr[1:]
+        spread[:, 1:] += arr[:, :-1]
+        spread[:, :-1] += arr[:, 1:]
+        arr[hole] = spread[hole] / neighbor_count[hole]
     return arr
 
 
@@ -306,27 +329,25 @@ def amplitude_apodization(entrance_xy, sphere_xy, *, valid=None):
     """sqrt(dA_entrance / dA_sphere): energy-conservation amplitude."""
     entrance_xy = np.asarray(entrance_xy)
     sphere_xy = np.asarray(sphere_xy)
-    a = entrance_xy[..., 0]
-    b = entrance_xy[..., 1]
+    a_axis = entrance_xy[0, :, 0]
+    b_axis = entrance_xy[:, 0, 1]
     X = _inpaint_nan(sphere_xy[..., 0])
     Y = _inpaint_nan(sphere_xy[..., 1])
-    a_axis = a[0, :]
-    b_axis = b[:, 0]
     dX_da = np.gradient(X, a_axis, axis=1)
     dX_db = np.gradient(X, b_axis, axis=0)
     dY_da = np.gradient(Y, a_axis, axis=1)
     dY_db = np.gradient(Y, b_axis, axis=0)
-    detJ = dX_da * dY_db - dX_db * dY_da
-    mag = np.abs(detJ)
+    jacobian = np.abs(dX_da * dY_db - dX_db * dY_da)
     with np.errstate(divide='ignore', invalid='ignore'):
-        amp = 1.0 / np.sqrt(mag)
-    amp[~np.isfinite(amp)] = 0.0
+        density = 1.0 / np.sqrt(jacobian)
+    density[~np.isfinite(density)] = 0.0
     if valid is not None:
-        amp[~valid] = 0.0
-    return amp
+        density[~valid] = 0.0
+    return density
 
 
 # ---------- orchestration: pupil field + propagation bridge -----------------
+
 
 class PupilField:
     """Complex pupil-field samples on the exit-pupil reference sphere."""
@@ -336,16 +357,10 @@ class PupilField:
 
     def __init__(self, X, Y, amplitude, opd, wavelength, efl, n_image,
                  P_xp, P_img, P_matrix=None):
-        self.X = X
-        self.Y = Y
-        self.amplitude = amplitude
-        self.opd = opd
-        self.wavelength = wavelength
-        self.efl = efl
-        self.n_image = n_image
-        self.P_xp = P_xp
-        self.P_img = P_img
-        self.P_matrix = P_matrix
+        self.X, self.Y = X, Y
+        self.amplitude, self.opd = amplitude, opd
+        self.wavelength, self.efl, self.n_image = wavelength, efl, n_image
+        self.P_xp, self.P_img, self.P_matrix = P_xp, P_img, P_matrix
 
     @property
     def polarized(self):
@@ -353,20 +368,38 @@ class PupilField:
         return self.P_matrix is not None
 
     def waves(self):
-        """OPD in waves at this field's wavelength (both in microns)."""
+        """OPD in waves at this field's wvl_um (both in microns)."""
         return np.asarray(self.opd) / float(self.wavelength)
 
 
-def _pupil_coordinate_scale(ctx, P_xp, center):
+def _pupil_coordinate_scale(tc, P_xp, center):
     """abs(EFL) when available, else the reference-sphere radius."""
     try:
-        return abs(float(effective_focal_length(ctx.surfaces,
-                                                wvl=ctx.wavelength)))
+        return abs(float(effective_focal_length(tc.prescription,
+                                                wvl=tc.wavelength)))
     except ValueError:
         if P_xp is None:
             raise
-        return float(np.sqrt(np.sum((np.asarray(P_xp)
-                                     - np.asarray(center)) ** 2)))
+        gap = np.asarray(P_xp) - np.asarray(center)
+        return float(np.sqrt(np.sum(gap * gap)))
+
+
+def _chief_augmented_sampling(sampling, epd):
+    """(trace sampling, chief index, nominal entrance xy, grid count).
+
+    Even rect grids carry no exact chief, so one is appended and traced
+    alongside the grid.
+    """
+    nominal_grid = sampling.build(0.5 * epd)
+    n_grid = len(nominal_grid)
+    if sampling.chief_slot is not None:
+        return sampling, sampling.chief_slot, nominal_grid, n_grid
+    normalized = sampling.build(1.0)
+    padded = Sampling.points(
+        np.concatenate([normalized, np.zeros((1, 2), dtype=_PREC)], axis=0))
+    with_chief = np.concatenate(
+        [nominal_grid, np.zeros((1, 2), dtype=_PREC)], axis=0)
+    return padded, n_grid, with_chief, n_grid
 
 
 def pupil_field(system, field, wavelength=None, *, epd=None, npupil=64,
@@ -378,148 +411,106 @@ def pupil_field(system, field, wavelength=None, *, epd=None, npupil=64,
     returns the scattered sine-space samples (amplitudes x OPD) ready
     for pupil_field_to_wavefront.
     """
-    ctx = trace_context(system, wavelength, chief=True, epd=epd,
-                        stop_index=stop_index)
-    wavelength = ctx.wavelength
-    epd = ctx.epd
+    tc = trace_context(system, wavelength, chief=True, epd=epd,
+                       stop_index=stop_index)
+    wvl_um, epd = tc.wavelength, tc.epd
     if epd is None:
-        raise TypeError(
-            'epd is required; pass epd=... or an OpticalSystem whose '
-            'aperture spec resolves it.')
+        raise TypeError('epd is required; pass epd=... or an OpticalSystem '
+                        'whose aperture spec resolves it.')
     if reference not in ('chief', 'centroid'):
         raise ValueError(
             f"reference must be 'chief' or 'centroid', got {reference!r}")
-    sampling = Sampling.rect(n=npupil)
-    nominal_grid = sampling.build(0.5 * epd)
-    grid_count = len(nominal_grid)
-    if sampling.chief_index is None:
-        # even rect grid: append a separately traced exact chief
-        normalized = sampling.build(1.0)
-        trace_sampling = Sampling.points(
-            np.concatenate([normalized, np.zeros((1, 2), dtype=_PREC)],
-                           axis=0))
-        chief_index = grid_count
-        nominal_pupil_xy = np.concatenate(
-            [nominal_grid, np.zeros((1, 2), dtype=_PREC)], axis=0)
-    else:
-        trace_sampling = sampling
-        chief_index = sampling.chief_index
-        nominal_pupil_xy = nominal_grid
+    trace_sampling, chief_slot, entrance_nominal, n_grid = \
+        _chief_augmented_sampling(Sampling.rect(n=npupil), epd)
 
-    def _trace_fn(presc, P, S, w):
-        if polarized:
-            return raytrace_prt(presc, P, S, w)
-        return raytrace_field(presc, P, S, w)
-
-    record = trace_cell(system, field, wavelength, trace_sampling,
-                        epd=epd, pupil_z=pupil_z, trace_fn=_trace_fn)
+    tracer = raytrace_prt if polarized else raytrace_field
+    record = trace_cell(system, field, wvl_um, trace_sampling,
+                        epd=epd, pupil_z=pupil_z,
+                        kernel=lambda presc, P, S, w: tracer(presc, P, S, w))
     valid = record.valid
-    result = record.trace
-    if polarized:
-        trace = result.trace
-        coating_amp = None
-        P_matrix_all = result.P_matrix
-    else:
-        trace = result.trace
-        coating_amp = result.amplitude
-        P_matrix_all = None
+    carrier = record.trace
+    trace = carrier.trace
+    coating_amp = None if polarized else carrier.amplitude
+    P_matrix_all = carrier.P_matrix if polarized else None
 
     # nominal coordinates define the circle; vignetted ones match rays
-    pupil_xy = _apply_vignetting(nominal_pupil_xy, field)
-
-    mask = valid if reference == 'centroid' else None
+    pupil_xy = _apply_vignetting(entrance_nominal, field)
     if reference == 'centroid':
-        chief_index = _pupil_center_chief_index(pupil_xy, mask)
+        chief_slot = _pupil_center_chief_index(pupil_xy, valid)
 
     # rect fills a square; the entrance pupil is the inscribed circle
     r_entrance = np.hypot(
-        nominal_pupil_xy[:, 0] - nominal_pupil_xy[chief_index, 0],
-        nominal_pupil_xy[:, 1] - nominal_pupil_xy[chief_index, 1])
-    circ = r_entrance <= (0.5 * epd) * (1.0 + 1e-9)
-    valid = valid & circ
+        entrance_nominal[:, 0] - entrance_nominal[chief_slot, 0],
+        entrance_nominal[:, 1] - entrance_nominal[chief_slot, 1])
+    valid = valid & (r_entrance <= (0.5 * epd) * (1.0 + 1e-9))
 
     P_img = None if P_img is None else np.asarray(P_img)
-    closing = close_wavefront(system, trace, wavelength, chief_index,
+    closing = close_wavefront(system, trace, wvl_um, chief_slot,
                               center=P_img, P_xp=P_xp,
-                              stop_index=ctx.stop_index,
+                              stop_index=tc.stop_index,
                               epd=epd, axis_dir=axis_dir, min_perp=1e-3,
                               valid=valid, reference=reference,
-                              apply_field_tilt=False, ctx=ctx)
-    P_img = closing.center
-    P_xp = closing.P_xp
-    n_image = closing.n_image
+                              apply_field_tilt=False, tc=tc)
+    P_img, P_xp = closing.center, closing.P_xp
     opd = closing.opd
 
-    scale = _pupil_coordinate_scale(ctx, P_xp, P_img)
-    S_hist = np.asarray(trace.S)
-    X_all, Y_all = sine_space_coords(S_hist[-1], S_hist[-1, chief_index],
+    scale = _pupil_coordinate_scale(tc, P_xp, P_img)
+    S_track = np.asarray(trace.S)
+    X_all, Y_all = sine_space_coords(S_track[-1], S_track[-1, chief_slot],
                                      scale, axis_dir)
 
     entrance_xy = np.ascontiguousarray(
-        pupil_xy[:grid_count]).reshape(npupil, npupil, 2)
+        pupil_xy[:n_grid]).reshape(npupil, npupil, 2)
     sphere_xy = np.stack(
-        [X_all[:grid_count], Y_all[:grid_count]], axis=-1
+        [X_all[:n_grid], Y_all[:n_grid]], axis=-1
     ).reshape(npupil, npupil, 2)
-    valid_grid = valid[:grid_count].reshape(npupil, npupil)
-    amp_geo = amplitude_apodization(entrance_xy, sphere_xy,
-                                    valid=valid_grid).reshape(-1)
-    if coating_amp is None:
-        amplitude_all = amp_geo
-    else:
-        amplitude_all = amp_geo * np.asarray(coating_amp)[:grid_count]
+    geometric_amp = amplitude_apodization(
+        entrance_xy, sphere_xy,
+        valid=valid[:n_grid].reshape(npupil, npupil)).reshape(-1)
+    if coating_amp is not None:
+        geometric_amp = geometric_amp * np.asarray(coating_amp)[:n_grid]
 
-    x_pupil = pupil_xy[valid, 0] - pupil_xy[chief_index, 0]
-    y_pupil = pupil_xy[valid, 1] - pupil_xy[chief_index, 1]
+    x_pupil = pupil_xy[valid, 0] - pupil_xy[chief_slot, 0]
+    y_pupil = pupil_xy[valid, 1] - pupil_xy[chief_slot, 1]
     tilt_field = field if field.kind == 'angle' else None
     opd, _ = _apply_field_and_output(opd, x_pupil, y_pupil, tilt_field,
-                                     'length', wavelength)
+                                     'length', wvl_um)
     valid_indices = np.nonzero(valid)[0]
-    grid_valid = valid[:grid_count]
-    keep_grid_samples = valid_indices < grid_count
+    grid_valid = valid[:n_grid]
+    keep_grid_samples = valid_indices < n_grid
     opd_um = opd[keep_grid_samples] * 1e3
 
-    n_image = abs(float(n_image))
+    n_image = abs(float(closing.n_image))
     P_matrix = (None if P_matrix_all is None
                 else np.asarray(P_matrix_all)[valid][keep_grid_samples])
     return PupilField(
-        X=X_all[:grid_count][grid_valid], Y=Y_all[:grid_count][grid_valid],
-        amplitude=amplitude_all[:grid_count][grid_valid],
-        opd=opd_um, wavelength=wavelength, efl=scale / n_image,
+        X=X_all[:n_grid][grid_valid], Y=Y_all[:n_grid][grid_valid],
+        amplitude=geometric_amp[:n_grid][grid_valid],
+        opd=opd_um, wavelength=wvl_um, efl=scale / n_image,
         n_image=n_image,
         P_xp=(None if P_xp is None else np.asarray(P_xp)),
         P_img=P_img, P_matrix=P_matrix)
 
 
+def _scatter_to_grid(pts, values, grid_xy):
+    """Cubic scattered-data interpolation with NaN scrubbing."""
+    gridded = interpolate.griddata(pts, values, grid_xy, method='cubic',
+                                   fill_value=0.0)
+    gridded[~np.isfinite(gridded)] = 0.0
+    return gridded
+
+
 def _resample_grid(pf, npix, margin):
     """Scatter-to-regular-grid setup shared by the wavefront bridge."""
-    x = np.asarray(pf.X)
-    y = np.asarray(pf.Y)
+    x, y = np.asarray(pf.X), np.asarray(pf.Y)
     finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(pf.opd)
-    x = x[finite]
-    y = y[finite]
-    opd = np.asarray(pf.opd)[finite]
-    r = float(np.max(np.hypot(x, y)))
-    diameter = 2.0 * r * float(margin)
-    xg, yg = make_xy_grid(npix, diameter=diameter)
-    xg = np.asarray(xg)
-    yg = np.asarray(yg)
-    dx = diameter / npix
+    x, y = x[finite], y[finite]
+    diameter = 2.0 * float(np.max(np.hypot(x, y))) * float(margin)
+    xg, yg = (np.asarray(g) for g in make_xy_grid(npix, diameter=diameter))
     pts = np.stack([x, y], axis=-1)
-    opd_grid = interpolate.griddata(pts, opd, (xg, yg), method='cubic',
-                                    fill_value=0.0)
-    opd_grid[~np.isfinite(opd_grid)] = 0.0
+    opd_grid = _scatter_to_grid(pts, np.asarray(pf.opd)[finite], (xg, yg))
     phase_nm = opd_grid * 1.0e3   # OPD um -> nm
-    return finite, pts, (xg, yg), dx, phase_nm
-
-
-def _griddata_complex(pts, values, grid_pts):
-    re = interpolate.griddata(pts, np.real(values), grid_pts,
-                              method='cubic', fill_value=0.0)
-    im = interpolate.griddata(pts, np.imag(values), grid_pts,
-                              method='cubic', fill_value=0.0)
-    re[~np.isfinite(re)] = 0.0
-    im[~np.isfinite(im)] = 0.0
-    return re + 1j * im
+    return finite, pts, (xg, yg), diameter / npix, phase_nm
 
 
 def pupil_field_to_wavefront(pf, *, npix=256, margin=1.05,
@@ -529,15 +520,13 @@ def pupil_field_to_wavefront(pf, *, npix=256, margin=1.05,
     A polarized field returns the [Ex, Ey] component wavefronts.
     Propagate to the PSF with .focus(efl=pf.efl).
     """
-    finite, pts, grid_pts, dx, phase_nm = _resample_grid(pf, npix, margin)
+    finite, pts, grid_xy, dx, phase_nm = _resample_grid(pf, npix, margin)
     k = 2 * np.pi / pf.wavelength / 1e3   # radians per nm of OPD
     phase_term = np.exp(1j * k * phase_nm)
+    amp = np.asarray(pf.amplitude)[finite]
 
     if not pf.polarized:
-        amp = np.asarray(pf.amplitude)[finite]
-        amp_grid = interpolate.griddata(pts, amp, grid_pts, method='cubic',
-                                        fill_value=0.0)
-        amp_grid[~np.isfinite(amp_grid)] = 0.0
+        amp_grid = _scatter_to_grid(pts, amp, grid_xy)
         return Wavefront(amp_grid * phase_term, pf.wavelength, dx)
 
     if input_polarization is None:
@@ -546,13 +535,14 @@ def pupil_field_to_wavefront(pf, *, npix=256, margin=1.05,
     e_in = np.zeros(3, dtype=_CPREC)
     e_in[:len(input_polarization)] = np.asarray(input_polarization,
                                                 dtype=_CPREC)
-    amp = np.asarray(pf.amplitude)[finite]
     e_vec = np.einsum('nij,j->ni', pf.P_matrix[finite], e_in)
-    wavefronts = []
+    out = []
     for c in (0, 1):   # transverse x, y; Ez neglected
-        g = _griddata_complex(pts, amp * e_vec[:, c], grid_pts)
-        wavefronts.append(Wavefront(g * phase_term, pf.wavelength, dx))
-    return wavefronts
+        component = amp * e_vec[:, c]
+        g = (_scatter_to_grid(pts, np.real(component), grid_xy)
+             + 1j * _scatter_to_grid(pts, np.imag(component), grid_xy))
+        out.append(Wavefront(g * phase_term, pf.wavelength, dx))
+    return out
 
 
 def pupil_field_psf(pf, *, npix=256, margin=1.05, Q=2,
@@ -564,143 +554,106 @@ def pupil_field_psf(pf, *, npix=256, margin=1.05, Q=2,
     """
     import numpy as onp
     if not pf.polarized:
-        wf = pupil_field_to_wavefront(pf, npix=npix, margin=margin)
-        psf = wf.focus(pf.efl, Q=Q)
-        return onp.abs(onp.asarray(psf.data)) ** 2, psf.dx
+        focused = pupil_field_to_wavefront(pf, npix=npix,
+                                           margin=margin).focus(pf.efl, Q=Q)
+        return onp.abs(onp.asarray(focused.data)) ** 2, focused.dx
 
     if isinstance(input_polarization, str):
         if input_polarization != 'unpolarized':
-            raise ValueError(
-                "string input_polarization must be 'unpolarized'")
-        inputs = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+            raise ValueError("string input_polarization must be "
+                             "'unpolarized'")
+        illuminations = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
         weight = 0.5
     else:
-        inputs = [input_polarization]
+        illuminations = [input_polarization]
         weight = 1.0
 
     total = None
     last_dx = None
-    for e_in in inputs:
-        comps = pupil_field_to_wavefront(pf, npix=npix, margin=margin,
-                                         input_polarization=e_in)
-        for wf in comps:
-            psf = wf.focus(pf.efl, Q=Q)
-            last_dx = psf.dx
-            contribution = weight * onp.abs(onp.asarray(psf.data)) ** 2
-            total = contribution if total is None else total + contribution
+    for e_in in illuminations:
+        for wf in pupil_field_to_wavefront(pf, npix=npix, margin=margin,
+                                           input_polarization=e_in):
+            focused = wf.focus(pf.efl, Q=Q)
+            last_dx = focused.dx
+            term = weight * onp.abs(onp.asarray(focused.data)) ** 2
+            total = term if total is None else total + term
     return total, last_dx
 
 
 # ---------- polarization ray tracing (PRT) ----------------------------------
 
-class PRTResult:
-    """A geometric trace plus a per-ray 3x3 polarization ray-trace matrix."""
-
-    __slots__ = ('trace', 'P_matrix')
-
-    def __init__(self, trace, P_matrix):
-        self.trace = trace
-        self.P_matrix = P_matrix
-
-    @property
-    def P(self):
-        """Position history of the wrapped trace."""
-        return self.trace.P
-
-    @property
-    def S(self):
-        """Direction history of the wrapped trace."""
-        return self.trace.S
-
-    @property
-    def OPL(self):
-        """OPL history of the wrapped trace."""
-        return self.trace.OPL
-
-    @property
-    def status(self):
-        """Status of the wrapped trace."""
-        return self.trace.status
-
 
 def _global_normal_and_cosI(surf, P_int_global, S_in_global):
     """Global-frame surface normal and incidence cosine."""
-    XYZloc, Sloc = sm.transform_to_local_coords(
+    local_P, local_S = sm.transform_to_local_coords(
         P_int_global, surf.P, S_in_global, surf.R)
-    XYZloc = np.asarray(XYZloc)
-    Sloc = np.asarray(Sloc)
-    _, n_local = surf.sag_and_normal(XYZloc[..., 0], XYZloc[..., 1])
+    local_P, local_S = np.asarray(local_P), np.asarray(local_S)
+    _, n_local = surf.sag_and_normal(local_P[..., 0], local_P[..., 1])
     n_local = np.asarray(n_local)
     if surf.R is None:
         n_global = n_local
     else:
         n_global = np.matmul(np.asarray(surf.R).T,
                              n_local[..., np.newaxis]).squeeze(-1)
-    return n_global, _row_dot(n_local, Sloc)
+    return n_global, _row_dot(n_local, local_S)
 
 
-def _unit(v):
-    n = np.sqrt(np.sum(v * v, axis=-1, keepdims=True))
-    return v / n
+def _spk_basis(k_in, n_global):
+    """Unit s vector of the s-p-k basis, robust at normal incidence."""
+    s = np.cross(k_in, n_global)
+    s_norm = np.sqrt(np.sum(s * s, axis=-1, keepdims=True))
+    # normal incidence: any perpendicular works since amp_s == amp_p there
+    degenerate = s_norm[..., 0] < 1e-12
+    fallback = np.cross(k_in, np.array([1.0, 0.0, 0.0], dtype=k_in.dtype))
+    fb_norm = np.sqrt(np.sum(fallback * fallback, axis=-1, keepdims=True))
+    tiny = fb_norm[..., 0] < 1e-12
+    if np.any(tiny):
+        fallback[tiny] = np.cross(k_in[tiny],
+                                  np.array([0.0, 1.0, 0.0],
+                                           dtype=k_in.dtype))
+        fb_norm = np.sqrt(np.sum(fallback * fallback, axis=-1,
+                                 keepdims=True))
+    safe = np.where(s_norm > 0, s_norm, 1.0)
+    return np.where(degenerate[:, None], fallback / fb_norm, s / safe)
 
 
 def raytrace_prt(system, P, S, wavelength):
     """Polarization ray trace: geometry plus a per-ray 3x3 P matrix."""
-    surfaces = compiled_surfaces(system)
-    trace = raytrace(surfaces, P, S, wavelength)
-    surfaces = list(surfaces)
-    P_hist = np.asarray(trace.P)
-    S_hist = np.asarray(trace.S)
-    n_rays = P_hist.shape[1]
-    Pmat = np.broadcast_to(np.eye(3, dtype=_CPREC),
-                           (n_rays, 3, 3)).copy()
+    wvl_um = wavelength
+    prescription = list(compiled_surfaces(system))
+    trace = raytrace(prescription, P, S, wvl_um)
+    P_track, S_track = np.asarray(trace.P), np.asarray(trace.S)
+    n_rays = P_track.shape[1]
+    Pmat = np.broadcast_to(np.eye(3, dtype=_CPREC), (n_rays, 3, 3)).copy()
 
-    nj = _complex_object_space_index(
-        surfaces, wavelength, consumer='polarization ray tracing')
-    for j, surf in enumerate(surfaces):
-        coating = surf.coating
-        k_in = _unit(S_hist[j])
-        k_out = _unit(S_hist[j + 1])
-        n_g, cosI = _global_normal_and_cosI(surf, P_hist[j + 1], S_hist[j])
-
-        s = np.cross(k_in, n_g)
-        s_norm = np.sqrt(np.sum(s * s, axis=-1, keepdims=True))
-        # normal incidence: any perpendicular works since a_s == a_p there
-        degen = (s_norm[..., 0] < 1e-12)
-        xhat = np.array([1.0, 0.0, 0.0], dtype=k_in.dtype)
-        fallback = np.cross(k_in, xhat)
-        fb_norm = np.sqrt(np.sum(fallback * fallback, axis=-1,
-                                 keepdims=True))
-        small = fb_norm[..., 0] < 1e-12
-        if np.any(small):
-            yhat = np.array([0.0, 1.0, 0.0], dtype=k_in.dtype)
-            fallback[small] = np.cross(k_in[small], yhat)
-            fb_norm = np.sqrt(np.sum(fallback * fallback, axis=-1,
-                                     keepdims=True))
-        s_norm_safe = np.where(s_norm > 0, s_norm, 1.0)
-        s = np.where(degen[:, None], fallback / fb_norm, s / s_norm_safe)
-        p_in = np.cross(k_in, s)
-        p_out = np.cross(k_out, s)
+    running = _complex_object_space_index(
+        prescription, wvl_um, consumer='polarization ray tracing')
+    for j, surf in enumerate(prescription):
+        k_in, k_out = _unit(S_track[j]), _unit(S_track[j + 1])
+        n_global, cos_inc = _global_normal_and_cosI(surf, P_track[j + 1],
+                                                 S_track[j])
+        s = _spk_basis(k_in, n_global)
+        p_in, p_out = np.cross(k_in, s), np.cross(k_out, s)
 
         if surf.typ == STYPE_REFRACT:
-            n1 = _complex_index(surf.material, wavelength,
-                                consumer='polarization ray tracing')
+            n_next = _complex_index(surf.material, wvl_um,
+                                    consumer='polarization ray tracing')
         else:
-            n1 = nj
-        a_s, a_p = interface_coefficients(nj, n1, cosI, surf.typ,
-                                          coating=coating,
-                                          wavelength=wavelength)
+            n_next = running
+        amp_s, amp_p = interface_coefficients(
+            running, n_next, cos_inc, surf.typ, coating=surf.coating,
+            wavelength=wvl_um)
         if surf.typ == STYPE_REFRACT:
-            nj = n1
+            running = n_next
 
         O_in = np.stack([s, p_in, k_in], axis=-1)
         O_out = np.stack([s, p_out, k_out], axis=-1)
-        J = np.zeros((n_rays, 3, 3), dtype=_CPREC)
-        J[:, 0, 0] = a_s
-        J[:, 1, 1] = a_p
-        J[:, 2, 2] = 1.0
-        Pj = O_out @ J @ np.swapaxes(O_in, -1, -2).astype(_CPREC)
-        Pmat = Pj @ Pmat
+        jones = np.zeros((n_rays, 3, 3), dtype=_CPREC)
+        jones[:, 0, 0] = amp_s
+        jones[:, 1, 1] = amp_p
+        jones[:, 2, 2] = 1.0
+        Pmat = (O_out @ jones
+                @ np.swapaxes(O_in, -1, -2).astype(_CPREC)) @ Pmat
     return PRTResult(trace, Pmat)
 
 
