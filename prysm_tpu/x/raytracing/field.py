@@ -392,8 +392,8 @@ def _chief_augmented_sampling(sampling, epd):
     """
     nominal_grid = sampling.build(0.5 * epd)
     n_grid = len(nominal_grid)
-    if sampling.chief_slot is not None:
-        return sampling, sampling.chief_slot, nominal_grid, n_grid
+    if sampling.chief_index is not None:
+        return sampling, sampling.chief_index, nominal_grid, n_grid
     normalized = sampling.build(1.0)
     padded = Sampling.points(
         np.concatenate([normalized, np.zeros((1, 2), dtype=_PREC)], axis=0))
