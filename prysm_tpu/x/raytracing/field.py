@@ -450,7 +450,7 @@ def pupil_field(system, field, wavelength=None, *, epd=None, npupil=64,
                               stop_index=tc.stop_index,
                               epd=epd, axis_dir=axis_dir, min_perp=1e-3,
                               valid=valid, reference=reference,
-                              apply_field_tilt=False, tc=tc)
+                              apply_field_tilt=False, ctx=tc)
     P_img, P_xp = closing.center, closing.P_xp
     opd = closing.opd
 
