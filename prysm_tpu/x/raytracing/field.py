@@ -375,7 +375,7 @@ class PupilField:
 def _pupil_coordinate_scale(tc, P_xp, center):
     """abs(EFL) when available, else the reference-sphere radius."""
     try:
-        return abs(float(effective_focal_length(tc.prescription,
+        return abs(float(effective_focal_length(tc.surfaces,
                                                 wvl=tc.wavelength)))
     except ValueError:
         if P_xp is None:
