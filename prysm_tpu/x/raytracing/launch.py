@@ -1,79 +1,94 @@
 """Field, Sampling, launch, and stop-aim ergonomics.
 
-Rebuild of ``prysm/x/raytracing/launch.py``: field descriptions, pupil
-sampling patterns, and the launch() entry that seeds bundles onto the
+API parity target: ``prysm/x/raytracing/launch.py``.  Field descriptions,
+pupil sampling patterns, and the launch() entry that seeds bundles onto the
 entrance pupil and (under real aiming) drives them onto the stop with an
 adaptive field-continuation ladder.  Host-side numpy orchestration; the
 traces it drives are the jittable kernel.
+
+Design notes: pupil patterns are realized through a builder registry on
+:class:`Sampling` (one closure per pattern kind); the real-aiming homotopy
+is decomposed into bundle construction, stop-map probing, ladder walking,
+and a caustic-fold extrapolation rescue.
 """
-from dataclasses import dataclass
 import warnings
+from dataclasses import dataclass
 
 import numpy as onp
 
 from ...conf import config
 from . import raygen
-from .opt import aim_rays, declipped
-from .paraxial import entrance_pupil_z, NonAxialSystemError
-from .spencer_and_murty import (
-    raytrace, valid_mask, transform_to_local_coords)
 from ._resolve import compiled_surfaces, trace_context
+from .opt import aim_rays, declipped
+from .paraxial import NonAxialSystemError, entrance_pupil_z
+from .spencer_and_murty import (raytrace, transform_to_local_coords,
+                                valid_mask)
 
 _PREC = onp.float64
+_SIDE_KEYS = ('vux', 'vlx', 'vuy', 'vly')
 
 
-def _entrance_pupil_z(system, wavelength):
-    """Entrance-pupil z, using a system cache when present."""
-    f = getattr(system, 'entrance_pupil_z', None)
-    if not callable(f):
-        surfaces = (system.to_surfaces()
-                    if hasattr(system, 'to_surfaces') else system)
-        stop_index = getattr(system, 'stop_index', None)
-        f = lambda wvl: entrance_pupil_z(  # NOQA: E731
-            surfaces, wvl, stop_index=stop_index)
+def _entrance_pupil_z(system, wvl_um):
+    """Entrance-pupil z, preferring a system-level cached resolver."""
+    resolver = getattr(system, 'entrance_pupil_z', None)
+    if not callable(resolver):
+        compiler = getattr(system, 'to_surfaces', None)
+        prescription = compiler() if callable(compiler) else system
+        stop = getattr(system, 'stop_index', None)
+        resolver = lambda w: entrance_pupil_z(  # NOQA: E731
+            prescription, w, stop_index=stop)
     try:
-        return f(wavelength)
+        return resolver(wvl_um)
     except NonAxialSystemError:
         # decentered geometry has no paraxial EP; launch warned instead
         return None
 
 
+def _normalize_vignetting(vignetting):
+    """Normalize per-field Code V vignetting factors."""
+    if vignetting is None:
+        return None
+    factors = {key: float(vignetting.get(key, 0.0)) for key in _SIDE_KEYS}
+    collapsed = [k for k, v in factors.items() if v >= 1.0]
+    if collapsed:
+        raise ValueError(
+            f'vignetting factor {collapsed[0].upper()}='
+            f'{factors[collapsed[0]]:g} collapses its side of the pupil; '
+            'factors must stay below 1')
+    return factors if any(factors.values()) else None
+
+
 class Field:
     """A field point: kind='angle' (collimated) or 'height' (finite)."""
 
-    __slots__ = ('hx', 'hy', 'kind', 'unit', 'object_z', 'vignetting')
+    __slots__ = ('hx', 'hy', 'object_z', 'kind', 'unit', 'vignetting')
 
     def __init__(self, hx=0.0, hy=0.0, kind='angle', unit='deg',
                  object_z=None, vignetting=None):
         """hx, hy: angles (unit) for 'angle', object heights for 'height';
-        object_z required for 'height'; vignetting holds Code V side
+        'height' requires object_z; vignetting holds the Code V side
         factors vux/vlx/vuy/vly."""
         if kind not in ('angle', 'height'):
-            raise ValueError(
-                f"Field kind must be 'angle' or 'height', got {kind!r}")
+            raise ValueError(f"Field kind must be 'angle' or 'height', "
+                             f'got {kind!r}')
         if kind == 'angle' and unit not in ('deg', 'rad'):
-            raise ValueError(
-                f"Field unit must be 'deg' or 'rad' for kind='angle', "
-                f'got {unit!r}')
+            raise ValueError(f"Field unit for kind='angle' must be 'deg' "
+                             f"or 'rad', got {unit!r}")
         if kind == 'height' and object_z is None:
-            raise ValueError(
-                "Field kind='height' requires object_z (absolute z of "
-                'the object plane)')
-        self.hx = float(hx)
-        self.hy = float(hy)
-        self.kind = kind
-        self.unit = unit
-        self.object_z = None if object_z is None else float(object_z)
+            raise ValueError("Field kind='height' needs object_z (absolute "
+                             'z of the object plane)')
+        self.hx, self.hy, self.kind, self.unit = (float(hx), float(hy),
+                                                  kind, unit)
+        self.object_z = float(object_z) if object_z is not None else None
         self.vignetting = _normalize_vignetting(vignetting)
 
     def angle_radians(self):
         """(hx, hy) in radians; kind must be 'angle'."""
         if self.kind != 'angle':
-            raise ValueError(
-                "Field.angle_radians: kind must be 'angle', got "
-                f'{self.kind!r}')
+            raise ValueError("Field.angle_radians: kind must be 'angle', "
+                             f'got {self.kind!r}')
         if self.unit == 'rad':
-            return self.hx, self.hy
+            return (self.hx, self.hy)
         return float(onp.deg2rad(self.hx)), float(onp.deg2rad(self.hy))
 
     def __repr__(self):
@@ -83,22 +98,67 @@ class Field:
                 f'object_z={self.object_z})')
 
 
-def _normalize_vignetting(vignetting):
-    """Normalize per-field Code V vignetting factors."""
-    if vignetting is None:
-        return None
-    keys = ('vux', 'vlx', 'vuy', 'vly')
-    out = {}
-    for key in keys:
-        value = float(vignetting.get(key, 0.0))
-        if value >= 1.0:
-            raise ValueError(
-                f'vignetting factor {key.upper()}={value:g} collapses its '
-                'side of the pupil; factors must be < 1')
-        out[key] = value
-    if not any(out.values()):
-        return None
-    return out
+# ---------- pupil sampling patterns -----------------------------------------
+
+
+def _build_chief(opts, extent):
+    return onp.zeros((1, 2), dtype=_PREC)
+
+
+def _build_points(opts, extent):
+    return onp.asarray(opts['xy'], dtype=_PREC) * extent
+
+
+def _build_fan(opts, extent):
+    bundle, _ = raygen.generate_collimated_ray_fan(
+        opts['n'], maxr=extent, azimuth=opts.get('azimuth', 90),
+        distribution=opts.get('distribution', 'uniform'))
+    return onp.asarray(bundle[:, :2])
+
+
+def _build_cross(opts, extent):
+    dist = opts.get('distribution', 'uniform')
+    arms = [raygen.generate_collimated_ray_fan(
+        opts['n'], maxr=extent, azimuth=azi, distribution=dist)[0]
+        for azi in (0, 90)]
+    return onp.concatenate([onp.asarray(a[:, :2]) for a in arms], axis=0)
+
+
+def _build_rect(opts, extent):
+    bundle, _ = raygen.generate_collimated_rect_ray_grid(
+        opts['n'], maxx=extent,
+        distribution=opts.get('distribution', 'uniform'))
+    return onp.asarray(bundle[:, :2])
+
+
+def _build_hex(opts, extent):
+    nrings = opts['nrings']
+    spacing = opts.get('spacing')
+    if spacing is None:
+        spacing = extent / nrings if nrings else 0.0
+    bundle, _ = raygen.generate_collimated_hex_ray_grid(nrings, spacing)
+    return onp.asarray(bundle[:, :2])
+
+
+def _build_spiral(opts, extent):
+    bundle, _ = raygen.generate_collimated_radial_spiral_ray_grid(
+        opts['nrings'], maxr=extent,
+        samples_per_ring=opts.get('samples_per_ring'),
+        radial_distribution=opts.get('radial_distribution', 'cheby'),
+        include_center=opts.get('include_center', True))
+    return onp.asarray(bundle[:, :2])
+
+
+_PATTERN_BUILDERS = {
+    'chief': _build_chief, 'points': _build_points, 'fan': _build_fan,
+    'cross': _build_cross, 'rect': _build_rect, 'hex': _build_hex,
+    'spiral': _build_spiral,
+}
+
+
+def _odd_grid_center(n, obscuration, center):
+    """The exact-chief slot of an odd unobscured pattern, else None."""
+    return center if (n % 2 and not obscuration) else None
 
 
 class Sampling:
@@ -107,347 +167,297 @@ class Sampling:
     __slots__ = ('kind', 'opts', 'chief_index')
 
     def __init__(self, kind, *, chief_index=None, **opts):
-        self.kind = kind
-        self.opts = opts
-        self.chief_index = chief_index
+        self.kind, self.opts, self.chief_index = kind, opts, chief_index
 
     def build(self, extent):
-        """Pupil sample coordinates scaled to the given extent."""
-        kind = self.kind
-        if kind == 'chief':
-            return onp.zeros((1, 2), dtype=_PREC)
-        elif kind == 'points':
-            xy = onp.asarray(self.opts['xy'], dtype=_PREC) * extent
-        elif kind == 'fan':
-            P, _ = raygen.generate_collimated_ray_fan(
-                self.opts['n'], maxr=extent,
-                azimuth=self.opts.get('azimuth', 90),
-                distribution=self.opts.get('distribution', 'uniform'))
-            xy = onp.asarray(P[:, :2])
-        elif kind == 'cross':
-            n = self.opts['n']
-            dist = self.opts.get('distribution', 'uniform')
-            Px, _ = raygen.generate_collimated_ray_fan(
-                n, maxr=extent, azimuth=0, distribution=dist)
-            Py, _ = raygen.generate_collimated_ray_fan(
-                n, maxr=extent, azimuth=90, distribution=dist)
-            xy = onp.concatenate([onp.asarray(Px[:, :2]),
-                                  onp.asarray(Py[:, :2])], axis=0)
-        elif kind == 'rect':
-            P, _ = raygen.generate_collimated_rect_ray_grid(
-                self.opts['n'], maxx=extent,
-                distribution=self.opts.get('distribution', 'uniform'))
-            xy = onp.asarray(P[:, :2])
-        elif kind == 'hex':
-            nrings = self.opts['nrings']
-            spacing = self.opts.get('spacing')
-            if spacing is None:
-                spacing = extent / nrings if nrings > 0 else 0.0
-            P, _ = raygen.generate_collimated_hex_ray_grid(nrings, spacing)
-            xy = onp.asarray(P[:, :2])
-        elif kind == 'spiral':
-            P, _ = raygen.generate_collimated_radial_spiral_ray_grid(
-                self.opts['nrings'], maxr=extent,
-                samples_per_ring=self.opts.get('samples_per_ring'),
-                radial_distribution=self.opts.get(
-                    'radial_distribution', 'cheby'),
-                include_center=self.opts.get('include_center', True))
-            xy = onp.asarray(P[:, :2])
-        else:
-            raise ValueError(f'unknown sampling kind {kind!r}')
-
-        obscuration = self.opts.get('obscuration')
-        if obscuration:
-            r = onp.hypot(xy[:, 0], xy[:, 1])
-            xy = xy[r >= float(obscuration) * extent]
-        return onp.asarray(xy, dtype=_PREC)
+        """Pupil sample coordinates, scaled to the given extent."""
+        builder = _PATTERN_BUILDERS.get(self.kind)
+        if builder is None:
+            raise ValueError(f'unknown sampling kind {self.kind!r}')
+        samples = builder(self.opts, extent)
+        hole = self.opts.get('obscuration')
+        if hole:
+            r = onp.hypot(samples[:, 0], samples[:, 1])
+            samples = samples[r >= float(hole) * extent]
+        return onp.asarray(samples, dtype=_PREC)
 
     @classmethod
     def chief(cls):
-        """A single chief ray at the pupil origin."""
-        return cls('chief', chief_index=0)
+        """One chief ray at the pupil origin."""
+        return cls(kind='chief', chief_index=0)
 
     @classmethod
     def points(cls, xy):
         """Explicit normalized pupil samples."""
         xy = onp.asarray(xy)
-        at_origin = onp.nonzero(onp.all(xy == 0, axis=1))[0]
-        chief_index = int(at_origin[0]) if len(at_origin) else None
-        return cls('points', xy=xy, chief_index=chief_index)
+        at_origin = onp.flatnonzero(onp.all(xy == 0, axis=1))
+        slot = int(at_origin[0]) if len(at_origin) else None
+        return cls('points', xy=xy, chief_index=slot)
 
     @classmethod
     def fan(cls, n=11, axis='y', distribution='uniform', obscuration=None):
-        """A 1D fan of n rays along axis ('x' or 'y')."""
-        if axis == 'y':
-            azi = 90
-        elif axis == 'x':
-            azi = 0
-        else:
-            raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+        """A 1D fan of n rays along one axis ('x' or 'y')."""
+        try:
+            azi = {'x': 0, 'y': 90}[axis]
+        except KeyError:
+            raise ValueError(f"axis must be 'x' or 'y', got {axis!r}") \
+                from None
         n = int(n)
-        return cls('fan', n=n, azimuth=azi, distribution=distribution,
-                   obscuration=obscuration,
-                   chief_index=(n // 2 if n % 2 and not obscuration else None))
+        return cls('fan', n=n, azimuth=azi, obscuration=obscuration,
+                   distribution=distribution,
+                   chief_index=_odd_grid_center(n, obscuration, n // 2))
 
     @classmethod
     def cross(cls, n=11, distribution='uniform', obscuration=None):
-        """An x and y fan, 2*n rays total."""
+        """An x and a y fan, 2*n rays in total."""
         n = int(n)
-        return cls('cross', n=n, distribution=distribution,
-                   obscuration=obscuration,
-                   chief_index=(n // 2 if n % 2 and not obscuration else None))
+        return cls('cross', n=n, obscuration=obscuration,
+                   distribution=distribution,
+                   chief_index=_odd_grid_center(n, obscuration, n // 2))
 
     @classmethod
     def rect(cls, n=21, distribution='uniform', obscuration=None):
-        """A rectangular n x n grid of rays."""
+        """A rectangular grid of n x n rays."""
         n = int(n)
-        return cls('rect', n=n, distribution=distribution,
-                   obscuration=obscuration,
-                   chief_index=(n * n // 2 if n % 2 and not obscuration
-                                else None))
+        return cls('rect', n=n, obscuration=obscuration,
+                   distribution=distribution,
+                   chief_index=_odd_grid_center(n, obscuration,
+                                                n * n // 2))
 
     @classmethod
     def hex(cls, nrings=5, spacing=None, obscuration=None):
-        """A hexapolar grid of nrings concentric rings."""
-        return cls('hex', nrings=int(nrings), spacing=spacing,
-                   obscuration=obscuration,
-                   chief_index=(0 if not obscuration else None))
+        """A hexapolar grid with nrings concentric rings."""
+        return cls('hex', nrings=int(nrings), obscuration=obscuration,
+                   spacing=spacing,
+                   chief_index=None if obscuration else 0)
 
     @classmethod
     def spiral(cls, nrings=5, samples_per_ring=None,
                radial_distribution='cheby', include_center=True,
                obscuration=None):
         """A radial-azimuthal spiral grid."""
-        return cls('spiral', nrings=int(nrings),
+        center = 0 if include_center and not obscuration else None
+        return cls('spiral', nrings=int(nrings), obscuration=obscuration,
                    samples_per_ring=samples_per_ring,
                    radial_distribution=radial_distribution,
-                   include_center=bool(include_center),
-                   obscuration=obscuration,
-                   chief_index=(0 if include_center and not obscuration
-                                else None))
+                   include_center=bool(include_center), chief_index=center)
 
     def __repr__(self):
-        opts = ', '.join(f'{k}={v!r}' for k, v in self.opts.items())
-        sep = ', ' if opts else ''
-        return f'Sampling({self.kind!r}{sep}{opts})'
+        body = ', '.join(f'{k}={v!r}' for k, v in self.opts.items())
+        return f"Sampling({self.kind!r}{', ' if body else ''}{body})"
 
 
-def _collimated_PS(pupil_xy, pupil_z, field):
+# ---------- bundle construction ---------------------------------------------
+
+
+def _collimated_PS(samples_xy, plane_z, field):
     ax, ay = field.angle_radians()
-    Sx = float(onp.sin(ax))
-    Sy = float(onp.sin(ay))
-    Sz_sq = 1.0 - Sx * Sx - Sy * Sy
+    Sx, Sy = (float(onp.sin(a)) for a in (ax, ay))
+    Sz_sq = 1.0 - (Sx * Sx + Sy * Sy)
     if Sz_sq < 0.0:
-        raise ValueError(
-            f'field angles ({ax}, {ay}) rad have sin^2 sum > 1; '
-            'beam direction is not physical')
-    Sz = float(onp.sqrt(Sz_sq))
-    n_rays = pupil_xy.shape[0]
-    P = onp.empty((n_rays, 3), dtype=pupil_xy.dtype)
-    P[:, :2] = pupil_xy
-    P[:, 2] = pupil_z
-    S = onp.broadcast_to(
-        onp.array([Sx, Sy, Sz], dtype=pupil_xy.dtype), (n_rays, 3)).copy()
-    return P, S
+        raise ValueError(f'field angles ({ax}, {ay}) rad have sin^2 sum '
+                         '> 1; beam direction is not physical')
+    n_rays = samples_xy.shape[0]
+    P = onp.empty((n_rays, 3), dtype=samples_xy.dtype)
+    P[:, :2] = samples_xy
+    P[:, 2] = plane_z
+    direction = onp.array([Sx, Sy, float(onp.sqrt(Sz_sq))],
+                          dtype=samples_xy.dtype)
+    return P, onp.broadcast_to(direction, (n_rays, 3)).copy()
 
 
-def _finite_PS(pupil_xy, pupil_z, field):
-    n_rays = pupil_xy.shape[0]
-    obj = onp.array([field.hx, field.hy, field.object_z],
-                    dtype=pupil_xy.dtype)
-    P = onp.broadcast_to(obj, (n_rays, 3)).copy()
-    target = onp.empty((n_rays, 3), dtype=pupil_xy.dtype)
-    target[:, :2] = pupil_xy
-    target[:, 2] = pupil_z
-    direction = target - P
-    norm = onp.sqrt(onp.sum(direction * direction, axis=-1, keepdims=True))
-    if not onp.all(norm > 0):
-        raise ValueError(
-            'one or more pupil samples coincide with the object point; '
-            'cannot build a finite-conjugate direction')
-    return P, direction / norm
+def _finite_PS(samples_xy, plane_z, field):
+    n_rays = samples_xy.shape[0]
+    source = onp.array([field.hx, field.hy, field.object_z],
+                       dtype=samples_xy.dtype)
+    P = onp.broadcast_to(source, (n_rays, 3)).copy()
+    landing = onp.empty((n_rays, 3), dtype=samples_xy.dtype)
+    landing[:, :2] = samples_xy
+    landing[:, 2] = plane_z
+    direction = landing - P
+    length = onp.sqrt(onp.sum(direction * direction, axis=-1,
+                              keepdims=True))
+    if not onp.all(length > 0):
+        raise ValueError('one or more pupil samples coincide with the '
+                         'object point; no finite-conjugate direction')
+    return P, direction / length
 
 
 def _perp_basis(w):
-    """Meridional T/S basis perpendicular to unit vector w."""
-    st = float(onp.sqrt(w[0] * w[0] + w[1] * w[1]))
-    if st < 1e-12:
-        e1 = onp.array([1.0, 0.0, 0.0], dtype=w.dtype)
-        e2 = onp.array([0.0, float(onp.sign(w[2])), 0.0], dtype=w.dtype)
-        return e1, e2
-    e1 = onp.array([float(w[1]), -float(w[0]), 0.0], dtype=w.dtype) / st
-    if float(e1[0]) < 0.0 or (float(e1[0]) == 0.0 and float(e1[1]) < 0.0):
+    """Meridional T/S basis perpendicular to the unit vector w."""
+    transverse = float(onp.sqrt(w[0] * w[0] + w[1] * w[1]))
+    if transverse < 1e-12:
+        return (onp.array([1.0, 0.0, 0.0], dtype=w.dtype),
+                onp.array([0.0, float(onp.sign(w[2])), 0.0], dtype=w.dtype))
+    e1 = onp.array([float(w[1]), -float(w[0]), 0.0],
+                   dtype=w.dtype) / transverse
+    flipped = (float(e1[0]) < 0.0
+               or (float(e1[0]) == 0.0 and float(e1[1]) < 0.0))
+    if flipped:
         e1 = -e1
-    e2 = onp.cross(w, e1)
-    return e1, e2
+    return e1, onp.cross(w, e1)
 
 
-def _object_space_cone_PS(system, field, wavelength, sampling, na,
+def _object_space_cone_PS(system, field, wvl_um, sampling, na,
                           ep_z='paraxial'):
     """Sine-condition object cone for an object-space NA / F/# aperture."""
     if field.kind != 'height':
-        raise ValueError(
-            'an object-space NA / F-number aperture requires a finite-'
-            "conjugate (kind='height') field")
-    n_obj = trace_context(system, wavelength).n_object
+        raise ValueError('an object-space NA / F-number aperture needs a '
+                         "finite-conjugate (kind='height') field")
+    n_obj = trace_context(system, wvl_um).n_object
     sinU = float(na) / float(n_obj)
-    if not (0.0 < sinU < 1.0):
-        raise ValueError(
-            f'object-space NA {na:g} over index {n_obj:g} gives sin(U)='
-            f'{sinU:g}, which is not a physical cone half-angle')
+    if not 0.0 < sinU < 1.0:
+        raise ValueError(f'object-space NA {na:g} over index {n_obj:g} '
+                         f'gives sin(U)={sinU:g}, not a physical cone '
+                         'half-angle')
 
-    pupil_xy = sampling.build(1.0)  # normalized: rim at radius 1
-    pupil_xy = _apply_vignetting(pupil_xy, field)
-    pupil_xy = onp.asarray(pupil_xy, dtype=_PREC)
-    n_rays = pupil_xy.shape[0]
-
-    obj = onp.array([field.hx, field.hy, field.object_z], dtype=_PREC)
+    rho_norm = onp.asarray(
+        _apply_vignetting(sampling.build(1.0), field), dtype=_PREC)
+    n_rays = rho_norm.shape[0]
+    source = onp.array([field.hx, field.hy, field.object_z], dtype=_PREC)
 
     if ep_z == 'paraxial':
-        ep_z = _entrance_pupil_z(system, wavelength)
-    if ep_z is not None:
-        axis_pt = onp.array([0.0, 0.0, float(ep_z)], dtype=_PREC)
-        chief = axis_pt - obj
+        ep_z = _entrance_pupil_z(system, wvl_um)
+    if ep_z is None:
+        toward_pupil = onp.array([0.0, 0.0, 1.0], dtype=_PREC)
     else:
-        chief = onp.array([0.0, 0.0, 1.0], dtype=_PREC)
-    chief = chief / onp.sqrt(onp.sum(chief * chief))
+        toward_pupil = onp.array([0.0, 0.0, float(ep_z)],
+                                 dtype=_PREC) - source
+    toward_pupil = toward_pupil / onp.sqrt(onp.sum(toward_pupil ** 2))
 
-    e1, e2 = _perp_basis(chief)
-    rho = pupil_xy
-    trans = sinU * (rho[:, 0:1] * e1[onp.newaxis, :]
-                    + rho[:, 1:2] * e2[onp.newaxis, :])
-    axial_sq = 1.0 - sinU * sinU * onp.sum(rho * rho, axis=1)
+    e1, e2 = _perp_basis(toward_pupil)
+    skew = sinU * (rho_norm[:, 0:1] * e1[onp.newaxis, :]
+                   + rho_norm[:, 1:2] * e2[onp.newaxis, :])
+    axial_sq = 1.0 - sinU * sinU * onp.sum(rho_norm * rho_norm, axis=1)
     axial = onp.sqrt(onp.clip(axial_sq, 0.0, None))
-    S = axial[:, onp.newaxis] * chief[onp.newaxis, :] + trans
-    P = onp.broadcast_to(obj, (n_rays, 3)).copy()
-    return P, S, rho
+    S = axial[:, onp.newaxis] * toward_pupil[onp.newaxis, :] + skew
+    return onp.broadcast_to(source, (n_rays, 3)).copy(), S, rho_norm
 
 
-def _apply_vignetting(pupil_xy, field):
+def _apply_vignetting(samples_xy, field):
     """Scale pupil samples by per-field side-vignetting factors."""
-    vignetting = getattr(field, 'vignetting', None)
-    if not vignetting:
-        return pupil_xy
-    x = pupil_xy[:, 0]
-    y = pupil_xy[:, 1]
-    x = x * onp.where(x >= 0.0,
-                      1.0 - vignetting.get('vux', 0.0),
-                      1.0 - vignetting.get('vlx', 0.0))
-    y = y * onp.where(y >= 0.0,
-                      1.0 - vignetting.get('vuy', 0.0),
-                      1.0 - vignetting.get('vly', 0.0))
+    factors = getattr(field, 'vignetting', None)
+    if not factors:
+        return samples_xy
+    x, y = samples_xy[:, 0], samples_xy[:, 1]
+    x = x * onp.where(x >= 0.0, 1.0 - factors.get('vux', 0.0),
+                      1.0 - factors.get('vlx', 0.0))
+    y = y * onp.where(y >= 0.0, 1.0 - factors.get('vuy', 0.0),
+                      1.0 - factors.get('vly', 0.0))
     return onp.stack([x, y], axis=1)
 
 
 def _has_decentered_geometry(system):
-    for surf in system:
+    def off_axis(surf):
         P = onp.asarray(getattr(surf, 'P', (0.0, 0.0, 0.0)))
         if P.shape[0] >= 2 and bool(onp.any(onp.abs(P[:2]) > 1e-12)):
             return True
         R = getattr(surf, 'R', None)
-        if R is not None and bool(onp.any(
-                onp.abs(onp.asarray(R) - onp.eye(3)) > 1e-12)):
-            return True
-    return False
+        return R is not None and bool(onp.any(
+            onp.abs(onp.asarray(R) - onp.eye(3)) > 1e-12))
+
+    return any(off_axis(surf) for surf in system)
 
 
 def _warn_paraxial_aiming(system, ray_aiming):
-    if ray_aiming != 'paraxial':
-        return
-    if _has_decentered_geometry(system):
+    if ray_aiming == 'paraxial' and _has_decentered_geometry(system):
         warnings.warn(
-            'launch: the system carries tilts/decenters but '
-            "ray_aiming is 'paraxial'; the paraxial entrance pupil ignores "
-            "them and bundles may miss the stop.  Consider ray_aiming='real' "
-            'or an explicit aim_to=stop.',
-            stacklevel=3)
+            "launch: the system carries tilts/decenters but ray_aiming is "
+            "'paraxial'; the paraxial entrance pupil ignores them and "
+            "bundles may miss the stop.  Consider ray_aiming='real' or an "
+            'explicit aim_to=stop.', stacklevel=3)
+
+
+# ---------- real aiming onto the stop ---------------------------------------
 
 
 @dataclass(frozen=True)
 class _StopTarget:
     """Stop-local center and normalized-pupil affine map."""
 
-    center: object
-    pupil_map: object = None
+    center: 'onp.ndarray'
+    pupil_map: 'onp.ndarray' = None
 
     def scaled(self, scale):
-        """Keep the center fixed and scale the pupil extent."""
+        """Keep the center fixed; scale the pupil extent."""
         if self.pupil_map is None:
             return self
         return _StopTarget(self.center, self.pupil_map * scale)
 
 
-def _real_aim_to_stop(P, S, rho, system, stop_index, wavelength, finite,
-                      stop_target=None):
+def _probe_pupil_map(P, S, rho_norm, system, stop_index, wvl_um):
+    """Diagonal rho->stop-local affine map inferred from the bundle."""
+    tr = raytrace(declipped(system[:stop_index + 1]), P, S, wvl_um)
+    stop_surf = system[stop_index]
+    landing, _ = transform_to_local_coords(tr.P[-1], stop_surf.P, tr.S[-1],
+                                           stop_surf.R)
+    landing = onp.asarray(landing)[:, :2]
+    usable = onp.isfinite(landing).all(axis=1)
+
+    def axis_slope(rho_k, landing_k):
+        rho_k, landing_k = rho_k[usable], landing_k[usable]
+        if rho_k.size < 2:
+            return 0.0
+        top, bottom = int(onp.argmax(rho_k)), int(onp.argmin(rho_k))
+        span = float(rho_k[top] - rho_k[bottom])
+        return (float(landing_k[top] - landing_k[bottom]) / span
+                if abs(span) > 1e-12 else 0.0)
+
+    return onp.array([[axis_slope(rho_norm[:, 0], landing[:, 0]), 0.0],
+                      [0.0, axis_slope(rho_norm[:, 1], landing[:, 1])]],
+                     dtype=_PREC)
+
+
+def _real_aim_to_stop(P, S, rho_norm, system, stop_index, wvl_um,
+                      finite_conjugate, stop_goal=None):
     """Aim a normalized pupil grid onto a stop-local affine target."""
-    if stop_target is None:
-        stop_target = _StopTarget(onp.zeros(2, dtype=_PREC), None)
-    stop_center = onp.asarray(stop_target.center, dtype=_PREC)
-    pupil_map = stop_target.pupil_map
+    if stop_goal is None:
+        stop_goal = _StopTarget(onp.zeros(2, dtype=_PREC), None)
+    pupil_map = stop_goal.pupil_map
     if pupil_map is None:
-        trace_path = declipped(system[:stop_index + 1])
-        tr = raytrace(trace_path, P, S, wavelength)
-        stop_surf = system[stop_index]
-        L, _ = transform_to_local_coords(tr.P[-1], stop_surf.P, tr.S[-1],
-                                         stop_surf.R)
-        L = onp.asarray(L)[:, :2]
-        valid = onp.isfinite(L).all(axis=1)
-
-        def _scale(rk, lk):
-            rk = rk[valid]
-            lk = lk[valid]
-            if rk.size < 2:
-                return 0.0
-            imax = int(onp.argmax(rk))
-            imin = int(onp.argmin(rk))
-            drho = float(rk[imax] - rk[imin])
-            return (float(lk[imax] - lk[imin]) / drho
-                    if abs(drho) > 1e-12 else 0.0)
-
-        sx = _scale(rho[:, 0], L[:, 0])
-        sy = _scale(rho[:, 1], L[:, 1])
-        pupil_map = onp.array([[sx, 0.0], [0.0, sy]], dtype=_PREC)
+        pupil_map = _probe_pupil_map(P, S, rho_norm, system, stop_index,
+                                     wvl_um)
     else:
         pupil_map = onp.asarray(pupil_map, dtype=_PREC)
-    target = stop_center + rho @ pupil_map.T
-    vary = 'direction' if finite else 'position'
-    P, S, converged = aim_rays(P, S, system, stop_index, target,
-                               wavelength, vary=vary, strict=False)
-    return P, S, converged
+    target = (onp.asarray(stop_goal.center, dtype=_PREC)
+              + rho_norm @ pupil_map.T)
+    P, S, landed = aim_rays(
+        P, S, system, stop_index, target, wvl_um,
+        vary='direction' if finite_conjugate else 'position', strict=False)
+    return P, S, landed
 
 
 def _axial_field(field):
     """The on-axis sibling of a field (same conjugate, no vignetting)."""
     if field.kind == 'angle':
-        return Field(0.0, 0.0, kind='angle', unit=field.unit)
-    return Field(0.0, 0.0, kind='height', object_z=field.object_z)
+        return Field(kind='angle', unit=field.unit)
+    return Field(kind='height', object_z=field.object_z)
 
 
 # rim probes for the stop pupil map: +/-x and +/-y at rho = 1
-_STOP_RIM_XY = ((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0))
+_STOP_RIM_XY = ((+1.0, 0.0), (-1.0, 0.0), (0.0, +1.0), (0.0, -1.0))
 
 
-def _stop_target(system, stop_index, wavelength, build_bundle, field):
+def _stop_target(system, stop_index, wvl_um, build_bundle, field):
     """Stop-local center + normalized-pupil affine map from rim probes."""
     rim = Sampling.points(onp.asarray(_STOP_RIM_XY, dtype=_PREC))
     P0, S0, _ = build_bundle(_axial_field(field), 'paraxial', samp=rim)
-    tr = raytrace(declipped(system[:stop_index + 1]), P0, S0, wavelength)
+    tr = raytrace(declipped(system[:stop_index + 1]), P0, S0, wvl_um)
     surf = system[stop_index]
-    loc, _ = transform_to_local_coords(tr.P[-1], surf.P, tr.S[-1], surf.R)
-    loc = onp.asarray(loc)
+    landing, _ = transform_to_local_coords(tr.P[-1], surf.P, tr.S[-1],
+                                           surf.R)
+    landing = onp.asarray(landing)
     center = onp.asarray(surf.aperture.center(), dtype=_PREC)
-    if not bool(onp.isfinite(loc[:, :2]).all()):
+    if not bool(onp.isfinite(landing[:, :2]).all()):
         return _StopTarget(center, None)
-    x_column = 0.5 * (loc[0, :2] - loc[1, :2])
-    y_column = 0.5 * (loc[2, :2] - loc[3, :2])
-    pupil_map = onp.stack([x_column, y_column], axis=1)
+    pupil_map = onp.stack([0.5 * (landing[0, :2] - landing[1, :2]),
+                           0.5 * (landing[2, :2] - landing[3, :2])], axis=1)
 
     # a stop clip tighter than the axial marginal binds the pupil edge
     clip_r = surf.aperture.limiting_radius(None)
-    edge_r = float(onp.max(onp.sqrt(onp.sum(pupil_map * pupil_map, axis=0))))
-    if clip_r is not None and clip_r < edge_r:
-        bound = float(clip_r) * (1.0 - 1e-9)
-        pupil_map = onp.eye(2, dtype=_PREC) * bound
+    rim_r = float(onp.max(onp.sqrt(onp.sum(pupil_map * pupil_map, axis=0))))
+    if clip_r is not None and clip_r < rim_r:
+        pupil_map = onp.eye(2, dtype=_PREC) * (float(clip_r) * (1.0 - 1e-9))
     return _StopTarget(center, pupil_map)
 
 
@@ -486,38 +496,66 @@ class _ParaxialAimingView:
         return iter(self._sys)
 
 
-def _parabasal_ep_z(system, field, wavelength):
+def _parabasal_ep_z(system, field, wvl_um):
     """Field-dependent entrance-pupil z, with paraxial fallback."""
     try:
         from .parabasal import first_order
     except ImportError:
-        return _entrance_pupil_z(system, wavelength)
+        return _entrance_pupil_z(system, wvl_um)
     try:
-        ep = first_order(_ParaxialAimingView(system), field, wavelength).ep_z
+        ep = first_order(_ParaxialAimingView(system), field, wvl_um).ep_z
     except (ValueError, IndexError, ArithmeticError,
             onp.linalg.LinAlgError):
         ep = None
     if ep is None:
-        return _entrance_pupil_z(system, wavelength)
-    if hasattr(ep, '__len__'):
-        ep = float(onp.mean(ep))
-    return float(ep)
+        return _entrance_pupil_z(system, wvl_um)
+    return float(onp.mean(ep)) if hasattr(ep, '__len__') else float(ep)
 
 
-def _warm_start_bundle(P, S, seedP, seedS, finite, good):
+def _warm_start_bundle(P, S, warmP, warmS, finite_conjugate, good):
     """Seed the varied transverse component from the previous ladder rung."""
-    if finite:
-        S[good, 0] = seedS[good, 0]
-        S[good, 1] = seedS[good, 1]
+    if finite_conjugate:
+        S[good, 0] = warmS[good, 0]
+        S[good, 1] = warmS[good, 1]
         S /= onp.sqrt(onp.sum(S * S, axis=1, keepdims=True))
     else:
-        P[good, 0] = seedP[good, 0]
-        P[good, 1] = seedP[good, 1]
+        P[good, 0] = warmP[good, 0]
+        P[good, 1] = warmP[good, 1]
 
 
-def _aim_to_stop_with_ladder(P, S, rho, build_bundle, field, system,
-                             stop_index, wavelength, finite,
-                             drop_unaimed=False, stop_target=None):
+def _extrapolation_rescue(P, S, rho_norm, aimed, system, stop_index,
+                          wvl_um, finite_conjugate, stop_goal):
+    """Linearly extrapolate landed solutions in rho to re-seed the lost."""
+    n_aimed = int(aimed.sum())
+    design = onp.stack([onp.ones(n_aimed), rho_norm[aimed, 0],
+                        rho_norm[aimed, 1]], axis=1)
+    varied = S if finite_conjugate else P
+    coef, *_ = onp.linalg.lstsq(design, varied[aimed, :2], rcond=None)
+    lost = ~aimed
+    guess = onp.stack([onp.ones(int(lost.sum())), rho_norm[lost, 0],
+                       rho_norm[lost, 1]], axis=1) @ coef
+    P2, S2 = P.copy(), S.copy()
+    if finite_conjugate:
+        S2[lost, 0], S2[lost, 1] = guess[:, 0], guess[:, 1]
+        S2 /= onp.sqrt(onp.sum(S2 * S2, axis=1, keepdims=True))
+    else:
+        P2[lost, 0], P2[lost, 1] = guess[:, 0], guess[:, 1]
+    P2, S2, landed2 = _real_aim_to_stop(P2, S2, rho_norm, system,
+                                        stop_index, wvl_um,
+                                        finite_conjugate,
+                                        stop_goal=stop_goal)
+    recovered = landed2 & lost
+    if bool(onp.any(recovered)):
+        P, S = P.copy(), S.copy()
+        P[recovered] = P2[recovered]
+        S[recovered] = S2[recovered]
+        aimed = aimed | recovered
+    return P, S, aimed
+
+
+def _aim_to_stop_with_ladder(P, S, rho_norm, build_bundle, field, system,
+                             stop_index, wvl_um, finite_conjugate,
+                             drop_unaimed=False, stop_goal=None):
     """Real aiming with an adaptive field-and-pupil continuation fallback.
 
     Walks field and pupil from on-axis to the target, warm-starting each
@@ -525,91 +563,85 @@ def _aim_to_stop_with_ladder(P, S, rho, build_bundle, field, system,
     so the seed stays inside the next rung's Newton basin (reference:
     prysm/x/raytracing/launch.py:588-694).
     """
-    P, S, conv = _real_aim_to_stop(P, S, rho, system, stop_index,
-                                   wavelength, finite,
-                                   stop_target=stop_target)
-    if bool(onp.all(conv)):
+    P, S, landed = _real_aim_to_stop(P, S, rho_norm, system, stop_index,
+                                     wvl_um, finite_conjugate,
+                                     stop_goal=stop_goal)
+    if bool(onp.all(landed)):
         return P, S
 
-    chief = int(onp.argmin(rho[:, 0] ** 2 + rho[:, 1] ** 2))
-    seedP = seedS = None
-    seedconv = onp.zeros(rho.shape[0], dtype=bool)
-    convfull = onp.zeros(rho.shape[0], dtype=bool)
-    Pfull = Sfull = None
-    frac = 0.0
-    step = _LADDER_STEP0
+    chief = int(onp.argmin(rho_norm[:, 0] ** 2 + rho_norm[:, 1] ** 2))
+    warmP = warmS = None
+    warm_landed = onp.zeros(rho_norm.shape[0], dtype=bool)
+    landed_full = onp.zeros(rho_norm.shape[0], dtype=bool)
+    P_full = S_full = None
+    progress, rung = 0.0, _LADDER_STEP0
     for _ in range(_LADDER_MAXITER):
-        if frac >= 1.0:
+        if progress >= 1.0:
             break
-        nxt = min(1.0, frac + step)
-        fld_k = _scaled_field(field, nxt)
-        ep_k = _parabasal_ep_z(system, fld_k, wavelength)
-        Pk, Sk, rho_k = build_bundle(fld_k, ep_k, escale=nxt)
-        if seedP is not None:
-            _warm_start_bundle(Pk, Sk, seedP, seedS, finite, seedconv)
-        target_k = (None if stop_target is None
-                    else stop_target.scaled(nxt))
-        Pk, Sk, convk = _real_aim_to_stop(Pk, Sk, rho_k, system, stop_index,
-                                          wavelength, finite,
-                                          stop_target=target_k)
-        if bool(convk[chief]):
-            if seedP is None:
-                seedP, seedS = Pk.copy(), Sk.copy()
+        reach = min(1.0, progress + rung)
+        field_k = _scaled_field(field, reach)
+        Pk, Sk, rho_k = build_bundle(field_k,
+                                     _parabasal_ep_z(system, field_k,
+                                                     wvl_um),
+                                     escale=reach)
+        if warmP is not None:
+            _warm_start_bundle(Pk, Sk, warmP, warmS, finite_conjugate,
+                               warm_landed)
+        goal_k = None if stop_goal is None else stop_goal.scaled(reach)
+        Pk, Sk, landed_k = _real_aim_to_stop(Pk, Sk, rho_k, system,
+                                             stop_index, wvl_um,
+                                             finite_conjugate,
+                                             stop_goal=goal_k)
+        if bool(landed_k[chief]):
+            if warmP is None:
+                warmP, warmS = Pk.copy(), Sk.copy()
             else:
-                seedP[convk] = Pk[convk]
-                seedS[convk] = Sk[convk]
-            seedconv = seedconv | convk
-            frac = nxt
-            step = min(step * _LADDER_GROW, 1.0)
-            if frac >= 1.0:
-                convfull, Pfull, Sfull = convk, Pk, Sk
+                warmP[landed_k] = Pk[landed_k]
+                warmS[landed_k] = Sk[landed_k]
+            warm_landed = warm_landed | landed_k
+            progress = reach
+            rung = min(rung * _LADDER_GROW, 1.0)
+            if progress >= 1.0:
+                landed_full, P_full, S_full = landed_k, Pk, Sk
         else:
-            step *= 0.5
-            if step < _LADDER_MIN_STEP:
+            rung *= 0.5
+            if rung < _LADDER_MIN_STEP:
                 break
 
-    rescued = convfull & ~conv
+    rescued = landed_full & ~landed
     if bool(onp.any(rescued)):
-        P = P.copy()
-        S = S.copy()
-        P[rescued] = Pfull[rescued]
-        S[rescued] = Sfull[rescued]
+        P, S = P.copy(), S.copy()
+        P[rescued] = P_full[rescued]
+        S[rescued] = S_full[rescued]
 
-    # caustic-fold rescue: extrapolate converged solutions linearly in rho
-    aimed = conv | convfull
+    aimed = landed | landed_full
+    # caustic-fold rescue: extrapolate landed solutions linearly in rho
     if not bool(onp.all(aimed)) and int(onp.sum(aimed)) >= 3:
-        var = S if finite else P
-        A = onp.stack([onp.ones(int(aimed.sum())), rho[aimed, 0],
-                       rho[aimed, 1]], axis=1)
-        coef, *_ = onp.linalg.lstsq(A, var[aimed, :2], rcond=None)
-        miss = ~aimed
-        pred = (onp.stack([onp.ones(int(miss.sum())), rho[miss, 0],
-                           rho[miss, 1]], axis=1) @ coef)
-        P2 = P.copy()
-        S2 = S.copy()
-        if finite:
-            S2[miss, 0] = pred[:, 0]
-            S2[miss, 1] = pred[:, 1]
-            S2 /= onp.sqrt(onp.sum(S2 * S2, axis=1, keepdims=True))
-        else:
-            P2[miss, 0] = pred[:, 0]
-            P2[miss, 1] = pred[:, 1]
-        P2, S2, conv2 = _real_aim_to_stop(P2, S2, rho, system, stop_index,
-                                          wavelength, finite,
-                                          stop_target=stop_target)
-        won = conv2 & miss
-        if bool(onp.any(won)):
-            P = P.copy()
-            S = S.copy()
-            P[won] = P2[won]
-            S[won] = S2[won]
-            aimed = aimed | won
+        P, S, aimed = _extrapolation_rescue(P, S, rho_norm, aimed, system,
+                                            stop_index, wvl_um,
+                                            finite_conjugate, stop_goal)
 
-    if drop_unaimed:
-        if not bool(onp.all(aimed)):
-            S = onp.array(S, copy=True)
-            S[~aimed] = onp.nan
+    if drop_unaimed and not bool(onp.all(aimed)):
+        S = onp.array(S, copy=True)
+        S[~aimed] = onp.nan
     return P, S
+
+
+# ---------- the launch entry point ------------------------------------------
+
+
+def _resolve_object_mode(system, wvl_um, epd, pupil_extent):
+    """(object mode flag, NA) from the system aperture specification."""
+    if epd is not None or pupil_extent is not None:
+        return False, None
+    aperture = getattr(system, 'aperture', None)
+    resolved = (aperture.resolve(system, wvl_um)
+                if aperture is not None else None)
+    if resolved is None or resolved[0] not in ('NA_OBJECT', 'FNO_OBJECT'):
+        return False, None
+    na = (resolved[1] if resolved[0] == 'NA_OBJECT'
+          else 1.0 / (2.0 * resolved[1]))
+    return True, na
 
 
 def launch(system, field, wavelength, sampling, *,
@@ -628,18 +660,9 @@ def launch(system, field, wavelength, sampling, *,
     if aim_to is None:
         _warn_paraxial_aiming(system, ray_aiming)
 
-    # object-space aperture modes launch from an object-space cone
-    object_mode = False
-    na = None
-    if epd is None and pupil_extent is None:
-        aperture = getattr(system, 'aperture', None)
-        bc = (aperture.resolve(system, wavelength)
-              if aperture is not None else None)
-        object_mode = bc is not None and bc[0] in ('NA_OBJECT', 'FNO_OBJECT')
-        if object_mode:
-            na = bc[1] if bc[0] == 'NA_OBJECT' else 1.0 / (2.0 * bc[1])
-
-    finite = object_mode or field.kind != 'angle'
+    object_mode, na = _resolve_object_mode(system, wavelength, epd,
+                                           pupil_extent)
+    finite_conjugate = object_mode or field.kind != 'angle'
 
     if not object_mode:
         if epd is None and pupil_extent is None:
@@ -647,85 +670,85 @@ def launch(system, field, wavelength, sampling, *,
             if callable(resolver):
                 epd = resolver(wavelength)
         if sampling.kind != 'chief' and epd is None and pupil_extent is None:
-            raise ValueError(
-                f'sampling kind {sampling.kind!r} needs an entrance pupil '
-                'size; pass epd=... or pupil_extent=...')
+            raise ValueError(f'sampling kind {sampling.kind!r} needs an '
+                             'entrance pupil size; pass epd=... or '
+                             'pupil_extent=...')
         if pupil_extent is not None:
-            extent = float(pupil_extent)
-        elif epd is not None:
-            extent = float(epd) / 2.0
+            half_aperture = float(pupil_extent)
         else:
-            extent = 0.0
-        if pupil_z is None:
-            pupil_z = float(system[0].P[2])
-        pupil_z = float(pupil_z)
+            half_aperture = float(epd) / 2.0 if epd is not None else 0.0
+        pupil_z = float(pupil_z if pupil_z is not None
+                        else system[0].P[2])
 
     def _build(fld, ep_z, escale=1.0, samp=None):
         """Bundle (P, S, rho) for one field seeded onto the EP at ep_z."""
         samp = sampling if samp is None else samp
         if object_mode:
-            return _object_space_cone_PS(system, fld, wavelength,
-                                         samp, na, ep_z=ep_z)
-        e = (_entrance_pupil_z(system, wavelength)
-             if ep_z == 'paraxial' else ep_z)
-        ext = extent * escale
-        pupil_xy = samp.build(ext)
-        pupil_xy = _apply_vignetting(pupil_xy, fld)
-        pupil_xy = onp.asarray(pupil_xy, dtype=_PREC)
+            return _object_space_cone_PS(system, fld, wavelength, samp, na,
+                                         ep_z=ep_z)
+        ep = (_entrance_pupil_z(system, wavelength)
+              if ep_z == 'paraxial' else ep_z)
+        scaled_extent = half_aperture * escale
+        samples_xy = onp.asarray(
+            _apply_vignetting(samp.build(scaled_extent), fld), dtype=_PREC)
         if fld.kind == 'angle':
-            P, S = _collimated_PS(pupil_xy, pupil_z, fld)
-            if e is not None:
+            P, S = _collimated_PS(samples_xy, pupil_z, fld)
+            if ep is not None:
                 # slide the collimated bundle to the entrance-pupil plane
                 S0 = S[0]
-                shift = (pupil_z - e) / S0[2]
-                P = P + onp.stack([shift * S0[0], shift * S0[1],
-                                   onp.zeros_like(shift)])
+                slide = (pupil_z - ep) / S0[2]
+                P = P + onp.stack([slide * S0[0], slide * S0[1],
+                                   onp.zeros_like(slide)])
         else:
-            target_z = float(e) if e is not None else pupil_z
-            P, S = _finite_PS(pupil_xy, target_z, fld)
-        rho = pupil_xy / ext if ext > 0.0 else onp.zeros_like(pupil_xy)
-        return P, S, rho
+            P, S = _finite_PS(samples_xy,
+                              float(ep) if ep is not None else pupil_z, fld)
+        rho_norm = (samples_xy / scaled_extent if scaled_extent > 0.0
+                    else onp.zeros_like(samples_xy))
+        return P, S, rho_norm
 
     # primary bundle: paraxial-EP seed (no seed when explicitly aiming)
-    P, S, rho = _build(field, None if aim_to is not None else 'paraxial')
+    P, S, rho_norm = _build(field, None if aim_to is not None
+                            else 'paraxial')
 
     if aim_to is not None:
-        vary = 'direction' if finite else 'position'
-        P, S, _ = aim_rays(P, S, system, aim_to, aim_target, wavelength,
-                           strict=aim_strict, vary=vary)
+        P, S, _ = aim_rays(
+            P, S, system, aim_to, aim_target, wavelength,
+            strict=aim_strict,
+            vary='direction' if finite_conjugate else 'position')
     elif real_aiming and stop_index is not None:
-        stop_target = _stop_target(system, stop_index, wavelength,
-                                   _build, field)
+        stop_goal = _stop_target(system, stop_index, wavelength, _build,
+                                 field)
         P, S = _aim_to_stop_with_ladder(
-            P, S, rho, _build, field, system, stop_index, wavelength,
-            finite, drop_unaimed=drop_unaimed, stop_target=stop_target)
+            P, S, rho_norm, _build, field, system, stop_index, wavelength,
+            finite_conjugate, drop_unaimed=drop_unaimed,
+            stop_goal=stop_goal)
 
     return P, S
+
+
+# ---------- solves over launches --------------------------------------------
 
 
 def _resolve_fields(system, fields):
     """Resolve a fields spec to a list (system field set if None)."""
     if fields is None:
-        sys_fields = getattr(system, 'fields', None)
-        if sys_fields is not None and len(sys_fields):
-            return list(sys_fields)
+        carried = getattr(system, 'fields', None)
+        if carried is not None and len(carried):
+            return list(carried)
         return [Field(0.0, 0.0)]
-    out = []
-    for f in fields:
-        resolver = getattr(system, 'field', None)
-        out.append(resolver(f) if callable(resolver) else f)
-    return out
+    resolver = getattr(system, 'field', None)
+    return [resolver(f) if callable(resolver) else f for f in fields]
 
 
-def _footprint_radii(surfaces, Phist):
+def _footprint_radii(prescription, P_track):
     """Per-surface max valid ray radius in each surface's local frame."""
-    radii = onp.zeros(len(surfaces))
-    for j, surf in enumerate(surfaces):
-        p = Phist[j + 1]
-        dirs = onp.zeros_like(p)
-        p_loc, _ = transform_to_local_coords(p, surf.P, dirs, surf.R)
-        p_loc = onp.asarray(p_loc)
-        r = onp.hypot(p_loc[..., 0], p_loc[..., 1])
+    radii = onp.zeros(len(prescription))
+    for j, surf in enumerate(prescription):
+        at_surface = P_track[j + 1]
+        local, _ = transform_to_local_coords(
+            at_surface, surf.P, onp.zeros_like(at_surface), surf.R)
+        local = onp.asarray(local)
+        r = onp.hypot(local[..., 0], local[..., 1])
         if onp.isfinite(r).any():
             radii[j] = float(onp.nanmax(r))
     return radii
@@ -740,26 +763,27 @@ def solve_apertures(system, *, fields=None, wavelength=None, oversize=1.05,
     fields = _resolve_fields(system, fields)
     if sampling is None:
         sampling = Sampling.hex(nrings=6)
-    surfaces = system.to_surfaces()
+    prescription = system.to_surfaces()
 
-    foot = onp.zeros(len(surfaces))
+    footprint = onp.zeros(len(prescription))
     for field in fields:
         field = system.field(field)
         P, S = launch(system, field, wvl, sampling, drop_unaimed=True)
-        result = raytrace(surfaces, P, S, wvl)
-        Phist = onp.array(result.P, copy=True)
-        mask = valid_mask(onp.asarray(result.status), Phist[-1])
-        if mask is not None:
-            Phist[:, ~onp.asarray(mask), :] = onp.nan
-        foot = onp.maximum(foot, _footprint_radii(surfaces, Phist))
+        result = raytrace(prescription, P, S, wvl)
+        P_track = onp.array(result.P, copy=True)
+        alive = valid_mask(onp.asarray(result.status), P_track[-1])
+        if alive is not None:
+            P_track[:, ~onp.asarray(alive), :] = onp.nan
+        footprint = onp.maximum(footprint,
+                                _footprint_radii(prescription, P_track))
 
     si = 0
     for row in lens.rows:
         if not isinstance(row, SurfaceRow):
             continue
-        ap = row.aperture
-        if ap.is_auto:
-            ap.solve_extent(foot[si], lens._version, oversize=oversize)
+        if row.aperture.is_auto:
+            row.aperture.solve_extent(footprint[si], lens._version,
+                                      oversize=oversize)
         si += 1
     return system
 
@@ -774,58 +798,52 @@ def solve_vignetting(system, fields=None, wavelength=None, *, tol=1e-3,
         system.fields = FieldSet(fields)
     for field in fields:
         field = system.field(field)
-        factors = _solve_vignetting_factors(system, field, wvl, tol=tol,
-                                            maxiter=maxiter)
-        field.vignetting = _normalize_vignetting(factors)
+        field.vignetting = _normalize_vignetting(
+            _solve_vignetting_factors(system, field, wvl, tol=tol,
+                                      maxiter=maxiter))
     return system
 
 
-def _solve_vignetting_factors(system, field, wavelength, *, tol=1e-3,
+def _solve_vignetting_factors(system, field, wvl_um, *, tol=1e-3,
                               maxiter=20):
     """Solve the four vignetting factors for one field by bisection."""
     bare = Field(field.hx, field.hy, kind=field.kind, unit=field.unit,
                  object_z=field.object_z)
-    edges = onp.asarray([
-        [0.0, 0.0],
-        [1.0, 0.0],
-        [-1.0, 0.0],
-        [0.0, 1.0],
-        [0.0, -1.0],
-    ], dtype=_PREC)
-    keys = ('vux', 'vlx', 'vuy', 'vly')
+    probes = onp.asarray([[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0],
+                          [0.0, 1.0], [0.0, -1.0]], dtype=_PREC)
 
     def transmits(scales):
-        s = onp.asarray([1.0, *scales], dtype=_PREC)
-        xy = edges * s[:, onp.newaxis]
-        P, S = launch(system, bare, wavelength, Sampling.points(xy),
+        scaling = onp.asarray([1.0, *scales], dtype=_PREC)
+        xy = probes * scaling[:, onp.newaxis]
+        P, S = launch(system, bare, wvl_um, Sampling.points(xy),
                       drop_unaimed=False)
-        result = raytrace(compiled_surfaces(system), P, S, wavelength)
+        result = raytrace(compiled_surfaces(system), P, S, wvl_um)
         return onp.asarray(valid_mask(result.status))
 
-    valid = transmits([1.0] * 4)
-    if not bool(valid[0]):
-        raise ValueError(
-            'solve_vignetting: the chief ray does not transmit; vignetting '
-            'factors are referenced to it')
-    lo = [1.0 if bool(v) else 0.0 for v in valid[1:]]
+    alive = transmits([1.0] * 4)
+    if not bool(alive[0]):
+        raise ValueError('solve_vignetting: the chief ray does not '
+                         'transmit; vignetting factors are referenced to '
+                         'it')
+    lo = [1.0 if bool(v) else 0.0 for v in alive[1:]]
     hi = [1.0] * 4
-    active = [not bool(v) for v in valid[1:]]
+    open_sides = [not bool(v) for v in alive[1:]]
     for _ in range(maxiter):
-        gaps = [h - l for h, l, a in zip(hi, lo, active) if a]
+        gaps = [h - l for h, l, a in zip(hi, lo, open_sides) if a]
         if not gaps or max(gaps) <= tol:
             break
         mid = [(l + h) / 2.0 if a else 1.0
-               for l, h, a in zip(lo, hi, active)]
-        vm = transmits(mid)
+               for l, h, a in zip(lo, hi, open_sides)]
+        mid_alive = transmits(mid)
         for i in range(4):
-            if active[i]:
-                if bool(vm[i + 1]):
+            if open_sides[i]:
+                if bool(mid_alive[i + 1]):
                     lo[i] = mid[i]
                 else:
                     hi[i] = mid[i]
-    for key, l, a in zip(keys, lo, active):  # NOQA: E741
+    for key, l, a in zip(_SIDE_KEYS, lo, open_sides):  # NOQA: E741
         if a and l == 0.0:
-            raise ValueError(
-                f'solve_vignetting: the {key} edge ray fails at every probed '
-                'pupil scale; the side appears fully vignetted')
-    return {key: 1.0 - l for key, l in zip(keys, lo)}
+            raise ValueError(f'solve_vignetting: the {key} edge ray fails '
+                             'at every probed pupil scale; the side '
+                             'appears fully vignetted')
+    return {key: 1.0 - l for key, l in zip(_SIDE_KEYS, lo)}
