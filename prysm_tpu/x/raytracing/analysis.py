@@ -4,28 +4,22 @@ Rebuild of ``prysm/x/raytracing/analysis.py``.  Grid arrays are indexed
 [field_index, wavelength_index, sample_index].  Host numpy orchestration
 over the jittable trace kernel.
 """
-from collections import namedtuple
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
 from ...polynomials import zernike_nm_seq, lstsq
 
-from .spencer_and_murty import raytrace, valid_mask, _is_measurement_surf
-from .opt import (
-    xp_reference_sphere,
-    hopkins_eic_closing,
-    reference_sphere_curvature,
-    centroid_referenced_rms,
-    centroid_referenced_max,
-    _pupil_center_chief_index,
-)
-from .paraxial import paraxial_image_distance, NonAxialSystemError
+from .spencer_and_murty import _is_measurement_surf, raytrace, valid_mask
+from .opt import (_pupil_center_chief_index, centroid_referenced_max,
+                  centroid_referenced_rms, hopkins_eic_closing,
+                  reference_sphere_curvature, xp_reference_sphere)
+from .paraxial import NonAxialSystemError, paraxial_image_distance
 from .launch import Field, Sampling, _apply_vignetting
-from ._trace_grid import (
-    TraceRecord, iter_trace_grid, trace_cell, _resolve_fields,  # NOQA: F401
-    _resolve_wavelengths, _require_epd, field_sweep,
-)
+from ._trace_grid import (  # NOQA: F401
+    TraceRecord, _require_epd, _resolve_fields, _resolve_wavelengths,
+    field_sweep, iter_trace_grid, trace_cell)
 from ._resolve import compiled_surfaces, resolve_wavelength, trace_context
 from .surfaces import Conic, EvenAsphere, Plane, Sphere
 
@@ -57,59 +51,96 @@ class FieldCurvatureResult:
     reference: str = 'global_z'
 
 
-RayFanGrid = namedtuple(
-    'RayFanGrid',
-    ['fields', 'wavelengths', 'pupil_x', 'pupil_y', 'x', 'y',
-     'unit', 'reference'])
-OPDFanGrid = namedtuple(
-    'OPDFanGrid',
-    ['fields', 'wavelengths', 'pupil_x', 'pupil_y', 'x', 'y',
-     'unit', 'reference'])
-SpotGrid = namedtuple(
-    'SpotGrid',
-    ['fields', 'wavelengths', 'x', 'y', 'valid', 'reference_xy',
-     'unit', 'reference'])
-FullFieldGrid = namedtuple(
-    'FullFieldGrid',
-    ['hx', 'hy', 'data', 'metric', 'kind', 'unit', 'data_unit',
-     'reference'])
+class RayFanGrid(NamedTuple):
+    """Transverse ray-aberration fans over field x wavelength."""
+
+    fields: tuple
+    wavelengths: object
+    pupil_x: object
+    pupil_y: object
+    x: object
+    y: object
+    unit: str
+    reference: str
+
+
+class OPDFanGrid(NamedTuple):
+    """Wavefront (OPD) fans over field x wavelength."""
+
+    fields: tuple
+    wavelengths: object
+    pupil_x: object
+    pupil_y: object
+    x: object
+    y: object
+    unit: str
+    reference: str
+
+
+class SpotGrid(NamedTuple):
+    """Image-plane spot landings over field x wavelength."""
+
+    fields: tuple
+    wavelengths: object
+    x: object
+    y: object
+    valid: object
+    anchor_xy: object
+    unit: str
+    reference: str
+
+
+class FullFieldGrid(NamedTuple):
+    """A scalar image-quality metric sampled over the field disc."""
+
+    hx: object
+    hy: object
+    data: object
+    metric: str
+    kind: str
+    unit: str
+    data_unit: str
+    reference: str
+
+
+_AXIS_SLOTS = {'x': 0, 'y': 1}
 
 
 def _axis_index(axis):
-    if axis == 'x':
-        return 0
-    if axis == 'y':
-        return 1
-    raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+    try:
+        return _AXIS_SLOTS[axis]
+    except KeyError:
+        raise ValueError(f"axis must be 'x' or 'y', got {axis!r}") from None
 
 
-def _reference_value(values, valid, reference, chief_index, *,
+def _reference_value(samples, alive, reference, chief_index, *,
                      allow_none=False):
-    """Reference point shared by fan and spot analyses."""
-    values = np.asarray(values)
+    """The anchor point shared by the fan and spot analyses."""
+    samples = np.asarray(samples)
     if reference == 'centroid':
-        return np.mean(values[valid], axis=0)
+        return np.mean(samples[alive], axis=0)
     if reference == 'chief':
-        if not bool(valid[chief_index]):
-            raise ValueError(
-                'chief ray is invalid; pass reference="centroid" for an '
-                'obscured or vignetted bundle')
-        return values[chief_index]
+        if not bool(alive[chief_index]):
+            raise ValueError('the chief ray is invalid; pass '
+                             'reference="centroid" for an obscured or '
+                             'vignetted bundle')
+        return samples[chief_index]
     if reference is None and allow_none:
-        return np.zeros(values.shape[1:], dtype=values.dtype)
+        return np.zeros(samples.shape[1:], dtype=samples.dtype)
     choices = ("'centroid', 'chief', or None" if allow_none
                else "'centroid' or 'chief'")
     raise ValueError(f'reference must be {choices}, got {reference!r}')
 
 
-def _center_valid(values, valid, reference, chief_index, *, allow_none=False):
-    """Reference-subtract values and NaN-out invalid rays."""
-    values = np.array(values, copy=True)
-    ref = _reference_value(values, valid, reference, chief_index,
-                           allow_none=allow_none)
-    out = values - ref
-    out[~valid] = np.nan
-    return out, ref
+def _center_valid(samples, alive, reference, chief_index, *,
+                  allow_none=False):
+    """Anchor-subtract samples and NaN-out invalid rays."""
+    samples = np.array(samples, copy=True)
+    anchor = _reference_value(samples, alive, reference, chief_index,
+                              allow_none=allow_none)
+    centered = samples - anchor
+    centered[~alive] = np.nan
+    return centered, anchor
 
 
 def resolve_exit_pupil(system, wavelength, *, stop_index=None, epd=None,
@@ -120,182 +151,175 @@ def resolve_exit_pupil(system, wavelength, *, stop_index=None, epd=None,
     Paraxial stop route when available, chief-axis closest approach
     otherwise; None for image-space telecentric.
     """
-    def _ret(P_xp, mode):
+    def _package(P_xp, mode):
         return (P_xp, mode) if return_mode else P_xp
 
-    resolved_stop = (stop_index if stop_index is not None
-                     else getattr(system, 'stop_index', None))
-    if resolved_stop is not None:
+    stop_slot = (getattr(system, 'stop_index', None)
+                 if stop_index is None else stop_index)
+    if stop_slot is not None:
         try:
-            resolver = getattr(system, '_ynu_first_order', None)
-            if callable(resolver):
-                fo = resolver(wvl=wavelength, epd=epd,
-                              stop_index=resolved_stop)
-            else:
-                from .paraxial import ynu_first_order
-                fo = ynu_first_order(compiled_surfaces(system),
-                                     wvl=wavelength, epd=epd,
-                                     stop_index=resolved_stop)
+            summary = _first_order_summary(system, wavelength, epd,
+                                           stop_slot)
         except NonAxialSystemError:
             # no centered ABCD; only an explicit-axis call may go geometric
             if axis_point is None and axis_dir is None:
                 raise
         else:
-            if fo.xp_z is None:
-                return _ret(None, 'paraxial')
-            P_xp = np.array([0.0, 0.0, float(fo.xp_z)], dtype=_PREC)
-            return _ret(P_xp, 'paraxial')
+            if summary.xp_z is None:
+                return _package(None, 'paraxial')
+            return _package(np.array([0.0, 0.0, float(summary.xp_z)],
+                                     dtype=_PREC), 'paraxial')
 
     if chief is not None:
-        P_chief_final, S_chief_final = chief
+        chief_end_P, chief_end_S = chief
     else:
-        if field is None:
-            field = Field(0.0, 0.0)
-        epd_geo = epd
-        if epd_geo is None:
-            resolver = getattr(system, 'entrance_pupil_diameter', None)
-            if callable(resolver):
-                epd_geo = resolver(wavelength)
-        if epd_geo is None:
-            epd_geo = 1.0  # chief is a single pupil-center ray
-        tr = trace_cell(system, field, wavelength, Sampling.chief(),
-                        epd=epd_geo).trace
-        P_chief_final = np.asarray(tr.P)[-1, 0]
-        S_chief_final = np.asarray(tr.S)[-1, 0]
-    _, _, P_xp = xp_reference_sphere(P_chief_final, S_chief_final,
+        chief_end_P, chief_end_S = _chief_endpoint(system, field,
+                                                   wavelength, epd)
+    _, _, P_xp = xp_reference_sphere(chief_end_P, chief_end_S,
                                      axis_point=axis_point,
                                      axis_dir=axis_dir, min_perp=min_perp)
-    return _ret(np.asarray(P_xp, dtype=_PREC), 'geometric')
+    return _package(np.asarray(P_xp, dtype=_PREC), 'geometric')
+
+
+def _first_order_summary(system, wavelength, epd, stop_slot):
+    """YNU summary through a system cache when one exists."""
+    cached = getattr(system, '_ynu_first_order', None)
+    if callable(cached):
+        return cached(wvl=wavelength, epd=epd, stop_index=stop_slot)
+    from .paraxial import ynu_first_order
+    return ynu_first_order(compiled_surfaces(system), wvl=wavelength,
+                           epd=epd, stop_index=stop_slot)
+
+
+def _chief_endpoint(system, field, wavelength, epd):
+    """Final (P, S) of a traced pupil-center chief ray."""
+    if field is None:
+        field = Field(0.0, 0.0)
+    if epd is None:
+        resolver = getattr(system, 'entrance_pupil_diameter', None)
+        if callable(resolver):
+            epd = resolver(wavelength)
+    if epd is None:
+        epd = 1.0  # the chief is a single pupil-center ray
+    probe = trace_cell(system, field, wavelength, Sampling.chief(),
+                       epd=epd).trace
+    return np.asarray(probe.P)[-1, 0], np.asarray(probe.S)[-1, 0]
 
 
 # ---------- transverse ray aberration ---------------------------------------
 
-def transverse_ray_aberration(P_hist, axis='y', chief_index=None, status=None,
-                              reference='chief'):
+def transverse_ray_aberration(P_hist, axis='y', chief_index=None,
+                              status=None, reference='chief'):
     """(pupil, delta): image-plane offset vs pupil coordinate per ray."""
-    P_hist = np.asarray(P_hist)
+    track = np.asarray(P_hist)
     ax = _axis_index(axis)
     if chief_index is None:
-        chief_index = _pupil_center_chief_index(P_hist[0])
-    pupil = P_hist[0, :, ax]
-    image = P_hist[-1, :, ax]
-
-    valid = np.asarray(valid_mask(status, P_hist[-1]))
+        chief_index = _pupil_center_chief_index(track[0])
+    at_pupil, at_image = track[0, :, ax], track[-1, :, ax]
+    alive = np.asarray(valid_mask(status, track[-1]))
 
     if reference == 'chief':
-        ref_pupil = pupil[chief_index]
+        pupil_anchor = at_pupil[chief_index]
     elif reference == 'centroid':
-        ref_pupil = np.mean(pupil[valid])
+        pupil_anchor = np.mean(at_pupil[alive])
     else:
-        ref_pupil = _reference_value(pupil, valid, reference, chief_index)
-    ref_image = _reference_value(image, valid, reference, chief_index)
-    return pupil[valid] - ref_pupil, image[valid] - ref_image
+        pupil_anchor = _reference_value(at_pupil, alive, reference,
+                                        chief_index)
+    image_anchor = _reference_value(at_image, alive, reference, chief_index)
+    return at_pupil[alive] - pupil_anchor, at_image[alive] - image_anchor
 
 
 def spot_positions(P_final, status=None, origin=None):
     """(x, y) valid image-plane spot landings, optionally re-centered."""
     P_final = np.asarray(P_final)
-    x = P_final[..., 0]
-    y = P_final[..., 1]
+    x, y = P_final[..., 0], P_final[..., 1]
     if status is not None:
-        valid = np.asarray(valid_mask(status, P_final))
-        x = x[valid]
-        y = y[valid]
-    if origin is not None:
-        if isinstance(origin, str):
-            if origin.lower() == 'centroid':
-                origin = (np.nanmean(x), np.nanmean(y))
-            else:
-                raise ValueError("origin string must be 'centroid'")
-        origin = np.asarray(origin)
-        x = x - origin[0]
-        y = y - origin[1]
-    return x, y
+        alive = np.asarray(valid_mask(status, P_final))
+        x, y = x[alive], y[alive]
+    if axis_cell is None:
+        return x, y
+    if isinstance(axis_cell, str):
+        if origin.lower() != 'centroid':
+            raise ValueError("axis_cell string must be 'centroid'")
+        axis_cell = (np.nanmean(x), np.nanmean(y))
+    axis_cell = np.asarray(axis_cell)
+    return x - axis_cell[0], y - axis_cell[1]
 
 
 # ---------- wavefront --------------------------------------------------------
 
-def _filtered_chief_index(valid, chief_index):
-    valid_indices = np.nonzero(valid)[0]
-    return int(np.nonzero(valid_indices == chief_index)[0][0])
+def _packed_chief_index(alive, chief_index):
+    alive_slots = np.flatnonzero(alive)
+    return int(np.flatnonzero(alive_slots == chief_index)[0])
 
 
-def _resolve_chief_index(P, valid, reference, chief_index):
+def _resolve_chief_index(P, alive, reference, chief_index):
     if chief_index is not None:
         return int(chief_index)
-    mask = valid if reference == 'centroid' else None
-    return _pupil_center_chief_index(np.asarray(P), mask)
+    return _pupil_center_chief_index(
+        np.asarray(P), alive if reference == 'centroid' else None)
 
 
-def _require_valid_chief(valid, chief_index, reference='chief'):
-    if bool(valid[chief_index]):
+def _require_valid_chief(alive, chief_index, reference='chief'):
+    if bool(alive[chief_index]):
         return
     if reference == 'chief':
         raise ValueError(
-            'chief ray is invalid; cannot define reference sphere.  Pass '
-            "reference='centroid' for an obscured or vignetted bundle.")
+            'the chief ray is invalid, so no reference sphere exists.  '
+            "Pass reference='centroid' for an obscured or vignetted "
+            'bundle.')
     raise ValueError(
-        f'anchor ray (chief_index={chief_index}) is invalid; pass a '
+        f'the anchor ray (chief_index={chief_index}) is invalid; pass a '
         'chief_index that survives the trace, or omit it to auto-select '
         'the surviving ray nearest the pupil center')
 
 
+@dataclass
 class ReferenceSphereClosing:
     """Chief-zeroed OPD and reusable reference-sphere geometry."""
 
-    __slots__ = ('opd', 'curvature', 'filtered_chief', 'R', 'delta')
-
-    def __init__(self, opd, curvature, filtered_chief, R, delta):
-        self.opd = opd
-        self.curvature = curvature
-        self.filtered_chief = filtered_chief
-        self.R = R
-        self.delta = delta
+    opd: object
+    curvature: float
+    packed_chief: int
+    R: float
+    delta: object
 
 
 def close_on_reference_sphere(trace, valid, chief_index, *, center, P_xp,
                               n_image, curvature=None):
     """Close a traced bundle onto the chief-image reference sphere."""
     center = np.asarray(center)
-    if curvature is None:
-        curvature = reference_sphere_curvature(P_xp, center)
-    else:
-        curvature = float(curvature)
+    curvature = (reference_sphere_curvature(P_xp, center)
+                 if curvature is None else float(curvature))
     if P_xp is None:
-        delta = None
-        R = np.inf
+        delta, R = None, np.inf
     else:
         delta = np.asarray(P_xp, dtype=center.dtype) - center
         R = float(np.sqrt(np.sum(delta * delta)))
-    filtered_chief = _filtered_chief_index(valid, chief_index)
-    P = np.asarray(trace.P)
-    S = np.asarray(trace.S)
+    packed_chief = _packed_chief_index(valid, chief_index)
+    P, S = np.asarray(trace.P), np.asarray(trace.S)
     OPL = np.asarray(trace.OPL)
     opd = hopkins_eic_closing(P[:, valid], S[:, valid], OPL[:, valid],
                               center=center, curvature=curvature,
-                              n_image=n_image, chief_index=filtered_chief)
-    return ReferenceSphereClosing(opd, curvature, filtered_chief, R, delta)
+                              n_image=n_image, chief_index=packed_chief)
+    return ReferenceSphereClosing(opd, curvature, packed_chief, R, delta)
 
 
+@dataclass
 class WavefrontClosing:
     """Closed wavefront of one bundle, with the geometry that made it."""
 
-    __slots__ = ('opd', 'valid', 'chief_index', 'center', 'P_xp', 'xp_mode',
-                 'curvature', 'R', 'delta', 'filtered_chief', 'n_image')
-
-    def __init__(self, opd, valid, chief_index, center, P_xp, xp_mode,
-                 curvature, R, delta, filtered_chief, n_image):
-        self.opd = opd
-        self.valid = valid
-        self.chief_index = chief_index
-        self.center = center
-        self.P_xp = P_xp
-        self.xp_mode = xp_mode
-        self.curvature = curvature
-        self.R = R
-        self.delta = delta
-        self.filtered_chief = filtered_chief
-        self.n_image = n_image
+    opd: object
+    valid: object
+    chief_index: int
+    center: object
+    P_xp: object
+    xp_mode: str
+    curvature: float
+    R: float
+    delta: object
+    packed_chief: int
+    n_image: float
 
 
 def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
@@ -304,81 +328,77 @@ def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
                     reference='chief', apply_field_tilt=True, ctx=None):
     """Close a traced bundle into a chief-referenced OPD.
 
-    Owns validity, medium indices, exit-pupil resolution, EIC closing,
+    Owns validity, medium indices, exit-pupil resolution, EIC closed,
     and the launch-plane field-tilt ramp.
     """
     if valid is None:
         valid = np.asarray(valid_mask(trace.status, trace.P[-1]))
     chief_index = int(chief_index)
-    _require_valid_chief(valid, chief_index, reference)
-    if ctx is None:
-        ctx = trace_context(system, wavelength)
-    n_image = ctx.n_image
-    P_chief = np.asarray(trace.P)[-1, chief_index]
-    if center is None:
-        center = P_chief
-    if P_xp is None:
+    _require_valid_chief(valid, chief_index, reference=reference)
+    ctx = trace_context(system, wavelength) if ctx is None else ctx
+    chief_P_end = np.asarray(trace.P)[-1, chief_index]
+    center = chief_P_end if center is None else center
+    if P_xp is not None:
+        xp_mode = 'fixed'
+    else:
         P_xp, xp_mode = resolve_exit_pupil(
             system, wavelength, stop_index=stop_index, epd=epd,
-            chief=(P_chief, np.asarray(trace.S)[-1, chief_index]),
-            axis_point=axis_point, axis_dir=axis_dir, min_perp=min_perp,
-            return_mode=True)
-    else:
-        xp_mode = 'fixed'
+            chief=(chief_P_end, np.asarray(trace.S)[-1, chief_index]),
+            axis_point=axis_point, axis_dir=axis_dir,
+            min_perp=min_perp, return_mode=True)
     if P_xp is not None:
         P_xp = np.asarray(P_xp, dtype=_PREC)
-    closing = close_on_reference_sphere(trace, valid, chief_index,
-                                        center=center, P_xp=P_xp,
-                                        n_image=n_image)
-    opd = closing.opd
+    closed = close_on_reference_sphere(trace, valid, chief_index,
+                                       center=center, P_xp=P_xp,
+                                       n_image=ctx.n_image)
+    opd = closed.opd
     if apply_field_tilt and field is not None:
         ax, ay = field.angle_radians()
-        P0 = np.asarray(trace.P)[0]
-        x_pupil = P0[valid, 0] - P0[chief_index, 0]
-        y_pupil = P0[valid, 1] - P0[chief_index, 1]
-        opd = opd + (np.sin(ax) * x_pupil + np.sin(ay) * y_pupil)
-    return WavefrontClosing(opd, valid, chief_index, center, P_xp, xp_mode,
-                            closing.curvature, closing.R, closing.delta,
-                            closing.filtered_chief, n_image)
+        at_launch = np.asarray(trace.P)[0]
+        pupil_u = at_launch[valid, 0] - at_launch[chief_index, 0]
+        pupil_v = at_launch[valid, 1] - at_launch[chief_index, 1]
+        opd = opd + (np.sin(ax) * pupil_u + np.sin(ay) * pupil_v)
+    return WavefrontClosing(opd, valid, chief_index, center, P_xp,
+                            xp_mode, closed.curvature, closed.R,
+                            closed.delta, closed.packed_chief, ctx.n_image)
 
 
 def _wavefront_from_trace(system, P, wavelength, trace, *, P_xp=None,
-                          chief_index=None, pupil_coords=None, field=None,
-                          output='length', reference='chief'):
+                          chief_index=None, pupil_coords=None,
+                          field=None, output='length', reference='chief'):
     """Wavefront kernel for callers that already hold the trace."""
-    valid = np.asarray(valid_mask(trace.status, trace.P[-1]))
+    alive = np.asarray(valid_mask(trace.status, trace.P[-1]))
     P = np.asarray(P)
-    chief_index = _resolve_chief_index(P, valid, reference, chief_index)
-    closing = close_wavefront(system, trace, wavelength, chief_index,
-                              field=field, P_xp=P_xp, valid=valid,
-                              reference=reference,
-                              apply_field_tilt=pupil_coords is None)
+    chief_index = _resolve_chief_index(P, alive, reference, chief_index)
+    closed = close_wavefront(system, trace, wavelength, chief_index,
+                             field=field, P_xp=P_xp, valid=alive,
+                             reference=reference,
+                             apply_field_tilt=pupil_coords is None)
     if pupil_coords is None:
-        x_pupil = P[valid, 0] - P[chief_index, 0]
-        y_pupil = P[valid, 1] - P[chief_index, 1]
+        pupil_u = P[alive, 0] - P[chief_index, 0]
+        pupil_v = P[alive, 1] - P[chief_index, 1]
         tilt_field = None
     else:
-        x_pupil = np.asarray(pupil_coords[0])[valid]
-        y_pupil = np.asarray(pupil_coords[1])[valid]
+        pupil_u = np.asarray(pupil_coords[0])[alive]
+        pupil_v = np.asarray(pupil_coords[1])[alive]
         tilt_field = field
-    opd, _ = _apply_field_and_output(closing.opd, x_pupil, y_pupil,
+    opd, _ = _apply_field_and_output(closed.opd, pupil_u, pupil_v,
                                      tilt_field, output, wavelength)
-    return opd, x_pupil, y_pupil, valid
+    return opd, pupil_u, pupil_v, alive
 
 
-def _apply_field_and_output(opd, x_pupil, y_pupil, field, output,
+def _apply_field_and_output(opd, pupil_u, pupil_v, field, output,
                             wavelength):
     """Field-tilt removal and length/waves scaling."""
     if field is not None:
         ax, ay = field.angle_radians()
-        opd = opd + (np.sin(ax) * x_pupil + np.sin(ay) * y_pupil)
-    if output == 'length':
-        scale = 1.0
-    elif output == 'waves':
-        scale = -1.0 / (float(wavelength) * 1e-3)
-    else:
-        raise ValueError(
-            f"output must be 'length' or 'waves', got {output!r}")
+        opd = opd + (np.sin(ax) * pupil_u + np.sin(ay) * pupil_v)
+    try:
+        scale = {'length': 1.0,
+                 'waves': -1.0 / (float(wavelength) * 1e-3)}[output]
+    except KeyError:
+        raise ValueError(f"output must be 'length' or 'waves', got "
+                         f'{output!r}') from None
     return opd * scale, scale
 
 
@@ -387,144 +407,131 @@ def wavefront(system, P, S, wavelength=None, *, P_xp=None, chief_index=None,
               reference='chief'):
     """(opd, x_pupil, y_pupil): OPD on the chief-centered reference sphere."""
     if reference not in ('chief', 'centroid'):
-        raise ValueError(
-            f"reference must be 'chief' or 'centroid', got {reference!r}")
+        raise ValueError(f"reference must be 'chief' or 'centroid', "
+                         f'got {reference!r}')
     wavelength = resolve_wavelength(system, wavelength)
     trace = raytrace(compiled_surfaces(system), P, S, wavelength)
-    opd, x_pupil, y_pupil, _ = _wavefront_from_trace(
+    opd, pupil_u, pupil_v, _ = _wavefront_from_trace(
         system, P, wavelength, trace, P_xp=P_xp, chief_index=chief_index,
         pupil_coords=pupil_coords, field=field, output=output,
         reference=reference)
-    return opd, x_pupil, y_pupil
+    return opd, pupil_u, pupil_v
 
 
-def wavefront_zernike_fit(opd, x_pupil, y_pupil, nms, *,
-                          normalization_radius=None, norm=True):
+def wavefront_zernike_fit(opd, x_pupil, y_pupil, nms, *, norm=True,
+                          normalization_radius=None):
     """(coefs, residual_rms): least-squares Zernike fit of a wavefront."""
-    opd = np.asarray(opd)
-    x_pupil = np.asarray(x_pupil)
-    y_pupil = np.asarray(y_pupil)
-    valid = np.isfinite(opd) & np.isfinite(x_pupil) & np.isfinite(y_pupil)
-    if not valid.any():
-        raise ValueError('at least one finite OPD sample is required')
-    opd = opd[valid]
-    x_pupil = x_pupil[valid]
-    y_pupil = y_pupil[valid]
-    rsq = x_pupil * x_pupil + y_pupil * y_pupil
+    opd, u, v = (np.asarray(a) for a in (opd, x_pupil, y_pupil))
+    finite = np.isfinite(opd) & np.isfinite(u) & np.isfinite(v)
+    if not finite.any():
+        raise ValueError('the fit needs at least one finite OPD sample')
+    opd, u, v = opd[finite], u[finite], v[finite]
+    radius_sq = u * u + v * v
     if normalization_radius is None:
-        normalization_radius = float(np.sqrt(np.max(rsq)))
+        normalization_radius = float(np.sqrt(radius_sq.max()))
     if normalization_radius <= 0.0:
-        raise ValueError(
-            'normalization_radius must be positive; got '
-            f'{normalization_radius}')
-    rho = np.sqrt(rsq) / normalization_radius
-    theta = np.arctan2(y_pupil, x_pupil)
-    basis = np.asarray(zernike_nm_seq(nms, rho, theta, norm=norm))
+        raise ValueError('normalization_radius must be positive; got '
+                         f'{normalization_radius}')
+    rho = np.sqrt(radius_sq) / normalization_radius
+    basis = np.asarray(zernike_nm_seq(nms, rho, np.arctan2(v, u),
+                                      norm=norm))
     coefs = np.asarray(lstsq(basis, opd))
-    fit = np.tensordot(coefs, basis, axes=1)
-    residual = opd - fit
-    rms = float(np.sqrt(np.mean(residual * residual)))
-    return coefs, rms
+    misfit = opd - np.tensordot(coefs, basis, axes=1)
+    return coefs, float(np.sqrt(np.mean(misfit * misfit)))
 
 
 # ---------- distortion -------------------------------------------------------
 
 def distortion(system, fields=None, wavelength=None, *, epd=None,
-               paraxial_fraction=1e-4, distortion_type='f-tan',
-               pupil_z=None, samples=101):
+               paraxial_fraction=1e-4, pupil_z=None,
+               distortion_type='f-tan', samples=101):
     """Per-field chief-ray image error vs a generalized paraxial map."""
     wavelength = resolve_wavelength(system, wavelength)
     epd = _require_epd(system, epd, wavelength)
-    fields = field_sweep(system, fields, samples)
+    fields = field_sweep(system, fields, int(samples))
     if distortion_type not in ('f-tan', 'linear-angle'):
-        raise ValueError(
-            "distortion_type must be 'f-tan' or 'linear-angle', got "
-            f'{distortion_type!r}')
+        raise ValueError("distortion_type must be 'f-tan' or "
+                         f"'linear-angle', got {distortion_type!r}")
     if paraxial_fraction <= 0:
-        raise ValueError('paraxial_fraction must be positive')
+        raise ValueError('paraxial_fraction must be a positive step')
 
-    n = len(fields)
-    real_xy = np.zeros((n, 2), dtype=_PREC)
-    paraxial_xy = np.zeros((n, 2), dtype=_PREC)
-    percent = np.zeros(n, dtype=_PREC)
+    n_fields = len(fields)
+    chief_landings = np.zeros((n_fields, 2), dtype=_PREC)
+    ideal_landings = np.zeros((n_fields, 2), dtype=_PREC)
+    percent = np.zeros(n_fields, dtype=_PREC)
     chief = Sampling.chief()
 
     # two basis launches retain anamorphic scale and x/y coupling
-    origin_field = Field(0.0, 0.0, kind='angle', unit='rad')
-    origin = trace_cell(system, origin_field, wavelength, chief,
-                        epd=epd, pupil_z=pupil_z)
-    origin_xy = np.asarray(origin.trace.P)[-1, 0, :2]
-    image_map = np.zeros((2, 2), dtype=_PREC)
+    on_axis = Field(0.0, 0.0, kind='angle', unit='rad')
+    axis_cell = trace_cell(system, on_axis, wavelength, chief, epd=epd,
+                           pupil_z=pupil_z)
+    axis_landing = np.asarray(axis_cell.trace.P)[-1, 0, :2]
+    field_to_image = np.zeros((2, 2), dtype=_PREC)
     for axis in range(2):
-        plus_angles = [0.0, 0.0]
-        minus_angles = [0.0, 0.0]
-        plus_angles[axis] = float(paraxial_fraction)
-        minus_angles[axis] = -float(paraxial_fraction)
-        plus = trace_cell(
-            system, Field(*plus_angles, kind='angle', unit='rad'),
-            wavelength, chief, epd=epd, pupil_z=pupil_z)
-        minus = trace_cell(
-            system, Field(*minus_angles, kind='angle', unit='rad'),
-            wavelength, chief, epd=epd, pupil_z=pupil_z)
-        image_map[:, axis] = (
-            np.asarray(plus.trace.P)[-1, 0, :2]
-            - np.asarray(minus.trace.P)[-1, 0, :2]
-        ) / (2.0 * float(paraxial_fraction))
+        def probe_landing(sign):
+            angles = [0.0, 0.0]
+            angles[axis] = sign * float(paraxial_fraction)
+            cell = trace_cell(system,
+                              Field(*angles, kind='angle', unit='rad'),
+                              wavelength, chief, epd=epd, pupil_z=pupil_z)
+            return np.asarray(cell.trace.P)[-1, 0, :2]
 
-    for i, field in enumerate(fields):
-        ax, ay = field.angle_radians()
-        real = trace_cell(system, field, wavelength, chief,
-                          epd=epd, pupil_z=pupil_z)
-        real_xy[i] = np.asarray(real.trace.P)[-1, 0, :2]
-        if distortion_type == 'linear-angle':
-            field_coordinate = np.array([ax, ay], dtype=_PREC)
-        else:
-            field_coordinate = np.array([np.tan(ax), np.tan(ay)],
-                                        dtype=_PREC)
-        paraxial_xy[i] = origin_xy + image_map @ field_coordinate
+        field_to_image[:, axis] = ((probe_landing(+1.0)
+                                    - probe_landing(-1.0))
+                                   / (2.0 * float(paraxial_fraction)))
 
-        ideal_delta = paraxial_xy[i] - origin_xy
-        real_delta = real_xy[i] - origin_xy
-        denom = float(np.hypot(*ideal_delta))
-        if denom > 0.0:
-            # signed: project the real landing onto the ideal image-height
-            # direction (pincushion positive, barrel negative)
-            real_height = float(np.dot(real_delta, ideal_delta)) / denom
-            percent[i] = 100.0 * (real_height - denom) / denom
+    for i, fld in enumerate(fields):
+        ax, ay = fld.angle_radians()
+        chief_cell = trace_cell(system, fld, wavelength, chief, epd=epd,
+                                pupil_z=pupil_z)
+        chief_landings[i] = np.asarray(chief_cell.trace.P)[-1, 0, :2]
+        field_vec = (np.array([ax, ay], dtype=_PREC)
+                     if distortion_type == 'linear-angle'
+                     else np.array([np.tan(ax), np.tan(ay)], dtype=_PREC))
+        ideal_landings[i] = axis_landing + field_to_image @ field_vec
+
+        ideal_offset = ideal_landings[i] - axis_landing
+        chief_offset = chief_landings[i] - axis_landing
+        ideal_height = float(np.hypot(*ideal_offset))
+        if ideal_height > 0.0:
+            # signed: project the chief_cell landing onto the ideal image-height
+            # direction (positive pincushion, negative barrel)
+            real_height = float(np.dot(chief_offset, ideal_offset)) / ideal_height
+            percent[i] = 100.0 * (real_height - ideal_height) / ideal_height
 
     return DistortionResult(
-        real_xy, paraxial_xy, percent, tuple(fields),
+        chief_landings, ideal_landings, percent, tuple(fields),
         unit='percent', reference=f'paraxial:{distortion_type}')
 
 
 # ---------- field curvature --------------------------------------------------
 
-_AXISYMMETRIC_SHAPES = (Plane, Sphere, Conic, EvenAsphere)
+_AXISYMMETRIC_SHAPES = (Plane, Conic, Sphere, EvenAsphere)
 
 
 def _field_is_pure_y(field):
-    return abs(float(getattr(field, 'hx', 0.0))) <= 1e-12
+    return abs(float(getattr(field, 'hx', 0.0))) < 1.000001e-12
 
 
 def _system_is_axisymmetric(system):
-    surfaces = (system.to_surfaces()
-                if hasattr(system, 'to_surfaces') else list(system))
-    for surf in surfaces:
+    compiler = getattr(system, 'to_surfaces', None)
+    prescription = compiler() if callable(compiler) else list(system)
+
+    def symmetric(surf):
         if getattr(surf, 'R', None) is not None:
             return False
-        P = np.asarray(getattr(surf, 'P', (0.0, 0.0, 0.0)))
-        if np.any(np.abs(P[:2]) > 1e-12):
-            return False
-        if not isinstance(getattr(surf, 'shape', None),
-                          _AXISYMMETRIC_SHAPES):
-            return False
-    return True
+        P = np.asarray(getattr(surf, 'P', (0, 0, 0)), dtype=float)
+        return (not np.any(np.abs(P[:2]) > 1e-12)
+                and isinstance(getattr(surf, 'shape', None),
+                               _AXISYMMETRIC_SHAPES))
+
+    return all(symmetric(surf) for surf in prescription)
 
 
 def _field_curvature_labels(system, fields):
     fields = list(fields)
-    if fields and all(_field_is_pure_y(field) for field in fields) \
-            and _system_is_axisymmetric(system):
+    meridional_only = fields and all(map(_field_is_pure_y, fields))
+    if meridional_only and _system_is_axisymmetric(system):
         return ('S', 'T'), ('sagittal', 'tangential')
     return ('X', 'Y'), ('x fan', 'y fan')
 
@@ -535,60 +542,57 @@ def field_curvature(system, fields=None, wavelength=None, *, samples=101):
 
     ctx = trace_context(system, wavelength)
     wavelength = ctx.wavelength
-    fields = field_sweep(system, fields, samples)
-    n = len(fields)
-    x_fan_z = np.zeros(n, dtype=_PREC)
-    y_fan_z = np.zeros(n, dtype=_PREC)
-    for i, field in enumerate(fields):
-        x_fan_z[i], y_fan_z[i] = parabasal_foci(system, field, wavelength)
+    fields = field_sweep(system, fields, int(samples))
+    n_fields = len(fields)
+    x_section_focus = np.zeros(n_fields, dtype=_PREC)
+    y_section_focus = np.zeros(n_fields, dtype=_PREC)
+    for i, fld in enumerate(fields):
+        x_section_focus[i], y_section_focus[i] = parabasal_foci(
+            system, fld, wavelength)
     labels, _ = _field_curvature_labels(ctx.surfaces, fields)
     return FieldCurvatureResult(
-        x_fan_z, y_fan_z, tuple(fields), labels,
-        float(ctx.surfaces[-1].P[2]),
+        x_section_focus, y_section_focus, tuple(fields), labels,
+        image_z=float(ctx.surfaces[-1].P[2]),
         unit=getattr(system, 'unit', None) or 'mm', reference='global_z')
 
 
 # ---------- color ------------------------------------------------------------
 
 def _system_wavelength_range(system):
-    wavelengths = getattr(system, 'wavelengths', None)
-    if wavelengths is None or len(wavelengths) == 0:
+    carried = getattr(system, 'wavelengths', None)
+    if not (carried is not None and len(carried)):
         return None
-    values = [float(w) for w in wavelengths]
-    return min(values), max(values)
+    as_floats = [float(w) for w in carried]
+    return min(as_floats), max(as_floats)
 
 
 def _chromatic_wavelength_samples(system, wavelengths, samples):
     if wavelengths is not None:
         return np.asarray([float(w) for w in wavelengths], dtype=_PREC)
-    span = _system_wavelength_range(system)
-    if span is None:
-        raise TypeError(
-            'wavelengths is required unless system carries system '
-            'wavelength metadata')
-    return np.linspace(span[0], span[1], int(samples), dtype=_PREC)
+    wvl_span = _system_wavelength_range(system)
+    if wvl_span is None:
+        raise TypeError('wavelengths is required unless the system carries '
+                        'wavelength metadata')
+    return np.linspace(*wvl_span, int(samples), dtype=_PREC)
 
 
 def _best_focus_shift_from_trace(P_final, S_final, status=None):
     """Axial shift minimizing centroid-referenced RMS spot radius."""
-    P_final = np.asarray(P_final)
-    S_final = np.asarray(S_final)
-    valid = np.asarray(valid_mask(status, P_final))
-    valid = valid & np.isfinite(S_final).all(axis=1)
-    valid = valid & (np.abs(S_final[:, 2]) > 1e-30)
-    if not valid.any():
-        raise ValueError('at least one valid ray is required for best focus')
+    P_final, S_final = np.asarray(P_final), np.asarray(S_final)
+    alive = (np.asarray(valid_mask(status, P_final))
+             & np.isfinite(S_final).all(axis=1)
+             & (np.abs(S_final[:, 2]) > 1e-30))
+    if not alive.any():
+        raise ValueError('best focus needs at least one valid ray')
 
-    P = P_final[valid]
-    S = S_final[valid]
-    xy = P[:, :2]
-    slopes = S[:, :2] / S[:, 2:3]
+    xy = P_final[alive][:, :2]
+    slopes = S_final[alive][:, :2] / S_final[alive][:, 2:3]
     xy = xy - np.mean(xy, axis=0)
     slopes = slopes - np.mean(slopes, axis=0)
-    denom = float(np.sum(slopes * slopes))
-    if denom <= 0.0:
+    steepness = float(np.sum(slopes * slopes))
+    if steepness <= 0.0:
         return 0.0
-    return -float(np.sum(xy * slopes)) / denom
+    return -float(np.sum(xy * slopes)) / steepness
 
 
 def _best_focus_z(system, wavelength, *, epd, field, sampling):
@@ -596,21 +600,22 @@ def _best_focus_z(system, wavelength, *, epd, field, sampling):
         field = Field(0.0, 0.0, unit='deg')
     if sampling is None:
         sampling = Sampling.hex(nrings=8)
-    r = trace_cell(system, field, wavelength, sampling, epd=epd)
-    dz = _best_focus_shift_from_trace(r.trace.P[-1], r.trace.S[-1],
-                                      r.trace.status)
-    return float(compiled_surfaces(system)[-1].P[2]) + dz
+    rec = trace_cell(system, field, wavelength, sampling, epd=epd)
+    refocus = _best_focus_shift_from_trace(rec.trace.P[-1], rec.trace.S[-1],
+                                      rec.trace.status)
+    return float(compiled_surfaces(system)[-1].P[2]) + refocus
 
 
 def _chromatic_focus_z(system, wavelength, focus, *, epd, field, sampling):
-    surfaces = compiled_surfaces(system)
+    prescription = compiled_surfaces(system)
     if focus == 'paraxial':
-        ref = surfaces
-        while len(ref) > 1 and _is_measurement_surf(
-                getattr(ref[-1], 'typ', None)):
-            ref = ref[:-1]
-        return (float(ref[-1].P[2])
-                + float(paraxial_image_distance(surfaces, wvl=wavelength)))
+        trimmed = prescription
+        while len(trimmed) > 1 and _is_measurement_surf(
+                getattr(trimmed[-1], 'typ', None)):
+            trimmed = trimmed[:-1]
+        return (float(trimmed[-1].P[2])
+                + float(paraxial_image_distance(prescription,
+                                                wvl=wavelength)))
     if focus == 'best':
         return _best_focus_z(system, wavelength, epd=epd, field=field,
                              sampling=sampling)
@@ -626,7 +631,7 @@ def chromatic_focal_shift(system, wavelengths=None, *,
         reference_wavelength = resolve_wavelength(system, None)
     reference_wavelength = float(reference_wavelength)
     focus = focus.lower()
-    foci = np.array([
+    focus_curve = np.array([
         _chromatic_focus_z(system, float(w), focus, epd=epd, field=field,
                            sampling=sampling)
         for w in wavelengths
@@ -634,20 +639,20 @@ def chromatic_focal_shift(system, wavelengths=None, *,
 
     ref = _chromatic_focus_z(system, reference_wavelength, focus, epd=epd,
                              field=field, sampling=sampling)
-    return wavelengths, foci - ref
+    return wavelengths, focus_curve - ref
 
 
 def lateral_color(system, fields=None, wavelengths=None, *, epd=None,
                   samples=101):
-    """Chief-ray landing at every (field, wavelength): (nf, nw, 2)."""
+    """Chief-ray landing at every (field, wavelength): (n_fld, n_wvl, 2)."""
     epd = _require_epd(system, epd)
     fields = field_sweep(system, fields, samples)
     wavelengths = _resolve_wavelengths(system, wavelengths)
-    out = np.zeros((len(fields), len(wavelengths), 2), dtype=_PREC)
-    for r in iter_trace_grid(system, fields, wavelengths,
-                             Sampling.chief(), epd=epd):
-        out[r.i, r.j] = np.asarray(r.trace.P)[-1, 0, :2]
-    return out
+    landings = np.zeros((len(fields), len(wavelengths), 2), dtype=_PREC)
+    for rec in iter_trace_grid(system, fields, wavelengths,
+                               Sampling.chief(), epd=epd):
+        landings[rec.i, rec.j] = np.asarray(rec.trace.P)[-1, 0, :2]
+    return landings
 
 
 # ---------- grid analyses ----------------------------------------------------
@@ -655,28 +660,27 @@ def lateral_color(system, fields=None, wavelengths=None, *, epd=None,
 def _fan_grid_setup(system, fields, wavelengths, nrays, distribution):
     fields = _resolve_fields(system, fields)
     wavelengths = _resolve_wavelengths(system, wavelengths)
-    x_fan = Sampling.fan(n=nrays, axis='x', distribution=distribution)
-    y_fan = Sampling.fan(n=nrays, axis='y', distribution=distribution)
-    xy_x = x_fan.build(1.0)
-    xy_y = y_fan.build(1.0)
-    nrays = xy_x.shape[0]
+    u_fan = Sampling.fan(n=nrays, axis='x', distribution=distribution)
+    v_fan = Sampling.fan(n=nrays, axis='y', distribution=distribution)
+    u_samples, v_samples = u_fan.build(1.0), v_fan.build(1.0)
+    nrays = u_samples.shape[0]
     pupil_x = np.empty((len(fields), nrays), dtype=_PREC)
     pupil_y = np.empty((len(fields), nrays), dtype=_PREC)
-    for i, field in enumerate(fields):
-        pupil_x[i] = _apply_vignetting(xy_x, field)[:, 0]
-        pupil_y[i] = _apply_vignetting(xy_y, field)[:, 1]
+    for i, fld in enumerate(fields):
+        pupil_x[i] = _apply_vignetting(u_samples, fld)[:, 0]
+        pupil_y[i] = _apply_vignetting(v_samples, fld)[:, 1]
     shape = (len(fields), len(wavelengths), nrays)
     x = np.full(shape, np.nan, dtype=_PREC)
     y = np.full(shape, np.nan, dtype=_PREC)
-    return fields, wavelengths, x_fan, y_fan, pupil_x, pupil_y, x, y
+    return fields, wavelengths, u_fan, v_fan, pupil_x, pupil_y, x, y
 
 
 def _fan_image_error(record, axis, reference):
     """NaN-padded reference-subtracted image error of one fan."""
     ax = _axis_index(axis)
     image = np.asarray(record.trace.P)[-1, :, ax]
-    ci = _pupil_center_chief_index(np.asarray(record.P))
-    centered, _ = _center_valid(image, record.valid, reference, ci)
+    center_slot = _pupil_center_chief_index(np.asarray(record.P))
+    centered, _ = _center_valid(image, record.valid, reference, center_slot)
     return centered
 
 
@@ -684,13 +688,13 @@ def ray_aberration_fans(system, fields=None, wavelengths=None, *,
                         nrays=21, epd=None, distribution='uniform',
                         reference='chief'):
     """RayFanGrid of transverse ray aberrations per field x wavelength."""
-    fields, wavelengths, x_fan, y_fan, pupil_x, pupil_y, x, y = \
+    fields, wavelengths, u_fan, v_fan, pupil_x, pupil_y, x, y = \
         _fan_grid_setup(system, fields, wavelengths, nrays, distribution)
-    for xr, yr in zip(
-            iter_trace_grid(system, fields, wavelengths, x_fan, epd=epd),
-            iter_trace_grid(system, fields, wavelengths, y_fan, epd=epd)):
-        x[xr.i, xr.j] = _fan_image_error(xr, 'x', reference)
-        y[yr.i, yr.j] = _fan_image_error(yr, 'y', reference)
+    for u_rec, v_rec in zip(
+            iter_trace_grid(system, fields, wavelengths, u_fan, epd=epd),
+            iter_trace_grid(system, fields, wavelengths, v_fan, epd=epd)):
+        x[u_rec.i, u_rec.j] = _fan_image_error(u_rec, 'x', reference)
+        y[v_rec.i, v_rec.j] = _fan_image_error(v_rec, 'y', reference)
     return RayFanGrid(
         tuple(fields), np.asarray(wavelengths, dtype=_PREC),
         pupil_x, pupil_y, x, y,
@@ -706,11 +710,11 @@ def _exit_pupil_for(system, wavelength, *, field=None, stop_index=None,
                               epd=epd, field=field)
 
 
-def _opd_fan(system, record, tilt_field, P_xp, output, n_pupil):
+def _opd_fan(system, record, tilt_field, P_xp, output, fan_width):
     opd, _, _, valid = _wavefront_from_trace(
         system, record.P, record.wvl, record.trace, P_xp=P_xp,
         field=tilt_field, output=output)
-    full = np.full(n_pupil, np.nan, dtype=_PREC)
+    full = np.full(fan_width, np.nan, dtype=_PREC)
     full[valid] = opd
     return full
 
@@ -719,21 +723,21 @@ def opd_fans(system, fields=None, wavelengths=None, *, nrays=21,
              epd=None, distribution='uniform', stop_index=None,
              output='waves'):
     """OPDFanGrid of wavefront fans per field x wavelength."""
-    fields, wavelengths, x_fan, y_fan, pupil_x, pupil_y, x, y = \
+    fields, wavelengths, u_fan, v_fan, pupil_x, pupil_y, x, y = \
         _fan_grid_setup(system, fields, wavelengths, nrays, distribution)
-    n_pupil = pupil_x.shape[-1]
-    for xr, yr in zip(
-            iter_trace_grid(system, fields, wavelengths, x_fan, epd=epd),
-            iter_trace_grid(system, fields, wavelengths, y_fan, epd=epd)):
-        field = yr.field
+    fan_width = pupil_x.shape[-1]
+    for u_rec, v_rec in zip(
+            iter_trace_grid(system, fields, wavelengths, u_fan, epd=epd),
+            iter_trace_grid(system, fields, wavelengths, v_fan, epd=epd)):
+        field = v_rec.field
         tilt_field = (field if getattr(field, 'kind', 'angle') == 'angle'
                       else None)
-        P_xp = _exit_pupil_for(system, yr.wvl, field=field,
-                               stop_index=stop_index, epd=yr.epd)
-        x[xr.i, xr.j] = _opd_fan(system, xr, tilt_field, P_xp, output,
-                                 n_pupil)
-        y[yr.i, yr.j] = _opd_fan(system, yr, tilt_field, P_xp, output,
-                                 n_pupil)
+        P_xp = _exit_pupil_for(system, v_rec.wvl, field=field,
+                               stop_index=stop_index, epd=v_rec.epd)
+        x[u_rec.i, u_rec.j] = _opd_fan(system, u_rec, tilt_field, P_xp, output,
+                                 fan_width)
+        y[v_rec.i, v_rec.j] = _opd_fan(system, v_rec, tilt_field, P_xp, output,
+                                 fan_width)
     unit = 'waves' if output == 'waves' else (
         getattr(system, 'unit', None) or 'mm')
     return OPDFanGrid(
@@ -748,121 +752,116 @@ def spot_diagrams(system, fields=None, wavelengths=None, *,
     wavelengths = _resolve_wavelengths(system, wavelengths)
     if sampling is None:
         sampling = Sampling.hex(nrings=6)
-    nf = len(fields)
-    nw = len(wavelengths)
-    n_samples = sampling.build(1.0).shape[0]
-    x = np.full((nf, nw, n_samples), np.nan, dtype=_PREC)
-    y = np.full((nf, nw, n_samples), np.nan, dtype=_PREC)
-    valid = np.zeros((nf, nw, n_samples), dtype=bool)
-    reference_xy = np.full((nf, nw, 2), np.nan, dtype=_PREC)
-    for r in iter_trace_grid(system, fields, wavelengths, sampling,
-                             epd=epd):
-        v = r.valid
-        Pl = np.asarray(r.trace.P)
-        image_xy = np.stack([Pl[-1, :, 0], Pl[-1, :, 1]], axis=1)
-        ci = _pupil_center_chief_index(np.asarray(r.P))
-        centered, ref = _center_valid(image_xy, v, reference, ci,
-                                      allow_none=True)
-        x[r.i, r.j] = centered[:, 0]
-        y[r.i, r.j] = centered[:, 1]
-        valid[r.i, r.j] = v
-        reference_xy[r.i, r.j] = ref
+    n_fld = len(fields)
+    n_wvl = len(wavelengths)
+    n_pupil_samples = sampling.build(1.0).shape[0]
+    x = np.full((n_fld, n_wvl, n_pupil_samples), np.nan, dtype=_PREC)
+    y = np.full((n_fld, n_wvl, n_pupil_samples), np.nan, dtype=_PREC)
+    valid = np.zeros((n_fld, n_wvl, n_pupil_samples), dtype=bool)
+    anchor_xy = np.full((n_fld, n_wvl, 2), np.nan, dtype=_PREC)
+    for rec in iter_trace_grid(system, fields, wavelengths, sampling,
+                               epd=epd):
+        alive_row = rec.valid
+        track = np.asarray(rec.trace.P)
+        landing_xy = track[-1, :, :2].copy()
+        center_slot = _pupil_center_chief_index(np.asarray(rec.P))
+        centered, anchor = _center_valid(landing_xy, alive_row, reference,
+                                         center_slot, allow_none=True)
+        x[rec.i, rec.j], y[rec.i, rec.j] = centered[:, 0], centered[:, 1]
+        valid[rec.i, rec.j] = alive_row
+        anchor_xy[rec.i, rec.j] = anchor
     return SpotGrid(
         tuple(fields), np.asarray(wavelengths, dtype=_PREC),
-        x, y, valid, reference_xy,
+        x, y, valid, anchor_xy,
         getattr(system, 'unit', None) or 'mm', reference)
 
 
 def spot_rms_radius(spot_grid):
-    """(nf, nw) centroid-referenced RMS spot radii."""
-    return centroid_referenced_rms(np.asarray(spot_grid.x),
-                                   np.asarray(spot_grid.y), axis=2)
+    """(n_fld, n_wvl) centroid-referenced RMS spot radii."""
+    return centroid_referenced_rms(
+        np.asarray(spot_grid.x), np.asarray(spot_grid.y), axis=2)
 
 
 def spot_geometric_radius(spot_grid):
-    """(nf, nw) maximum (geometric) spot radii from the centroid."""
-    return centroid_referenced_max(np.asarray(spot_grid.x),
-                                   np.asarray(spot_grid.y), axis=2)
+    """(n_fld, n_wvl) maximum (geometric) spot radii from the centroid."""
+    return centroid_referenced_max(
+        np.asarray(spot_grid.x), np.asarray(spot_grid.y), axis=2)
 
 
 # ---------- full-field displays ----------------------------------------------
 
 def _full_field_template(system, max_field):
-    base = _resolve_fields(system, None)
-    kinds = {f.kind for f in base}
-    if len(kinds) != 1:
-        raise ValueError('full_field requires system fields of a single kind')
-    kind = kinds.pop()
+    anchors = _resolve_fields(system, None)
+
+    def single(label, values):
+        distinct = set(values)
+        if len(distinct) != 1:
+            raise ValueError('full_field requires system fields with a '
+                             f'single {label}')
+        return distinct.pop()
+
+    kind = single('kind', (f.kind for f in anchors))
     if kind == 'angle':
-        if len({f.unit for f in base}) != 1:
-            raise ValueError(
-                'full_field requires system fields with a single angular '
-                'unit')
+        single('angular unit', (f.unit for f in anchors))
         object_z = None
     else:
-        if len({f.object_z for f in base}) != 1:
-            raise ValueError(
-                'full_field requires system fields with a single object '
-                'plane')
-        object_z = base[0].object_z
-    unit = base[0].unit
+        object_z = single('object plane', (f.object_z for f in anchors))
     if max_field is None:
-        max_field = max(float(np.hypot(f.hx, f.hy)) for f in base)
+        max_field = max(float(np.hypot(f.hx, f.hy)) for f in anchors)
     max_field = float(max_field)
     if max_field <= 0.0:
-        raise ValueError(
-            'full_field needs a nonzero field extent; define off-axis '
-            'system fields or pass max_field')
-    return kind, unit, object_z, max_field
+        raise ValueError('full_field needs a nonzero field extent; define '
+                         'off-axis system fields or pass max_field')
+    return kind, anchors[0].unit, object_z, max_field
 
 
 def _as_wavelength_list(wavelengths):
     if wavelengths is None:
         return None
-    if np.ndim(wavelengths) == 0:
-        return [float(wavelengths)]
-    return [float(w) for w in wavelengths]
+    if np.ndim(wavelengths):
+        return [float(w) for w in wavelengths]
+    return [float(wavelengths)]
 
 
 def _spectral_weights(system, wavelengths, resolved):
     if wavelengths is None:
-        w = getattr(system, 'weights', None)
-        if w is not None and len(w) == len(resolved):
-            return [float(x) for x in w]
+        carried = getattr(system, 'weights', None)
+        if carried is not None and len(carried) == len(resolved):
+            return [float(x) for x in carried]
     return [1.0] * len(resolved)
 
 
 def _full_field_rms_spot(system, fields, wavelengths, sampling, epd):
     """Polychromatic pooled centroid-referenced RMS spot radius per field."""
-    wvls = _resolve_wavelengths(system, wavelengths)
-    weights = _spectral_weights(system, wavelengths, wvls)
+    wvl_list = _resolve_wavelengths(system, wavelengths)
+    weights = _spectral_weights(system, wavelengths, wvl_list)
     if sampling is None:
         sampling = Sampling.hex(nrings=6)
-    n_samples = sampling.build(1.0).shape[0]
-    shape = (len(fields), len(wvls), n_samples)
+    n_pupil_samples = sampling.build(1.0).shape[0]
+    shape = (len(fields), len(wvl_list), n_pupil_samples)
     x = np.full(shape, np.nan, dtype=_PREC)
     y = np.full(shape, np.nan, dtype=_PREC)
-    for r in iter_trace_grid(system, fields, wvls, sampling, epd=epd):
-        v = r.valid
-        Pl = np.asarray(r.trace.P)
-        xi = np.full(n_samples, np.nan, dtype=_PREC)
-        yi = np.full(n_samples, np.nan, dtype=_PREC)
-        xi[v] = Pl[-1, v, 0]
-        yi[v] = Pl[-1, v, 1]
-        x[r.i, r.j] = xi
-        y[r.i, r.j] = yi
+    for rec in iter_trace_grid(system, fields, wvl_list, sampling, epd=epd):
+        alive_row = rec.valid
+        track = np.asarray(rec.trace.P)
+        x_row = np.full(n_pupil_samples, np.nan, dtype=_PREC)
+        y_row = np.full(n_pupil_samples, np.nan, dtype=_PREC)
+        x_row[alive_row] = track[-1, alive_row, 0]
+        y_row[alive_row] = track[-1, alive_row, 1]
+        x[rec.i, rec.j] = x_row
+        y[rec.i, rec.j] = y_row
     w = np.asarray(weights, dtype=_PREC)[None, :, None]
-    m = np.isfinite(x)
-    wm = np.where(m, w, 0.0)
-    xw = np.where(m, x, 0.0)
-    yw = np.where(m, y, 0.0)
-    wsum = wm.sum(axis=(1, 2))
-    safe = np.where(wsum > 0.0, wsum, 1.0)
-    cx = (wm * xw).sum(axis=(1, 2)) / safe
-    cy = (wm * yw).sum(axis=(1, 2)) / safe
-    r2 = (xw - cx[:, None, None]) ** 2 + (yw - cy[:, None, None]) ** 2
-    rms = np.sqrt((wm * r2).sum(axis=(1, 2)) / safe)
-    rms[wsum == 0.0] = np.nan
+    live = np.isfinite(x)
+    w_live = np.where(live, w, 0.0)
+    x_live = np.where(live, x, 0.0)
+    y_live = np.where(live, y, 0.0)
+    weight_total = w_live.sum(axis=(1, 2))
+    weight_floor = np.where(weight_total > 0.0, weight_total, 1.0)
+    centroid_x = (w_live * x_live).sum(axis=(1, 2)) / weight_floor
+    centroid_y = (w_live * y_live).sum(axis=(1, 2)) / weight_floor
+    rsq_live = (x_live - centroid_x[:, None, None]) ** 2 + (y_live - centroid_y[:, None, None]) ** 2
+    rms = np.sqrt((w_live * rsq_live).sum(axis=(1, 2)) / weight_floor)
+    rms[weight_total == 0.0] = np.nan
     return rms
 
 
@@ -872,21 +871,64 @@ def _full_field_rms_wfe(system, fields, wavelength, sampling, epd,
     if sampling is None:
         sampling = Sampling.hex(nrings=6)
     out = np.full(len(fields), np.nan, dtype=_PREC)
-    for i, field in enumerate(fields):
-        r = trace_cell(system, field, wavelength, sampling, epd=epd)
-        tilt_field = field if field.kind == 'angle' else None
-        P_xp = _exit_pupil_for(system, wavelength, field=field,
-                               stop_index=stop_index, epd=r.epd)
+    for i, fld in enumerate(fields):
+        rec = trace_cell(system, fld, wavelength, sampling, epd=epd)
+        tilt_field = fld if fld.kind == 'angle' else None
+        P_xp = _exit_pupil_for(system, wavelength, field=fld,
+                               stop_index=stop_index, epd=rec.epd)
         try:
             opd, _, _, _ = _wavefront_from_trace(
-                system, r.P, wavelength, r.trace, P_xp=P_xp,
+                system, rec.P, wavelength, rec.trace, P_xp=P_xp,
                 field=tilt_field, output='waves')
         except ValueError:
             continue  # the chief ray was clipped: a hole in the map
         if opd.size:
-            resid = opd - np.mean(opd)
-            out[i] = float(np.sqrt(np.mean(resid * resid)))
+            detrended = opd - np.mean(opd)
+            out[i] = float(np.sqrt(np.mean(detrended * detrended)))
     return out
+
+
+def _metric_rms_spot(system, flat_fields, wavelengths, sampling, epd,
+                     stop_index):
+    return (_full_field_rms_spot(system, flat_fields, wavelengths,
+                                 sampling, epd),
+            getattr(system, 'unit', None) or 'mm', 'centroid')
+
+
+def _metric_rms_wfe(system, flat_fields, wavelengths, sampling, epd,
+                    stop_index):
+    wvl = resolve_wavelength(
+        system, None if wavelengths is None else wavelengths[0])
+    return (_full_field_rms_wfe(system, flat_fields, wvl, sampling, epd,
+                                stop_index), 'waves', 'piston')
+
+
+def _metric_distortion(system, flat_fields, wavelengths, sampling, epd,
+                       stop_index):
+    wvl = None if wavelengths is None else wavelengths[0]
+    return (distortion(system, flat_fields, wvl, epd=epd).percent,
+            'percent', 'paraxial:f-tan')
+
+
+def _metric_lateral_color(system, flat_fields, wavelengths, sampling, epd,
+                          stop_index):
+    wvl_list = _resolve_wavelengths(system, wavelengths)
+    if len(wvl_list) < 2:
+        raise ValueError("metric 'lateral color' needs at least two "
+                         'wavelengths')
+    landings = lateral_color(system, flat_fields, wvl_list, epd=epd)
+    spread = (landings[:, int(np.argmax(wvl_list))]
+              - landings[:, int(np.argmin(wvl_list))])
+    return (np.hypot(spread[:, 0], spread[:, 1]),
+            getattr(system, 'unit', None) or 'mm', 'spectral-extremes')
+
+
+_FULL_FIELD_METRICS = {
+    'rms spot': _metric_rms_spot,
+    'rms wfe': _metric_rms_wfe,
+    'distortion': _metric_distortion,
+    'lateral color': _metric_lateral_color,
+}
 
 
 def full_field(system, metric='rms spot', *, samples=15, max_field=None,
@@ -894,49 +936,23 @@ def full_field(system, metric='rms spot', *, samples=15, max_field=None,
     """FullFieldGrid of a scalar image-quality metric over the field disc."""
     kind, unit, object_z, radius = _full_field_template(system, max_field)
     wavelengths = _as_wavelength_list(wavelengths)
-    coords = np.linspace(-radius, radius, int(samples))
-    hx, hy = np.meshgrid(coords, coords)
+    rungs = np.linspace(-radius, radius, int(samples))
+    hx, hy = np.meshgrid(rungs, rungs)
     inside = np.hypot(hx, hy) <= radius * (1.0 + 1e-9)
-    idx = np.nonzero(inside.ravel())[0]
+    idx = np.flatnonzero(inside.ravel())
     flat_fields = [
         Field(float(fx), float(fy), kind=kind, unit=unit, object_z=object_z)
         for fx, fy in zip(hx.ravel()[idx], hy.ravel()[idx])
     ]
     key = metric.lower().replace('-', ' ').replace('_', ' ')
-    if key == 'rms spot':
-        values = _full_field_rms_spot(system, flat_fields, wavelengths,
-                                      sampling, epd)
-        data_unit = getattr(system, 'unit', None) or 'mm'
-        reference = 'centroid'
-    elif key == 'rms wfe':
-        wvl = resolve_wavelength(
-            system, None if wavelengths is None else wavelengths[0])
-        values = _full_field_rms_wfe(system, flat_fields, wvl, sampling,
-                                     epd, stop_index)
-        data_unit = 'waves'
-        reference = 'piston'
-    elif key == 'distortion':
-        wvl = None if wavelengths is None else wavelengths[0]
-        values = distortion(system, flat_fields, wvl, epd=epd).percent
-        data_unit = 'percent'
-        reference = 'paraxial:f-tan'
-    elif key == 'lateral color':
-        wvls = _resolve_wavelengths(system, wavelengths)
-        if len(wvls) < 2:
-            raise ValueError(
-                "metric 'lateral color' needs at least two wavelengths")
-        landing = lateral_color(system, flat_fields, wvls, epd=epd)
-        d = (landing[:, int(np.argmax(wvls))]
-             - landing[:, int(np.argmin(wvls))])
-        values = np.hypot(d[:, 0], d[:, 1])
-        data_unit = getattr(system, 'unit', None) or 'mm'
-        reference = 'spectral-extremes'
-    else:
-        raise ValueError(
-            "metric must be 'rms spot', 'rms wfe', 'distortion', or "
-            f"'lateral color', got {metric!r}")
+    evaluate = _FULL_FIELD_METRICS.get(key)
+    if evaluate is None:
+        raise ValueError("metric must be 'rms spot', 'rms wfe', "
+                         f"'distortion', or 'lateral color', got {metric!r}")
+    values, data_unit, reference = evaluate(system, flat_fields,
+                                            wavelengths, sampling, epd,
+                                            stop_index)
     data = np.full(hx.size, np.nan, dtype=_PREC)
     data[idx] = np.asarray(values, dtype=_PREC)
-    return FullFieldGrid(
-        hx, hy, data.reshape(hx.shape), key, kind, unit, data_unit,
-        reference)
+    return FullFieldGrid(hx, hy, data.reshape(hx.shape), key, kind, unit,
+                         data_unit, reference)
