@@ -236,14 +236,14 @@ def spot_positions(P_final, status=None, origin=None):
     if status is not None:
         alive = np.asarray(valid_mask(status, P_final))
         x, y = x[alive], y[alive]
-    if axis_cell is None:
+    if origin is None:
         return x, y
-    if isinstance(axis_cell, str):
+    if isinstance(origin, str):
         if origin.lower() != 'centroid':
-            raise ValueError("axis_cell string must be 'centroid'")
-        axis_cell = (np.nanmean(x), np.nanmean(y))
-    axis_cell = np.asarray(axis_cell)
-    return x - axis_cell[0], y - axis_cell[1]
+            raise ValueError("origin string must be 'centroid'")
+        origin = (np.nanmean(x), np.nanmean(y))
+    origin = np.asarray(origin)
+    return x - origin[0], y - origin[1]
 
 
 # ---------- wavefront --------------------------------------------------------

@@ -1,448 +1,527 @@
-"""Editable LensData rows and surface compilation.
+"""Editable lens prescription spine: rows, layout, and the DOF registry.
 
-Rebuild of ``prysm/x/raytracing/lensdata.py``: SurfaceRow / CoordBreak
-rows with cache-invalidating edits, coordinate-break layout (basic /
-dar / ret / rev / ben), compilation into posed Surface lists, and the
-DesignState DOF registry (vary/freeze/constrain, pickups, image-distance
-solve).  This layer is a host-side editor — pure numpy float64; the
-compiled Surface list is what feeds the jittable trace kernel.
+TPU-first rebuild of the reference lens-data editor
+(``prysm/x/raytracing/lensdata.py``).  This layer is deliberately host-side
+(plain numpy float64): it is the *editor* that compiles a prescription into
+the posed ``Surface`` list consumed by the jittable trace kernel.  The design
+here is clean-room:
+
+* layout is an immutable :class:`_Pose` algebra walked by a small
+  interpreter whose coordinate-break verbs live in a registry
+  (``_CB_OPS``) rather than an if/elif ladder;
+* shape parameter packing is a per-class memoized :class:`_ParamPlan`;
+* editable numeric cells are exposed through a notifying wrapper
+  (:class:`_Cells`) instead of ndarray subclassing;
+* scalar DOF addressing goes through a group->reader/writer dispatch
+  table (``_SLOT_RW``);
+* pickup dependency ordering uses :mod:`graphlib`.
+
+Behavioral parity targets: row/endpoint invariants, the five coordinate
+break kinds (basic/dar/ret/rev/ben per ``lensdata.py:820-875`` of the
+reference), mirror frame folding, pickups/solves, and slot packing order.
 """
 import copy
+import graphlib
 import math
 import numbers
 import warnings
 import weakref
+from collections import namedtuple
 from collections.abc import MutableSequence
 
 import numpy as np
 
-from ..materials import MIRROR, air
+from ..materials import air, MIRROR
 from .aperture import as_aperture
 from .surfaces import Plane, Surface, _map_stype
 from .paraxial import paraxial_image_distance
 from .spencer_and_murty import (
-    STYPE_IMG, STYPE_OBJ, STYPE_REFLECT, STYPE_REFRACT,
-    _is_measurement_surf,
-)
+    _is_measurement_surf, STYPE_IMG, STYPE_OBJ, STYPE_REFLECT,
+    STYPE_REFRACT)
 
-_DEG2RAD = math.pi / 180.0
+_TO_RAD = math.tau / 360.0
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
 def R_rh(rz, ry, rx, radians=False):
-    """Right-handed ZYX rotation matrix (host numpy)."""
-    k = 1.0 if radians else _DEG2RAD
-    alpha = rx * k
-    beta = ry * k
-    gamma = rz * k
-    ca, sa = np.cos(alpha), np.sin(alpha)
-    cb, sb = np.cos(beta), np.sin(beta)
-    cg, sg = np.cos(gamma), np.sin(gamma)
-    Rx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
-    Ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
-    Rz = np.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]])
-    return Rx @ Ry @ Rz
+    """Right-handed ZYX rotation matrix from per-axis angles.
+
+    Angles default to degrees.  Composition order matches the reference
+    convention (``lensdata.py:29-58``): x-rotation outermost.
+    """
+    k = 1.0 if radians else _TO_RAD
+    return _rot_x(rx * k) @ _rot_y(ry * k) @ _rot_z(rz * k)
 
 
-# 180-degree x rotation for normal-incidence mirror folds
-_FLIP_Z = np.array([[1.0, 0.0, 0.0],
-                    [0.0, -1.0, 0.0],
-                    [0.0, 0.0, -1.0]])
+def _fold_gamma_deg(alpha_deg, beta_deg):
+    """Roll angle (deg) that keeps a BEN-folded axis level.
+
+    zero whenever either tilt component is zero; otherwise
+    ``atan2(-sin a sin b, cos a + cos b)``.
+    """
+    a, b = alpha_deg * _TO_RAD, beta_deg * _TO_RAD
+    return np.arctan2(-np.sin(a) * np.sin(b), np.cos(a) + np.cos(b)) / _TO_RAD
 
 
-def _ben_auto_gamma(alpha_deg, beta_deg):
-    """BEN auto-roll gamma (degrees) keeping the folded axis level."""
-    a = alpha_deg * _DEG2RAD
-    b = beta_deg * _DEG2RAD
-    num = -np.sin(a) * np.sin(b)
-    den = np.cos(a) + np.cos(b)
-    return np.arctan2(num, den) / _DEG2RAD
+# half-turn about local x: the frame fold of a normal-incidence mirror
+_MIRROR_FOLD = np.diag([1.0, -1.0, -1.0])
+
+_IDENT3 = np.eye(3)
 
 
-def _as_mat(R):
-    if R is None:
-        return np.eye(3)
-    return np.asarray(R)
+class _Pose:
+    """Immutable rigid frame: global origin + global->local rotation.
+
+    ``R is None`` encodes the identity so compiled surfaces can skip the
+    rotation entirely in the trace kernel.
+    """
+
+    __slots__ = ('o', 'R')
+
+    def __init__(self, o=None, R=None):
+        self.o = np.zeros(3) if o is None else np.asarray(o, dtype=float)
+        self.R = R
+
+    def _Rm(self):
+        return _IDENT3 if self.R is None else np.asarray(self.R)
+
+    def to_global(self, v_local):
+        """Express a local-frame vector in global coordinates."""
+        return self._Rm().T @ np.asarray(v_local, dtype=float)
+
+    def slid(self, dz):
+        """New pose advanced dz along the local +z axis."""
+        return _Pose(self.o + self.to_global((0.0, 0.0, float(dz))), self.R)
+
+    def shifted(self, d_local):
+        """New pose displaced by a local-frame decenter vector."""
+        return _Pose(self.o + self.to_global(d_local), self.R)
+
+    def turned(self, R_local):
+        """New pose with an extra rotation applied in the local frame."""
+        return _Pose(self.o, np.asarray(R_local) @ self._Rm())
+
+    def broken(self, decenter, tilt):
+        """Decenter-then-tilt, the standard coordinate-break composition."""
+        return self.shifted(decenter).turned(
+            R_rh(tilt[0], tilt[1], tilt[2]))
+
+    def export_R(self):
+        """Rotation for a compiled Surface (None when effectively identity)."""
+        if self.R is None or np.allclose(np.asarray(self.R), _IDENT3):
+            return None
+        return self.R
 
 
-def _local_to_global(Rgl):
-    return _as_mat(Rgl).T
+# ---------------------------------------------------------------------------
+# Layout interpreter
+# ---------------------------------------------------------------------------
 
+class _LayoutWalk:
+    """Mutable cursor threading a _Pose through the row list.
 
-def _compose_global_to_local(Rgl, local_rot):
-    return _as_mat(local_rot) @ _as_mat(Rgl)
+    Carries the one-shot state coordinate breaks can arm:
 
-
-def _axial_step(thickness):
-    return np.array([0.0, 0.0, float(thickness)])
-
-
-def _none_if_identity(Rgl):
-    if Rgl is None:
-        return None
-    if np.allclose(np.asarray(Rgl), np.eye(3)):
-        return None
-    return Rgl
-
-
-def _apply_decenter_tilt(o, Rgl, decenter, tilt):
-    o = o + _local_to_global(Rgl) @ np.asarray(decenter, dtype=float)
-    Rt = R_rh(tilt[0], tilt[1], tilt[2])
-    return o, _compose_global_to_local(Rgl, Rt)
-
-
-class _FrameState:
-    """Mutable frame state for coordinate-break layout scans."""
-
-    __slots__ = ('o', 'Rgl', 'frames', 'pending_pose', 'pending_fold')
+    - ``armed_pose``: a (decenter, tilt) applied to the *next surface only*
+      (DAR breaks) without deflecting the running axis;
+    - ``armed_fold``: a rotation consumed by the *next reflector* in place
+      of the normal-incidence half-turn (BEN breaks);
+    - ``bookmarks``: row index -> placed pose, for RET breaks.
+    """
 
     def __init__(self):
-        self.o = np.zeros(3)
-        self.Rgl = None
-        self.frames = {}
-        self.pending_pose = None
-        self.pending_fold = None
+        self.pose = _Pose()
+        self.bookmarks = {}
+        self.armed_pose = None
+        self.armed_fold = None
+
+    def place(self, row_index):
+        """Pose for the surface at row_index, consuming any armed DAR pose."""
+        if self.armed_pose is not None:
+            dec, tlt = self.armed_pose
+            self.armed_pose = None
+            placed = self.pose.broken(dec, tlt)
+        else:
+            placed = self.pose
+        self.bookmarks[row_index] = placed
+        return placed
+
+    def fold_at_mirror(self):
+        """Fold the running frame at a reflecting surface."""
+        if self.armed_fold is not None:
+            self.pose = self.pose.turned(self.armed_fold)
+            self.armed_fold = None
+        else:
+            self.pose = self.pose.turned(_MIRROR_FOLD)
 
     def advance(self, thickness):
-        self.o = self.o + _local_to_global(self.Rgl) @ _axial_step(thickness)
+        self.pose = self.pose.slid(thickness)
 
 
-class _ShapeDescriptor:
-    """Shape-declared DOF layout used by SurfaceRow."""
+_CB_OPS = {}
 
-    __slots__ = ('cls', 'scalar_dofs', 'vector_dofs', 'meta_keys',
-                 'categories', 'build')
+
+def _cb_op(kind):
+    def bind(fn):
+        _CB_OPS[kind] = fn
+        return fn
+    return bind
+
+
+@_cb_op('basic')
+def _cb_basic(cb, walk):
+    # cumulative decenter + tilt; persists for every succeeding row
+    walk.pose = walk.pose.broken(cb.decenter, cb.tilt)
+    walk.advance(cb.thickness)
+
+
+@_cb_op('dar')
+def _cb_dar(cb, walk):
+    # decenter-and-return: pose only the next surface; axis undisturbed
+    walk.armed_pose = (np.asarray(cb.decenter, dtype=float),
+                       np.asarray(cb.tilt, dtype=float))
+    walk.advance(cb.thickness)
+
+
+@_cb_op('ret')
+def _cb_ret(cb, walk):
+    # return-to-surface: rewind to a previously placed row's frame
+    if cb.ret_target is None or cb.ret_target not in walk.bookmarks:
+        raise ValueError(
+            f'RET break names row {cb.ret_target!r}, but no such row '
+            'has been placed upstream')
+    walk.pose = walk.bookmarks[cb.ret_target]
+    walk.advance(cb.thickness)
+
+
+@_cb_op('rev')
+def _cb_rev(cb, walk):
+    # inverse of a matching basic break: un-tilt first, then back out the
+    # decenter expressed in the restored frame
+    Rt = R_rh(cb.tilt[0], cb.tilt[1], cb.tilt[2])
+    undone = walk.pose.turned(Rt.T)
+    walk.pose = undone.shifted(-np.asarray(cb.decenter, dtype=float))
+    walk.advance(cb.thickness)
+
+
+@_cb_op('ben')
+def _cb_ben(cb, walk):
+    # decenter-and-bend: orient the mirror now; arm a fold (tilt re-applied
+    # with the level-keeping roll) for the next reflector so the axis bends
+    # by twice the tilt
+    walk.pose = walk.pose.broken(cb.decenter, cb.tilt)
+    gamma = _fold_gamma_deg(cb.tilt[2], cb.tilt[1])
+    walk.armed_fold = R_rh(gamma, cb.tilt[1], cb.tilt[2])
+    walk.advance(cb.thickness)
+
+
+def _run_coordbreak(cb, walk):
+    op = _CB_OPS.get(cb.kind)
+    if op is None:
+        raise ValueError(
+            f"unknown coordinate-break kind {cb.kind!r}; expected one of "
+            "'basic', 'dar', 'ret', 'rev', 'ben'")
+    op(cb, walk)
+
+
+def _gap_of(row):
+    """Finite axial gap a row contributes (infinite conjugates walk as 0)."""
+    t = float(row.thickness)
+    return t if math.isfinite(t) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Shape parameter plans
+# ---------------------------------------------------------------------------
+
+_Field = namedtuple('_Field', ['key', 'start', 'stop', 'scalar'])
+
+_PLAN_CACHE = {}
+
+
+class _ParamPlan:
+    """How one Shape class flattens to a dense DOF vector.
+
+    Computed once per class from the declared ``SCALAR_DOFS`` /
+    ``VECTOR_DOFS`` / ``META_KEYS`` / ``CATEGORIES`` registration surface
+    and memoized; vector lengths are resolved per instance at pack time
+    (the plan stores which keys are vectors, not their lengths).
+    """
+
+    __slots__ = ('cls', 'scalar_keys', 'vector_keys', 'meta_keys',
+                 'category_keys')
 
     def __init__(self, cls):
         self.cls = cls
-        self.scalar_dofs = tuple(cls.SCALAR_DOFS)
-        self.vector_dofs = tuple(cls.VECTOR_DOFS)
-        self.meta_keys = tuple(cls.META_KEYS)
-        self.categories = {k: list(v) for k, v in cls.CATEGORIES.items()}
-        self.build = cls.from_params
+        self.scalar_keys = tuple(cls.SCALAR_DOFS)
+        self.vector_keys = tuple(cls.VECTOR_DOFS)
+        self.meta_keys = tuple(getattr(cls, 'META_KEYS'))
+        self.category_keys = {c: tuple(ks) for c, ks in cls.CATEGORIES.items()}
+
+    def pack(self, shape_params):
+        """Flatten instance params -> (values, fields list)."""
+        sp = shape_params or {}
+        values, fields, cursor = [], [], 0
+        for key in self.scalar_keys:
+            values.append(sp[key])
+            fields.append(_Field(key, cursor, cursor + 1, True))
+            cursor += 1
+        for key in self.vector_keys:
+            block = list(sp[key])
+            values.extend(block)
+            fields.append(_Field(key, cursor, cursor + len(block), False))
+            cursor += len(block)
+        return values, fields
+
+    def rebuild(self, fields, values, meta):
+        """Inverse of pack: a fresh Shape from the dense vector + meta."""
+        kwargs = dict(meta)
+        for f in fields:
+            kwargs[f.key] = values[f.start] if f.scalar \
+                else values[f.start:f.stop]
+        return self.cls.from_params(kwargs)
+
+    def category_offsets(self, fields):
+        """category name -> flat offsets into the dense vector."""
+        span = {f.key: range(f.start, f.stop) for f in fields}
+        return {cat: [off for key in keys for off in span[key]]
+                for cat, keys in self.category_keys.items()}
 
 
-def _adapter_for(shape):
+def _plan_for(shape):
     cls = type(shape)
-    if not hasattr(cls, 'from_params'):
-        raise TypeError(
-            f'shape {cls.__name__} is not registered with LensData; declare '
-            'SCALAR_DOFS / VECTOR_DOFS / META_KEYS / CATEGORIES and a '
-            'from_params classmethod on the shape class')
-    return _ShapeDescriptor(cls)
+    plan = _PLAN_CACHE.get(cls)
+    if plan is None:
+        if hasattr(cls, 'from_params') is False:
+            raise TypeError(
+                f'{cls.__name__} lacks the LensData registration surface '
+                '(SCALAR_DOFS / VECTOR_DOFS / META_KEYS / CATEGORIES plus '
+                'a from_params classmethod)')
+        plan = _PLAN_CACHE.setdefault(cls, _ParamPlan(cls))
+    return plan
 
 
-def _bounds_for_dof(nominal, lo, hi, relative, is_radius):
-    """Ordered (lo, hi) bounds for one constrained DOF slot."""
-    if is_radius:
-        if nominal == 0.0:
-            if relative is not None:
-                warnings.warn(
-                    'relative radius bound on a flat (c=0) surface is '
-                    'degenerate; leaving it unbounded', stacklevel=3)
-            return None
-        quantity = 1.0 / nominal
-    else:
-        quantity = nominal
+# ---------------------------------------------------------------------------
+# Editable cells
+# ---------------------------------------------------------------------------
 
-    if relative is not None:
-        if quantity == 0.0:
-            warnings.warn(
-                'relative bound on a zero nominal is degenerate; leaving it '
-                'unbounded', stacklevel=3)
-            return None
-        qlo = quantity * (1.0 - relative)
-        qhi = quantity * (1.0 + relative)
-    else:
-        qlo = -np.inf if lo is None else float(lo)
-        qhi = np.inf if hi is None else float(hi)
+class _Cells:
+    """Dense float vector whose writes notify the owning row.
 
-    if is_radius:
-        # radius bounds map to curvature; the reciprocal flips ordering
-        blo = 0.0 if np.isinf(qhi) else 1.0 / qhi
-        bhi = 0.0 if np.isinf(qlo) else 1.0 / qlo
-    else:
-        blo, bhi = qlo, qhi
-    if blo > bhi:
-        blo, bhi = bhi, blo
-    return (blo, bhi)
+    A composition-based stand-in for subclassing ndarray: reads behave like
+    the underlying array (including ``np.asarray`` interop); every write
+    funnels through ``__setitem__`` so the owner's compiled-surface cache is
+    dropped.
+    """
+
+    __slots__ = ('_a', '_row')
+
+    def __init__(self, values, row):
+        self._a = np.asarray(values, dtype=np.float64).copy()
+        self._row = row
+
+    def __len__(self):
+        return len(self._a)
+
+    def __iter__(self):
+        return iter(self._a)
+
+    def __getitem__(self, item):
+        return self._a[item]
+
+    def __setitem__(self, item, value):
+        self._a[item] = value
+        _drop_owner_cache(self._row)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._a
+        return a.astype(dtype) if dtype is not None else a.copy()
+
+    def __repr__(self):
+        return repr(self._a)
+
+    def tolist(self):
+        return self._a.tolist()
 
 
-def _invalidate_row_owner(row):
+class _TattlingMap(dict):
+    """dict of shape metadata whose mutations notify the owning row."""
+
+    __slots__ = ('_row',)
+
+    def __init__(self, data, row):
+        super().__init__(data)
+        self._row = row
+
+    def _report(self):
+        _drop_owner_cache(self._row)
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._report()
+
+    def __delitem__(self, k):
+        super().__delitem__(k)
+        self._report()
+
+    def clear(self):
+        super().clear()
+        self._report()
+
+    def pop(self, *a):
+        out = super().pop(*a)
+        self._report()
+        return out
+
+    def popitem(self):
+        out = super().popitem()
+        self._report()
+        return out
+
+    def setdefault(self, k, d=None):
+        if k in self:
+            return self[k]
+        out = super().setdefault(k, d)
+        self._report()
+        return out
+
+    def update(self, *a, **kw):
+        super().update(*a, **kw)
+        self._report()
+
+
+def _drop_owner_cache(row):
     owner = getattr(row, '_owner', None)
     if owner is not None:
         owner._invalidate()
 
 
-def _layout_thickness(row):
-    thi = float(row.thickness)
-    if not math.isfinite(thi):
-        return 0.0
-    return thi
+# ---------------------------------------------------------------------------
+# Row validation helpers
+# ---------------------------------------------------------------------------
 
-
-def _validate_material(material):
-    if material is None or material is MIRROR:
+def _checked_material(material):
+    if material is MIRROR or material is None:
         return material
-    if not callable(getattr(material, 'n', None)):
+    if callable(getattr(material, 'n', None)) is False:
         raise TypeError(
-            'material must be a MaterialProtocol object with a callable '
-            '.n(wvl_um) (e.g. ConstantMaterial(1.5) or a catalog glass), '
-            f'None for air, or MIRROR; got {material!r}')
+            f'{material!r} is not usable as a material: expected an object '
+            'exposing .n(wvl_um) (a catalog glass or ConstantMaterial), '
+            'None meaning air, or the MIRROR sentinel')
     return material
 
 
-def _normalize_interaction_material(typ, material):
+def _checked_interaction(typ, material):
+    """Infer/validate the (interaction, material) pairing of a row."""
     if typ is None:
-        typ = 'refl' if material is MIRROR else 'refr'
-    mapped = _map_stype(typ)
-    if mapped == STYPE_REFLECT:
-        if material is not None and material is not MIRROR:
+        typ = 'refl' if (material is MIRROR) else 'refr'
+    code = _map_stype(typ)
+    if code == STYPE_REFLECT:
+        if material not in (None, MIRROR):
             raise ValueError(
-                'reflective surfaces take material=MIRROR or material=None; '
-                f'got {material!r}')
-        return typ, material
-    if material is MIRROR:
-        raise ValueError('material=MIRROR requires a reflective surface type')
-    if mapped == STYPE_REFRACT and material is None:
-        raise ValueError('refractive surfaces require a material')
+                f'a reflective surface wants MIRROR or None as its material, not {material!r}')
+    else:
+        if material is MIRROR:
+            raise ValueError(
+                'MIRROR is only meaningful on a reflective surface')
+        if code == STYPE_REFRACT and material is None:
+            raise ValueError('a refractive surface needs a material')
     return typ, material
 
 
-class _InvalidatingArray(np.ndarray):
-    """ndarray view that clears its row owner's surface cache on edits."""
-
-    def __new__(cls, values, row, dtype=None):
-        arr = np.asarray(values, dtype=dtype).view(cls)
-        arr._row = row
-        return arr
-
-    def __array_finalize__(self, obj):
-        self._row = getattr(obj, '_row', None)
-
-    def __setitem__(self, item, value):
-        super().__setitem__(item, value)
-        row = getattr(self, '_row', None)
-        if row is not None:
-            _invalidate_row_owner(row)
+def _endpoint_position_ok(index, n_rows, mapped):
+    """Raise unless a row's mapped type is legal at its position."""
+    if mapped != STYPE_OBJ and index == 0:
+        raise ValueError('row 0 must stay the OBJECT endpoint')
+    if index == n_rows - 1 and mapped != STYPE_IMG:
+        raise ValueError('the last row must stay the IMAGE endpoint')
+    if 0 < index < n_rows - 1 and mapped in (STYPE_OBJ, STYPE_IMG):
+        raise ValueError('OBJECT/IMAGE rows are only legal at the endpoints')
 
 
-def _invalidating_array(values, row, dtype=None):
-    arr = np.asarray(values, dtype=dtype)
-    out = arr.view(_InvalidatingArray)
-    out._row = row
-    return out
+# ---------------------------------------------------------------------------
+# Rows
+# ---------------------------------------------------------------------------
 
+class _Row:
+    """Shared machinery of SurfaceRow / CoordBreak: edit coercion + notify.
 
-_MISSING = object()
+    Subclasses declare ``_EDIT_COERCE`` (attr -> coercer taking (self,
+    value)) and ``_EDIT_NOTIFY`` (attrs whose writes drop the owner's
+    compiled cache).  This replaces per-class ``__setattr__`` ladders.
+    """
 
-
-class _InvalidatingDict(dict):
-    """dict that clears its row owner's surface cache on mutation."""
-
-    def __init__(self, *args, row=None, **kwargs):
-        self._row = row
-        super().__init__(*args, **kwargs)
-
-    def _invalidate(self):
-        row = getattr(self, '_row', None)
-        if row is not None:
-            _invalidate_row_owner(row)
-
-    def __setitem__(self, key, value):
-        super().__setitem__(key, value)
-        self._invalidate()
-
-    def __delitem__(self, key):
-        super().__delitem__(key)
-        self._invalidate()
-
-    def clear(self):
-        super().clear()
-        self._invalidate()
-
-    def pop(self, key, default=_MISSING):
-        if default is _MISSING:
-            value = super().pop(key)
-        else:
-            if key not in self:
-                return default
-            value = super().pop(key)
-        self._invalidate()
-        return value
-
-    def popitem(self):
-        value = super().popitem()
-        self._invalidate()
-        return value
-
-    def setdefault(self, key, default=None):
-        if key in self:
-            return self[key]
-        value = super().setdefault(key, default)
-        self._invalidate()
-        return value
-
-    def update(self, *args, **kwargs):
-        super().update(*args, **kwargs)
-        self._invalidate()
-
-
-def _invalidating_dict(value, row):
-    if value is None:
-        return None
-    if isinstance(value, _InvalidatingDict):
-        return _InvalidatingDict(dict(value), row=row)
-    if not isinstance(value, dict):
-        return value
-    return _InvalidatingDict(value, row=row)
-
-
-class ControlledRows(MutableSequence):
-    """Endpoint-preserving, invalidating sequence of owned lens rows."""
-
-    def __init__(self, owner, rows):
-        self._owner = owner
-        self._rows = []
-        self._replace(list(rows), invalidate=False)
-
-    def __len__(self):
-        return len(self._rows)
-
-    def __getitem__(self, item):
-        return self._rows[item]
-
-    def _validate_row(self, row):
-        if not isinstance(row, (SurfaceRow, CoordBreak)):
-            raise TypeError(
-                'LensData rows must be SurfaceRow or CoordBreak instances; '
-                f'got {type(row).__name__}')
-        current_owner = getattr(row, '_owner', None)
-        if current_owner is not None and current_owner is not self._owner:
-            raise ValueError('row is already attached to another LensData')
-
-    def _validate_candidate(self, rows):
-        if len(rows) < 2:
-            raise ValueError('LensData must retain OBJECT and IMAGE endpoints')
-        for row in rows:
-            self._validate_row(row)
-        if len({id(row) for row in rows}) != len(rows):
-            raise ValueError('the same row object cannot appear more than once')
-        first, last = rows[0], rows[-1]
-        if (not isinstance(first, SurfaceRow)
-                or _map_stype(first.typ) != STYPE_OBJ):
-            raise ValueError('row 0 must remain the OBJECT endpoint')
-        if (not isinstance(last, SurfaceRow)
-                or _map_stype(last.typ) != STYPE_IMG):
-            raise ValueError('the final row must remain the IMAGE endpoint')
-        for row in rows[1:-1]:
-            if (isinstance(row, SurfaceRow)
-                    and _map_stype(row.typ) in (STYPE_OBJ, STYPE_IMG)):
-                raise ValueError('OBJECT and IMAGE rows may only be endpoints')
-
-    def _replace(self, rows, *, invalidate=True):
-        self._validate_candidate(rows)
-        old = self._rows
-        old_ids = {id(row) for row in old}
-        new_ids = {id(row) for row in rows}
-        for row in old:
-            if id(row) not in new_ids:
-                object.__setattr__(row, '_owner', None)
-        for row in rows:
-            if id(row) not in old_ids:
-                object.__setattr__(row, '_owner', self._owner)
-        self._rows = rows
-        if invalidate:
-            self._owner._invalidate()
-
-    def __setitem__(self, item, value):
-        candidate = list(self._rows)
-        if isinstance(item, slice):
-            candidate[item] = list(value)
-        else:
-            candidate[item] = value
-        self._replace(candidate)
-
-    def __delitem__(self, item):
-        candidate = list(self._rows)
-        del candidate[item]
-        self._replace(candidate)
-
-    def insert(self, index, value):
-        candidate = list(self._rows)
-        candidate.insert(index, value)
-        self._replace(candidate)
-
-    def __repr__(self):
-        return repr(self._rows)
-
-
-class SurfaceRow:
-    """One sequential optical surface in a LensData system."""
-
-    _INVALIDATING_ATTRS = {
-        'params', 'meta', 'thickness', 'material', 'typ',
-        'aperture', 'grating', 'coating',
-    }
+    _EDIT_COERCE = {}
+    _EDIT_NOTIFY = frozenset()
 
     def __setattr__(self, name, value):
-        if name == 'typ':
-            owner = getattr(self, '_owner', None)
-            if owner is not None:
-                index = next(i for i, row in enumerate(owner.rows)
-                             if row is self)
-                mapped = _map_stype(value)
-                if index == 0 and mapped != STYPE_OBJ:
-                    raise ValueError('row 0 must remain the OBJECT endpoint')
-                if index == len(owner.rows) - 1 and mapped != STYPE_IMG:
-                    raise ValueError(
-                        'the final row must remain the IMAGE endpoint')
-                if 0 < index < len(owner.rows) - 1 \
-                        and mapped in (STYPE_OBJ, STYPE_IMG):
-                    raise ValueError(
-                        'OBJECT and IMAGE rows may only be endpoints')
-        if name == 'params':
-            value = _invalidating_array(value, self, dtype=np.float64)
-        elif name == 'meta':
-            value = _invalidating_dict(value, self)
-        elif name == 'material':
-            value = _validate_material(value)
-        elif name == 'aperture':
-            value = as_aperture(value)
+        coerce = self._EDIT_COERCE.get(name)
+        if coerce is not None:
+            value = coerce(self, value)
         object.__setattr__(self, name, value)
-        if name in self._INVALIDATING_ATTRS:
-            _invalidate_row_owner(self)
+        if name in self._EDIT_NOTIFY:
+            _drop_owner_cache(self)
 
-    def __init__(self, shape, *, thickness=0.0, material=None, typ=None,
-                 aperture=None, grating=None, coating=None):
-        typ, material = _normalize_interaction_material(typ, material)
+    def _detached_clone(self, attrs):
+        new = object.__new__(type(self))
+        object.__setattr__(new, '_owner', None)
+        for k, v in attrs.items():
+            object.__setattr__(new, k, v)
+        return new
+
+
+def _coerce_typ(row, value):
+    owner = getattr(row, '_owner', None)
+    if owner is not None:
+        index = next(i for i, r in enumerate(owner.rows) if r is row)
+        _endpoint_position_ok(index, len(owner.rows), _map_stype(value))
+    return value
+
+
+class SurfaceRow(_Row):
+    """One sequential optical surface in a LensData prescription."""
+
+    _EDIT_COERCE = {
+        'typ': _coerce_typ,
+        'params': lambda row, v: _Cells(v, row),
+        'meta': lambda row, v: (v if v is None or not isinstance(v, dict)
+                                else _TattlingMap(v, row)),
+        'material': lambda row, v: _checked_material(v),
+        'aperture': lambda row, v: as_aperture(v),
+    }
+    _EDIT_NOTIFY = frozenset({
+        'aperture', 'coating', 'grating', 'material', 'meta',
+        'params', 'thickness', 'typ',
+    })
+
+    def __init__(self, shape, *, thickness=0.0, material=None,
+                 typ=None, aperture=None, grating=None, coating=None):
+        typ, material = _checked_interaction(typ, material)
         object.__setattr__(self, '_owner', None)
-        adapter = _adapter_for(shape)
-        params = []
-        key_offsets = {}
-        sp = shape.params or {}
-        for key in adapter.scalar_dofs:
-            key_offsets[key] = (len(params), 1)
-            params.append(sp[key])
-        for key in adapter.vector_dofs:
-            vals = list(sp[key])
-            key_offsets[key] = (len(params), len(vals))
-            params.extend(vals)
+        plan = _plan_for(shape)
+        values, fields = plan.pack(shape.params)
 
-        self.shape_kind = type(shape)
-        self.adapter = adapter
-        self.params = (np.asarray(params, dtype=np.float64)
-                       if params else np.zeros(0, dtype=np.float64))
-        self.key_offsets = key_offsets
-        self.meta = {key: sp[key] for key in adapter.meta_keys}
-
-        categories = {}
-        for cat, keys in adapter.categories.items():
-            offs = []
-            for key in keys:
-                start, length = key_offsets[key]
-                offs.extend(range(start, start + length))
-            categories[cat] = offs
-        self.categories = categories
+        self.shape_kind = plan.cls
+        self.plan = plan
+        self.fields = fields
+        self.params = values if values else np.zeros(0)
+        self.meta = {key: (shape.params or {})[key]
+                     for key in plan.meta_keys}
+        self.categories = plan.category_offsets(fields)
 
         self.thickness = thickness
         self.material = material
@@ -451,183 +530,270 @@ class SurfaceRow:
         self.grating = grating
         self.coating = coating
 
+    # compat: the legacy name for the field layout ({key: (start, length)})
+    @property
+    def key_offsets(self):
+        return {f.key: (f.start, f.stop - f.start) for f in self.fields}
+
     @property
     def is_reflective(self):
-        """True if this surface reflects (folds the layout frame)."""
+        """True when this surface folds the layout frame."""
         return _map_stype(self.typ) == STYPE_REFLECT
 
     def build_shape(self):
-        """Rebuild the Shape from the current parameter array + meta."""
-        p = dict(self.meta)
-        scalar = set(self.adapter.scalar_dofs)
-        for key, (start, length) in self.key_offsets.items():
-            if key in scalar:
-                p[key] = self.params[start]
-            else:
-                # a length-1 vector DOF stays a length-1 block
-                p[key] = self.params[start:start + length]
-        return self.adapter.build(p)
+        """Fresh Shape object reflecting the current DOF vector + meta."""
+        return self.plan.rebuild(self.fields, self.params, self.meta)
 
     def dof_slots(self, row_index):
-        """Yield (group, row_index, offset) for every scalar DOF."""
-        for off in range(len(self.params)):
-            yield ('shape', row_index, off)
-        yield ('thickness', row_index, 0)
+        """Every scalar DOF of this row as (group, row_index, offset)."""
+        for off, _ in enumerate(self.params):
+            yield 'shape', row_index, off
+        yield 'thickness', row_index, 0
 
     def copy(self):
-        """A detached copy of the row."""
-        new = object.__new__(SurfaceRow)
-        object.__setattr__(new, '_owner', None)
-        new.shape_kind = self.shape_kind
-        new.adapter = self.adapter
-        new.params = np.array(self.params, copy=True)
-        new.key_offsets = dict(self.key_offsets)
-        new.meta = copy.deepcopy(dict(self.meta))
-        new.categories = {k: list(v) for k, v in self.categories.items()}
-        new.thickness = self.thickness
-        new.material = self.material
-        new.typ = self.typ
-        new.aperture = copy.deepcopy(self.aperture)
-        new.grating = copy.deepcopy(self.grating)
-        new.coating = copy.deepcopy(self.coating)
+        """Detached deep-enough copy of the row."""
+        new = self._detached_clone({
+            'shape_kind': self.shape_kind,
+            'plan': self.plan,
+            'fields': list(self.fields),
+            'thickness': self.thickness,
+            'material': self.material,
+            'typ': self.typ,
+            'grating': copy.deepcopy(self.grating),
+            'coating': copy.deepcopy(self.coating),
+        })
+        # notifying containers must re-bind to the clone
+        object.__setattr__(new, 'params', _Cells(np.asarray(self.params), new))
+        object.__setattr__(new, 'meta',
+                           _TattlingMap(copy.deepcopy(dict(self.meta)), new))
+        object.__setattr__(new, 'categories',
+                           {k: list(v) for k, v in self.categories.items()})
+        object.__setattr__(new, 'aperture', copy.deepcopy(self.aperture))
         return new
 
 
-class CoordBreak:
-    """A right-handed coordinate break row."""
+class CoordBreak(_Row):
+    """A right-handed coordinate break row (basic/dar/ret/rev/ben)."""
 
-    _INVALIDATING_ATTRS = {
-        'decenter', 'tilt', 'kind', 'ret_target', 'thickness',
+    _EDIT_COERCE = {
+        'decenter': lambda row, v: _Cells(v, row),
+        'tilt': lambda row, v: _Cells(v, row),
     }
+    _EDIT_NOTIFY = frozenset({
+        'decenter', 'kind', 'ret_target', 'thickness', 'tilt',
+    })
 
-    def __setattr__(self, name, value):
-        if name in ('decenter', 'tilt'):
-            value = _invalidating_array(value, self, dtype=np.float64)
-        object.__setattr__(self, name, value)
-        if name in self._INVALIDATING_ATTRS:
-            _invalidate_row_owner(self)
-
-    def __init__(self, *, decenter=(0.0, 0.0, 0.0), tilt=(0.0, 0.0, 0.0),
-                 kind='basic', ret_target=None, thickness=0.0):
+    def __init__(self, *, decenter=(0.0, 0.0, 0.0),
+                 tilt=(0.0, 0.0, 0.0), kind='basic', ret_target=None,
+                 thickness=0.0):
         object.__setattr__(self, '_owner', None)
-        self.decenter = np.asarray(decenter, dtype=np.float64)
-        self.tilt = np.asarray(tilt, dtype=np.float64)
+        self.decenter = decenter
+        self.tilt = tilt
         self.kind = kind
         self.ret_target = ret_target
         self.thickness = thickness
 
     def dof_slots(self, row_index):
-        """Yield decenter / tilt / thickness DOF slots for this break."""
-        for off in range(3):
-            yield ('decenter', row_index, off)
-        for off in range(3):
-            yield ('tilt', row_index, off)
-        yield ('thickness', row_index, 0)
+        """Decenter, tilt, and thickness DOF slots for this break."""
+        for group in ('decenter', 'tilt'):
+            for off in (0, 1, 2):
+                yield group, row_index, off
+        yield 'thickness', row_index, 0
 
     def copy(self):
-        """A detached copy of the coordinate break."""
-        new = object.__new__(CoordBreak)
-        object.__setattr__(new, '_owner', None)
-        new.decenter = np.array(self.decenter, copy=True)
-        new.tilt = np.array(self.tilt, copy=True)
-        new.kind = self.kind
-        new.ret_target = self.ret_target
-        new.thickness = self.thickness
+        """Detached copy of the coordinate break."""
+        new = self._detached_clone({
+            'kind': self.kind,
+            'ret_target': self.ret_target,
+            'thickness': self.thickness,
+        })
+        object.__setattr__(new, 'decenter',
+                           _Cells(np.asarray(self.decenter), new))
+        object.__setattr__(new, 'tilt', _Cells(np.asarray(self.tilt), new))
         return new
 
 
-class SurfaceMap:
-    """Row index <-> compiled-surface index mapping (coordbreaks skipped)."""
+# ---------------------------------------------------------------------------
+# Row roster
+# ---------------------------------------------------------------------------
 
-    __slots__ = ('_row_for_surface', '_surface_for_row', '_n_rows')
+def _audit_roster(rows, owner):
+    """Validate a candidate row list against the LensData invariants."""
+    if len(rows) < 2:
+        raise ValueError('a lens needs at least its OBJECT and IMAGE endpoint rows')
+    seen = set()
+    for row in rows:
+        if isinstance(row, (SurfaceRow, CoordBreak)) is False:
+            raise TypeError(
+                f'rows must be SurfaceRow or CoordBreak, not {type(row).__name__}')
+        holder = getattr(row, '_owner', None)
+        if holder is not None and holder is not owner:
+            raise ValueError('row already belongs to a different LensData')
+        if id(row) in seen:
+            raise ValueError('a row object may appear in the roster only once')
+        seen.add(id(row))
+    for i, row in enumerate(rows):
+        if isinstance(row, SurfaceRow):
+            _endpoint_position_ok(i, len(rows), _map_stype(row.typ))
+        elif i in (0, len(rows) - 1):
+            raise ValueError(
+                'row 0 must remain the OBJECT endpoint' if i == 0
+                else 'the final row must remain the IMAGE endpoint')
+
+
+class ControlledRows(MutableSequence):
+    """Row roster: a MutableSequence that audits every edit and
+    adopts/releases row ownership."""
+
+    def __init__(self, owner, rows):
+        self._owner = owner
+        self._rows = []
+        self._adopt(list(rows), invalidate=False)
+
+    def _adopt(self, rows, *, invalidate=True):
+        _audit_roster(rows, self._owner)
+        keep = {id(r) for r in rows}
+        for row in self._rows:
+            if id(row) not in keep:
+                object.__setattr__(row, '_owner', None)
+        for row in rows:
+            object.__setattr__(row, '_owner', self._owner)
+        self._rows = rows
+        if invalidate:
+            self._owner._invalidate()
+
+    def _edited(self, mutate):
+        candidate = list(self._rows)
+        mutate(candidate)
+        self._adopt(candidate)
+
+    def __len__(self):
+        return len(self._rows)
+
+    def __getitem__(self, item):
+        return self._rows[item]
+
+    def __setitem__(self, item, value):
+        def put(c):
+            c[item] = list(value) if isinstance(item, slice) else value
+        self._edited(put)
+
+    def __delitem__(self, item):
+        def drop(c):
+            del c[item]
+        self._edited(drop)
+
+    def insert(self, index, value):
+        self._edited(lambda c: c.insert(index, value))
+
+    def __repr__(self):
+        return repr(self._rows)
+
+
+# ---------------------------------------------------------------------------
+# Row index <-> compiled surface index
+# ---------------------------------------------------------------------------
+
+class SurfaceMap:
+    """Bidirectional row-index/surface-index mapping (breaks compile away)."""
+
+    __slots__ = ('_surf_rows', '_row_to_surf', '_n_rows')
 
     def __init__(self, lens):
-        self._row_for_surface = []
-        self._surface_for_row = {}
+        self._surf_rows = [r for r, row in enumerate(lens.rows)
+                           if isinstance(row, SurfaceRow)]
+        self._row_to_surf = {r: s for s, r in enumerate(self._surf_rows)}
         self._n_rows = len(lens.rows)
-        for r, row in enumerate(lens.rows):
-            if isinstance(row, SurfaceRow):
-                self._surface_for_row[r] = len(self._row_for_surface)
-                self._row_for_surface.append(r)
 
     def row_for_surface(self, surface_index):
         """LensData row index of one compiled surface."""
-        return self._row_for_surface[surface_index]
+        return self._surf_rows[surface_index]
 
     def surface_for_row(self, row_index):
-        """Compiled surface index of one SurfaceRow row."""
-        return self._surface_for_row[row_index]
+        """Compiled surface index of one SurfaceRow."""
+        return self._row_to_surf[row_index]
 
     def records(self):
-        """Per-row dicts of row_index, surface_index (None for breaks), and
-        the Zemax-style sequential surface number (OBJECT = 0, every row
-        including coordinate breaks increments)."""
+        """Per-row dicts: row_index, surface_index (None for breaks), and
+        the Zemax-style sequential number (every row counts)."""
         return [{'row_index': r,
-                 'surface_index': self._surface_for_row.get(r),
+                 'surface_index': self._row_to_surf.get(r),
                  'zemax_surface_number': r}
                 for r in range(self._n_rows)]
 
 
-def lens_element_groups(surfaces, *, wvl=0.587, ambient_index=1.0,
-                        index_atol=1e-9):
-    """Group consecutive refracting surfaces into physical lens elements."""
-    groups = []
-    active = []
+def lens_element_groups(surfaces, *, wvl=0.587,
+                        ambient_index=1.0, index_atol=1e-9):
+    """Indices of consecutive refracting surfaces forming physical elements.
+
+    A group opens at the first surface whose following material is not
+    ambient and closes when the beam re-enters ambient; singlets and
+    cemented multiplets come back as tuples of compiled-surface indices.
+    """
+    groups, open_group = [], []
     for j, surf in enumerate(surfaces):
-        if surf.typ != STYPE_REFRACT:
-            if active:
+        if STYPE_REFRACT != surf.typ:
+            if open_group:
                 raise ValueError(
-                    'refracting lens group is interrupted before returning '
-                    'to ambient material')
+                    'a lens group was cut off before the beam returned to '
+                    'the ambient medium')
             continue
         if surf.material is None:
-            raise ValueError('refracting surfaces must define a material')
+            raise ValueError('every refracting surface needs a material')
         n_post = float(np.asarray(surf.material.n(wvl)).reshape(-1)[0])
-        active.append(j)
-        if np.isclose(n_post, ambient_index, rtol=0, atol=index_atol):
-            if len(active) >= 2:
-                groups.append(tuple(active))
-            active = []
-    if active:
+        open_group.append(j)
+        if abs(n_post - ambient_index) <= index_atol:
+            if len(open_group) >= 2:
+                groups.append(tuple(open_group))
+            open_group = []
+    if open_group:
         raise ValueError(
-            'a refracting lens group terminates before returning to ambient '
-            'material')
+            'the final lens group never returns to the ambient medium')
     return groups
 
 
+# ---------------------------------------------------------------------------
+# Scalar DOF addressing
+# ---------------------------------------------------------------------------
+# A slot is (group, row_index, offset).  Access is table-dispatched so new
+# groups are one registry entry, not another if/elif arm.
+
+_SLOT_RW = {
+    'shape': (lambda row, off: row.params[off],
+              lambda row, off, v: row.params.__setitem__(off, v)),
+    'thickness': (lambda row, off: row.thickness,
+                  lambda row, off, v: setattr(row, 'thickness', v)),
+    'decenter': (lambda row, off: row.decenter[off],
+                 lambda row, off, v: row.decenter.__setitem__(off, v)),
+    'tilt': (lambda row, off: row.tilt[off],
+             lambda row, off, v: row.tilt.__setitem__(off, v)),
+}
+
+
 class LensData:
-    """Editable sequential optical system."""
+    """Editable sequential optical prescription.
+
+    Rows are SurfaceRow / CoordBreak objects; ``to_surfaces()`` compiles
+    them into posed Surface objects for the trace kernel, cached until the
+    next edit.  ``_version`` keys system-side derived caches.
+    """
 
     def __init__(self):
         self._surfaces_cache = None
-        self._version = 0       # bumped on every edit
+        self._version = 0
         self._resolving = False
-        self._system_owner_ref = None
+        self._sys_ref = None
         self._resolve_hook = None
-        object_row = SurfaceRow(
-            Plane(), thickness=float('inf'), material=air, typ='object')
-        image_row = SurfaceRow(Plane(), thickness=0.0, typ='image')
-        self._rows = ControlledRows(self, (object_row, image_row))
+        head = SurfaceRow(Plane(), thickness=float('inf'), material=air,
+                          typ='object')
+        tail = SurfaceRow(Plane(), thickness=0.0, typ='image')
+        self._rows = ControlledRows(self, (head, tail))
 
+    # -- rows --
     @property
     def rows(self):
-        """Controlled mutable sequence retaining OBJECT/IMAGE invariants."""
+        """The editable row roster (endpoint invariants enforced)."""
         return self._rows
-
-    @property
-    def system_owner(self):
-        """The attached OpticalSystem, or None."""
-        if self._system_owner_ref is None:
-            return None
-        return self._system_owner_ref()
-
-    def _attach_system(self, system):
-        owner = self.system_owner
-        if owner is not None and owner is not system:
-            raise ValueError(
-                'LensData is already attached to an OpticalSystem; copy the '
-                'lens before constructing another system')
-        self._system_owner_ref = weakref.ref(system)
 
     @property
     def object_row(self):
@@ -639,25 +805,42 @@ class LensData:
         """The IMAGE endpoint row."""
         return self.rows[-1]
 
-    def add(self, shape, *, thickness=0.0, material=None, typ=None,
-            aperture=None, grating=None, coating=None):
-        """Insert a surface row before the IMAGE endpoint; returns self."""
-        self.rows.insert(len(self.rows) - 1, SurfaceRow(
-            shape, thickness=thickness, material=material, typ=typ,
-            aperture=aperture, grating=grating, coating=coating))
+    def add(self, shape, *, thickness=0.0, material=None,
+            typ=None, aperture=None, grating=None, coating=None):
+        """Append a surface row just before the IMAGE endpoint; returns self."""
+        new_row = SurfaceRow(shape, thickness=thickness,
+                             material=material, typ=typ, aperture=aperture,
+                             grating=grating, coating=coating)
+        self.rows.insert(len(self.rows) - 1, new_row)
         self._invalidate()
         return self
 
     def add_coordbreak(self, *, decenter=(0.0, 0.0, 0.0),
                        tilt=(0.0, 0.0, 0.0), kind='basic', ret_target=None,
                        thickness=0.0):
-        """Insert a coordinate break before the IMAGE endpoint."""
-        self.rows.insert(len(self.rows) - 1, CoordBreak(
-            decenter=decenter, tilt=tilt, kind=kind, ret_target=ret_target,
-            thickness=thickness))
+        """Append a coordinate break just before the IMAGE endpoint."""
+        brk = CoordBreak(decenter=decenter, tilt=tilt, kind=kind,
+                         ret_target=ret_target, thickness=thickness)
+        self.rows.insert(len(self.rows) - 1, brk)
         self._invalidate()
         return self
 
+    # -- ownership --
+    @property
+    def system_owner(self):
+        """The attached OpticalSystem, or None."""
+        ref = self._sys_ref
+        return None if ref is None else ref()
+
+    def _attach_system(self, system):
+        current = self.system_owner
+        if current is not None and current is not system:
+            raise ValueError(
+                'this lens already backs an OpticalSystem; .copy() it to build '
+                'a second system')
+        self._sys_ref = weakref.ref(system)
+
+    # -- cache / version --
     def _invalidate(self):
         if self._resolving:
             return
@@ -666,128 +849,73 @@ class LensData:
 
     # -- compilation --
     def to_surfaces(self):
-        """Compile rows into posed Surface objects (cached)."""
-        if self._surfaces_cache is not None:
-            return self._surfaces_cache
-        if self._resolve_hook is not None:
-            self._resolve_hook()
-        surfaces = self._compile_surfaces()
-        self._surfaces_cache = surfaces
-        return surfaces
-
-    def element_groups(self, *, wvl=0.587, ambient_index=1.0,
-                       index_atol=1e-9):
-        """Physical lens-element groups of the compiled surfaces."""
-        return lens_element_groups(self.to_surfaces(), wvl=wvl,
-                                   ambient_index=ambient_index,
-                                   index_atol=index_atol)
+        """Compile rows into posed Surface objects (cached between edits)."""
+        if self._surfaces_cache is None:
+            if self._resolve_hook is not None:
+                self._resolve_hook()
+            self._surfaces_cache = self._compile_surfaces()
+        return self._surfaces_cache
 
     def _compile_surfaces(self):
-        if any(isinstance(row, CoordBreak) for row in self.rows):
-            return self._to_surfaces_general()
-        return self._to_surfaces_axial()
+        """Uncached compile, no dependency resolution (used by the resolver)."""
+        has_breaks = any(isinstance(r, CoordBreak) for r in self.rows)
+        return (self._compile_folded() if has_breaks
+                else self._compile_on_axis())
 
-    def _build_surface(self, row, P, R=None):
-        return Surface(
-            shape=row.build_shape(), interaction=row.typ, P=P, R=R,
-            material=None if row.material is MIRROR else row.material,
-            aperture=row.aperture, grating=row.grating,
-            coating=getattr(row, 'coating', None))
+    def _surface_from_row(self, row, P, R=None):
+        medium = None if row.material is MIRROR else row.material
+        return Surface(shape=row.build_shape(), interaction=row.typ,
+                       P=P, R=R, material=medium, aperture=row.aperture,
+                       grating=row.grating,
+                       coating=getattr(row, 'coating', None))
 
-    def _to_surfaces_axial(self):
-        surfaces = []
-        z = 0.0
-        sign = 1.0
+    def _compile_on_axis(self):
+        """Fast path for break-free systems: scalar z walk, mirrors flip
+        the walk direction and surfaces keep identity rotations."""
+        out = []
+        z, direction = 0.0, 1.0
         for row in self.rows:
-            surfaces.append(self._build_surface(row, P=[0.0, 0.0, z]))
+            out.append(self._surface_from_row(row, P=[0.0, 0.0, z]))
             if row.is_reflective:
-                sign = -sign
-            z = z + sign * _layout_thickness(row)
-        return surfaces
+                direction = -direction
+            z += direction * _gap_of(row)
+        return out
 
-    def _to_surfaces_general(self):
-        surfaces = []
-        state = _FrameState()
+    def _compile_folded(self):
+        """General path: interpret rows through the _LayoutWalk pose cursor."""
+        out = []
+        walk = _LayoutWalk()
         for idx, row in enumerate(self.rows):
             if isinstance(row, CoordBreak):
-                self._apply_coordbreak(row, state)
+                _run_coordbreak(row, walk)
                 continue
-            if state.pending_pose is not None:
-                o_s, Rgl_s = _apply_decenter_tilt(state.o, state.Rgl,
-                                                  *state.pending_pose)
-                state.pending_pose = None
-            else:
-                o_s, Rgl_s = state.o, state.Rgl
-            surfaces.append(self._build_surface(
-                row, P=o_s, R=_none_if_identity(Rgl_s)))
-            state.frames[idx] = (o_s, Rgl_s)
-            # fold the running frame at a reflecting surface
+            placed = walk.place(idx)
+            out.append(self._surface_from_row(
+                row, P=placed.o, R=placed.export_R()))
             if row.is_reflective:
-                if state.pending_fold is not None:
-                    state.Rgl = _compose_global_to_local(
-                        state.Rgl, R_rh(*state.pending_fold))
-                    state.pending_fold = None
-                else:
-                    state.Rgl = _compose_global_to_local(state.Rgl, _FLIP_Z)
-            state.o = (state.o
-                       + _local_to_global(state.Rgl)
-                       @ _axial_step(_layout_thickness(row)))
-        return surfaces
-
-    def _apply_coordbreak(self, cb, state):
-        kind = cb.kind
-        decenter = cb.decenter
-        tilt = cb.tilt
-        if kind == 'dar':
-            # decenter-and-return: one-shot pose for the next surface only
-            state.pending_pose = (decenter, tilt)
-            state.advance(cb.thickness)
-            return
-        if kind == 'ret':
-            # return-to-surface: restore a prior row's recorded frame
-            if cb.ret_target is None or cb.ret_target not in state.frames:
-                raise ValueError(
-                    f'RET coordinate break targets row {cb.ret_target!r}, '
-                    'which has not been placed yet')
-            state.o, state.Rgl = state.frames[cb.ret_target]
-            state.advance(cb.thickness)
-            return
-        if kind == 'rev':
-            # reverse: inverse of a matching basic break
-            Rt = R_rh(tilt[0], tilt[1], tilt[2])
-            state.Rgl = _compose_global_to_local(state.Rgl, _as_mat(Rt).T)
-            state.o = state.o - _local_to_global(state.Rgl) @ np.asarray(
-                decenter, dtype=float)
-            state.advance(cb.thickness)
-            return
-        if kind == 'ben':
-            # decenter-and-bend: fold registered for the next reflector
-            state.o, state.Rgl = _apply_decenter_tilt(state.o, state.Rgl,
-                                                      decenter, tilt)
-            gamma = _ben_auto_gamma(tilt[2], tilt[1])
-            state.pending_fold = (gamma, tilt[1], tilt[2])
-            state.advance(cb.thickness)
-            return
-        if kind != 'basic':
-            raise ValueError(
-                f"unknown coordinate-break kind {kind!r}; expected one of "
-                "'basic', 'dar', 'ret', 'rev', 'ben'")
-        state.o, state.Rgl = _apply_decenter_tilt(state.o, state.Rgl,
-                                                  decenter, tilt)
-        state.advance(cb.thickness)
+                walk.fold_at_mirror()
+            walk.advance(_gap_of(row))
+        return out
 
     @property
     def surfaces(self):
-        """The compiled surface list (cached; invalidated on edits)."""
+        """Compiled surface list (cache dropped whenever a row changes)."""
         return self.to_surfaces()
 
-    # -- sequence protocol (duck-type as a surface list) --
+    def element_groups(self, *, wvl=0.587,
+                       ambient_index=1.0, index_atol=1e-9):
+        """Singlet/cemented groupings of the compiled surfaces."""
+        return lens_element_groups(
+            self.to_surfaces(), wvl=wvl, ambient_index=ambient_index,
+            index_atol=index_atol)
+
+    # -- sequence protocol: duck-type as the compiled surface list --
     def __len__(self):
         """Number of compiled surfaces."""
         return len(self.to_surfaces())
 
     def __iter__(self):
-        """Iterate over compiled surfaces."""
+        """Iterate the compiled surface list."""
         return iter(self.to_surfaces())
 
     def __getitem__(self, item):
@@ -796,89 +924,77 @@ class LensData:
 
     # -- slot addressing --
     def _all_slots(self):
-        out = []
-        for r, row in enumerate(self.rows):
-            out.extend(row.dof_slots(r))
-        return out
+        """Every scalar DOF slot, row-major."""
+        return [slot for r, row in enumerate(self.rows)
+                for slot in row.dof_slots(r)]
 
     def _slot_value(self, slot):
         group, r, off = slot
-        row = self.rows[r]
-        if group == 'shape':
-            return row.params[off]
-        if group == 'thickness':
-            return row.thickness
-        if group == 'decenter':
-            return row.decenter[off]
-        if group == 'tilt':
-            return row.tilt[off]
-        raise KeyError(group)
+        try:
+            read, _ = _SLOT_RW[group]
+        except KeyError:
+            raise KeyError(group) from None
+        return read(self.rows[r], off)
 
     def _set_slot_value(self, slot, value):
         group, r, off = slot
-        row = self.rows[r]
-        if group == 'shape':
-            row.params[off] = value
-        elif group == 'thickness':
-            row.thickness = value
-        elif group == 'decenter':
-            row.decenter[off] = value
-        elif group == 'tilt':
-            row.tilt[off] = value
-        else:
-            raise KeyError(group)
+        try:
+            _, write = _SLOT_RW[group]
+        except KeyError:
+            raise KeyError(group) from None
+        write(self.rows[r], off, value)
 
     def _select_rows(self, surfaces):
+        """Resolve a row selector (None/'all'/slice/int/iterable) to indices."""
         n = len(self.rows)
-        if surfaces == 'all' or surfaces is None:
+        if surfaces is None or (isinstance(surfaces, str)
+                                and surfaces == 'all'):
             return list(range(n))
         if isinstance(surfaces, slice):
-            return list(range(*surfaces.indices(n)))
+            lo_, hi_, st_ = surfaces.indices(n)
+            return list(range(lo_, hi_, st_))
         if isinstance(surfaces, numbers.Integral):
-            surfaces = [int(surfaces)]
+            surfaces = (surfaces,)
         out = []
-        for selector in surfaces:
-            if not isinstance(selector, numbers.Integral):
-                raise TypeError('surface selectors must be integer indices')
-            index = int(selector)
-            if index < 0:
-                index += n
-            if index < 0 or index >= n:
-                raise IndexError(
-                    f'surface row index {selector} is out of range')
-            out.append(index)
+        for sel in surfaces:
+            if not isinstance(sel, numbers.Integral):
+                raise TypeError('row selectors must be integers')
+            idx = int(sel) + (n if int(sel) < 0 else 0)
+            if not 0 <= idx < n:
+                raise IndexError(f'row selector {sel} falls outside the lens')
+            out.append(idx)
         return out
 
     def _category_slots(self, category, surfaces):
-        known = {'thickness', 'tilt', 'decenter'}
+        """All slots selected by a design category over a row selector."""
+        known = {'decenter', 'thickness', 'tilt'}
         for row in self.rows:
             if isinstance(row, SurfaceRow):
                 known.update(row.categories)
         if category not in known:
-            raise KeyError(f'unknown design category {category!r}')
+            raise KeyError(f'{category!r} is not a known design category')
         slots = []
         for r in self._select_rows(surfaces):
             row = self.rows[r]
             if category == 'thickness':
-                slots.append(('thickness', r, 0))
+                slots.append(('thickness', r, 0),)
             elif category in ('tilt', 'decenter'):
                 if isinstance(row, CoordBreak):
-                    for off in range(3):
-                        slots.append((category, r, off))
-            else:
-                if isinstance(row, SurfaceRow):
-                    for off in row.categories.get(category, ()):
-                        slots.append(('shape', r, off))
+                    slots.extend((category, r, off) for off in range(3))
+            elif isinstance(row, SurfaceRow):
+                slots.extend(('shape', r, off)
+                             for off in row.categories.get(category, ()))
         if not slots:
             raise ValueError(
-                f'category {category!r} has no DOFs on the selected rows')
+                f'no {category!r} DOFs exist on the selected rows')
         return slots
 
     # -- listings --
     def list_surfaces(self, *, stop_index=None, unit=None):
         """Lens-data-editor surface table."""
         from .listings import surface_table
-        return surface_table(self, stop_index=stop_index, unit=unit)
+        return surface_table(self, stop_index=stop_index,
+                             unit=unit)
 
     def list_apertures(self):
         """Per-surface clear-aperture table."""
@@ -900,52 +1016,108 @@ class LensData:
         return f'LensData(n_rows={len(self.rows)})'
 
 
+# ---------------------------------------------------------------------------
+# Design state
+# ---------------------------------------------------------------------------
+
+_Edge = namedtuple('_Edge', ['target', 'source', 'scale', 'offset'])
+
+
+def _ordered_edges(edges):
+    """Pickup edges in dependency order; cycles are a registration error."""
+    graph = {e.target: {e.source} for e in edges}
+    by_target = {e.target: e for e in edges}
+    try:
+        order = tuple(graphlib.TopologicalSorter(graph).static_order())
+    except graphlib.CycleError as err:
+        cycle = ', '.join(repr(s) for s in err.args[1])
+        raise ValueError(f'pickups form a dependency cycle: {cycle}') from None
+    return [by_target[slot] for slot in order if slot in by_target]
+
+
+def _quantity_box(nominal, lo, hi, relative, is_radius):
+    """Box bounds for one DOF, expressed in the slot's native quantity.
+
+    Radius categories are user-facing in radius but stored as curvature;
+    the box is computed in radius space and pushed through the reciprocal
+    (which reverses interval orientation and maps +/-inf -> 0).
+    """
+    if is_radius:
+        if nominal == 0.0:
+            if relative is not None:
+                warnings.warn(
+                    'a relative radius bound degenerates on a flat (c=0) '
+                    'surface; it stays unbounded', stacklevel=3)
+            return None
+        user_nominal = 1.0 / nominal
+    else:
+        user_nominal = nominal
+
+    if relative is not None:
+        if user_nominal == 0.0:
+            warnings.warn(
+                'a relative bound around a zero nominal is degenerate; '
+                'it stays unbounded', stacklevel=3)
+            return None
+        span = (user_nominal * (1.0 - relative),
+                user_nominal * (1.0 + relative))
+    else:
+        span = (-np.inf if lo is None else float(lo),
+                np.inf if hi is None else float(hi))
+
+    if is_radius:
+        span = (0.0 if np.isinf(span[1]) else 1.0 / span[1],
+                0.0 if np.isinf(span[0]) else 1.0 / span[0])
+    return (min(span), max(span))
+
+
 class DesignState:
-    """DOF registry, pickups, and solves for an OpticalSystem."""
+    """DOF registry for one lens: free variables, bounds, pickups, solves.
+
+    Installed as the lens's resolve hook so dependent DOFs (pickup targets
+    and the image-distance solve) are refreshed on every compile.
+    """
 
     def __init__(self, lens):
         self.lens = lens
-        self._free = {}
+        self._free = set()
         self._bounds = {}
-        self._pickups = []
-        self._image_solve = None
+        self._edges = []          # flat pickup edges, registration order
+        self._gap_solve = None  # (row_index, wavelength) or None
         self._dependent = set()
-        lens._resolve_hook = self._resolve_dependencies
+        lens._resolve_hook = self._resolve_dependencies  # compile hook
 
     # -- free vector --
     def free_slots(self):
-        """Ordered list of the slots currently marked free."""
-        return [s for s in self.lens._all_slots() if self._free.get(s, False)]
+        """The free slots, in lens row-major order."""
+        return [s for s in self.lens._all_slots() if s in self._free]
 
     def pack(self):
-        """Gather the free DOFs into a dense vector."""
-        free = self.free_slots()
-        out = np.empty(len(free), dtype=np.float64)
-        for i, slot in enumerate(free):
-            out[i] = self.lens._slot_value(slot)
-        return out
+        """Dense vector of the free DOFs' current values."""
+        return np.array([float(self.lens._slot_value(s))
+                         for s in self.free_slots()], dtype=np.float64)
 
     def scatter(self, x):
-        """Write a dense free vector back into the rows."""
+        """Push a dense free vector back into the row scalars."""
         free = self.free_slots()
         if len(x) != len(free):
-            raise ValueError(f'expected {len(free)} free DOFs, got {len(x)}')
-        for slot, value in zip(free, x):
+            raise ValueError(f'the free vector has {len(free)} DOFs but {len(x)} values arrived')
+        for slot, value in zip(free, list(x)):
             self.lens._set_slot_value(slot, float(value))
 
     def bounds(self):
         """(lo, hi) arrays parallel to the free vector."""
-        free = self.free_slots()
-        lo = np.empty(len(free), dtype=np.float64)
-        hi = np.empty(len(free), dtype=np.float64)
-        for i, slot in enumerate(free):
-            blo, bhi = self._bounds.get(slot, (-np.inf, np.inf))
-            lo[i] = blo
-            hi[i] = bhi
-        return lo, hi
+        pairs = [self._bounds.get(s, (-np.inf, np.inf))
+                 for s in self.free_slots()]
+        if not pairs:
+            empty = np.zeros(0, dtype=np.float64)
+            return empty, empty.copy()
+        lo, hi = zip(*pairs)
+        return (np.asarray(lo, dtype=np.float64),
+                np.asarray(hi, dtype=np.float64))
 
     def update(self, x):
-        """Scatter a free vector, resolve dependents, invalidate."""
+        """Scatter a free vector, refresh dependents, and invalidate."""
         self.scatter(x)
         self._resolve_dependencies()
         self.lens._invalidate()
@@ -953,211 +1125,177 @@ class DesignState:
 
     # -- variable selection --
     def vary(self, category, surfaces='all'):
-        """Mark a category of DOFs free over a range of surfaces."""
+        """Release a category of DOFs over a row selection."""
         slots = self.lens._category_slots(category, surfaces)
         if category == 'thickness':
-            self._clear_image_distance_solve_if_selected(slots)
-        for slot in slots:
-            if slot not in self._dependent:
-                self._free[slot] = True
+            self._drop_solve_if_selected(slots)
+        self._free.update(s for s in slots if s not in self._dependent)
         return self
 
     def freeze(self, category, surfaces='all'):
-        """Inverse of vary."""
-        for slot in self.lens._category_slots(category, surfaces):
-            self._free.pop(slot, None)
+        """Re-fix a category of DOFs (the inverse of vary)."""
+        self._free.difference_update(
+            self.lens._category_slots(category, surfaces))
         return self
 
     def vary_all(self):
-        """Mark every scalar DOF free (except dependents)."""
-        for slot in self.lens._all_slots():
-            if slot not in self._dependent:
-                self._free[slot] = True
+        """Free every scalar DOF that is not pickup/solve-driven."""
+        self._free.update(s for s in self.lens._all_slots()
+                          if s not in self._dependent)
         return self
 
     def freeze_all(self):
-        """Mark every scalar DOF fixed."""
+        """Fix every scalar DOF."""
         self._free.clear()
         return self
 
-    def constrain(self, category, *, lo=None, hi=None, relative=None,
-                  surfaces='all'):
+    def constrain(self, category, *,
+                  lo=None, hi=None, relative=None, surfaces='all'):
         """Box bounds on a category of DOFs (radius bounds -> curvature)."""
-        if relative is None and lo is None and hi is None:
-            raise ValueError('constrain needs lo/hi (absolute) or relative')
-        is_radius = category in ('radius', 'radius_x', 'radius_y')
+        if lo is None and hi is None and relative is None:
+            raise ValueError('constrain wants absolute lo/hi bounds or a relative span')
+        is_radius = category in {'radius', 'radius_x', 'radius_y'}
         for slot in self.lens._category_slots(category, surfaces):
-            nominal = float(self.lens._slot_value(slot))
-            bounds = _bounds_for_dof(nominal, lo, hi, relative, is_radius)
-            if bounds is None:
+            box = _quantity_box(float(self.lens._slot_value(slot)),
+                                lo, hi, relative, is_radius)
+            if box is None:
                 self._bounds.pop(slot, None)
             else:
-                self._bounds[slot] = bounds
+                self._bounds[slot] = box
         return self
 
-    # -- pickups and solves --
-    def pickup(self, category, surface, *, from_surface, from_category=None,
-               scale=1.0, offset=0.0):
-        """Make DOFs pickups of others: dependent = scale*source + offset."""
+    # -- pickups --
+    def pickup(self, category, surface, *, from_surface,
+               from_category=None, scale=1.0, offset=0.0):
+        """Drive DOFs from others: target = scale * source + offset."""
         from_category = from_category or category
-        targets = self.lens._category_slots(category, surface)
-        sources = self.lens._category_slots(from_category, from_surface)
-        if not targets or not sources:
+        tgt = self.lens._category_slots(category, surface)
+        src = self.lens._category_slots(from_category, from_surface)
+        if not tgt or not src:
             raise ValueError(
-                f'pickup found no {category!r}/{from_category!r} DOFs on the '
-                'requested surfaces')
-        if len(targets) != len(sources):
+                f'no {category!r} / {from_category!r} DOFs exist on the '
+                'rows named by the pickup')
+        if len(tgt) != len(src):
             raise ValueError(
-                f'pickup target ({len(targets)} DOFs) and source '
-                f'({len(sources)} DOFs) must have equal length')
-        existing_targets = self._pickup_target_slots()
-        overlap = existing_targets.intersection(targets)
-        if overlap:
+                f'pickup maps {len(src)} source DOFs onto '
+                f'{len(tgt)} targets; the counts must agree')
+        driven = {e.target for e in self._edges}
+        clash = driven.intersection(tgt)
+        if clash:
             raise ValueError(
-                f'pickup target {next(iter(overlap))!r} already has a driver')
-        if self._image_solve is not None:
-            solve_slot = ('thickness', self._image_solve[0], 0)
-            if solve_slot in targets:
+                f'{next(iter(clash))!r} is already driven by another pickup')
+        if self._gap_solve is not None:
+            solve_slot = 'thickness', self._gap_solve[0], 0
+            if solve_slot in tgt:
                 raise ValueError(
-                    f'pickup target {solve_slot!r} is driven by the active '
-                    'image-distance solve')
-        candidate = [*self._pickups,
-                     (targets, sources, float(scale), float(offset))]
-        self._topological_pickup_edges(candidate)
-        for t in targets:
-            self._free.pop(t, None)
+                    f'{solve_slot!r} is held by the active image-distance '
+                    'solve and cannot take a pickup')
+        new_edges = [_Edge(t, s, float(scale), float(offset))
+                     for t, s in zip(tgt, src)]
+        _ordered_edges(self._edges + new_edges)  # cycle check before commit
+        self._edges.extend(new_edges)
+        for t in tgt:
+            self._free.discard(t)
             self._dependent.add(t)
-        self._pickups = candidate
         self.lens._invalidate()
         return self
 
+    def pickup_expansion(self, source_slot):
+        """All slot tangents that follow from one unit source tangent."""
+        tangents = {source_slot: float(1)}
+        for e in _ordered_edges(self._edges):
+            if e.source in tangents:
+                tangents[e.target] = e.scale * tangents[e.source]
+        return tangents
+
+    # -- image-distance solve --
     def solve_image_distance(self, surface=None, *, wavelength=None):
-        """Solve a gap so the image plane sits at the paraxial image."""
+        """Hold the final gap at the paraxial image distance.
+
+        The solved thickness is dependent (not free) until
+        clear_image_distance_solve() or a vary('thickness', ...) selecting
+        it.
+        """
         lens = self.lens
         if surface is None:
             powered = [i for i, r in enumerate(lens.rows)
-                       if isinstance(r, SurfaceRow)
-                       and not _is_measurement_surf(_map_stype(r.typ))]
+                       if isinstance(r, SurfaceRow) and
+                       not _is_measurement_surf(_map_stype(r.typ))]
             if not powered:
-                raise ValueError('no powered surface precedes the image plane')
+                raise ValueError('found no powered surface ahead of the image plane')
             surface = max(powered)
         else:
-            selected = lens._select_rows(surface)
-            surface = selected[0]
-        if not isinstance(lens.rows[surface], SurfaceRow):
+            surface = lens._select_rows(surface)[0]
+        if isinstance(lens.rows[surface], SurfaceRow) is False:
             raise ValueError(
-                'image-distance solve target must be a surface row')
-        slot = ('thickness', surface, 0)
-        if slot in self._pickup_target_slots():
+                'the image-distance solve can only hold a surface row')
+        slot = 'thickness', surface, 0
+        if slot in {e.target for e in self._edges}:
             raise ValueError(
-                f'image-distance solve target {slot!r} already has a pickup '
-                'driver')
-        self._image_solve = (surface, wavelength)
-        self._free.pop(slot, None)
+                f'{slot!r} is already pickup-driven and cannot also be '
+                'solved')
+        self._gap_solve = (surface, wavelength)
+        self._free.discard(slot)
         self._dependent.add(slot)
         lens._invalidate()
         return self
 
     def clear_image_distance_solve(self):
-        """Disable the active paraxial image-distance solve, if any."""
-        if self._image_solve is None:
+        """Drop the paraxial image-distance solve if one is active."""
+        if self._gap_solve is None:
             return self
-        surface, _ = self._image_solve
-        slot = ('thickness', surface, 0)
-        self._image_solve = None
-        if slot not in self._pickup_target_slots():
+        surface = self._gap_solve[0]
+        slot = 'thickness', surface, 0
+        self._gap_solve = None
+        if slot not in {e.target for e in self._edges}:
             self._dependent.discard(slot)
         self.lens._invalidate()
         return self
 
-    def _pickup_target_slots(self):
-        out = set()
-        for targets, _, _, _ in self._pickups:
-            out.update(targets)
-        return out
+    def _drop_solve_if_selected(self, slots):
+        if self._gap_solve is not None:
+            if ('thickness', self._gap_solve[0], 0) in slots:
+                self.clear_image_distance_solve()
 
-    def pickup_expansion(self, source_slot):
-        """Slot tangents induced by one independent source-slot tangent."""
-        tangents = {source_slot: 1.0}
-        for target, source, scale, _ in self._topological_pickup_edges(
-                self._pickups):
-            if source in tangents:
-                tangents[target] = scale * tangents[source]
-        return tangents
-
-    @staticmethod
-    def _topological_pickup_edges(pickups):
-        """Flatten pickup blocks in dependency order, rejecting cycles."""
-        edges = []
-        drivers = {}
-        for targets, sources, scale, offset in pickups:
-            for target, source in zip(targets, sources):
-                if target in drivers:
-                    raise ValueError(
-                        f'pickup target {target!r} has multiple drivers')
-                edge = (target, source, scale, offset)
-                drivers[target] = edge
-                edges.append(edge)
-        ordered = []
-        remaining = dict(drivers)
-        while remaining:
-            ready = [edge for edge in remaining.values()
-                     if edge[1] not in remaining]
-            if not ready:
-                cycle = ', '.join(repr(slot) for slot in remaining)
-                raise ValueError(f'pickup dependency cycle: {cycle}')
-            for edge in ready:
-                ordered.append(edge)
-                remaining.pop(edge[0])
-        return ordered
-
-    def _clear_image_distance_solve_if_selected(self, slots):
-        if self._image_solve is None:
-            return
-        surface, _ = self._image_solve
-        if ('thickness', surface, 0) in slots:
-            self.clear_image_distance_solve()
-
+    # -- resolution (the lens's compile hook) --
     def _resolve_dependencies(self):
-        """Apply pickups then solves before compilation."""
+        """Apply pickups, then the image solve, without bumping the version."""
         lens = self.lens
         lens._resolving = True
         try:
-            for target, source, scale, offset in \
-                    self._topological_pickup_edges(self._pickups):
+            for e in _ordered_edges(self._edges):
                 lens._set_slot_value(
-                    target, scale * lens._slot_value(source) + offset)
-            if self._image_solve is not None:
-                surf_idx, wvl = self._image_solve
-                surfaces = lens._compile_surfaces()
-                mapping = SurfaceMap(lens)
-                solved_surface = mapping.surface_for_row(surf_idx)
-                image_surface = solved_surface + 1
-                if image_surface >= len(surfaces):
-                    raise ValueError(
-                        'image-distance solve target must be the gap before '
-                        'the IMAGE plane')
-                image_row_idx = mapping.row_for_surface(image_surface)
-                image_row = lens.rows[image_row_idx]
-                if (image_surface != len(surfaces) - 1
-                        or _map_stype(image_row.typ) != STYPE_IMG):
-                    raise ValueError(
-                        'image-distance solve target must be the gap before '
-                        'the IMAGE plane')
-                powered = surfaces[:image_surface]
-                pid = paraxial_image_distance(powered, wvl=wvl)
-                lens.rows[surf_idx].thickness = pid
+                    e.target,
+                    e.scale * float(lens._slot_value(e.source)) + e.offset)
+            if self._gap_solve is not None:
+                self._apply_image_solve()
         finally:
             lens._resolving = False
 
+    def _apply_image_solve(self):
+        lens = self.lens
+        row_idx, wvl = self._gap_solve
+        compiled = lens._compile_surfaces()
+        mapping = SurfaceMap(lens)
+        image_surface = mapping.surface_for_row(row_idx) + 1
+        valid = (image_surface == len(compiled) - 1
+                 and _map_stype(
+                     lens.rows[mapping.row_for_surface(image_surface)].typ)
+                 == STYPE_IMG) if image_surface < len(compiled) else False
+        if not valid:
+            raise ValueError(
+                'the image-distance solve only applies to the gap '
+                'immediately ahead of the IMAGE plane')
+        pid = paraxial_image_distance(compiled[:image_surface], wvl=wvl)
+        lens.rows[row_idx].thickness = pid
+
     def copy(self, new_lens):
-        """A DesignState over new_lens with this registry copied."""
+        """A DesignState over new_lens with this registry cloned."""
         new = DesignState(new_lens)
-        new._free = dict(self._free)
+        new._free = set(self._free)
         new._bounds = dict(self._bounds)
-        new._pickups = [(list(t), list(s), sc, off)
-                        for t, s, sc, off in self._pickups]
-        new._image_solve = self._image_solve
+        new._edges = list(self._edges)
+        new._gap_solve = self._gap_solve
         new._dependent = set(self._dependent)
         return new
 

@@ -100,8 +100,8 @@ def check(relpath):
         return None
     cands = find_ref_candidates(relpath)
     if not cands:
-        return {"file": relpath, "similarity": 0.0, "block": 0, "ref": None,
-                "matched": 0, "total": len(a_sub)}
+        return {"file": relpath, "similarity": 0.0, "block": 0, "block_at": 0,
+                "ref": None, "matched": 0, "total": len(a_sub)}
     best = None
     for c in cands:
         b = lines_of(c)
