@@ -1,13 +1,19 @@
 """Design operands and optimization problems for raytracing systems.
 
-Rebuild of ``prysm/x/raytracing/design.py``: Merit operands (spot size,
-wavefront RMS, Zernike terms, first-order and packaging constraints),
-the Problem wrapper over the system's DesignState free vector, and the
-goal factory.  With gradient='auto', ray operands differentiate through
-the trace — reverse mode (one jax.vjp per operand head) for spot and
-boresight merits, forward mode (wavefront_with_tangents) for the
-wavefront-closing merits — and remaining scalar operands fall back to
-central differences of the free vector.
+TPU-first rebuild of the reference design layer
+(``prysm/x/raytracing/design.py``).  Clean-room structure:
+
+* the per-merit-call cache is one tag-keyed memo table
+  (:class:`_TraceCache`), not four parallel caches;
+* the three paraxial scalar operands share a :class:`_FirstOrderMerit`
+  base parameterized by its ABCD evaluator;
+* gradient='auto' differentiates through the trace itself — reverse
+  mode (one ``jax.vjp`` per operand head, via ``adjoint/engine.py``)
+  for spot/boresight merits, forward mode (``wavefront_with_tangents``)
+  for the wavefront-closing merits — and any operand without a
+  differentiable head falls back to central differences;
+* the goal factory fans operand classes over fields x wavelengths by
+  probing each class's keyword support once.
 """
 import inspect
 import math
@@ -21,107 +27,135 @@ from ..optym.least_squares import (  # NOQA: F401 - re-export for users
     damped_least_squares,
 )
 
-from .launch import Field, Sampling, launch as _launch
-from .spencer_and_murty import raytrace, valid_mask, _is_measurement_surf
-from .surfaces import _map_stype
-from .sensitivity import merit_jacobian_free as _merit_jacobian_free
+from .launch import launch as _launch, Field, Sampling
+from .spencer_and_murty import (raytrace, valid_mask,
+                                _is_measurement_surf as _is_meas)
+from .surfaces import _map_stype  # row-type codes for TTL bookkeeping
+from .sensitivity import merit_jacobian_free as _fd_merit_grad
 from .opt import rms_spot_radius, _pupil_center_chief_index
 from .paraxial import (
-    effective_focal_length,
     back_focal_length,
+    effective_focal_length,
     paraxial_image_distance,
 )
 from . import analysis as _analysis
+from ._cache import structural_key, StateCache
 from ._resolve import compiled_surfaces, trace_context
-from ._cache import StateCache, structural_key
 
 _PREC = np.float64
+
+
+def _opt_float(v):
+    """None passes through; anything else becomes a float."""
+    return None if v is None else float(v)
+
+
+_DEFAULT_SAMPLING = lambda: Sampling.hex(nrings=4)  # NOQA: E731
 
 
 # ---------- Trace cache ------------------------------------------------------
 
 class _TraceCache:
-    """Per-merit-call raytrace cache keyed by array identity."""
+    """Per-merit-call memo table for traces and their prerequisites.
 
-    __slots__ = ('_system', '_cache', '_n_traces', '_xp_cache',
-                 '_launch_cache', '_ctx_cache')
+    One StateCache holds every kind of entry, disambiguated by a leading
+    tag; launches/traces key on array identity (id) because operand
+    bundles are reused by reference within a single merit evaluation.
+    """
+
+    __slots__ = ('_sys', '_memo', '_n_traces')
 
     def __init__(self, system):
-        self._system = system
-        self._cache = StateCache()
-        self._xp_cache = StateCache()
-        self._launch_cache = StateCache()
-        self._ctx_cache = StateCache()
+        self._sys = system
+        self._memo = StateCache()
         self._n_traces = 0
 
     def context(self, wavelength=None):
         """Resolved TraceContext for one wavelength, memoized."""
-        key = None if wavelength is None else float(wavelength)
-        return self._ctx_cache.get_or_compute(
-            key, lambda: trace_context(self._system, wavelength))
+        tag = ('ctx', _opt_float(wavelength))
+        return self._memo.get_or_compute(
+            tag, lambda: trace_context(self._sys, wavelength))
 
     def launch(self, field, wavelength, sampling, *, epd=None):
         """Launch bundle (P, S) for a recipe, memoized per merit call."""
-        key = (None if field is None else id(field),
+        tag = ('launch',
+               None if field is None else id(field),
                None if sampling is None else id(sampling),
                float(wavelength), epd)
 
-        def _compute():
-            f = Field() if field is None else field
-            s = Sampling.hex(nrings=4) if sampling is None else sampling
-            return _launch(self._system, f, wavelength, s, epd=epd)
+        def build():
+            fld = field if field is not None else Field()
+            smp = sampling if sampling is not None else _DEFAULT_SAMPLING()
+            return _launch(self._sys, fld, wavelength, smp, epd=epd)
 
-        return self._launch_cache.get_or_compute(key, _compute)
+        return self._memo.get_or_compute(tag, build)
 
     def trace(self, P, S, wavelength):
         """Cached raytrace of one bundle."""
-        key = (id(P), id(S), float(wavelength))
+        tag = ('trace', id(P), id(S), float(wavelength))
 
-        def _compute():
+        def build():
             self._n_traces += 1
-            return raytrace(compiled_surfaces(self._system), P, S,
-                            wavelength)
+            return raytrace(compiled_surfaces(self._sys),
+                            P, S, wavelength)
 
-        return self._cache.get_or_compute(key, _compute)
+        return self._memo.get_or_compute(tag, build)
 
-    def exit_pupil(self, P, S, wavelength, *, P_xp=None, chief_index=None,
-                   stop_index=None, epd=None, axis_point=None,
-                   axis_dir=None):
-        """Exit-pupil reference point for an operand bundle, resolved once."""
+    def exit_pupil(self, P, S, wavelength, *, P_xp=None,
+                   chief_index=None, stop_index=None, epd=None,
+                   axis_point=None, axis_dir=None):
+        """Exit-pupil anchor for an operand bundle, resolved once."""
         if P_xp is not None:
             return np.asarray(P_xp)
-        key = (id(P), id(S), float(wavelength), chief_index, stop_index,
-               epd, structural_key(axis_point), structural_key(axis_dir))
+        tag = ('xp', id(P), id(S), float(wavelength), chief_index,
+               stop_index, epd, structural_key(axis_point),
+               structural_key(axis_dir))
 
-        def _compute():
-            resolved_stop = (stop_index if stop_index is not None
-                             else getattr(self._system, 'stop_index', None))
+        def build():
+            held_stop = stop_index
+            if held_stop is None:
+                held_stop = getattr(self._sys, 'stop_index', None)
             chief = None
-            if resolved_stop is None:
-                tr = self.trace(P, S, wavelength)
-                ci = (chief_index if chief_index is not None
-                      else _pupil_center_chief_index(np.asarray(P)))
-                chief = (np.asarray(tr.P)[-1, ci], np.asarray(tr.S)[-1, ci])
+            if held_stop is None:
+                # no stop: anchor the pupil on the traced chief ray
+                run = self.trace(P, S, wavelength)
+                ci = chief_index
+                if ci is None:
+                    ci = _pupil_center_chief_index(np.asarray(P))
+                chief = (np.asarray(run.P)[-1, ci],
+                         np.asarray(run.S)[-1, ci])
             return _analysis.resolve_exit_pupil(
-                self._system, wavelength, stop_index=stop_index, epd=epd,
-                chief=chief, axis_point=axis_point, axis_dir=axis_dir)
+                self._sys, wavelength, stop_index=stop_index, epd=epd,
+                chief=chief, axis_point=axis_point,
+                axis_dir=axis_dir)
 
-        return self._xp_cache.get_or_compute(key, _compute)
+        return self._memo.get_or_compute(tag, build)
 
     @property
     def n_traces(self):
-        """Number of underlying raytrace calls (cache misses)."""
+        """Count of raytrace kernel invocations (memo misses)."""
         return self._n_traces
 
 
 # ---------- Operands ---------------------------------------------------------
 
-def _class_accepts_kw(cls, name):
+def _kw_support(cls):
+    """The constructor keywords a Merit class accepts (memoized per class)."""
+    cached = getattr(cls, '_kw_support_cache', None)
+    if cached is not None and cached[0] is cls:
+        return cached[1]
     params = inspect.signature(cls).parameters
-    if name in params:
-        return True
-    return any(p.kind == inspect.Parameter.VAR_KEYWORD
-               for p in params.values())
+    var_kw = inspect.Parameter.VAR_KEYWORD
+    if any(p.kind == var_kw for p in params.values()):
+        support = frozenset({'field', 'wavelength', 'sampling', 'weight'})
+    else:
+        support = frozenset(params)
+    cls._kw_support_cache = (cls, support)
+    return support
+
+
+def _class_accepts_kw(cls, name):
+    return name in _kw_support(cls)
 
 
 class Merit:
@@ -130,11 +164,11 @@ class Merit:
     name = 'merit'
 
     def __init__(self, target=None, weight=1.0, *, min=None, max=None):
-        self.target = 0.0 if target is None else float(target)
-        self.weight = float(weight)
-        self.min = None if min is None else float(min)
-        self.max = None if max is None else float(max)
         self._target_set = target is not None
+        self.target = float(target) if self._target_set else 0.0
+        self.weight = float(weight)
+        self.min = _opt_float(min)
+        self.max = _opt_float(max)
 
     def _bundle(self, system, cache):
         """Resolved (P, S, wavelength) for ray merits; None otherwise."""
@@ -142,19 +176,18 @@ class Merit:
 
     def __call__(self, system, cache):
         raise NotImplementedError(
-            f'{type(self).__name__} provides no optimizer value')
+            f'{type(self).__name__} does not produce an optimizer value')
 
     def value(self, trace, system, wavelength):
         """Merit value from an already-traced bundle.
 
-        The base implementation evaluates the merit's adjoint head on
-        the trace histories when one exists; merits without a
-        jnp-differentiable head raise.
+        Evaluates the merit's differentiable head on the trace
+        histories when one exists; merits without a head raise.
         """
         head_fn = getattr(self, 'adjoint_head', None)
         if head_fn is None:
             raise NotImplementedError(
-                f'{type(self).__name__} provides no trace-based value')
+                f'{type(self).__name__} does not evaluate traced bundles')
         import jax.numpy as jnp
         head = head_fn()
         return float(head(jnp.asarray(trace.P), jnp.asarray(trace.S),
@@ -163,15 +196,14 @@ class Merit:
     def seed(self, trace, system, wavelength):
         """(P_bar, S_bar, L_bar) history-shaped adjoint cotangents.
 
-        Where the reference hand-derives per-merit cotangent seeds,
-        the base implementation is one ``jax.grad`` of the merit's
-        adjoint head over the trace histories — any head gets exact
-        seeds for free.
+        Where the reference hand-derives per-merit cotangent seeds, this
+        is one ``jax.grad`` of the merit's differentiable head over the
+        trace histories — any head gets exact seeds for free.
         """
         head_fn = getattr(self, 'adjoint_head', None)
         if head_fn is None:
             raise NotImplementedError(
-                f'{type(self).__name__} provides no adjoint seed')
+                f'{type(self).__name__} cannot seed the adjoint sweep')
         import jax
         import jax.numpy as jnp
         head = head_fn()
@@ -199,20 +231,31 @@ class Merit:
 
 
 class _RayMerit(Merit):
-    """Merit over one launch recipe (field, wavelength, sampling)."""
+    """Merit over one launch recipe (field, wavelength, sampling).
+
+    Nones resolve at call time: on-axis field, the system reference
+    wavelength, and a 4-ring hex sampling.  epd overrides the launch
+    pupil size.
+    """
 
     def __init__(self, field=None, wavelength=None, sampling=None, *,
-                 target=None, weight=1.0, min=None, max=None, epd=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
-        self.field = field
-        self.wavelength = None if wavelength is None else float(wavelength)
-        self.sampling = sampling
+                 target=None, weight=1.0, min=None, max=None,
+                 epd=None):
+        super().__init__(target, weight, min=min, max=max)
+        self.field, self.sampling = field, sampling
+        self.wavelength = _opt_float(wavelength)
         self.epd = epd
 
     def _bundle(self, system, cache):
         wvl = cache.context(self.wavelength).wavelength
-        P, S = cache.launch(self.field, wvl, self.sampling, epd=self.epd)
+        P, S = cache.launch(self.field, wvl, self.sampling,
+                            epd=self.epd)
         return P, S, wvl
+
+    def _traced(self, system, cache):
+        """(trace, wavelength) for this recipe, via the cache."""
+        P, S, wvl = self._bundle(system, cache)
+        return cache.trace(P, S, wvl), wvl
 
 
 class RmsSpotRadius(_RayMerit):
@@ -221,8 +264,7 @@ class RmsSpotRadius(_RayMerit):
     name = 'rms_spot_radius'
 
     def __call__(self, system, cache):
-        P, S, wvl = self._bundle(system, cache)
-        trace = cache.trace(P, S, wvl)
+        trace, _ = self._traced(system, cache)
         return float(rms_spot_radius(np.asarray(trace.P)[-1],
                                      status=np.asarray(trace.status)))
 
@@ -236,19 +278,18 @@ class RayHeightAt(_RayMerit):
     """One ray's position along one axis at one surface (history row)."""
 
     def __init__(self, field=None, wavelength=None, sampling=None, *,
-                 surface_index, axis, target=None, weight=1.0,
-                 min=None, max=None, ray_index=0, epd=None):
-        super().__init__(field, wavelength, sampling, target=target,
-                         weight=weight, min=min, max=max, epd=epd)
-        self.surface_index = int(surface_index)
-        self.axis = int(axis)
+                 surface_index, axis, target=None, weight=1.0, min=None,
+                 max=None, ray_index=0, epd=None):
+        super().__init__(field, wavelength, sampling,
+                         target=target, weight=weight, min=min, max=max,
+                         epd=epd)
+        self.surface_index, self.axis = int(surface_index), int(axis)
         self.ray_index = int(ray_index)
 
     def __call__(self, system, cache):
-        P, S, wvl = self._bundle(system, cache)
-        trace = cache.trace(P, S, wvl)
-        return float(np.asarray(trace.P)[self.surface_index, self.ray_index,
-                                         self.axis])
+        trace, _ = self._traced(system, cache)
+        hist = np.asarray(trace.P)
+        return float(hist[self.surface_index, self.ray_index, self.axis])
 
 
 class Boresight(_RayMerit):
@@ -257,22 +298,18 @@ class Boresight(_RayMerit):
     def __init__(self, field=None, wavelength=None, sampling=None, *,
                  target_xy=(0.0, 0.0), weight=1.0, min=None, max=None,
                  epd=None):
-        super().__init__(field, wavelength, sampling, weight=weight,
-                         min=min, max=max, epd=epd)
-        self.target_xy = (float(target_xy[0]), float(target_xy[1]))
+        super().__init__(field, wavelength, sampling,
+                         weight=weight, min=min, max=max, epd=epd)
+        tx, ty = target_xy
+        self.target_xy = (float(tx), float(ty))
 
     def __call__(self, system, cache):
-        P, S, wvl = self._bundle(system, cache)
-        trace = cache.trace(P, S, wvl)
-        Pf = np.asarray(trace.P)[-1]
-        valid = np.asarray(valid_mask(trace.status, Pf))
-        if valid.any():
-            mean = Pf[valid, :2].mean(axis=0)
-        else:
-            mean = Pf[:, :2].mean(axis=0)
-        dx = mean[0] - self.target_xy[0]
-        dy = mean[1] - self.target_xy[1]
-        return float(np.sqrt(dx * dx + dy * dy))
+        trace, _ = self._traced(system, cache)
+        landed = np.asarray(trace.P)[-1]
+        alive = np.asarray(valid_mask(trace.status, landed))
+        pool = landed[alive, :2] if alive.any() else landed[:, :2]
+        offset = pool.mean(axis=0) - np.asarray(self.target_xy)
+        return float(np.hypot(offset[0], offset[1]))
 
     def adjoint_head(self):
         """jnp-differentiable twin of __call__ for the adjoint engine."""
@@ -280,51 +317,45 @@ class Boresight(_RayMerit):
         return BoresightHead(target=self.target_xy, name='boresight')
 
 
-class EFL(Merit):
+class _FirstOrderMerit(Merit):
+    """A paraxial ABCD scalar of the compiled system at one wavelength.
+
+    Subclasses set ``paraxial_fn`` (a ``fn(surfaces, wvl=...)``) and the
+    operand name; everything else is shared.
+    """
+
+    paraxial_fn = None
+
+    def __init__(self, wavelength=None, target=None, weight=1.0,
+                 *, min=None, max=None):
+        super().__init__(target, weight, min=min, max=max)
+        self.wavelength = _opt_float(wavelength)
+
+    def __call__(self, system, cache):
+        ctx = cache.context(self.wavelength)
+        fn = type(self).paraxial_fn
+        return float(fn(ctx.surfaces, wvl=ctx.wavelength))
+
+
+class EFL(_FirstOrderMerit):
     """Effective focal length (paraxial ABCD)."""
 
     name = 'efl'
-
-    def __init__(self, wavelength=None, target=None, weight=1.0, *,
-                 min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
-        self.wavelength = None if wavelength is None else float(wavelength)
-
-    def __call__(self, system, cache):
-        ctx = cache.context(self.wavelength)
-        return float(effective_focal_length(ctx.surfaces,
-                                            wvl=ctx.wavelength))
+    paraxial_fn = staticmethod(effective_focal_length)
 
 
-class BFL(Merit):
+class BFL(_FirstOrderMerit):
     """Back focal length (last powered vertex to rear focal point)."""
 
     name = 'bfl'
-
-    def __init__(self, wavelength=None, target=None, weight=1.0, *,
-                 min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
-        self.wavelength = None if wavelength is None else float(wavelength)
-
-    def __call__(self, system, cache):
-        ctx = cache.context(self.wavelength)
-        return float(back_focal_length(ctx.surfaces, wvl=ctx.wavelength))
+    paraxial_fn = staticmethod(back_focal_length)
 
 
-class ParaxialImageDistance(Merit):
+class ParaxialImageDistance(_FirstOrderMerit):
     """Signed distance from the last vertex to the paraxial image plane."""
 
     name = 'paraxial_image_distance'
-
-    def __init__(self, wavelength=None, target=None, weight=1.0, *,
-                 min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
-        self.wavelength = None if wavelength is None else float(wavelength)
-
-    def __call__(self, system, cache):
-        ctx = cache.context(self.wavelength)
-        return float(paraxial_image_distance(ctx.surfaces,
-                                             wvl=ctx.wavelength))
+    paraxial_fn = staticmethod(paraxial_image_distance)
 
 
 class TotalTrack(Merit):
@@ -332,22 +363,20 @@ class TotalTrack(Merit):
 
     name = 'total_track'
 
-    def __init__(self, target=None, weight=1.0, *, min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
+    def __init__(self, target=None, weight=1.0, *, min=None,
+                 max=None):
+        super().__init__(target, weight, min=min, max=max)
 
     def __call__(self, system, cache):
         rows = system.rows
-        start = 0
-        if rows:
+        skip = 0
+        if len(rows):
             typ = getattr(rows[0], 'typ', None)
-            if typ is not None and _is_measurement_surf(_map_stype(typ)):
-                start = 1
-        total = 0.0
-        for row in rows[start:]:
-            t = float(getattr(row, 'thickness', 0.0))
-            if math.isfinite(t):
-                total += t
-        return float(total)
+            # the leading OBJECT row's gap is object distance, not track
+            if typ is not None and _is_meas(_map_stype(typ)):
+                skip = 1
+        gaps = (float(getattr(row, 'thickness', 0.0)) for row in rows[skip:])
+        return float(sum(g for g in gaps if math.isfinite(g)))
 
 
 class Thickness(Merit):
@@ -355,20 +384,22 @@ class Thickness(Merit):
 
     name = 'thickness'
 
-    def __init__(self, surface, target=None, weight=1.0, *,
-                 min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
+    def __init__(self, surface, target=None, weight=1.0,
+                 *, min=None, max=None):
+        super().__init__(target, weight, min=min, max=max)
         self.surface = int(surface)
 
     def __call__(self, system, cache):
-        return float(system.rows[self.surface].thickness)
+        row = system.rows[self.surface]
+        return float(row.thickness)
 
 
 class _CallableMerit(Merit):
     """Adapter giving f(system, cache) -> float the Merit protocol."""
 
-    def __init__(self, fn, target=None, weight=1.0, *, min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
+    def __init__(self, fn, target=None, weight=1.0, *, min=None,
+                 max=None):
+        super().__init__(target, weight, min=min, max=max)
         self.fn = fn
         self.name = getattr(fn, '__name__', 'callable')
 
@@ -385,45 +416,44 @@ class WavefrontRMS(_RayMerit):
                  target=None, weight=1.0, min=None, max=None,
                  chief_index=None, axis_point=None, axis_dir=None,
                  P_xp=None, epd=None, stop_index=None, reference='chief'):
-        super().__init__(field, wavelength, sampling, target=target,
-                         weight=weight, min=min, max=max, epd=epd)
-        self.chief_index = chief_index
-        self.axis_point = axis_point
-        self.axis_dir = axis_dir
+        super().__init__(field, wavelength, sampling,
+                         target=target, weight=weight, min=min, max=max,
+                         epd=epd)
+        self.chief_index, self.stop_index = chief_index, stop_index
+        self.axis_point, self.axis_dir = axis_point, axis_dir
         self.P_xp = P_xp
-        self.stop_index = stop_index
         if reference not in ('chief', 'piston'):
-            raise ValueError("reference must be 'chief' or 'piston'")
+            raise ValueError("reference is either 'chief' or 'piston'")
         self.reference = reference
 
-    def _geometry(self, trace, system, wavelength, *, P_xp_override=None,
-                  ctx=None):
+    def _geometry(self, trace, system, wavelength, *,
+                  P_xp_override=None, ctx=None):
         chief = self.chief_index
         if chief is None:
             chief = _pupil_center_chief_index(np.asarray(trace.P)[0])
-        P_xp = P_xp_override if P_xp_override is not None else self.P_xp
+        P_xp = self.P_xp if P_xp_override is None else P_xp_override
         return _analysis.close_wavefront(
-            system, trace, wavelength, chief, field=self.field, P_xp=P_xp,
-            stop_index=self.stop_index, epd=self.epd,
+            system, trace, wavelength, chief, field=self.field,
+            P_xp=P_xp, stop_index=self.stop_index, epd=self.epd,
             axis_point=self.axis_point, axis_dir=self.axis_dir, ctx=ctx)
 
     def _rms(self, closing):
         opd = closing.opd
         if self.reference == 'piston':
-            opd = opd - np.mean(opd)
-        return float(np.sqrt(np.mean(opd * opd)))
+            opd = opd - opd.mean()
+        return float(np.sqrt(np.mean(np.square(opd))))
 
     def __call__(self, system, cache):
         P, S, wvl = self._bundle(system, cache)
-        trace = cache.trace(P, S, wvl)
+        run = cache.trace(P, S, wvl)
         ctx = cache.context(self.wavelength)
         P_xp = cache.exit_pupil(
-            P, S, wvl, P_xp=self.P_xp,
-            chief_index=self.chief_index, stop_index=self.stop_index,
-            epd=self.epd, axis_point=self.axis_point,
-            axis_dir=self.axis_dir)
-        g = self._geometry(trace, system, wvl, P_xp_override=P_xp, ctx=ctx)
-        return self._rms(g)
+            P, S, wvl, P_xp=self.P_xp, chief_index=self.chief_index,
+            stop_index=self.stop_index, epd=self.epd,
+            axis_point=self.axis_point, axis_dir=self.axis_dir)
+        closing = self._geometry(run, system, wvl,
+                                 P_xp_override=P_xp, ctx=ctx)
+        return self._rms(closing)
 
     def tangent_gradient(self, system, P, S, wvl, seeds):
         """d(rms_wfe)/d(seed) row via the forward-mode tangent engine.
@@ -438,10 +468,11 @@ class WavefrontRMS(_RayMerit):
         surfaces = compiled_surfaces(system)
         P_xp = self.P_xp
         P_xp_dot = None
-        reference_curvature = None
-        reference_curvature_dot = None
-        stop_index = (self.stop_index if self.stop_index is not None
-                      else getattr(system, 'stop_index', None))
+        ref_curv = None
+        ref_curv_dot = None
+        stop_index = self.stop_index
+        if stop_index is None:
+            stop_index = getattr(system, 'stop_index', None)
         if P_xp is None and stop_index is not None:
             P_xp, xp_mode = _analysis.resolve_exit_pupil(
                 system, wvl, stop_index=self.stop_index, epd=self.epd,
@@ -451,9 +482,8 @@ class WavefrontRMS(_RayMerit):
                 xp_z_dot = _xp_z_tangents_robust(
                     surfaces, wvl, seeds, stop_index)
                 if P_xp is None:
-                    reference_curvature = 0.0
-                    reference_curvature_dot = np.zeros(len(seeds),
-                                                       dtype=_PREC)
+                    ref_curv = 0.0
+                    ref_curv_dot = np.zeros(len(seeds), dtype=_PREC)
                 else:
                     P_xp_dot = np.zeros((3, len(seeds)), dtype=_PREC)
                     P_xp_dot[2] = xp_z_dot
@@ -462,8 +492,8 @@ class WavefrontRMS(_RayMerit):
             chief_index=self.chief_index,
             axis_point=self.axis_point, axis_dir=self.axis_dir,
             P_xp=P_xp, P_xp_dot=P_xp_dot,
-            reference_curvature=reference_curvature,
-            reference_curvature_dot=reference_curvature_dot,
+            reference_curvature=ref_curv,
+            reference_curvature_dot=ref_curv_dot,
             field=self.field, output='length')
         if self.reference == 'piston':
             opd = opd - np.mean(opd)
@@ -480,43 +510,41 @@ class ZernikeCoefficient(_RayMerit):
     name = 'zernike_coefficient'
 
     def __init__(self, field=None, wavelength=None, sampling=None, *,
-                 n, m, nms_basis, target=None, weight=1.0,
-                 min=None, max=None, chief_index=None,
-                 axis_point=None, axis_dir=None, P_xp=None, epd=None,
-                 stop_index=None, normalization_radius=None, norm=True):
-        super().__init__(field, wavelength, sampling, target=target,
-                         weight=weight, min=min, max=max, epd=epd)
-        self.n = int(n)
-        self.m = int(m)
-        nms_basis = [(int(nn), int(mm)) for nn, mm in nms_basis]
-        if (self.n, self.m) not in nms_basis:
+                 n, m, nms_basis, target=None, weight=1.0, min=None,
+                 max=None, chief_index=None, axis_point=None,
+                 axis_dir=None, P_xp=None, epd=None, stop_index=None,
+                 normalization_radius=None, norm=True):
+        super().__init__(field, wavelength, sampling,
+                         target=target, weight=weight, min=min, max=max,
+                         epd=epd)
+        self.n, self.m = int(n), int(m)
+        basis = [(int(nn), int(mm)) for nn, mm in nms_basis]
+        if (self.n, self.m) not in basis:
             raise ValueError(
                 f'(n, m)=({self.n}, {self.m}) must appear in nms_basis '
-                f'{nms_basis!r}; the basis sets which modes are jointly fit')
-        self.nms_basis = tuple(nms_basis)
-        self._idx = nms_basis.index((self.n, self.m))
-        self.chief_index = chief_index
-        self.axis_point = axis_point
-        self.axis_dir = axis_dir
+                f'{basis!r}; the basis sets which modes are jointly fit')
+        self.nms_basis = tuple(basis)
+        self._idx = basis.index((self.n, self.m))
+        self.chief_index, self.stop_index = chief_index, stop_index
+        self.axis_point, self.axis_dir = axis_point, axis_dir
         self.P_xp = P_xp
-        self.stop_index = stop_index
         self.normalization_radius = normalization_radius
         self.norm = bool(norm)
 
     def __call__(self, system, cache):
         P, S, wvl = self._bundle(system, cache)
-        trace = cache.trace(P, S, wvl)
+        run = cache.trace(P, S, wvl)
         P_xp = cache.exit_pupil(
-            P, S, wvl, P_xp=self.P_xp,
-            chief_index=self.chief_index, stop_index=self.stop_index,
-            epd=self.epd, axis_point=self.axis_point,
-            axis_dir=self.axis_dir)
-        opd, x_pup, y_pup, _ = _analysis._wavefront_from_trace(
-            system, P, wvl, trace, chief_index=self.chief_index, P_xp=P_xp,
-            field=self.field)
+            P, S, wvl, P_xp=self.P_xp, chief_index=self.chief_index,
+            stop_index=self.stop_index, epd=self.epd,
+            axis_point=self.axis_point, axis_dir=self.axis_dir)
+        opd, xp_, yp_, _ = _analysis._wavefront_from_trace(
+            system, P, wvl, run, chief_index=self.chief_index,
+            P_xp=P_xp, field=self.field)
         coefs, _ = _analysis.wavefront_zernike_fit(
-            opd, x_pup, y_pup, self.nms_basis,
-            normalization_radius=self.normalization_radius, norm=self.norm)
+            opd, xp_, yp_, self.nms_basis,
+            normalization_radius=self.normalization_radius,
+            norm=self.norm)
         return float(coefs[self._idx])
 
 
@@ -526,19 +554,19 @@ class Distortion(Merit):
     name = 'distortion'
 
     def __init__(self, field, wavelength=None, *, epd, target=None,
-                 weight=1.0, min=None, max=None, paraxial_fraction=1e-4):
-        super().__init__(target=target, weight=weight, min=min, max=max)
-        self.field = field
-        self.wavelength = None if wavelength is None else float(wavelength)
-        self.epd = float(epd)
+                 weight=1.0, min=None, max=None,
+                 paraxial_fraction=1e-4):
+        super().__init__(target, weight, min=min, max=max)
+        self.field, self.epd = field, float(epd)
+        self.wavelength = _opt_float(wavelength)
         self.paraxial_fraction = float(paraxial_fraction)
 
     def __call__(self, system, cache):
         wvl = cache.context(self.wavelength).wavelength
-        result = _analysis.distortion(
+        out = _analysis.distortion(
             system, [self.field], wvl, epd=self.epd,
             paraxial_fraction=self.paraxial_fraction)
-        return float(result.percent[0])
+        return float(out.percent[0])
 
 
 class FieldCurvature(Merit):
@@ -548,103 +576,107 @@ class FieldCurvature(Merit):
 
     def __init__(self, field, wavelength=None, *, target=None,
                  weight=1.0, min=None, max=None):
-        super().__init__(target=target, weight=weight, min=min, max=max)
+        super().__init__(target, weight, min=min, max=max)
         self.field = field
-        self.wavelength = None if wavelength is None else float(wavelength)
+        self.wavelength = _opt_float(wavelength)  # None = reference
 
     def __call__(self, system, cache):
         from .parabasal import parabasal_foci
 
         wvl = cache.context(self.wavelength).wavelength
-        x_z, y_z = parabasal_foci(system, self.field, wvl)
-        if not (math.isfinite(x_z) and math.isfinite(y_z)):
-            raise ValueError(
-                'field_curvature operand: the chief ray failed to trace at '
-                f'field {self.field!r}; cannot evaluate field curvature '
-                '(check the starting geometry or constrain the variables).')
-        return float(abs(x_z - y_z))
+        x_z, y_z = parabasal_foci(system, self.field, wvl)  # nan on miss
+        # nan foci mean the chief failed; surface a clear error rather than
+        # feeding nan residuals to the solver, where they silently stall it
+        if math.isfinite(x_z) and math.isfinite(y_z):
+            return float(abs(x_z - y_z))
+        raise ValueError(
+            'field_curvature operand: the chief ray does not trace at '
+            f'field {self.field!r}, so field curvature is undefined '
+            '(check the starting geometry or constrain the variables).')
 
 
 # ---------- Problem ----------------------------------------------------------
 
 def _is_system(model):
-    return hasattr(model, '_design') and hasattr(model, 'to_surfaces')
+    return hasattr(model, 'to_surfaces') and hasattr(model, '_design')
+
+
+def _residual_of(op, system, cache, *, weighted):
+    """One operand's (optionally weighted) residual against its target."""
+    r = op(system, cache) - op.target
+    return op.weight * r if weighted else r
 
 
 class Problem:
     """Design optimization over an OpticalSystem's free vector."""
 
-    def __init__(self, system, operands=None, *,
-                 constraints=None, gradient='fd'):
+    def __init__(self, system, operands=None, *, constraints=None,
+                 gradient='fd'):
         if not _is_system(system):
             raise TypeError(
-                'Problem requires an OpticalSystem (it owns the DesignState '
-                'free vector and resolves the experiment metadata); got '
-                f'{type(system).__name__}.')
+                f'{type(system).__name__} is not an OpticalSystem; Problem '
+                'needs one for its DesignState free vector and experiment '
+                'metadata.')
         if gradient not in ('auto', 'fd'):
             raise ValueError(
-                f"gradient must be 'auto' or 'fd', got {gradient!r}")
+                f"{gradient!r} is not a gradient mode; use 'auto' or 'fd'")
         self.system = system
         self.design = system._design
-        self.operands = list(operands or [])
-        eqs, ineqs = _route_constraints(constraints)
-        self.equality_constraints = eqs
-        self.inequality_constraints = ineqs
+        self.operands = [*(operands or ())]
+        self.equality_constraints, self.inequality_constraints = \
+            _route_constraints(constraints)
         self.gradient = gradient
 
     def x0(self):
-        """Initial free vector from the DesignState."""
+        """The DesignState's current free vector."""
         return self.design.pack()
 
     def _set_x(self, x):
         self.design.update(x)
 
     def _operand_vector(self, operands, *, weighted):
-        cache = _TraceCache(self.system)
-        out = np.empty(len(operands), dtype=_PREC)
-        for i, op in enumerate(operands):
-            v = op(self.system, cache)
-            r = v - op.target
-            if weighted:
-                r = op.weight * r
-            out[i] = r
-        return out, cache
+        cache = _TraceCache(self.system)  # shared across this evaluation
+        vec = np.asarray(
+            [_residual_of(op, self.system, cache, weighted=weighted)
+             for op in operands], dtype=_PREC)
+        return vec, cache
 
     def residuals(self, x, return_cache=False):
         """Per-operand weighted residual vector."""
         self._set_x(x)
-        out, cache = self._operand_vector(self.operands, weighted=True)
-        if return_cache:
-            return out, cache
-        return out
+        vec, cache = self._operand_vector(self.operands, weighted=True)
+        return (vec, cache) if return_cache else vec
 
     def equalities(self, x, return_cache=False):
-        """Unweighted equality constraint vector, op_i - target_i == 0."""
+        """Unweighted equality constraints: op_i - target_i == 0."""
         self._set_x(x)
-        out, cache = self._operand_vector(
+        vec, cache = self._operand_vector(
             self.equality_constraints, weighted=False)
-        if return_cache:
-            return out, cache
-        return out
+        return (vec, cache) if return_cache else vec
 
     def inequalities(self, x, return_cache=False):
-        """Unweighted inequality constraint vector, g_i(x) >= 0."""
+        """Unweighted inequality constraint vector, g_i(x) >= 0.
+
+        min-bounded terms contribute value - min; max-bounded terms
+        contribute max - value.
+        """
         self._set_x(x)
-        cache = _TraceCache(self.system)
-        out = np.empty(len(self.inequality_constraints), dtype=_PREC)
-        for i, (op, kind, bound) in enumerate(self.inequality_constraints):
-            v = op(self.system, cache)
-            out[i] = (v - bound) if kind == 'min' else (bound - v)
-        if return_cache:
-            return out, cache
-        return out
+        cache = _TraceCache(self.system)  # one cache across the terms
+        vec = np.asarray(
+            [(op(self.system, cache) - bound) if kind == 'min'
+             else (bound - op(self.system, cache))
+             for op, kind, bound in self.inequality_constraints],
+            dtype=_PREC)
+        return (vec, cache) if return_cache else vec
 
     def solve(self, x0=None, **kwargs):
         """Constrained damped least squares; updates the lens to the result."""
         eq = _combine_constraints(
-            self.equalities, kwargs.pop('equality_constraints', None))
+            self.equalities,
+            kwargs.pop('equality_constraints', None))
         ineq = _combine_constraints(
-            self.inequalities, kwargs.pop('inequality_constraints', None))
+            self.inequalities,
+            kwargs.pop('inequality_constraints', None))
         result = damped_least_squares(
             self, x0=x0, equality_constraints=eq,
             inequality_constraints=ineq, **kwargs)
@@ -657,28 +689,24 @@ class Problem:
         return result
 
     def _eval_merit(self, system):
-        cache = _TraceCache(system)
-        total = 0.0
-        for op in self.operands:
-            v = op(system, cache)
-            r = op.weight * (v - op.target)
-            total = total + r * r
-        return total
+        cache = _TraceCache(system)  # fresh per merit evaluation
+        return sum(_residual_of(op, system, cache, weighted=True) ** 2
+                   for op in self.operands)
 
     def merit(self, x):
-        """Scalar sum of squared weighted residuals."""
+        """Sum of squared weighted residuals (the scalar objective)."""
         self._set_x(x)
         return float(self._eval_merit(self.system))
 
     def jacobian(self, x, method='fd', step=1e-6):
         """Gradient of the scalar merit with respect to x (FD)."""
         self._set_x(x)
-        return _merit_jacobian_free(
-            self.design, lambda: self._eval_merit(self.system),
-            method='fd', step=step)
+        return _fd_merit_grad(self.design,
+                              lambda: self._eval_merit(self.system),
+                              method='fd', step=step)
 
     def residual_jacobian(self, x, step=1e-6):
-        """Adjoint Jacobian of the weighted residual vector at x, or None.
+        """Jacobian of the weighted residual vector at x, or None.
 
         None when gradient='fd' — damped_least_squares then central-
         differences the residuals itself.
@@ -687,27 +715,34 @@ class Problem:
             return None
         return self._auto_residual_jacobian(x, step=step)
 
-    def _auto_residual_jacobian(self, x, step=1e-6):
-        """Exact d(weighted residual)/dx via the adjoint engine.
+    # gradient='auto' machinery ------------------------------------------
 
-        Ray operands that expose adjoint_head() are grouped by launch
-        bundle and differentiated in one reverse-mode pass per operand
-        through the trace (reference routes this through
-        ``adjoint/tolerance_analysis.py:72``); remaining operands
-        (paraxial scalars etc.) fall back to central differences.
-        """
+    def _free_seeds(self):
+        """One DiffSeed per free DOF slot, in pack() order."""
         from .adjoint.seeds import seed_from_slot
-        from .adjoint.tolerance_analysis import multi_objective_sensitivity
+        return [seed_from_slot(self.system.lens, slot, self.design,
+                               name=str(slot))
+                for slot in self.design.free_slots()]
+
+    def _auto_residual_jacobian(self, x, step=1e-6):
+        """Exact d(weighted residual)/dx via the differentiable engines.
+
+        Ray operands exposing adjoint_head() are grouped by launch bundle
+        and done in one reverse-mode pass each (the reference routes this
+        through ``adjoint/tolerance_analysis.py:72``); operands with a
+        tangent_gradient use the forward engine; everything else falls
+        back to central differences.
+        """
+        from .adjoint.tolerance_analysis import (
+            multi_objective_sensitivity)
 
         self._set_x(x)
         x = np.asarray(x, dtype=float)
-        slots = self.design.free_slots()
-        seeds = [seed_from_slot(self.system.lens, slot, self.design,
-                                name=str(slot)) for slot in slots]
+        seeds = self._free_seeds()
         J = np.zeros((len(self.operands), x.size), dtype=_PREC)
 
-        cache = _TraceCache(self.system)
-        groups = {}
+        cache = _TraceCache(self.system)  # bundles shared across operands
+        reverse_groups = {}
         fd_rows = []
         for i, op in enumerate(self.operands):
             tangent_fn = getattr(op, 'tangent_gradient', None)
@@ -721,14 +756,15 @@ class Problem:
                 else:
                     J[i] = op.weight * np.asarray(row)
                 continue
-            head_fn = getattr(op, 'adjoint_head', None)
-            if head_fn is None:
+            if getattr(op, 'adjoint_head', None) is None:
                 fd_rows.append(i)
                 continue
             P, S, wvl = op._bundle(self.system, cache)
-            key = (float(wvl), id(P))
-            groups.setdefault(key, (P, S, wvl, []))[3].append(i)
-        for P, S, wvl, rows in groups.values():
+            entry = reverse_groups.setdefault(
+                (float(wvl), id(P)), (P, S, wvl, []))
+            entry[3].append(i)
+
+        for P, S, wvl, rows in reverse_groups.values():
             heads = [self.operands[i].adjoint_head() for i in rows]
             res = multi_objective_sensitivity(
                 self.system, np.asarray(P), np.asarray(S), wvl, seeds,
@@ -737,53 +773,61 @@ class Problem:
                 J[i] = self.operands[i].weight * res.jacobian[m]
 
         if fd_rows:
-            ops = [self.operands[i] for i in fd_rows]
-
-            def sub(xv):
-                self._set_x(xv)
-                out, _ = self._operand_vector(ops, weighted=True)
-                return out
-
-            for k in range(x.size):
-                h = step * max(1.0, abs(x[k]))
-                xp = x.copy()
-                xp[k] += h
-                fp = sub(xp)
-                xp[k] = x[k] - h
-                fm = sub(xp)
-                for m, i in enumerate(fd_rows):
-                    J[i, k] = (fp[m] - fm[m]) / (2 * h)
-            self._set_x(x)
+            self._fd_fill(J, fd_rows, x, step)
         return J
 
+    def _fd_fill(self, J, rows, x, step):
+        """Central-difference the given operand rows into J in place."""
+        ops = [self.operands[i] for i in rows]
+
+        def column(xv):
+            self._set_x(xv)
+            vec, _ = self._operand_vector(ops, weighted=True)
+            return vec
+
+        for k in range(x.size):
+            h = step * max(1.0, abs(x[k]))
+            probe = x.copy()
+            probe[k] = x[k] + h
+            hi = column(probe)
+            probe[k] = x[k] - h
+            lo = column(probe)
+            for m, i in enumerate(rows):
+                J[i, k] = (hi[m] - lo[m]) / (2 * h)
+        self._set_x(x)
+
+
+# ---------- constraint routing ----------------------------------------------
 
 def _as_operand_list(operands):
     if operands is None:
         return []
     if isinstance(operands, Merit):
-        return [operands]
+        return [operands]  # a lone operand, not a sequence
     return list(operands)
 
 
-def _route_constraints(constraints):
-    """Split constraints into equality operands and (op, kind, bound)."""
-    eqs = []
-    ineqs = []
-    for op in _as_operand_list(constraints):
-        mn = getattr(op, 'min', None)
-        mx = getattr(op, 'max', None)
-        if mn is None and mx is None:
+def _route_constraints(cons):
+    """Split constraints into equality operands and (op, kind, bound) terms.
+
+    No bounds -> equality on the operand target; min=/max= produce
+    inequality terms in the g(x) >= 0 convention; mixing target with
+    bounds is an error.
+    """
+    eqs, ineqs = [], []
+    for op in _as_operand_list(cons):
+        bounds = [(kind, getattr(op, kind, None))
+                  for kind in ('min', 'max')]
+        bounds = [(kind, b) for kind, b in bounds if b is not None]
+        if not bounds:
             eqs.append(op)
             continue
-        if getattr(op, '_target_set', False):
+        if getattr(op, '_target_set', False) is True:
             raise ValueError(
                 f'constraint {getattr(op, "name", type(op).__name__)} '
                 'mixes target= with min=/max=; use target= alone for an '
                 'equality or min=/max= alone for inequalities')
-        if mn is not None:
-            ineqs.append((op, 'min', float(mn)))
-        if mx is not None:
-            ineqs.append((op, 'max', float(mx)))
+        ineqs.extend((op, kind, float(b)) for kind, b in bounds)
     return eqs, ineqs
 
 
@@ -791,7 +835,7 @@ def _combine_constraints(primary, extra):
     if extra is None:
         return primary
     if callable(extra):
-        return (primary, extra)
+        return primary, extra
     return (primary, *tuple(extra))
 
 
@@ -800,84 +844,97 @@ def _combine_constraints(primary, extra):
 _GOAL_OPERANDS = {
     'spot': RmsSpotRadius,
     'wavefront': WavefrontRMS,
-}
+}  # the string goals build_problem understands
 
 
-def build_problem(system, goal='spot', *, sampling=None, fields=None,
-                  wavelengths=None, constraints=None):
-    """Assemble a Problem from goal items fanned over fields/wavelengths."""
-    items = list(goal) if isinstance(goal, (list, tuple)) else [goal]
-
-    resolve_field = getattr(system, 'field', None)
+def _goal_axes(system, fields, wavelengths):
+    """Resolved (fields, (wavelength, weight) pairs) to fan operands over."""
+    to_field = getattr(system, 'field', None)
     if fields is not None:
-        flds = [resolve_field(f) if callable(resolve_field) else f
-                for f in fields]
+        flds = [to_field(f) if callable(to_field) else f for f in fields]
     else:
-        flds = list(getattr(system, 'fields', None) or [])
+        flds = [*(getattr(system, 'fields', None) or ())]
     if not flds:
         flds = [None]
 
     if wavelengths is not None:
-        wvls = [float(w) for w in wavelengths]
-        wts = [1.0] * len(wvls)
+        spectrum = [(float(w), 1.0) for w in wavelengths]
     else:
-        wvls = [float(w) for w in getattr(system, 'wavelengths', [])]
-        wts = [float(w) for w in getattr(system, 'weights', [])]
+        wvls = [float(w) for w in getattr(system, 'wavelengths', ())]
+        wts = [float(w) for w in getattr(system, 'weights', ())]
         if len(wts) != len(wvls):
-            wts = [1.0] * len(wvls)
-    if not wvls:
-        wvls = [None]
-        wts = [1.0]
+            wts = [1.0] * len(wvls)  # weights out of sync: flat spectrum
+        spectrum = list(zip(wvls, wts))
+    if not spectrum:
+        spectrum = [(None, 1.0)]
+    return flds, spectrum
+
+
+def _operand_class_for(item):
+    """Resolve one goal item to a Merit class, or None if it is already
+    an operand / callable (returned as ('literal', operand))."""
+    if isinstance(item, str):
+        cls = _GOAL_OPERANDS.get(item)
+        if cls is None:
+            raise ValueError(
+                f'{item!r} is not a known goal; choose from '
+                f'{sorted(_GOAL_OPERANDS)}')
+        return ('class', cls)
+    if isinstance(item, type) and issubclass(item, Merit):
+        return ('class', item)
+    if isinstance(item, Merit):
+        return ('literal', item)
+    if callable(item):
+        return ('literal', _CallableMerit(item))
+    raise TypeError(
+        'goal items must be a string, a Merit subclass or '
+        f'instance, or a callable; got {type(item).__name__}')
+
+
+def _fan_operand_class(cls, flds, spectrum, sampling):
+    """Instances of cls spanning the goal axes its constructor supports."""
+    support = _kw_support(cls)
+    per_recipe = 'field' in support or 'sampling' in support
+    out = []
+    if per_recipe:
+        for f in flds:
+            for w, wt in spectrum:
+                kw = {}
+                if 'field' in support:
+                    kw['field'] = f
+                if 'wavelength' in support:
+                    kw['wavelength'] = w
+                if 'sampling' in support:
+                    kw['sampling'] = sampling
+                if 'weight' in support:
+                    kw['weight'] = wt
+                out.append(cls(**kw))
+    elif 'wavelength' in support:
+        for w, wt in spectrum:
+            kw = {'wavelength': w}
+            if 'weight' in support:
+                kw['weight'] = wt
+            out.append(cls(**kw))
+    else:
+        out.append(cls(**({'weight': 1.0} if 'weight' in support else {})))
+    return out
+
+
+def build_problem(system, goal='spot', *, sampling=None,
+                  fields=None, wavelengths=None, constraints=None):
+    """Assemble a Problem from goal items fanned over fields/wavelengths."""
+    items = list(goal) if isinstance(goal, (list, tuple)) else [goal]
+    flds, spectrum = _goal_axes(system, fields, wavelengths)
 
     ops = []
     for item in items:
-        if isinstance(item, str):
-            cls = _GOAL_OPERANDS.get(item)
-            if cls is None:
-                raise ValueError(
-                    f'unknown goal {item!r}; known goals: '
-                    f'{sorted(_GOAL_OPERANDS)}')
-        elif isinstance(item, type) and issubclass(item, Merit):
-            cls = item
-        elif isinstance(item, Merit):
-            ops.append(item)
-            continue
-        elif callable(item):
-            ops.append(_CallableMerit(item))
-            continue
+        kind, resolved = _operand_class_for(item)
+        if kind == 'literal':
+            ops.append(resolved)
         else:
-            raise TypeError(
-                'goal items must be a string, a Merit subclass or '
-                f'instance, or a callable; got {type(item).__name__}')
-        recipe_class = (_class_accepts_kw(cls, 'field')
-                        or _class_accepts_kw(cls, 'sampling'))
-        wavelength_class = _class_accepts_kw(cls, 'wavelength')
-        weight_class = _class_accepts_kw(cls, 'weight')
-        if recipe_class:
-            for f in flds:
-                for w, wt in zip(wvls, wts):
-                    kwargs = {}
-                    if _class_accepts_kw(cls, 'field'):
-                        kwargs['field'] = f
-                    if wavelength_class:
-                        kwargs['wavelength'] = w
-                    if _class_accepts_kw(cls, 'sampling'):
-                        kwargs['sampling'] = sampling
-                    if weight_class:
-                        kwargs['weight'] = wt
-                    ops.append(cls(**kwargs))
-        elif wavelength_class:
-            for w, wt in zip(wvls, wts):
-                kwargs = {'wavelength': w}
-                if weight_class:
-                    kwargs['weight'] = wt
-                ops.append(cls(**kwargs))
-        else:
-            kwargs = {}
-            if weight_class:
-                kwargs['weight'] = 1.0
-            ops.append(cls(**kwargs))
-    return Problem(system, ops, constraints=constraints)
+            ops.extend(_fan_operand_class(resolved, flds, spectrum, sampling))
+    return Problem(system, ops,
+                   constraints=constraints)
 
 
 __all__ = [
