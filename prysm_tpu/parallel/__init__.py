@@ -6,7 +6,7 @@ physical-optics modeling are wavelengths, field points, focal-plane tiles,
 and polynomial mode batches; they map onto ``jax.sharding.Mesh`` axes with
 XLA collectives over ICI.
 """
-from .mesh import make_mesh, mesh_axes  # NOQA
+from .mesh import make_mesh, make_hybrid_mesh, mesh_axes  # NOQA
 from .broadband import (  # NOQA
     SpectralMDFT, plan_mdft_spectral, spectral_focus, spectral_unfocus,
 )

@@ -84,13 +84,18 @@ class Wavefront:
         return cls(E, wavelength, dx)
 
     @classmethod
-    def thin_lens(cls, f, wavelength, x, y):
-        """Quadratic-phase thin-lens screen of focal length f (mm)."""
+    def thin_lens(cls, f, wavelength, x, y, dx=None):
+        """Quadratic-phase thin-lens screen of focal length f (mm).
+
+        Pass dx explicitly when x/y are traced (inside jit) — the sample
+        spacing is static metadata and cannot be read off a tracer.
+        """
         w = wavelength / 1e3  # um -> mm
         term1 = -2 * jnp.pi / w
         rsq = x * x + y * y
         cmplx_screen = cis(term1 * (rsq / (2 * f)))
-        dx = float(x[0, 1] - x[0, 0])
+        if dx is None:
+            dx = float(x[0, 1] - x[0, 0])
         return cls(cmplx_screen, wavelength, dx, 'pupil')
 
     # -- views --------------------------------------------------------------

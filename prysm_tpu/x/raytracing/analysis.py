@@ -4,7 +4,7 @@ Rebuild of ``prysm/x/raytracing/analysis.py``.  Grid arrays are indexed
 [field_index, wavelength_index, sample_index].  Host numpy orchestration
 over the jittable trace kernel.
 """
-from dataclasses import dataclass
+from dataclasses import dataclass, field as _dc_field
 from typing import NamedTuple
 
 import numpy as np
@@ -16,12 +16,13 @@ from .opt import (_pupil_center_chief_index, centroid_referenced_max,
                   centroid_referenced_rms, hopkins_eic_closing,
                   reference_sphere_curvature, xp_reference_sphere)
 from .paraxial import NonAxialSystemError, paraxial_image_distance
-from .launch import Field, Sampling, _apply_vignetting
+from .launch import _apply_vignetting, Field, Sampling
 from ._trace_grid import (  # NOQA: F401
     TraceRecord, _require_epd, _resolve_fields, _resolve_wavelengths,
     field_sweep, iter_trace_grid, trace_cell)
-from ._resolve import compiled_surfaces, resolve_wavelength, trace_context
-from .surfaces import Conic, EvenAsphere, Plane, Sphere
+from ._resolve import (compiled_surfaces, resolve_wavelength,
+                       trace_context)
+from .surfaces import Conic, Plane, Sphere, EvenAsphere
 
 _PREC = np.float64
 
@@ -129,7 +130,7 @@ def _reference_value(samples, alive, reference, chief_index, *,
         return np.zeros(samples.shape[1:], dtype=samples.dtype)
     choices = ("'centroid', 'chief', or None" if allow_none
                else "'centroid' or 'chief'")
-    raise ValueError(f'reference must be {choices}, got {reference!r}')
+    raise ValueError(f'{reference!r} is not a reference mode; use {choices}')
 
 
 def _center_valid(samples, alive, reference, chief_index, *,
@@ -143,16 +144,18 @@ def _center_valid(samples, alive, reference, chief_index, *,
     return centered, anchor
 
 
-def resolve_exit_pupil(system, wavelength, *, stop_index=None, epd=None,
-                       field=None, chief=None, axis_point=None, axis_dir=None,
-                       min_perp=1e-6, return_mode=False):
+def resolve_exit_pupil(system, wavelength, *, stop_index=None,
+                       epd=None, field=None, chief=None, axis_point=None,
+                       axis_dir=None, min_perp=1e-6, return_mode=False):
     """Exit-pupil reference point P_xp for a wavefront evaluation.
 
     Paraxial stop route when available, chief-axis closest approach
     otherwise; None for image-space telecentric.
     """
     def _package(P_xp, mode):
-        return (P_xp, mode) if return_mode else P_xp
+        if return_mode:
+            return P_xp, mode
+        return P_xp
 
     stop_slot = (getattr(system, 'stop_index', None)
                  if stop_index is None else stop_index)
@@ -162,7 +165,7 @@ def resolve_exit_pupil(system, wavelength, *, stop_index=None, epd=None,
                                            stop_slot)
         except NonAxialSystemError:
             # no centered ABCD; only an explicit-axis call may go geometric
-            if axis_point is None and axis_dir is None:
+            if axis_dir is None and axis_point is None:
                 raise
         else:
             if summary.xp_z is None:
@@ -186,8 +189,8 @@ def _first_order_summary(system, wavelength, epd, stop_slot):
     cached = getattr(system, '_ynu_first_order', None)
     if callable(cached):
         return cached(wvl=wavelength, epd=epd, stop_index=stop_slot)
-    from .paraxial import ynu_first_order
-    return ynu_first_order(compiled_surfaces(system), wvl=wavelength,
+    from .paraxial import ynu_first_order as _ynu_fo
+    return _ynu_fo(compiled_surfaces(system), wvl=wavelength,
                            epd=epd, stop_index=stop_slot)
 
 
@@ -196,7 +199,7 @@ def _chief_endpoint(system, field, wavelength, epd):
     if field is None:
         field = Field(0.0, 0.0)
     if epd is None:
-        resolver = getattr(system, 'entrance_pupil_diameter', None)
+        resolver = getattr(system, 'entrance_pupil_diameter', None)  # cached
         if callable(resolver):
             epd = resolver(wavelength)
     if epd is None:
@@ -240,7 +243,7 @@ def spot_positions(P_final, status=None, origin=None):
         return x, y
     if isinstance(origin, str):
         if origin.lower() != 'centroid':
-            raise ValueError("origin string must be 'centroid'")
+            raise ValueError("the only origin string is 'centroid'")
         origin = (np.nanmean(x), np.nanmean(y))
     origin = np.asarray(origin)
     return x - origin[0], y - origin[1]
@@ -270,13 +273,13 @@ def _require_valid_chief(alive, chief_index, reference='chief'):
             'bundle.')
     raise ValueError(
         f'the anchor ray (chief_index={chief_index}) is invalid; pass a '
-        'chief_index that survives the trace, or omit it to auto-select '
+        'chief_index that survives the trace, or omit it so the center '
         'the surviving ray nearest the pupil center')
 
 
 @dataclass
 class ReferenceSphereClosing:
-    """Chief-zeroed OPD and reusable reference-sphere geometry."""
+    """Chief-zeroed OPD plus the reusable reference-sphere geometry."""
 
     opd: object
     curvature: float
@@ -285,7 +288,8 @@ class ReferenceSphereClosing:
     delta: object
 
 
-def close_on_reference_sphere(trace, valid, chief_index, *, center, P_xp,
+def close_on_reference_sphere(trace, valid, chief_index, *,
+                              center, P_xp,
                               n_image, curvature=None):
     """Close a traced bundle onto the chief-image reference sphere."""
     center = np.asarray(center)
@@ -295,7 +299,7 @@ def close_on_reference_sphere(trace, valid, chief_index, *, center, P_xp,
         delta, R = None, np.inf
     else:
         delta = np.asarray(P_xp, dtype=center.dtype) - center
-        R = float(np.sqrt(np.sum(delta * delta)))
+        R = float(np.linalg.norm(delta))
     packed_chief = _packed_chief_index(valid, chief_index)
     P, S = np.asarray(trace.P), np.asarray(trace.S)
     OPL = np.asarray(trace.OPL)
@@ -322,10 +326,11 @@ class WavefrontClosing:
     n_image: float
 
 
-def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
-                    center=None, P_xp=None, stop_index=None, epd=None,
-                    axis_point=None, axis_dir=None, min_perp=1e-6, valid=None,
-                    reference='chief', apply_field_tilt=True, ctx=None):
+def close_wavefront(system, trace, wavelength, chief_index, *,
+                    field=None, center=None, P_xp=None, stop_index=None,
+                    epd=None, axis_point=None, axis_dir=None,
+                    min_perp=1e-6, valid=None, reference='chief',
+                    apply_field_tilt=True, ctx=None):
     """Close a traced bundle into a chief-referenced OPD.
 
     Owns validity, medium indices, exit-pupil resolution, EIC closed,
@@ -342,7 +347,8 @@ def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
         xp_mode = 'fixed'
     else:
         P_xp, xp_mode = resolve_exit_pupil(
-            system, wavelength, stop_index=stop_index, epd=epd,
+            system, wavelength, stop_index=stop_index,
+            epd=epd,
             chief=(chief_P_end, np.asarray(trace.S)[-1, chief_index]),
             axis_point=axis_point, axis_dir=axis_dir,
             min_perp=min_perp, return_mode=True)
@@ -352,7 +358,7 @@ def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
                                        center=center, P_xp=P_xp,
                                        n_image=ctx.n_image)
     opd = closed.opd
-    if apply_field_tilt and field is not None:
+    if field is not None and apply_field_tilt:
         ax, ay = field.angle_radians()
         at_launch = np.asarray(trace.P)[0]
         pupil_u = at_launch[valid, 0] - at_launch[chief_index, 0]
@@ -363,7 +369,8 @@ def close_wavefront(system, trace, wavelength, chief_index, *, field=None,
                             closed.delta, closed.packed_chief, ctx.n_image)
 
 
-def _wavefront_from_trace(system, P, wavelength, trace, *, P_xp=None,
+def _wavefront_from_trace(system, P, wavelength, trace, *,
+                          P_xp=None,
                           chief_index=None, pupil_coords=None,
                           field=None, output='length', reference='chief'):
     """Wavefront kernel for callers that already hold the trace."""
@@ -373,7 +380,7 @@ def _wavefront_from_trace(system, P, wavelength, trace, *, P_xp=None,
     closed = close_wavefront(system, trace, wavelength, chief_index,
                              field=field, P_xp=P_xp, valid=alive,
                              reference=reference,
-                             apply_field_tilt=pupil_coords is None)
+                             apply_field_tilt=(pupil_coords is None))
     if pupil_coords is None:
         pupil_u = P[alive, 0] - P[chief_index, 0]
         pupil_v = P[alive, 1] - P[chief_index, 1]
@@ -406,11 +413,12 @@ def wavefront(system, P, S, wavelength=None, *, P_xp=None, chief_index=None,
               pupil_coords=None, field=None, output='length',
               reference='chief'):
     """(opd, x_pupil, y_pupil): OPD on the chief-centered reference sphere."""
-    if reference not in ('chief', 'centroid'):
+    if reference not in {'chief', 'centroid'}:
         raise ValueError(f"reference must be 'chief' or 'centroid', "
                          f'got {reference!r}')
     wavelength = resolve_wavelength(system, wavelength)
-    trace = raytrace(compiled_surfaces(system), P, S, wavelength)
+    trace = raytrace(compiled_surfaces(system), P, S,
+                     wavelength)
     opd, pupil_u, pupil_v, _ = _wavefront_from_trace(
         system, P, wavelength, trace, P_xp=P_xp, chief_index=chief_index,
         pupil_coords=pupil_coords, field=field, output=output,
@@ -427,9 +435,9 @@ def wavefront_zernike_fit(opd, x_pupil, y_pupil, nms, *, norm=True,
         raise ValueError('the fit needs at least one finite OPD sample')
     opd, u, v = opd[finite], u[finite], v[finite]
     radius_sq = u * u + v * v
-    if normalization_radius is None:
+    if normalization_radius is None:  # default: tight circumscribing radius
         normalization_radius = float(np.sqrt(radius_sq.max()))
-    if normalization_radius <= 0.0:
+    if not normalization_radius > 0.0:
         raise ValueError('normalization_radius must be positive; got '
                          f'{normalization_radius}')
     rho = np.sqrt(radius_sq) / normalization_radius
@@ -442,12 +450,13 @@ def wavefront_zernike_fit(opd, x_pupil, y_pupil, nms, *, norm=True,
 
 # ---------- distortion -------------------------------------------------------
 
-def distortion(system, fields=None, wavelength=None, *, epd=None,
+def distortion(system, fields=None, wavelength=None, *,
+               epd=None,
                paraxial_fraction=1e-4, pupil_z=None,
                distortion_type='f-tan', samples=101):
     """Per-field chief-ray image error vs a generalized paraxial map."""
     wavelength = resolve_wavelength(system, wavelength)
-    epd = _require_epd(system, epd, wavelength)
+    epd = _require_epd(system, epd, wavelength)  # distortion needs a pupil
     fields = field_sweep(system, fields, int(samples))
     if distortion_type not in ('f-tan', 'linear-angle'):
         raise ValueError("distortion_type must be 'f-tan' or "
