@@ -272,6 +272,40 @@ def cfg5_coronagraph(jax, jnp):
     return step, (fpm, plans, key), run
 
 
+
+def cfg6_raytrace(jax, jnp):
+    """Batched multi-field trace: rays x surfaces throughput on device."""
+    import prysm_tpu.x.raytracing as rt
+    import prysm_tpu.x.materials as mat
+    from prysm_tpu.x.raytracing.batch import _host_launches
+    from prysm_tpu.x.raytracing.spencer_and_murty import raytrace
+
+    bk7 = mat.model_glass(1.5168, 64.17, name='BK7ish')
+    sf5 = mat.model_glass(1.6727, 32.2, name='SF5ish')
+    lens = rt.LensData()
+    lens.add(rt.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(rt.Sphere(-1 / 45.0), thickness=3.0, material=sf5)
+    lens.add(rt.Sphere(-1 / 128.0), thickness=95.0, material=mat.air)
+    system = rt.OpticalSystem(lens, aperture=rt.ApertureSpec.epd(20.0),
+                              fields=[0.0, 1.0, 2.0], wavelengths=[WVL],
+                              stop_index=1)
+    surfaces = system.to_surfaces()
+    P, S = _host_launches(system, list(system.fields), WVL,
+                          rt.Sampling.hex(64), None)
+    F, N = P.shape[:2]
+    P = P.reshape(F * N, 3).astype(np.float32)
+    S = S.reshape(F * N, 3).astype(np.float32)
+
+    def run(P, S):
+        res = raytrace(surfaces, P, S, WVL)
+        return res.P, res.status
+
+    step = jax.jit(run)
+    out = step(P, S)
+    jax.block_until_ready(out)
+    run.rays_surfaces = F * N * len(surfaces)
+    return step, (P, S), run
+
 # ---------------------------------------------------------------------------
 # kernel validation (on whatever backend is live; real TPU under the driver)
 # ---------------------------------------------------------------------------
@@ -355,6 +389,8 @@ def main():
          'chains/s/chip', 50),
         ('broadband_coronagraph_bayer_512', cfg5_coronagraph,
          'frames/s/chip', 20),
+        ('raytrace_doublet_3f_37k_rays', cfg6_raytrace,
+         'Mray-surfaces/s/chip', 20),
     ]
 
     # Phase 1: build + warm + TIME every config with zero device->host
@@ -380,6 +416,11 @@ def main():
     for name, builder, unit, iters in plan:
         timing = timings[name]
         extra = {}
+        rs = getattr(fns[name][0], 'rays_surfaces', None)
+        if rs:
+            # report mega-(ray x surface) ops per second, not calls/s
+            timing = dict(timing)
+            timing['median_s'] = timing['median_s'] / (rs / 1e6)
         if name == 'psf_mtf_grad_1024_fft' and flagship_flops:
             extra['xla_cost_model_gflop_per_step'] = round(
                 flagship_flops / 1e9, 2)

@@ -1,0 +1,227 @@
+"""Detector noise model and Bayer CFA pipeline, in depth vs the reference.
+
+Split out of test_optics_misc.py (one file previously covered five
+subsystems); adds CFA-order sweeps, multi-frame exposures, LUTs, safe
+white balance, odd-size behavior, and superresolved assembly.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prysm_tpu import detector, bayer
+from prysm_tpu.coordinates import make_xy_grid
+
+import prysm.detector as ref_detector
+import prysm.bayer as ref_bayer
+
+CFAS = ['rggb', 'bggr']
+
+
+def _img(shape=(64, 64), lo=100.0, hi=5000.0, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, size=shape)
+
+
+# ---------------------------------------------------------------------------
+# detector
+# ---------------------------------------------------------------------------
+
+def _det_pair(**overrides):
+    kwargs = dict(dark_current=2.0, read_noise=5.0, bias=200.0, fwc=60e3,
+                  conversion_gain=0.5, bits=14, exposure_time=1e-2)
+    kwargs.update(overrides)
+    return detector.Detector(**kwargs), ref_detector.Detector(**kwargs)
+
+
+def test_expose_statistics_match_reference_model():
+    """Mean/std of a flat exposure track the analytic chain on both."""
+    ours, ref = _det_pair()
+    img = np.full((256, 256), 2.0e5)
+    frame = np.asarray(ours.expose(jnp.asarray(img),
+                                   key=jax.random.PRNGKey(0)),
+                       dtype=np.float64)
+    rframe = np.asarray(ref.expose(img), dtype=np.float64)
+    assert frame.mean() == pytest.approx(rframe.mean(), rel=2e-3)
+    assert frame.std() == pytest.approx(rframe.std(), rel=0.05)
+
+
+def test_expose_multiframe_shape_and_independence():
+    ours, _ = _det_pair()
+    img = np.full((32, 32), 1.0e5)
+    frames = ours.expose(jnp.asarray(img), frames=4,
+                         key=jax.random.PRNGKey(1))
+    assert frames.shape == (4, 32, 32)
+    f = np.asarray(frames, dtype=np.float64)
+    # distinct frames: different noise realizations
+    assert not np.array_equal(f[0], f[1])
+
+
+@pytest.mark.parametrize('bits,dtype', [(8, np.uint8), (12, np.uint16),
+                                        (14, np.uint16), (16, np.uint16),
+                                        (32, np.uint32)])
+def test_expose_adc_dtype_and_cap(bits, dtype):
+    ours, _ = _det_pair(bits=bits)
+    img = np.full((16, 16), 1.0e9)  # drive into saturation
+    frame = np.asarray(ours.expose(jnp.asarray(img),
+                                   key=jax.random.PRNGKey(2)))
+    assert frame.dtype == dtype
+    assert frame.max() <= 2 ** bits - 1
+    # FWC + gain caps saturated output at fwc / conversion_gain (or ADC cap)
+    cap = min(60e3 / 0.5, 2 ** bits - 1)
+    assert frame.max() == pytest.approx(cap, rel=1e-6)
+
+
+def test_expose_lut_applies():
+    lut = jnp.sqrt(jnp.arange(2 ** 14, dtype=jnp.float64))
+    ours, _ = _det_pair(lut=lut)
+    base, _ = _det_pair()
+    img = np.full((16, 16), 1.0e5)
+    key = jax.random.PRNGKey(3)
+    with_lut = np.asarray(ours.expose(jnp.asarray(img), key=key),
+                          dtype=np.float64)
+    without = np.asarray(base.expose(jnp.asarray(img), key=key),
+                         dtype=np.float64)
+    np.testing.assert_allclose(with_lut, np.sqrt(without), rtol=1e-6)
+
+
+def test_expose_prnu_dcnu_scale():
+    img = np.full((16, 16), 1.0e5)
+    prnu = jnp.full((16, 16), 1.1)
+    ours, _ = _det_pair(prnu=prnu, read_noise=0.0)
+    a = np.asarray(ours.expose(jnp.asarray(img), key=jax.random.PRNGKey(4)),
+                   dtype=np.float64).mean()
+    # mean DN = (prnu * signal_e + dark_e + bias) / gain
+    want = (1.1 * 1.0e5 * 1e-2 + 2.0 * 1e-2 + 200.0) / 0.5
+    assert a == pytest.approx(want, rel=5e-3)
+
+
+@pytest.mark.parametrize('shape', [(64, 64), (66, 64), (48, 96)])
+@pytest.mark.parametrize('factor', [2, 3, 4])
+@pytest.mark.parametrize('mode', ['avg', 'sum'])
+def test_bindown_matches(shape, factor, mode):
+    if shape[0] % factor or shape[1] % factor:
+        pytest.skip('factor does not divide shape')
+    a = _img(shape)
+    np.testing.assert_allclose(
+        np.asarray(detector.bindown(jnp.asarray(a), factor, mode=mode)),
+        np.asarray(ref_detector.bindown(a, factor, mode=mode)),
+        rtol=1e-13)
+
+
+@pytest.mark.parametrize('factor', [2, 3])
+@pytest.mark.parametrize('scaling', ['sum', 'avg'])
+def test_tile_matches_and_adjoint(factor, scaling):
+    a = _img((24, 24))
+    ours = np.asarray(detector.tile(jnp.asarray(a), factor, scaling=scaling))
+    ref = np.asarray(ref_detector.tile(a, factor, scaling=scaling))
+    np.testing.assert_allclose(ours, ref, rtol=1e-13)
+
+
+def test_pixel_and_olpf_transfer_functions_match():
+    fx, fy = np.meshgrid(np.linspace(-0.5, 0.5, 33),
+                         np.linspace(-0.5, 0.5, 33))
+    np.testing.assert_allclose(
+        np.asarray(detector.pixel_ft(jnp.asarray(fx), jnp.asarray(fy),
+                                     5.0, 5.0)),
+        np.asarray(ref_detector.pixel_ft(fx, fy, 5.0, 5.0)),
+        rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(detector.olpf_ft(jnp.asarray(fx), jnp.asarray(fy),
+                                    2.5, 2.5)),
+        np.asarray(ref_detector.olpf_ft(fx, fy, 2.5, 2.5)),
+        rtol=1e-12, atol=1e-15)
+
+
+def test_pixel_spatial_matches():
+    x, y = make_xy_grid(32, diameter=20.0)
+    np.testing.assert_allclose(
+        np.asarray(detector.pixel(x, y, 5.0, 5.0)),
+        np.asarray(ref_detector.pixel(np.asarray(x), np.asarray(y),
+                                      5.0, 5.0)),
+        atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# bayer
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('cfa', CFAS)
+def test_composite_decomposite_roundtrip(cfa):
+    r, g1, g2, b = (_img((32, 32), seed=i) for i in range(4))
+    ours = np.asarray(bayer.composite_bayer(
+        jnp.asarray(r), jnp.asarray(g1), jnp.asarray(g2), jnp.asarray(b),
+        cfa=cfa))
+    ref = np.asarray(ref_bayer.composite_bayer(r, g1, g2, b, cfa=cfa))
+    np.testing.assert_allclose(ours, ref, rtol=1e-14)
+    od = [np.asarray(p) for p in bayer.decomposite_bayer(
+        jnp.asarray(ours), cfa=cfa)]
+    rd = ref_bayer.decomposite_bayer(ref, cfa=cfa)
+    for o, r_ in zip(od, rd):
+        np.testing.assert_allclose(o, np.asarray(r_), rtol=1e-14)
+
+
+@pytest.mark.parametrize('cfa', CFAS)
+def test_recomposite_matches(cfa):
+    r, g1, g2, b = (_img((16, 16), seed=10 + i) for i in range(4))
+    np.testing.assert_allclose(
+        np.asarray(bayer.recomposite_bayer(
+            jnp.asarray(r), jnp.asarray(g1), jnp.asarray(g2),
+            jnp.asarray(b), cfa=cfa)),
+        np.asarray(ref_bayer.recomposite_bayer(r, g1, g2, b, cfa=cfa)),
+        rtol=1e-14)
+
+
+@pytest.mark.parametrize('cfa', CFAS)
+def test_malvar_demosaic_matches(cfa):
+    mosaic = _img((64, 64), seed=20)
+    np.testing.assert_allclose(
+        np.asarray(bayer.demosaic_malvar(jnp.asarray(mosaic), cfa=cfa)),
+        np.asarray(ref_bayer.demosaic_malvar(mosaic, cfa=cfa)),
+        rtol=1e-10, atol=1e-10)
+
+
+def test_demosaic_deinterlace_matches():
+    mosaic = _img((32, 32), seed=21)
+    ours = [np.asarray(p) for p in bayer.demosaic_deinterlace(
+        jnp.asarray(mosaic))]
+    ref = ref_bayer.demosaic_deinterlace(mosaic)
+    for o, r_ in zip(ours, ref):
+        np.testing.assert_allclose(o, np.asarray(r_), rtol=1e-13)
+
+
+def test_wb_prescale_and_postscale_match():
+    mosaic = _img((32, 32), seed=22)
+    args = (1.9, 1.0, 1.0, 1.4)
+    ours = np.asarray(bayer.wb_prescale(jnp.asarray(mosaic), *args))
+    refm = mosaic.copy()
+    ref_bayer.wb_prescale(refm, *args)  # reference mutates in place
+    np.testing.assert_allclose(ours, refm, rtol=1e-13)
+
+    rgb = _img((16, 16, 3), seed=23)
+    ours2 = np.asarray(bayer.wb_postscale(jnp.asarray(rgb), 1.9, 1.0, 1.4))
+    refrgb = rgb.copy()
+    ref_bayer.wb_postscale(refrgb, 1.9, 1.0, 1.4)
+    np.testing.assert_allclose(ours2, refrgb, rtol=1e-13)
+
+
+def test_wb_prescale_safe_mode_saturation():
+    mosaic = np.full((8, 8), 0.9)
+    ours = np.asarray(bayer.wb_prescale(jnp.asarray(mosaic), 2.0, 1.0,
+                                        1.0, 2.0, safe=True,
+                                        saturation=1.0))
+    refm = mosaic.copy()
+    ref_bayer.wb_prescale(refm, 2.0, 1.0, 1.0, 2.0, safe=True,
+                          saturation=1.0)
+    np.testing.assert_allclose(ours, refm, rtol=1e-13)
+    assert ours.max() <= 1.0 + 1e-12
+
+
+def test_assemble_superresolved_matches():
+    r, g1, g2, b = (_img((16, 16), seed=30 + i) for i in range(4))
+    ours = np.asarray(bayer.assemble_superresolved(
+        jnp.asarray(r), jnp.asarray(g1), jnp.asarray(g2), jnp.asarray(b),
+        2.0))
+    ref = np.asarray(ref_bayer.assemble_superresolved(r, g1, g2, b, 2.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)

@@ -1,4 +1,5 @@
-"""thinlens / thinfilm / refractive / detector / bayer / objects vs reference."""
+"""thinlens / thinfilm / refractive / objects / degradations / conv vs
+reference.  Detector and Bayer depth lives in test_detector_bayer.py."""
 import numpy as np
 import pytest
 
@@ -100,19 +101,6 @@ def test_refractive_matches():
     np.testing.assert_allclose(ours, theirs, rtol=1e-13)
 
 
-def test_bindown_tile_match():
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((16, 24))
-    for mode in ('avg', 'sum'):
-        ours = np.asarray(detector.bindown(jnp.asarray(a), (4, 6), mode))
-        theirs = np.asarray(ref_detector.bindown(a, (4, 6), mode))
-        np.testing.assert_allclose(ours, theirs, rtol=1e-13)
-    b = rng.standard_normal((4, 6))
-    for scaling in ('avg', 'sum'):
-        ours = np.asarray(detector.tile(jnp.asarray(b), (2, 3), scaling))
-        theirs = np.asarray(ref_detector.tile(b, (2, 3), scaling))
-        np.testing.assert_allclose(ours, theirs, rtol=1e-13)
-
 
 def test_bindown_tile_vdot_adjoint():
     rng = np.random.default_rng(1)
@@ -124,51 +112,8 @@ def test_bindown_tile_vdot_adjoint():
     np.testing.assert_allclose(np.vdot(Ax, y), np.vdot(x, Aty), rtol=1e-12)
 
 
-def test_detector_expose_statistics():
-    """Noise chain produces plausible statistics under an explicit key."""
-    det = detector.Detector(dark_current=30, read_noise=10, bias=200, fwc=60000,
-                            conversion_gain=1.5, bits=14, exposure_time=1/100)
-    aerial = jnp.full((64, 64), 1e5)
-    img = det.expose(aerial, key=jax.random.key(0))
-    assert img.dtype == jnp.uint16
-    mean_dn = float(img.mean())
-    expected = (1e5 / 100 + 0.3 + 200) / 1.5
-    assert abs(mean_dn - expected) / expected < 0.05
 
 
-def test_bayer_roundtrip_matches():
-    rng = np.random.default_rng(2)
-    r = rng.random((8, 8))
-    g1 = rng.random((8, 8))
-    g2 = rng.random((8, 8))
-    b = rng.random((8, 8))
-    ours = np.asarray(bayer.composite_bayer(*map(jnp.asarray, (r, g1, g2, b))))
-    theirs = np.asarray(ref_bayer.composite_bayer(r, g1, g2, b))
-    np.testing.assert_allclose(ours, theirs)
-    planes_o = bayer.decomposite_bayer(jnp.asarray(ours))
-    planes_r = ref_bayer.decomposite_bayer(theirs)
-    for o, t in zip(planes_o, planes_r):
-        np.testing.assert_allclose(np.asarray(o), np.asarray(t))
-    rec_o = np.asarray(bayer.recomposite_bayer(*planes_o))
-    rec_r = np.asarray(ref_bayer.recomposite_bayer(*planes_r))
-    np.testing.assert_allclose(rec_o, rec_r)
-
-
-def test_malvar_demosaic_matches():
-    rng = np.random.default_rng(3)
-    mosaic = rng.random((16, 16))
-    ours = np.asarray(bayer.demosaic_malvar(jnp.asarray(mosaic)))
-    theirs = np.asarray(ref_bayer.demosaic_malvar(mosaic))
-    np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
-
-
-def test_wb_prescale_matches():
-    rng = np.random.default_rng(4)
-    mosaic = rng.random((8, 8))
-    ours = np.asarray(bayer.wb_prescale(jnp.asarray(mosaic), 2.0, 1.0, 1.1, 1.5))
-    m2 = mosaic.copy()
-    ref_bayer.wb_prescale(m2, 2.0, 1.0, 1.1, 1.5)
-    np.testing.assert_allclose(ours, m2, rtol=1e-13)
 
 
 def test_objects_match():

@@ -212,12 +212,50 @@ def cfg5_coronagraph_chain():
     }
 
 
+def cfg6_raytrace():
+    """Batched multi-field reference trace: rays x surfaces throughput."""
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    from _ref_stubs import install as _install_ref_stubs
+    _install_ref_stubs()
+    from prysm.x import raytracing as xrt
+    from prysm.x import materials as xmat
+
+    bk7 = xmat.model_glass(1.5168, 64.17, name='BK7ish')
+    sf5 = xmat.model_glass(1.6727, 32.2, name='SF5ish')
+    lens = xrt.LensData()
+    lens.add(xrt.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(xrt.Sphere(-1 / 45.0), thickness=3.0, material=sf5)
+    lens.add(xrt.Sphere(-1 / 128.0), thickness=95.0, material=xmat.air)
+    system = xrt.OpticalSystem(lens, aperture=xrt.ApertureSpec.epd(20.0),
+                               fields=[0.0, 1.0, 2.0], wavelengths=[WVL],
+                               stop_index=1)
+    surfaces = system.to_surfaces()
+    bundles = [xrt.launch(system, f, WVL, xrt.Sampling.hex(64))
+               for f in system.fields]
+    P = np.concatenate([b[0] for b in bundles])
+    S = np.concatenate([b[1] for b in bundles])
+    n_rs = P.shape[0] * len(surfaces)
+
+    def step():
+        return xrt.raytrace(surfaces, P, S, WVL)
+
+    sec = _time(step, 5)
+    return {
+        'workload': 'doublet, 3 fields x hex(64) merged bundle '
+                    f'({P.shape[0]} rays x {len(surfaces)} surfaces)',
+        'reference_ms': round(sec * 1e3, 2),
+        'reference_rate': round(n_rs / sec / 1e6, 4),
+        'unit': 'Mray-surfaces/s',
+    }
+
+
 CONFIGS = {
     'psf_mtf_grad_1024_fft': cfg1_flagship,
     'phase_retrieval_grad_1024_mdft': cfg2_mdft_grad,
     'segmented_hex_psf_ee_512': cfg3_segmented,
     'angular_spectrum_chain_1024': cfg4_angular_spectrum,
     'broadband_coronagraph_bayer_512': cfg5_coronagraph_chain,
+    'raytrace_doublet_3f_37k_rays': cfg6_raytrace,
 }
 
 
