@@ -469,7 +469,10 @@ def _probe_backend(timeout_s=75):
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     v = jax.jit(lambda a: (a * 2 + 1).sum())(jnp.arange(8, dtype=jnp.float32))
-    float(v)
+    # block, do NOT read: one device->host fetch here would permanently
+    # disable the relay's execution pipelining and inflate every timing
+    # ~10x (the r1 bench measured 47 us/step; a probe fetch made it 580)
+    jax.block_until_ready(v)
     signal.alarm(0)
 
 

@@ -115,3 +115,104 @@ def circle_raster_pallas(radius, r, dx, invert=False):
     return _tiled_call(partial(_circle_kernel, float(radius), float(dx),
                                bool(invert)),
                        [r], r.shape)
+
+
+def _annulus_kernel(rin, rout, dx, r_ref, out_ref):
+    center = (rin + rout) / 2.0
+    halfwidth = (rout - rin) / 2.0
+    d = jnp.abs(r_ref[...] - center) - halfwidth
+    out_ref[...] = _coverage(d, dx)
+
+
+def annulus_raster_pallas(rin, rout, r, dx):
+    """Anti-aliased annular coverage mask in one fused pass."""
+    r = jnp.asarray(r)
+    if r.ndim != 2:
+        raise ValueError('annulus_raster_pallas requires a 2D radial grid')
+    return _tiled_call(partial(_annulus_kernel, float(rin), float(rout),
+                               float(dx)),
+                       [r], r.shape)
+
+
+def _rect_kernel(width, height, cosang, sinang, dx, x_ref, y_ref, out_ref):
+    x = x_ref[...]
+    y = y_ref[...]
+    # static rotation folded to two fused multiplies; matches the
+    # reference's polar-rotation convention (geometry.py:98-116:
+    # theta + angle, i.e. x' = x cos a - y sin a)
+    xr = x * cosang - y * sinang
+    yr = x * sinang + y * cosang
+    qx = jnp.abs(xr) - width
+    qy = jnp.abs(yr) - height
+    outside = jnp.hypot(jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0))
+    inside = jnp.minimum(jnp.maximum(qx, qy), 0.0)
+    out_ref[...] = _coverage(outside + inside, dx)
+
+
+def rectangle_raster_pallas(width, x, y, dx, height=None, angle=0.0):
+    """Anti-aliased (rotated) rectangle coverage mask, one fused pass."""
+    x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
+    if x.ndim != 2:
+        raise ValueError('rectangle_raster_pallas requires 2D grids')
+    if height is None:
+        height = width
+    a = np.radians(float(angle))
+    return _tiled_call(
+        partial(_rect_kernel, float(width), float(height),
+                float(np.cos(a)), float(np.sin(a)), float(dx)),
+        [x, y], x.shape)
+
+
+def regular_polygon_raster_pallas(sides, radius, x, y, dx, rotation=0.0):
+    """Anti-aliased regular-polygon coverage via the fused edge-loop kernel.
+
+    Vertices are generated host-side with the same convention as
+    ``geometry.regular_polygon_sdf`` (first vertex at +y, i.e. 90 deg,
+    plus rotation).
+    """
+    from ..geometry import _generate_vertices
+    verts = _generate_vertices(int(sides), radius, (0, 0), rotation)
+    return polygon_raster_pallas(verts, x, y, dx)
+
+
+def _telescope_kernel(outer, inner, vanes, half_w, rot, dx,
+                      x_ref, y_ref, out_ref):
+    x = x_ref[...]
+    y = y_ref[...]
+    r = jnp.sqrt(x * x + y * y)
+    d = r - outer                                   # outer circle
+    if inner is not None:
+        d = jnp.maximum(d, inner - r)               # subtract obscuration
+    if vanes:
+        step = 2.0 * np.pi / vanes
+        dspider = None
+        for k in range(vanes):
+            angle = step * k - rot
+            c, s = float(np.cos(angle)), float(np.sin(angle))
+            along = x * c - y * s
+            across = x * s + y * c
+            vane = jnp.hypot(jnp.minimum(along, 0.0), across) - half_w
+            dspider = vane if dspider is None else jnp.minimum(dspider, vane)
+        d = jnp.maximum(d, -dspider)                # subtract the vanes
+    out_ref[...] = _coverage(d, dx)
+
+
+def telescope_pupil_raster_pallas(x, y, dx, *, outer_radius,
+                                  inner_radius=None, spider_vanes=0,
+                                  spider_width=0.0, spider_rotation=0.0):
+    """Classic obscured telescope pupil in ONE fused pass.
+
+    outer circle minus central obscuration minus spider vanes — the CSG
+    chain the jnp path materializes as three full-grid SDFs plus two
+    max() passes (reference geometry.py: circle/annulus/spider + CSG at
+    prysm/geometry.py:37-96).  All shapes are static geometry.
+    """
+    x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
+    if x.ndim != 2:
+        raise ValueError('telescope_pupil_raster_pallas requires 2D grids')
+    return _tiled_call(
+        partial(_telescope_kernel, float(outer_radius),
+                None if inner_radius is None else float(inner_radius),
+                int(spider_vanes), float(spider_width) / 2.0,
+                float(np.radians(spider_rotation)), float(dx)),
+        [x, y], x.shape)

@@ -236,3 +236,98 @@ def test_zernike_sum_pallas_grads_coefs_mode():
     assert np.all(np.asarray(gr) == 0)
     with pytest.raises(ValueError):
         zernike_sum_pallas(coefs, nms, r, t, grads='bogus')
+
+
+# ---------------------------------------------------------------------------
+# round 2: CZT chirp fusion + extended raster shapes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('ps,fs', [((64, 64), (48, 48)),
+                                   ((48, 64), (32, 40)),
+                                   ((33, 47), (21, 27)),
+                                   ((256, 16), (8, 96))])  # x_first False
+def test_czt_pallas_matches_plan(interpret_mode, ps, fs):
+    from prysm_tpu.propagation import dft
+    from prysm_tpu.ops.czt import czt_pallas
+
+    plan = dft.prepare_executor(0.01, ps, 0.4, fs, 0.55, 10.0, kind='czt')
+    rng = np.random.default_rng(0)
+    E = rng.normal(size=ps) + 1j * rng.normal(size=ps)
+    want = np.asarray(plan(jnp.asarray(E)))
+    got = np.asarray(czt_pallas(plan, jnp.asarray(E)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+
+def test_czt_pallas_rejects_batched(interpret_mode):
+    from prysm_tpu.propagation import dft
+    from prysm_tpu.ops.czt import czt_pallas
+
+    plan = dft.prepare_executor(0.01, (16, 16), 0.4, (8, 8), 0.55, 10.0,
+                                kind='czt')
+    with pytest.raises(ValueError, match='single'):
+        czt_pallas(plan, jnp.zeros((2, 16, 16), jnp.complex128))
+
+
+def _grids(N=192, diameter=2.2):
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    x, y = make_xy_grid(N, diameter=diameter)
+    r, t = cart_to_polar(x, y)
+    xb, yb = jnp.broadcast_arrays(x, y)
+    return xb, yb, r, diameter / N
+
+
+def test_annulus_raster_matches(interpret_mode):
+    from prysm_tpu.ops.raster import annulus_raster_pallas
+    from prysm_tpu import geometry as g
+    _, _, r, dx = _grids()
+    got = np.asarray(annulus_raster_pallas(0.3, 0.9, r, dx))
+    want = np.asarray(g.antialias(g.annulus_sdf(0.3, 0.9, r), dx))
+    assert np.abs(got - want).max() < 1e-5
+
+
+@pytest.mark.parametrize('angle', [0, 25, 90])
+def test_rectangle_raster_matches(interpret_mode, angle):
+    from prysm_tpu.ops.raster import rectangle_raster_pallas
+    from prysm_tpu import geometry as g
+    x, y, _, dx = _grids()
+    got = np.asarray(rectangle_raster_pallas(0.5, x, y, dx, height=0.3,
+                                             angle=angle))
+    want = np.asarray(g.antialias(
+        g.rectangle_sdf(0.5, x, y, height=0.3, angle=angle), dx))
+    assert np.abs(got - want).max() < 1e-5
+
+
+@pytest.mark.parametrize('sides,rotation', [(6, 0), (6, 10), (5, 33)])
+def test_regular_polygon_raster_matches(interpret_mode, sides, rotation):
+    from prysm_tpu.ops.raster import regular_polygon_raster_pallas
+    from prysm_tpu import geometry as g
+    x, y, _, dx = _grids()
+    got = np.asarray(regular_polygon_raster_pallas(sides, 0.8, x, y, dx,
+                                                   rotation=rotation))
+    want = np.asarray(g.antialias(
+        g.regular_polygon_sdf(sides, 0.8, x, y, rotation=rotation), dx))
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_telescope_pupil_raster_matches_csg_chain(interpret_mode):
+    from prysm_tpu.ops.raster import telescope_pupil_raster_pallas
+    from prysm_tpu import geometry as g
+    x, y, r, dx = _grids()
+    got = np.asarray(telescope_pupil_raster_pallas(
+        x, y, dx, outer_radius=1.0, inner_radius=0.3,
+        spider_vanes=4, spider_width=0.05, spider_rotation=15))
+    d = g.subtract(g.subtract(g.circle_sdf(1.0, r), g.circle_sdf(0.3, r)),
+                   g.spider_sdf(4, 0.05, x, y, rotation=15))
+    want = np.asarray(g.antialias(d, dx))
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_telescope_pupil_unobscured_is_circle(interpret_mode):
+    from prysm_tpu.ops.raster import (telescope_pupil_raster_pallas,
+                                      circle_raster_pallas)
+    x, y, r, dx = _grids()
+    got = np.asarray(telescope_pupil_raster_pallas(x, y, dx,
+                                                   outer_radius=0.9))
+    want = np.asarray(circle_raster_pallas(0.9, r, dx))
+    # r arrives f64-then-cast in one path, sqrt(x^2+y^2) in f32 in the other
+    assert np.abs(got - want).max() < 1e-5
