@@ -26,6 +26,12 @@ EXECUTABLE = {
     'how-tos/radiometry.md': None,
     'how-tos/optimization.md': None,
     'how-tos/polychromatic.md': 2,
+    'college/101-how-prysm-tpu-works.md': None,
+    'college/102-precision-and-dispatch.md': None,
+    'college/201-zernikes-on-a-circle.md': None,
+    'college/202-other-bases-and-derivatives.md': None,
+    'college/301-a-first-diffraction-model.md': None,
+    'college/302-fixed-sampling-dft.md': None,
 }
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.S)
