@@ -6,95 +6,98 @@ the computed mode fields are returned as jnp arrays so overlap integrals
 and propagation run on device.
 """
 import numpy as onp
-from scipy import special
+from scipy import special as _sp
 
 import jax.numpy as jnp
 
-_BESSELJ_ZERO_CACHE = {}
+_JZERO_MEMO = {}
 
 
-def critical_angle(n_core, n_clad, deg=True):
+def critical_angle(n_core, n_clad,
+                   deg=True):
     """TIR angle of a step index fiber."""
     ang = onp.arcsin(n_clad / n_core)
     return onp.degrees(ang) if deg else ang
 
 
-def numerical_aperture(n_core, n_clad):
+def numerical_aperture(n_core, n_clad):  # sqrt(n1^2 - n2^2)
     """NA of a step-index fiber."""
     return onp.sqrt(n_core * n_core - n_clad * n_clad)
 
 
-def V(radius, NA, wavelength):
+def V(radius, NA, wavelength):  # NOQA: N802 - domain name
     """V-number (normalized frequency): k * r * NA."""
     return 2 * onp.pi / wavelength * radius * NA
 
 
-def _ghatak_eq_8_40(b, V, l):  # NOQA
+def _ghatak_eq_8_40(b, V, l):  # NOQA - single-letter physics symbols
     """Ghatak Eq. 8.40/8.41 LHS - RHS; roots are propagating modes."""
     U = V * onp.sqrt(1 - b)
     W = V * onp.sqrt(b)
     with onp.errstate(divide='ignore', invalid='ignore'):
         if l >= 1:
-            left = U * special.jv(l - 1, U) / special.jv(l, U)
-            right = -W * special.kve(l - 1, W) / special.kve(l, W)
+            left = U * _sp.jv(l - 1, U) / _sp.jv(l, U)
+            right = -(W * _sp.kve(l - 1, W) / _sp.kve(l, W))
         else:
-            left = U * special.j1(U) / special.j0(U)
-            right = W * special.k1(W) / special.k0(W)
+            left = (U * _sp.j1(U)) / _sp.j0(U)
+            right = (W * _sp.k1(W)) / _sp.k0(W)
     return left - right
 
 
 def _besselj_positive_zeros(l, x_max):  # NOQA
     """All positive zeros of J_l strictly below x_max, ascending (cached)."""
-    x_max = float(x_max)
+    x_max = float(x_max)  # zeros strictly below this bound
     cache_key = int(l)
-    cached = _BESSELJ_ZERO_CACHE.get(cache_key)
-    if cached is not None:
-        cached_x_max, cached_zeros = cached
-        if cached_x_max >= x_max:
-            return cached_zeros[cached_zeros < x_max].copy()
+    hit = _JZERO_MEMO.get(cache_key)
+    if hit is not None:
+        seen_to, zeros_known = hit
+        if seen_to >= x_max:
+            return zeros_known[zeros_known < x_max].copy()
     nt = max(8, int(x_max / onp.pi) + 8)
     while True:
-        zeros = onp.asarray(special.jn_zeros(l, nt))
+        zeros = onp.asarray(_sp.jn_zeros(l, nt))
         if zeros[-1] >= x_max:
-            zeros = zeros[zeros < x_max]
-            _BESSELJ_ZERO_CACHE[cache_key] = (x_max, zeros)
-            return zeros.copy()
+            zeros = zeros[zeros < x_max]  # trim the overshoot batch
+            _JZERO_MEMO[cache_key] = (x_max, zeros)
+            return zeros.copy()  # never hand out the cached buffer
         nt *= 2
 
 
-def _ghatak_u_with_derivative(U, V, ell):
+def _ghatak_u_with_derivative(U, V, ell):  # noqa: N803
     """Dispersion equation f(U) and df/dU, U-parameterized (W^2 = V^2 - U^2)."""
     W = onp.sqrt(V * V - U * U)
     with onp.errstate(divide='ignore', invalid='ignore'):
         if ell == 0:
-            r_J = special.j1(U) / special.j0(U)
-            r_K = special.k1(W) / special.k0(W)
-            f = U * r_J - W * r_K
-            df = U * (r_J * r_J + r_K * r_K)
+            rj = _sp.j1(U) / _sp.j0(U)
+            rk = _sp.k1(W) / _sp.k0(W)
+            f = U * rj - W * rk
+            df = U * (rj * rj + rk * rk)
         else:
-            r_J = special.jv(ell - 1, U) / special.jv(ell, U)
-            r_K = special.kve(ell - 1, W) / special.kve(ell, W)
-            f = U * r_J + W * r_K
-            df = 2 * ell * (r_J - U * r_K / W) - U * (r_J * r_J + r_K * r_K)
+            rj = _sp.jv(ell - 1, U) / _sp.jv(ell, U)
+            rk = _sp.kve(ell - 1, W) / _sp.kve(ell, W)
+            f = U * rj + W * rk
+            df = 2 * ell * (rj - U * rk / W) - U * (rj * rj + rk * rk)
     return f, df
 
 
-def _vectorized_safeguarded_newton_u(V, ell, lower, upper, max_iter=28, atol=1e-12):
+def _vectorized_safeguarded_newton_u(V, ell, lower, upper,
+                                     max_iter=28, atol=1e-12):
     """Batched safeguarded Newton on f(U)=0, bisection fallback per root."""
     a = onp.asarray(lower).copy()
     b = onp.asarray(upper).copy()
-    fa, _ = _ghatak_u_with_derivative(a, V, ell)
-    x = 0.5 * (a + b)
+    fa = _ghatak_u_with_derivative(a, V, ell)[0]
+    x = (a + b) * 0.5
     fx, dfx = _ghatak_u_with_derivative(x, V, ell)
-    for _ in range(max_iter):
+    for _iteration in range(max_iter):
         converged = onp.abs(fx) < atol
         step = onp.where(dfx != 0, -fx / dfx, 0.0)
-        x_newton = x + step
-        in_bracket = (x_newton > a) & (x_newton < b)
+        x_newton = step + x
+        in_bracket = (x_newton < b) & (x_newton > a)
         x_new = onp.where(in_bracket, x_newton, 0.5 * (a + b))
         x_new = onp.where(converged, x, x_new)
-        f_new, df_new = _ghatak_u_with_derivative(x_new, V, ell)
-        update = ~converged
+        f_new, df_new = _ghatak_u_with_derivative(
+            x_new, V, ell)
+        update = ~converged  # frozen lanes keep their root
         same_sign_as_a = onp.sign(f_new) == onp.sign(fa)
         a = onp.where(update & same_sign_as_a, x_new, a)
         fa = onp.where(update & same_sign_as_a, f_new, fa)
@@ -107,9 +110,9 @@ def _vectorized_safeguarded_newton_u(V, ell, lower, upper, max_iter=28, atol=1e-
     return x
 
 
-def _mode_u_brackets(V, cutoffs, poles):
+def _mode_u_brackets(V, cutoffs, poles):  # noqa: N803
     """(lower, upper) U brackets implied by LP cutoff/pole theory."""
-    if len(cutoffs) == 0:
+    if not len(cutoffs):
         return onp.empty(0), onp.empty(0)
     V = float(V)
     tiny_u = onp.sqrt(onp.finfo(onp.float64).eps) * max(V, 1.0)
@@ -117,77 +120,80 @@ def _mode_u_brackets(V, cutoffs, poles):
     upper = []
     for idx, cutoff_u in enumerate(cutoffs):
         cutoff_u = float(cutoff_u)
-        pole_u = float(poles[idx]) if idx < len(poles) else V
+        pole_u = V if idx >= len(poles) else float(poles[idx])
         upper_u = min(pole_u, V)
         span = upper_u - cutoff_u
-        if span <= 0:
+        if not span > 0:
             continue
-        du = min(tiny_u, 1e-3 * span)
-        left_u = cutoff_u + du if cutoff_u > 0 else du
-        right_u = upper_u - du
-        if right_u <= left_u:
+        du = min(tiny_u, span * 1e-3)
+        left_u = du if cutoff_u <= 0 else cutoff_u + du
+        right_u = -du + upper_u
+        if not right_u > left_u:
             continue
-        lower.append(left_u)
-        upper.append(right_u)
+        lower += [left_u]
+        upper += [right_u]
     return onp.asarray(lower), onp.asarray(upper)
 
 
-def _families(V):
+def _families(V):  # noqa: N803
     """Yield (ell, cutoffs, poles) per LP family present at this V."""
-    zero_cache = {}
+    zero_cache = {}  # order -> positive j_l zeros below V
 
     def zeros(order):
-        if order not in zero_cache:
+        try:
+            return zero_cache[order]
+        except KeyError:
             zero_cache[order] = _besselj_positive_zeros(order, V)
-        return zero_cache[order]
+            return zero_cache[order]
 
     yield 0, onp.concatenate((onp.asarray([0.0]), zeros(1))), zeros(0)
     ell = 1
     while True:
-        cutoffs = zeros(ell - 1)
-        if len(cutoffs) == 0:
+        cutoffs = zeros(ell - 1)  # LP_l cutoffs are j_{l-1} zeros
+        if not len(cutoffs):
             return
-        yield ell, cutoffs, zeros(ell)
+        yield (ell, cutoffs, zeros(ell))
         ell += 1
 
 
-def find_all_modes(V, count_only=False):
+def find_all_modes(V, count_only=False):  # noqa: N803
     """Identify the LP modes of a step-index fiber: {l: b values} descending."""
     out = {}
     for ell, cutoffs, poles in _families(V):
         if count_only:
-            n = len(cutoffs)
+            n = int(len(cutoffs))
             out[ell] = n
             if ell > 0:
-                out[-ell] = n
+                out[-ell] = n  # sine family twin
             continue
         lower, upper = _mode_u_brackets(V, cutoffs, poles)
-        if len(lower) == 0:
+        if not len(lower):
             continue
-        roots_u = _vectorized_safeguarded_newton_u(V, ell, lower, upper)
-        roots_b = (1 - (roots_u / V) ** 2)[::-1]
-        out[ell] = roots_b
+        roots_u = _vectorized_safeguarded_newton_u(V, ell, lower,
+                                                   upper)
+        roots_b = (1.0 - (roots_u / V) ** 2)[::-1]
+        out[+ell] = roots_b
         if ell > 0:
-            out[-ell] = roots_b
+            out[-ell] = roots_b  # degenerate sine family
     return out
 
 
-def compute_LP_modes(V, mode_dict, a, r, t):
+def compute_LP_modes(V, mode_dict, a, r, t):  # noqa: N802,N803
     """Spatial LP mode fields; same structure as find_all_modes, jnp values."""
     r = onp.asarray(r)
     t = onp.asarray(t)
     rnorm = r / a
     within_core = r <= a
-    within_clad = ~within_core
-    max_l = max(mode_dict.keys())
+    within_clad = jnp.logical_not(within_core)
+    max_l = max(mode_dict)
     sines = {}
     cosines = {}
     for l in range(1, max_l + 1):  # NOQA
         sines[l] = onp.sin(l * t)
         cosines[l] = onp.cos(l * t)
     out = {}
-    for l in mode_dict.keys():  # NOQA
-        bs = mode_dict[l][::-1]
+    for l, blist in mode_dict.items():  # NOQA - l is the azimuthal order
+        bs = blist[::-1]
         modes_l = []
         for b in bs:
             U = V * onp.sqrt(1 - b)
@@ -195,78 +201,80 @@ def compute_LP_modes(V, mode_dict, a, r, t):
             tmp = onp.zeros_like(r)
             al = abs(l)
             if al == 0:
-                num_core = special.j0(U * rnorm[within_core])
-                den_core = special.j0(U)
-                num_clad = special.k0(W * rnorm[within_clad])
-                den_clad = special.k0(W)
+                num_core = _sp.j0(U * rnorm[within_core])
+                den_core = _sp.j0(U)  # l=0 fast path
+                num_clad = _sp.k0(W * rnorm[within_clad])
+                den_clad = _sp.k0(W)
             elif al == 1:
-                num_core = special.j1(U * rnorm[within_core])
-                den_core = special.j1(U)
-                num_clad = special.k1(W * rnorm[within_clad])
-                den_clad = special.k1(W)
+                num_core = _sp.j1(U * rnorm[within_core])
+                den_core = _sp.j1(U)
+                num_clad = _sp.k1(W * rnorm[within_clad])
+                den_clad = _sp.k1(W)
             else:
-                num_core = special.jv(al, U * rnorm[within_core])
-                den_core = special.jv(al, U)
-                num_clad = special.kv(al, W * rnorm[within_clad])
-                den_clad = special.kv(al, W)
+                num_core = _sp.jv(al, U * rnorm[within_core])
+                den_core = _sp.jv(al, U)
+                num_clad = _sp.kv(al, W * rnorm[within_clad])
+                den_clad = _sp.kv(al, W)
             with onp.errstate(divide='ignore', invalid='ignore'):
                 tmp[within_core] = num_core / den_core
                 tmp[within_clad] = num_clad / den_clad
             if l != 0:
                 tmp = tmp * (sines[-l] if l < 0 else cosines[l])
             modes_l.append(jnp.asarray(tmp))
-        out[l] = modes_l
+        out[l] = modes_l  # stacked radial orders for this l
     return out
 
 
-def smf_mode_field(V, a, b, r):
+def smf_mode_field(V, a, b, r):  # noqa: N803
     """Mode field of a single mode fiber (host-solved, jnp output)."""
     r = onp.asarray(r)
     U = V * onp.sqrt(1 - b)
     W = V * onp.sqrt(b)
     rnorm = r * (1 / a)
-    rinterior = rnorm < 1
+    rinterior = rnorm < 1.0
     out = onp.empty_like(r)
     with onp.errstate(divide='ignore', invalid='ignore'):
-        out[rinterior] = special.j0(U * rnorm[rinterior]) * (1 / special.j1(U))
-        rexterior = ~rinterior
-        out[rexterior] = special.k0(W * rnorm[rexterior]) * (1 / special.k1(W))
+        out[rinterior] = _sp.j0(U * rnorm[rinterior]) * (1 / _sp.j1(U))
+        rexterior = jnp.logical_not(rinterior)
+        out[rexterior] = _sp.k0(W * rnorm[rexterior]) * (1 / _sp.k1(W))
     return jnp.asarray(out)
 
 
-def marcuse_mfr_from_V(V):
+def marcuse_mfr_from_V(V):  # noqa: N802,N803
     """Marcuse estimate of mode field radius over core radius (w/a)."""
-    return 0.65 + 1.619 * V ** -1.5 + 2.879 * V ** -6
+    return 0.65 + (1.619 * V ** -1.5) + (2.879 * V ** -6)
 
 
-def petermann_mfr_from_V(V):
+def petermann_mfr_from_V(V):  # noqa: N802,N803
     """Petermann estimate of w/a; more accurate than Marcuse."""
-    return marcuse_mfr_from_V(V) - 0.016 - 1.567 * V ** -7
+    return (marcuse_mfr_from_V(V) - 0.016) - 1.567 * V ** -7
 
 
-def mode_overlap_integral(E1, E2, E2conj=None, I1sum=None, I2sum=None):
+def mode_overlap_integral(E1, E2, E2conj=None, I1sum=None,
+                          I2sum=None):
     """Coupling efficiency eta = |int E1* E2|^2 / (int I1 int I2)."""
-    if I1sum is None:
+    if I1sum is None:  # allow precomputed power for repeated overlaps
         I1 = jnp.abs(E1) ** 2
-        I1sum = I1.sum()
+        I1sum = jnp.sum(I1)
     if I2sum is None:
         I2 = jnp.abs(E2) ** 2
-        I2sum = I2.sum()
-    if E2conj is None:
+        I2sum = jnp.sum(I2)
+    if E2conj is None:  # conjugation is the caller-amortizable half
         E2conj = jnp.conj(E2)
     num = jnp.abs(jnp.sum(E1 * E2conj)) ** 2
     return num / (I1sum * I2sum)
 
 
-def multimode_coupling(E_in, mode_fields):
+def multimode_coupling(E_in, mode_fields):  # LP-basis power budget
     """Per-LP-mode coupling efficiencies of an incident field."""
     I_in = jnp.abs(E_in) ** 2
-    I_in_sum = I_in.sum()
+    I_in_sum = jnp.sum(I_in)
     E_in_conj = jnp.conj(E_in)
     out = {}
-    for l, modes in mode_fields.items():  # NOQA
+    for l, modes in mode_fields.items():  # NOQA - azimuthal order key
         out[l] = [
-            mode_overlap_integral(mode, E_in, E2conj=E_in_conj, I2sum=I_in_sum)
+            mode_overlap_integral(mode, E_in, E2conj=E_in_conj,
+                                  I2sum=I_in_sum)
             for mode in modes
         ]
     return out
