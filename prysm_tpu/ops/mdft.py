@@ -21,13 +21,18 @@ transform (gradients flow through the field only — the same contract as the
 reference's hand-written ``MDFT.adjoint``); the jnp path in
 :mod:`prysm_tpu.fttools` differentiates through the bases if that is needed.
 
-Measured on TPU v5e at the benchmark shapes (1024^2 pupil -> 256^2 focal):
-the forward kernel beats XLA's complex matmul chain, but through a full
-forward+backward step XLA's scheduling of the jnp plan wins (~21 us vs
-~32 us), so the library's default MDFT path remains
-:class:`prysm_tpu.fttools.MDFT`.  Reach for this kernel when you need
-explicit precision control ('default' = single-pass bf16, ~3x fewer MXU
-passes at ~5e-3 relative error) or forward-heavy workloads.
+Measured on TPU v5e at the benchmark shapes (1024^2 pupil -> 256^2
+focal), r2 methodology (pipelined dispatch, median of 8x200 rounds, no
+host fetches before timing): the full phase-retrieval fwd+bwd step runs
+~45 us with the Pallas elementwise kernels (zernike+raster) feeding the
+jnp MDFT matmuls, vs ~47.5 us all-jnp — the Pallas path is the default
+because it wins, but the margin lives in the elementwise producers, not
+in replacing the matmuls: through fwd+bwd XLA's scheduling of the jnp
+matmul plan still edges out this fused kernel, so the library's default
+MDFT executor remains :class:`prysm_tpu.fttools.MDFT`.  Reach for this
+kernel when you need explicit precision control ('default' =
+single-pass bf16, ~3x fewer MXU passes at ~5e-3 relative error) or
+forward-heavy workloads.
 """
 import math
 import dataclasses

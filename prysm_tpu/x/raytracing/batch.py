@@ -106,8 +106,9 @@ def merged_trace(system, fields=None, wavelengths=None, sampling=None, *,
             res = raytrace(surfaces, P, S, _w)
             return res.P, res.S, res.OPL, res.status
 
-        Ph, Sh, Lh, st = jax.jit(run)(P.reshape(F * N, 3),
-                                      S.reshape(F * N, 3))
+        # upload once: numpy args would re-transfer on every dispatch
+        Ph, Sh, Lh, st = jax.jit(run)(jnp.asarray(P.reshape(F * N, 3)),
+                                      jnp.asarray(S.reshape(F * N, 3)))
         results.append(RayTraceResult(Ph, Sh, Lh, st))
     return wavelengths, results
 
@@ -186,7 +187,9 @@ def device_wavefront_fit(system, nms, fields=None, wavelengths=None,
             rms = jnp.sqrt(err2.sum(axis=1) / w.sum(axis=1))
             return coefs, rms
 
-        c, r = jax.jit(step)(P, S, A, ramps, P_xp)
+        args = [jnp.asarray(a) for a in (P, S, A, ramps)]
+        xp_dev = None if P_xp is None else jnp.asarray(P_xp)
+        c, r = jax.jit(step)(*args, xp_dev)
         coef_out.append(c)
         rms_out.append(r)
     return jnp.stack(coef_out), jnp.stack(rms_out)
