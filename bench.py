@@ -178,7 +178,10 @@ def cfg3_segmented(jax, jnp):
     from prysm_tpu.segmented import CompositeHexagonalAperture
 
     N = 512
-    x, y = make_xy_grid(N, diameter=2.4)
+    # host grids: the composite-aperture planner is host-side geometry,
+    # and ANY device->host read (even np.asarray of a device grid, once)
+    # permanently de-pipelines every later timing on the relay
+    x, y = make_xy_grid(N, diameter=2.4, host=True)
     dx = 2.4 / N
     cha = CompositeHexagonalAperture(x, y, 2, 0.4, 0.007)
     cha.prepare_opd_bases(zernike_nm_seq, [(0, 0), (1, -1), (1, 1)])
@@ -220,7 +223,7 @@ def cfg4_angular_spectrum(jax, jnp):
         return c.intensity.data
 
     step = jax.jit(run)
-    tok = np.float32(1.0)
+    tok = jnp.float32(1.0)   # device scalar: a numpy arg would re-upload
     out = step(tok)
     jax.block_until_ready(out)
     return step, (tok,), run

@@ -54,17 +54,30 @@ def polar_to_cart(rho, phi):
     return x, y
 
 
-def make_xy_grid(shape, *, dx=0, diameter=0, grid=True):
+def make_xy_grid(shape, *, dx=0, diameter=0, grid=True, host=False):
     """Create an FFT-aligned x, y grid with given spacing or diameter.
 
     Matches the reference convention exactly (prysm/coordinates.py:344-378):
     samples at fftrange(n) * dx, i.e. the zero-coordinate sample sits at
     index n//2.
+
+    host=True builds the grid in numpy instead of on the device — use it
+    when the grid feeds host-side planners (composite apertures, launch
+    geometry): on relay-attached TPUs a later device->host read of a grid
+    scalar costs ~1 ms and permanently de-pipelines the dispatch queue.
     """
     if not isinstance(shape, tuple):
         shape = (shape, shape)
     if diameter != 0:
         dx = diameter / max(shape)
+    if host:
+        import numpy as onp
+        dtype = onp.dtype(str(jnp.dtype(config.precision)))
+        y, x = (onp.fft.fftshift(onp.fft.fftfreq(s, 1 / s)).astype(dtype)
+                * dx for s in shape)
+        if grid:
+            x, y = onp.meshgrid(x, y)
+        return x, y
     y, x = (fftrange(s, dtype=config.precision) * dx for s in shape)
     if grid:
         x, y = jnp.meshgrid(x, y)
@@ -111,10 +124,12 @@ def promote_3d_point(P, dtype=None):
     return jnp.asarray(out, dtype=dtype)
 
 
-def make_rotation_matrix(zyx, radians=False):
+def make_rotation_matrix(zyx, radians=False, host=False):
     """3x3 rotation matrix from (Z, Y, X) Euler angles.
 
-    Built host-side in numpy (reference: prysm/coordinates.py:381-429).
+    Built host-side in numpy (reference: prysm/coordinates.py:381-429);
+    host=True skips the device conversion so host-side planners can
+    consume the matrix without a later device read.
     """
     ZYX = np.zeros(3)
     ZYX[:len(zyx)] = zyx
@@ -126,7 +141,10 @@ def make_rotation_matrix(zyx, radians=False):
     Rx = np.asarray([[1, 0, 0], [0, c1, -s1], [0, s1, c1]])
     Ry = np.asarray([[c2, 0, s2], [0, 1, 0], [-s2, 0, c2]])
     Rz = np.asarray([[c3, -s3, 0], [s3, c3, 0], [0, 0, 1]])
-    return jnp.asarray(Rx @ Ry @ Rz, dtype=config.precision)
+    out = Rx @ Ry @ Rz
+    if host:
+        return out.astype(np.dtype(str(jnp.dtype(config.precision))))
+    return jnp.asarray(out, dtype=config.precision)
 
 
 def coerce_3d_rotation(R):

@@ -16,7 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['jinc', 'row_dot', 'cis', 'cexp', 'is_odd', 'is_power_of_2',
+__all__ = [
+    'host_planner','jinc', 'row_dot', 'cis', 'cexp', 'is_odd', 'is_power_of_2',
            'sign', 'kronecker', 'gamma', 'BackendShim',
            'set_backend_to_defaults', 'set_backend_to_numpy',
            'set_backend_to_cupy', 'set_backend_to_pytorch',
@@ -65,6 +66,30 @@ def jinc(r):
     safe = jnp.where(near0, 1.0, r)
     val = _j1(safe) / safe
     return jnp.where(near0, 0.5, val)
+
+
+def host_planner():
+    """Context manager running planner math on the host CPU backend.
+
+    Library planners (composite apertures, DM setup, executor builders)
+    produce arrays that later embed into jitted programs as constants.
+    Host (CPU-backend) arrays embed for free; accelerator arrays would be
+    read back through the device link at trace time — on a relay-attached
+    TPU each read costs ~1 ms and permanently de-pipelines the dispatch
+    queue.  Usage::
+
+        with host_planner():
+            ifn = build_influence_functions(...)
+        ifn = truenp.asarray(ifn)   # host constant
+    """
+    import contextlib
+    import jax
+    try:
+        if jax.default_backend() != 'cpu':
+            return jax.default_device(jax.local_devices(backend='cpu')[0])
+    except RuntimeError:
+        pass
+    return contextlib.nullcontext()
 
 
 def _j1(x):

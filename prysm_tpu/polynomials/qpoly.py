@@ -434,19 +434,16 @@ def _qbfs_aux_recurrence(Nmax, u):
     dP_prev, dP_curr = zeros, -8.0 * ones
     Q_prev, Q_curr = Q_list[0], Q1
     dQ_prev, dQ_curr = zeros, dQ1
-    prefix = 2 - 4 * u
+    lin = 2 - 4 * u
     for nn in range(2, Nmax + 1):
-        Pn = prefix * P_curr - P_prev
-        dPn = -4 * P_curr + prefix * dP_curr - dP_prev
-        g = g_qbfs(nn - 1)
-        h = h_qbfs(nn - 2)
+        Pn = lin * P_curr - P_prev
+        dPn = lin * dP_curr - dP_prev - 4 * P_curr
+        g, h = g_qbfs(nn - 1), h_qbfs(nn - 2)
         inv_f = 1 / f_qbfs(nn)
         Qn = (Pn - g * Q_curr - h * Q_prev) * inv_f
         dQn = (dPn - g * dQ_curr - h * dQ_prev) * inv_f
-        P_prev, P_curr = P_curr, Pn
-        dP_prev, dP_curr = dP_curr, dPn
-        Q_prev, Q_curr = Q_curr, Qn
-        dQ_prev, dQ_curr = dQ_curr, dQn
+        P_prev, P_curr, dP_prev, dP_curr = P_curr, Pn, dP_curr, dPn
+        Q_prev, Q_curr, dQ_prev, dQ_curr = Q_curr, Qn, dQ_curr, dQn
         Q_list.append(Qn)
         dQ_list.append(dQn)
     return Q_list, dQ_list

@@ -156,14 +156,13 @@ def to_fpm_and_back_multiresolution_adjoint(wavefunction, fpm, executor,
     if return_fpm_grad and field_at_fpm is None:
         raise ValueError('return_fpm_grad=True requires field_at_fpm from the forward propagation')
     out = None
-    Ebbars = []
-    intermediates = []
-    fpm_bars = []
-    levels = zip(executor.executors, executor.windows, executor.xf, executor.yf)
-    for k, (ex, win, xf, yf) in enumerate(levels):
-        m = fpm(xf, yf)
+    Ebbars, intermediates, fpm_bars = [], [], []
+    per_level = zip(executor.executors, executor.windows,
+                    executor.xf, executor.yf)
+    for k, (ex, win, xf, yf) in enumerate(per_level):
+        mask = fpm(xf, yf)
         Ebbar = unfocus_dft_adjoint(wavefunction, ex)
-        intermediate = _adjoint_multiply(Ebbar, m * win)
+        intermediate = _adjoint_multiply(Ebbar, mask * win)
         contribution = focus_dft_adjoint(intermediate, ex)
         out = contribution if out is None else out + contribution
         if return_more:

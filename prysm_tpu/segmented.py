@@ -17,6 +17,7 @@ import numbers
 from collections import namedtuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .conf import config
@@ -28,6 +29,9 @@ FLAT_TO_FLAT_TO_VERTEX_TO_VERTEX = 1.1547005383792515  # 2/sqrt(3)
 VERTEX_TO_VERTEX_TO_FLAT_TO_FLAT = 1 / FLAT_TO_FLAT_TO_VERTEX_TO_VERTEX
 
 Hex = namedtuple('Hex', ['q', 'r', 's'])
+
+
+from .mathops import host_planner as _host_planner  # NOQA: E402
 
 
 def add_hex(h1, h2):
@@ -117,15 +121,20 @@ class CompositeHexagonalAperture:
     def __init__(self, x, y, rings, segment_diameter, segment_separation,
                  segment_angle=90, exclude=()):
         """See reference prysm/segmented.py:136-176 for parameter meanings."""
-        (self.vtov,
-         self.all_centers,
-         self.windows,
-         self.local_coords,
-         self.local_masks,
-         self.segment_ids,
-         self.amp) = _composite_hexagonal_aperture(
-            rings, segment_diameter, segment_separation, x, y,
-            segment_angle, exclude)
+        with _host_planner():
+            (self.vtov,
+             self.all_centers,
+             self.windows,
+             self.local_coords,
+             self.local_masks,
+             self.segment_ids,
+             self.amp) = _composite_hexagonal_aperture(
+                rings, segment_diameter, segment_separation, x, y,
+                segment_angle, exclude)
+        # planner outputs become host arrays: they are jit constants of
+        # compose_opd / downstream wavefront steps (see _host_planner)
+        self.local_masks = [np.asarray(m) for m in self.local_masks]
+        self.amp = np.asarray(self.amp)
         self.x = x
         self.y = y
         self.segment_diameter = segment_diameter
@@ -149,6 +158,8 @@ class CompositeHexagonalAperture:
         polycache = {}
         grids = []
         bases = []
+        ctx = _host_planner()
+        ctx.__enter__()
         if 'r' in params and 't' in params:
             nr = normalization_radius[0]
             for x, y in self.local_coords:
@@ -181,6 +192,9 @@ class CompositeHexagonalAperture:
                 grids.append((xx, yy))
                 bases.append(basis)
 
+        ctx.__exit__(None, None, None)
+        # host constants: the bases embed into jitted compose steps
+        bases = [np.asarray(b) for b in bases]
         self.opd_bases = bases
         self.opd_grids = grids
         return grids, bases
@@ -210,6 +224,12 @@ def _composite_hexagonal_aperture(rings, segment_diameter, segment_separation,
     segment_separation = (segment_separation * FLAT_TO_FLAT_TO_VERTEX_TO_VERTEX) / 2
     rseg = segment_vtov / 2
 
+    # geometry planning is host work: pull the grids to numpy once so the
+    # per-segment window/cache bookkeeping below never issues device
+    # scalar reads (on relay-attached TPUs each read costs ~1 ms and
+    # permanently de-pipelines the dispatch queue)
+    x = np.asarray(x)
+    y = np.asarray(y)
     dx = float(x[0, 1] - x[0, 0])
     samples_per_seg = int(rseg / dx + 1)
     cx = int(np.ceil(x.shape[1] / 2))
@@ -273,13 +293,19 @@ class CompositeKeystoneAperture:
         """See reference prysm/segmented.py:371-446 for parameter meanings."""
         if azimuthal_gap is None:
             azimuthal_gap = radial_gap
-        pak = _composite_keystone_aperture(
-            x=x, y=y, center_circle_diameter=center_circle_diameter,
-            rings=rings, ring_radius=ring_radius,
-            segments_per_ring=segments_per_ring, radial_gap=radial_gap,
-            azimuthal_gap=azimuthal_gap, rotation_per_ring=rotation_per_ring)
+        with _host_planner():
+            pak = _composite_keystone_aperture(
+                x=x, y=y, center_circle_diameter=center_circle_diameter,
+                rings=rings, ring_radius=ring_radius,
+                segments_per_ring=segments_per_ring, radial_gap=radial_gap,
+                azimuthal_gap=azimuthal_gap,
+                rotation_per_ring=rotation_per_ring)
         cs = pak['center_segment']
         ks = pak['keystones']
+        # host constants: see _host_planner
+        cs['mask'] = np.asarray(cs['mask'])
+        ks['masks'] = [np.asarray(mk) for mk in ks['masks']]
+        pak['amplitude_mask'] = np.asarray(pak['amplitude_mask'])
         self.center_xx = cs['x']
         self.center_yy = cs['y']
         self.center_rr = cs['r']
@@ -313,6 +339,15 @@ class CompositeKeystoneAperture:
                           center_basis_kwargs=None, segment_basis_kwargs=None,
                           rotate_xyaxes=False):
         """Prepare center and per-keystone polynomial bases."""
+        with _host_planner():
+            return self._prepare_opd_bases_impl(
+                center_basis, center_orders, segment_basis, segment_orders,
+                center_basis_kwargs, segment_basis_kwargs, rotate_xyaxes)
+
+    def _prepare_opd_bases_impl(self, center_basis, center_orders,
+                                segment_basis, segment_orders,
+                                center_basis_kwargs, segment_basis_kwargs,
+                                rotate_xyaxes):
         if center_basis_kwargs is None:
             center_basis_kwargs = {}
         if segment_basis_kwargs is None:
@@ -389,6 +424,7 @@ class CompositeKeystoneAperture:
                 grids.append((xx, yy))
                 bases.append(basis)
 
+        bases = [np.asarray(b) for b in bases]  # host jit constants
         self.opd_bases = bases
         self.opd_grids = grids
         return grids, bases
@@ -424,6 +460,9 @@ def _composite_keystone_aperture(x, y, center_circle_diameter, rings,
         radial_gap = [radial_gap] * rings
 
     center_radius = center_circle_diameter / 2
+    # host grids for the same reason as the hex planner above
+    x = np.asarray(x)
+    y = np.asarray(y)
 
     local_masks = []
     local_coords = []

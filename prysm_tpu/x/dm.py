@@ -99,7 +99,9 @@ class DM:
             sep = (sep, sep)
         s = ifn.shape
 
-        self.ifn = jnp.asarray(ifn)
+        # host constant: render_fn closes over the influence function;
+        # device residency would make jit const-embedding read it back
+        self.ifn = onp.asarray(ifn)
         # transfer function built host-side (numpy): an eager complex FFT is
         # a device complex allocation, which the axon relay cannot do; the
         # complex tf is assembled by lax.complex at trace time (.tf property)
@@ -108,21 +110,25 @@ class DM:
         self.Nact = Nact
         self.sep = sep
         self.shift = shift
-        self.obliquity = float(make_rotation_matrix(rot)[2, 2])
+        self.obliquity = float(make_rotation_matrix(rot, host=True)[2, 2])
         self.rot = rot
         self.upsample = upsample
 
-        out = prepare_actuator_lattice(s, Nact, sep, dtype=self.ifn.dtype)
-        self.actuators = out['actuators']
-        self.poke_arr = out['poke_arr']
+        from ..mathops import host_planner
+        with host_planner():
+            out = prepare_actuator_lattice(s, Nact, sep,
+                                           dtype=self.ifn.dtype)
+        self.actuators = jnp.asarray(onp.asarray(out['actuators']))
+        self.poke_arr = onp.asarray(out['poke_arr'])   # host jit constant
         self.ixx = out['ixx']
         self.iyy = out['iyy']
 
         self.needs_rot = not onp.allclose(rot, [0, 0, 0])
         if self.needs_rot:
-            fwd, rev = prepare_fwd_reverse_projection_coordinates(s, rot)
-            self.projx, self.projy = fwd
-            self.invprojx, self.invprojy = rev
+            with host_planner():
+                fwd, rev = prepare_fwd_reverse_projection_coordinates(s, rot)
+            self.projx, self.projy = (onp.asarray(a) for a in fwd)
+            self.invprojx, self.invprojy = (onp.asarray(a) for a in rev)
         else:
             self.projx = self.projy = None
             self.invprojx = self.invprojy = None
@@ -130,21 +136,23 @@ class DM:
         if shift[0] != 0 or shift[1] != 0:
             Y = onp.fft.fftfreq(s[0], 1)
             X = onp.fft.fftfreq(s[1], 1)
-            Xramp = cis(X * (-2 * onp.pi * shift[0]))
-            Yramp = cis(Y * (-2 * onp.pi * shift[1]))
+            # host complex exponentials: numpy, not an eager device cis
+            Xramp = onp.exp(1j * (X * (-2 * onp.pi * shift[0])))
+            Yramp = onp.exp(1j * (Y * (-2 * onp.pi * shift[1])))
             Xramp = onp.broadcast_to(Xramp, s)
             Yramp = onp.broadcast_to(Yramp, tuple(reversed(s))).T
             tf = Ifn * Xramp * Yramp
         else:
             tf = Ifn
         rdtype = onp.empty(0, dtype=self.ifn.dtype).real.dtype
-        self._tf_re = jnp.asarray(tf.real, dtype=rdtype)
-        self._tf_im = jnp.asarray(tf.imag, dtype=rdtype)
+        self._tf_re = onp.asarray(tf.real, dtype=rdtype)  # host constants
+        self._tf_im = onp.asarray(tf.imag, dtype=rdtype)
 
     @property
     def tf(self):
         """Transfer-function chain; complex assembled at trace time."""
-        return [jax.lax.complex(self._tf_re, self._tf_im)]
+        return [jax.lax.complex(jnp.asarray(self._tf_re),
+                                jnp.asarray(self._tf_im))]
 
     def copy(self):
         """Make a (deep) copy of this DM."""
@@ -161,7 +169,8 @@ class DM:
     def render_fn(self, wfe=True):
         """Pure function actuators -> surface; jit/grad-compatible."""
         def _render(actuators):
-            poke_arr = self.poke_arr.at[self.iyy, self.ixx].set(actuators)
+            poke_arr = jnp.asarray(self.poke_arr).at[
+                self.iyy, self.ixx].set(actuators)
             sfe = apply_transfer_functions(poke_arr, None, self.tf, shift=False)
             if self.needs_rot:
                 warped = warp(sfe, self.projx, self.projy)

@@ -119,18 +119,14 @@ class MaterialRecord:
                  wavelength_range=None, temperature_range=None, process=None,
                  material_class=None, metadata=None, loader=None,
                  material_id=None):
-        self.name = name
-        self.catalog = catalog
-        self.variant = variant
-        self.aliases = () if aliases is None else tuple(aliases)
-        self.source = source
-        self.citation = citation
+        self.name, self.catalog, self.variant = name, catalog, variant
+        self.aliases = tuple(aliases) if aliases is not None else ()
+        self.source, self.citation = source, citation
         self.license = license
         self.wavelength_range = wavelength_range
         self.temperature_range = temperature_range
-        self.process = process
-        self.metadata = dict(metadata) if metadata is not None else {}
-        self.loader = loader
+        self.process, self.loader = process, loader
+        self.metadata = {} if metadata is None else dict(metadata)
         if material_class is None:
             material_class = self.metadata.get('material_class')
         self.material_class = material_class
@@ -301,20 +297,19 @@ class ConstantMaterial(BaseMaterial):
 
     def __init__(self, n, *, name=None, k=None, **kwargs):
         n = float(n)
-        if not np.isfinite(n):
-            raise ValueError('n must be finite')
-        if name is None:
-            name = f'const_{n:g}'
+        if np.isfinite(n) is False:
+            raise ValueError('the constant index n must be finite')
         if k is not None:
             k = float(k)
-            if not np.isfinite(k) or k < 0:
-                raise ValueError('k must be finite and nonnegative')
-        missing_k = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
-        super().__init__(name, missing_k=missing_k, **kwargs)
-        self.n_value = n
-        self.k_value = k
+            if k < 0 or not np.isfinite(k):
+                raise ValueError('the constant k must be finite and >= 0')
+        missing_k = kwargs.pop('missing_k',
+                               'raise' if k is not None else 'zero')
+        super().__init__(name if name is not None else f'const_{n:g}',
+                         missing_k=missing_k, **kwargs)
+        self.n_value, self.k_value = n, k
         self.index = n
-        self.extinction = 0.0 if k is None else k
+        self.extinction = k if k is not None else 0.0
         self.fit_report = None
         self.metadata.setdefault('model', 'constant')
         self.metadata.setdefault('extrapolate', True)

@@ -247,17 +247,18 @@ def bracketed_newton_solve_s(P1, S, sag_and_normal, s_lo, s_hi,
     Parameters
     ----------
     P1 : ndarray
-        shape (N, 3) ray origins on the surface vertex plane.
+        (N, 3) ray origins, expressed on the surface vertex plane.
     S : ndarray
-        shape (N, 3) unit direction cosines.
+        (N, 3) unit direction cosines.
     sag_and_normal : callable
-        function returning surface sag and unit normal at x, y.
+        maps (x, y) to the surface sag and its unit normal.
     s_lo, s_hi : ndarray
-        shape (N,) search band endpoints, path length along each ray from P1.
+        (N,) endpoints of the search band (path length along each ray
+        measured from P1).
     tol_sag : float, optional
-        absolute convergence tolerance on the surface residual Z - sag.
+        absolute convergence tolerance on the residual Z - sag.
     maxiter : int, optional
-        maximum number of iterations per solve.
+        iteration cap per solve.
     lipschitz : float
         max abs(grad sag) over the domain; required — it is what guarantees
         the march finds the first root.

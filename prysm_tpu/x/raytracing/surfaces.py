@@ -18,6 +18,8 @@ design-edit semantics).
 import numbers
 import warnings
 
+import numpy as onp
+
 import jax.core
 import jax.numpy as jnp
 from jax import lax
@@ -26,6 +28,7 @@ from ...conf import config
 from ...coordinates import (
     apply_tilt_decenter,
     coerce_3d_rotation,
+    make_rotation_matrix,
     promote_3d_point,
 )
 from ...polynomials import (
@@ -741,6 +744,48 @@ class Interaction:
         self.grating_grad = grating_grad
 
 
+def _pose_is_device(*vals):
+    """True when any pose ingredient is traced or device-resident."""
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, jax.core.Tracer) or isinstance(v, jax.Array):
+            return True
+    return False
+
+
+def _host_pose(P, R, tilt, decenter, tilt_radians):
+    """Promote/coerce/offset a surface pose entirely in host numpy.
+
+    Differentiable construction (jax.jvp/vjp through decenter/tilt
+    seeds) routes through the jnp twin instead — see the dispatch in
+    Surface.__init__.
+    """
+    dt = onp.dtype(str(jnp.dtype(config.precision)))
+    if not hasattr(P, '__iter__'):
+        P = [0.0, 0.0, P]
+    else:
+        P = list(onp.asarray(P).ravel())
+        if not 1 <= len(P) <= 3:
+            raise ValueError('P must contain one to three coordinates')
+        P = [0.0] * (3 - len(P)) + [float(v) for v in P]
+    P = onp.asarray(P, dtype=dt)
+    if type(R) in (list, tuple):
+        R = make_rotation_matrix(R, host=True)
+    elif R is not None:
+        R = onp.asarray(R, dtype=dt)
+    if decenter is not None:
+        decenter = onp.asarray(decenter, dtype=dt)
+        if decenter.shape != (3,):
+            raise ValueError('decenter must be a length-3 vector, got '
+                             f'shape {decenter.shape}')
+        P = P + decenter
+    if tilt is not None:
+        R_tilt = make_rotation_matrix(tilt, radians=tilt_radians, host=True)
+        R = R_tilt if R is None else R @ R_tilt
+    return P, R
+
+
 class Surface:
     """A posed optical surface with a shape and interaction mode."""
 
@@ -770,11 +815,20 @@ class Surface:
             raise TypeError('Surface requires a pose or P')
 
         typ = _map_stype(interaction)
-        P = promote_3d_point(P, dtype=config.precision)
-        R = coerce_3d_rotation(R)
-        P, R = apply_tilt_decenter(P, R, tilt=tilt, decenter=decenter,
-                                   tilt_radians=tilt_radians,
-                                   dtype=config.precision)
+        # the pose is static metadata read by host planners (paraxial
+        # walks, launch aiming, layout plots) and embedded as constants
+        # by the trace kernel's jit — keep it in HOST numpy; device
+        # residency would turn every host read into a relay fetch.  The
+        # differentiable engines construct surfaces with TRACED pose
+        # ingredients; those keep the jnp pipeline.
+        if _pose_is_device(P, R, tilt, decenter):
+            P = promote_3d_point(P, dtype=config.precision)
+            R = coerce_3d_rotation(R)
+            P, R = apply_tilt_decenter(P, R, tilt=tilt, decenter=decenter,
+                                       tilt_radians=tilt_radians,
+                                       dtype=config.precision)
+        else:
+            P, R = _host_pose(P, R, tilt, decenter, tilt_radians)
         if typ == STYPE_REFRACT and material is None:
             raise ValueError('refractive surfaces must have a material, not None')
 

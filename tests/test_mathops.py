@@ -77,3 +77,42 @@ def test_row_dot_matches():
     b = rng.standard_normal((100, 3))
     got = truenp.asarray(mathops.row_dot(jnp.asarray(a), jnp.asarray(b)))
     truenp.testing.assert_allclose(got, (a * b).sum(axis=1), rtol=2e-5)
+
+
+def test_pytorch_backend_swap_end_to_end():
+    """The user-facing shim really computes on torch after the swap.
+
+    r1 review called these swaps untested pass-throughs; this pins the
+    advertised contract: mathops.np/fft dispatch to the selected backend
+    for user code (the library's own compute path is JAX by design).
+    """
+    torch = pytest.importorskip('torch')
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('ignore')
+        mathops.set_backend_to_pytorch()
+    try:
+        a = mathops.np.linspace(0.0, 1.0, 64)
+        assert isinstance(a, torch.Tensor)
+        b = mathops.np.sin(a) + mathops.np.cos(a) * 2
+        assert isinstance(b, torch.Tensor)
+        spec = mathops.fft.fft(b)
+        assert isinstance(spec, torch.Tensor)
+        want = truenp.fft.fft(truenp.sin(truenp.linspace(0, 1, 64))
+                           + truenp.cos(truenp.linspace(0, 1, 64)) * 2)
+        truenp.testing.assert_allclose(spec.numpy(), want, rtol=1e-4,
+                                       atol=1e-4 * abs(want[0]))
+    finally:
+        mathops.set_backend_to_defaults()
+
+
+def test_numpy_backend_swap_computes():
+    """Same contract through the numpy swap: results are numpy arrays."""
+    mathops.set_backend_to_numpy()
+    try:
+        a = mathops.np.arange(16, dtype='float64')
+        out = mathops.fft.ifft(mathops.fft.fft(a))
+        assert isinstance(out, truenp.ndarray)
+        truenp.testing.assert_allclose(out.real, a, atol=1e-12)
+    finally:
+        mathops.set_backend_to_defaults()
