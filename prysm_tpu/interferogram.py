@@ -120,19 +120,15 @@ def bandlimited_rms(r, psd, wllow=None, wlhigh=None, flow=None, fhigh=None):
     """Bandlimited RMS from a PSD between spatial periods or frequencies."""
     default_max = r.max()
     if wllow is not None or wlhigh is not None:
-        if wllow is None:
-            flow = 0
-        else:
-            fhigh = 1 / wllow
-        if wlhigh is None:
-            fhigh = default_max
-        else:
-            flow = 1 / wlhigh
+        # period args take precedence; this truth table reproduces the
+        # reference exactly, including the quirk that a lone wllow only
+        # pins the warning path, not fhigh (ref interferogram.py:190-240)
+        flow = None if wlhigh is None else 1 / wlhigh
+        fhigh = (default_max if wlhigh is None
+                 else (1 / wllow if wllow is not None else None))
     elif flow is not None or fhigh is not None:
-        if flow is None:
-            flow = 0
-        if fhigh is None:
-            fhigh = default_max
+        flow = 0 if flow is None else flow
+        fhigh = default_max if fhigh is None else fhigh
     else:
         raise ValueError('must specify either period (wavelength) or frequency')
     if flow is None:
@@ -142,22 +138,18 @@ def bandlimited_rms(r, psd, wllow=None, wlhigh=None, flow=None, fhigh=None):
         warnings.warn('no upper limit given, using limit imposed by data.')
         fhigh = r.max()
 
-    work = jnp.where((r < flow) | (r > fhigh), 0, psd)
+    # frequency step from the two samples straddling the grid center
     if r.ndim == 2:
-        c = tuple(s // 2 for s in work.shape)
-        c2 = list(c)
-        c2[0] = c2[0] - 1
-        pt1 = r[c]
-        pt2 = r[tuple(c2)]
+        cy, cx = (s // 2 for s in r.shape)
+        df = jnp.abs(r[cy - 1, cx] - r[cy, cx])
     else:
         c = r.shape[0] // 2
-        pt1 = r[c]
-        pt2 = r[c - 1]
-    dx = jnp.abs(pt2 - pt1)
-    reduced = jnp.trapezoid(work, dx=dx, axis=0)
+        df = jnp.abs(r[c - 1] - r[c])
+    band = jnp.where((r < flow) | (r > fhigh), 0, psd)
+    total = jnp.trapezoid(band, dx=df, axis=0)
     if r.ndim == 2:
-        reduced = jnp.trapezoid(reduced, dx=dx, axis=0)
-    return jnp.sqrt(reduced)
+        total = jnp.trapezoid(total, dx=df, axis=0)
+    return jnp.sqrt(total)
 
 
 def abc_psd(nu, a, b, c):

@@ -114,7 +114,7 @@ def Qbfs_seq(ns, x):
     rho = x * x
     c_Q = rho * (1 - rho)
     nmax = max(ns)
-    Q_list, _ = _qbfs_aux_recurrence(nmax, rho)
+    Q_list, _ = _qbfs_tables(nmax, rho)
     return jnp.stack([Q_list[n] * c_Q for n in ns])
 
 
@@ -123,7 +123,7 @@ def Qbfs_der(n, x):
     rho = x * x
     env = rho * (1 - rho)
     denv_dx = 2 * x - 4 * x * rho
-    Q_list, dQ_list = _qbfs_aux_recurrence(n, rho)
+    Q_list, dQ_list = _qbfs_tables(n, rho)
     return denv_dx * Q_list[n] + env * (2 * x) * dQ_list[n]
 
 
@@ -134,7 +134,7 @@ def Qbfs_der_seq(ns, x):
     env = rho * (1 - rho)
     denv_dx = 2 * x - 4 * x * rho
     two_x = 2 * x
-    Q_list, dQ_list = _qbfs_aux_recurrence(max(ns), rho)
+    Q_list, dQ_list = _qbfs_tables(max(ns), rho)
     return jnp.stack([denv_dx * Q_list[n] + env * two_x * dQ_list[n] for n in ns])
 
 
@@ -337,15 +337,16 @@ def compute_z_zprime_Qcon(coefs, u, usq):
 
 @lru_cache(4000)
 def abc_q2d(n, m):
-    """A, B, C terms for 2D-Q polynomials, oe-20-3-2483 Eq. (A.3)."""
-    D = (4 * n ** 2 - 1) * (m + n - 2) * (m + 2 * n - 3)
-    term1 = (2 * n - 1) * (m + 2 * n - 2)
-    term2 = (4 * n * (m + n - 2) + (m - 3) * (2 * m - 1))
-    A = (term1 * term2) / D
-    num = -2 * (2 * n - 1) * (m + 2 * n - 3) * (m + 2 * n - 2) * (m + 2 * n - 1)
-    B = num / D
-    num = n * (2 * n - 3) * (m + 2 * n - 1) * (2 * m + 2 * n - 3)
-    C = num / D
+    """A, B, C terms for 2D-Q polynomials, oe-20-3-2483 Eq. (A.3).
+
+    Written in terms of the ladder s_k = m + 2n - k that the paper's
+    appendix builds everything from; all three share denominator D.
+    """
+    s1, s2, s3 = m + 2 * n - 1, m + 2 * n - 2, m + 2 * n - 3
+    D = (4 * n ** 2 - 1) * (m + n - 2) * s3
+    A = ((2 * n - 1) * s2 * (4 * n * (m + n - 2) + (m - 3) * (2 * m - 1))) / D
+    B = (-2 * (2 * n - 1) * s3 * s2 * s1) / D
+    C = (n * (2 * n - 3) * s1 * (2 * m + 2 * n - 3)) / D
     return A, B, C
 
 
@@ -353,49 +354,34 @@ def abc_q2d(n, m):
 def G_q2d(n, m):
     """G term for 2D-Q polynomials, oe-20-3-2483 Eq. (A.15)."""
     if n == 0:
-        num = _factorial2(2 * m - 1)
-        den = 2 ** (m + 1) * math.factorial(m - 1)
-        return num / den
-    elif n > 0 and m == 1:
-        t1num = (2 * n ** 2 - 1) * (n ** 2 - 1)
-        t1den = 8 * (4 * n ** 2 - 1)
-        term1 = -t1num / t1den
-        term2 = 1 / 24 * kronecker(n, 1)
-        return term1 - term2
-    else:
-        nt1 = 2 * n * (m + n - 1) - m
-        nt2 = (n + 1) * (2 * m + 2 * n - 1)
-        num = nt1 * nt2
-        dt1 = (m + 2 * n - 2) * (m + 2 * n - 1)
-        dt2 = (m + 2 * n) * (2 * n + 1)
-        den = dt1 * dt2
-        return (-num / den) * gamma(n, m)
+        return (_factorial2(2 * m - 1)
+                / (2 ** (m + 1) * math.factorial(m - 1)))
+    if m == 1:
+        axial = (2 * n ** 2 - 1) * (n ** 2 - 1) / (8 * (4 * n ** 2 - 1))
+        return -axial - kronecker(n, 1) / 24
+    num = (2 * n * (m + n - 1) - m) * ((n + 1) * (2 * m + 2 * n - 1))
+    den = ((m + 2 * n - 2) * (m + 2 * n - 1)
+           * (m + 2 * n) * (2 * n + 1))
+    return -(num / den) * gamma(n, m)
 
 
 @lru_cache(4000)
 def F_q2d(n, m):
     """F term for 2D-Q polynomials, oe-20-3-2483 Eq. (A.13)."""
-    if n == 0 and m == 1:
-        return 0.25
     if n == 0:
-        num = m ** 2 * _factorial2(2 * m - 3)
-        den = 2 ** (m + 1) * math.factorial(m - 1)
-        return num / den
-    elif n > 0 and m == 1:
-        t1num = 4 * (n - 1) ** 2 * n ** 2 + 1
-        t1den = 8 * (2 * n - 1) ** 2
-        term1 = t1num / t1den
-        term2 = 11 / 32 * kronecker(n, 1)
-        return term1 + term2
-    else:
-        Chi = m + n - 2
-        nt1 = 2 * n * Chi * (3 - 5 * m + 4 * n * Chi)
-        nt2 = m ** 2 * (3 - m + 4 * n * Chi)
-        num = nt1 + nt2
-        dt1 = (m + 2 * n - 3) * (m + 2 * n - 2)
-        dt2 = (m + 2 * n - 1) * (2 * n - 1)
-        den = dt1 * dt2
-        return (num / den) * gamma(n, m)
+        if m == 1:
+            return 0.25
+        return (m ** 2 * _factorial2(2 * m - 3)
+                / (2 ** (m + 1) * math.factorial(m - 1)))
+    if m == 1:
+        axial = (4 * (n - 1) ** 2 * n ** 2 + 1) / (8 * (2 * n - 1) ** 2)
+        return axial + 11 / 32 * kronecker(n, 1)
+    rise = 4 * n * (m + n - 2)
+    num = (2 * n * (m + n - 2) * (3 - 5 * m + rise)
+           + m ** 2 * (3 - m + rise))
+    den = ((m + 2 * n - 3) * (m + 2 * n - 2)
+           * (m + 2 * n - 1) * (2 * n - 1))
+    return (num / den) * gamma(n, m)
 
 
 @lru_cache(4000)
@@ -416,7 +402,7 @@ def f_q2d(n, m):
 # 2D-Q evaluation
 # ---------------------------------------------------------------------------
 
-def _qbfs_aux_recurrence(Nmax, u):
+def _qbfs_tables(Nmax, u):
     """Tables of the auxiliary Qbfs polynomial Q_n(u) and dQ_n/du."""
     ones = jnp.ones_like(u)
     zeros = jnp.zeros_like(u)
@@ -449,10 +435,10 @@ def _qbfs_aux_recurrence(Nmax, u):
     return Q_list, dQ_list
 
 
-def _q2d_radial_recurrence(Nmax, m, u):
+def _q2d_tables(Nmax, m, u):
     """Tables of Q_n^m(u) and dQ_n^m/du for n=0..Nmax, m >= 1."""
     if m < 1:
-        raise ValueError(f'_q2d_radial_recurrence requires m >= 1, got {m}')
+        raise ValueError(f'_q2d_tables requires m >= 1, got {m}')
     ones = jnp.ones_like(u)
     zeros = jnp.zeros_like(u)
     f0 = f_q2d(0, m)
@@ -521,15 +507,11 @@ def _q2d_radial_recurrence(Nmax, m, u):
     return Q_list, dQ_list
 
 
-def _harmonic_powers(am, x, y):
-    """(Re, Im) of (x + iy)^k for k=0..am."""
-    C = jnp.ones_like(x)
-    S = jnp.zeros_like(x)
-    out = [(C, S)]
-    for _ in range(am):
-        C, S = x * C - y * S, x * S + y * C
-        out.append((C, S))
-    return out
+def _ladder_and_factor():
+    # deferred import: zernike owns the harmonic-ladder helpers and also
+    # imports jacobi, but never this module, so there is no cycle
+    from .zernike import _harmonic_ladder, _angular_factor
+    return _harmonic_ladder, _angular_factor
 
 
 def Q2d(n, m, r, t):
@@ -543,54 +525,44 @@ def Q2d(n, m, r, t):
         prefix = u ** am * jnp.sin(am * t)
     else:
         prefix = u ** am * jnp.cos(m * t)
-    Q_list, _ = _q2d_radial_recurrence(n, am, x)
+    Q_list, _ = _q2d_tables(n, am, x)
     return Q_list[n] * prefix
+
+
+def _q2d_plan(nms):
+    """(orders, signed_ms): per-|m| max radial order and signed m's in use."""
+    orders = defaultdict(int)
+    signed = set()
+    for n, m in nms:
+        am = abs(m)
+        orders[am] = max(orders[am], n)
+        if m != 0:
+            signed.add(m)
+    return dict(orders), signed
+
+
+def _azimuthal_pair(m, t):
+    """(T, dT/dt): T = cos(|m| t) for m > 0, sin(|m| t) for m < 0."""
+    am = abs(m)
+    if m > 0:
+        return jnp.cos(am * t), -am * jnp.sin(am * t)
+    return jnp.sin(am * t), am * jnp.cos(am * t)
 
 
 def Q2d_seq(nms, r, t):
     """Stack of 2D-Q polynomials at (n, m) pairs."""
     nms = list(nms)
-    u = r
-    x = u * u
-    m_has_pos = set()
-    m_has_neg = set()
-    max_ns = defaultdict(int)
-    for n, m in nms:
-        am = abs(m)
-        if max_ns[am] < n:
-            max_ns[am] = n
-        if m > 0:
-            m_has_pos.add(am)
-        elif m < 0:
-            m_has_neg.add(am)
-    u_scales = {}
-    sin_scales = {}
-    cos_scales = {}
-    for am in max_ns:
-        if am == 0:
-            continue
-        u_scales[am] = u ** am
-        if am in m_has_neg:
-            sin_scales[am] = jnp.sin(am * t)
-        if am in m_has_pos:
-            cos_scales[am] = jnp.cos(am * t)
-    seqs = {}
-    for am, N in max_ns.items():
-        if am == 0:
-            seqs[0] = list(Qbfs_seq(range(N + 1), r))
-        else:
-            seqs[am] = _q2d_radial_recurrence(N, am, x)[0]
-    out = []
-    for n, m in nms:
-        if m != 0:
-            if m < 0:
-                prefix = sin_scales[-m] * u_scales[-m]
-            else:
-                prefix = cos_scales[m] * u_scales[m]
-            out.append(seqs[abs(m)][n] * prefix)
-        else:
-            out.append(seqs[0][n])
-    return jnp.stack(out)
+    orders, signed = _q2d_plan(nms)
+    angular = {m: _azimuthal_pair(m, t)[0] * r ** abs(m) for m in signed}
+    radial = {
+        am: (list(Qbfs_seq(range(N + 1), r)) if am == 0
+             else _q2d_tables(N, am, r * r)[0])
+        for am, N in orders.items()
+    }
+    return jnp.stack([
+        radial[abs(m)][n] * angular[m] if m != 0 else radial[0][n]
+        for n, m in nms
+    ])
 
 
 def Q2d_der(n, m, r, t):
@@ -600,7 +572,7 @@ def Q2d_der(n, m, r, t):
                                          dtype=jnp.asarray(r).dtype)
     u = r * r
     am = abs(m)
-    Q_list, dQ_list = _q2d_radial_recurrence(n, am, u)
+    Q_list, dQ_list = _q2d_tables(n, am, u)
     Q = Q_list[n]
     dQdu = dQ_list[n]
     if m > 0:
@@ -625,7 +597,7 @@ def Q2d_der_xy(n, m, x, y):
     rho_sq = x * x + y * y
     am = abs(m)
     if m == 0:
-        Q_list, dQ_list = _qbfs_aux_recurrence(n, rho_sq)
+        Q_list, dQ_list = _qbfs_tables(n, rho_sq)
         Q = Q_list[n]
         dQdu = dQ_list[n]
         u = rho_sq
@@ -633,89 +605,46 @@ def Q2d_der_xy(n, m, x, y):
         denv_du = 1 - 2 * u
         common = denv_du * Q + env * dQdu
         return 2 * x * common, 2 * y * common
-    Q_list, dQ_list = _q2d_radial_recurrence(n, am, rho_sq)
-    J = Q_list[n]
-    Jp = dQ_list[n]
-    harm = _harmonic_powers(am, x, y)
-    C_am, S_am = harm[am]
-    C_amm1, S_amm1 = harm[am - 1]
-    if m > 0:
-        H = C_am
-        dHdx = am * C_amm1
-        dHdy = -am * S_amm1
-    else:
-        H = S_am
-        dHdx = am * S_amm1
-        dHdy = am * C_amm1
-    return 2 * x * Jp * H + J * dHdx, 2 * y * Jp * H + J * dHdy
+    Q_list, dQ_list = _q2d_tables(n, am, rho_sq)
+    J, Jp = Q_list[n], dQ_list[n]
+    ladder, factor = _ladder_and_factor()
+    H, Hx, Hy = factor(m, ladder(am, x, y))
+    return 2 * x * Jp * H + J * Hx, 2 * y * Jp * H + J * Hy
 
 
 def Q2d_der_seq(nms, r, t):
     """Polar derivative stacks (d/dr, d/dt) for (n, m) pairs."""
     nms = list(nms)
-    u = r * r
-    m_has_pos = set()
-    m_has_neg = set()
-    max_ns = defaultdict(int)
-    for n, m in nms:
-        am = abs(m)
-        if max_ns[am] < n:
-            max_ns[am] = n
-        if m > 0:
-            m_has_pos.add(am)
-        elif m < 0:
-            m_has_neg.add(am)
-    cos_table = {}
-    sin_table = {}
-    cos_der_table = {}
-    sin_der_table = {}
-    r_am_table = {}
-    r_am_minus_1_table = {}
-    for am in max_ns:
+    orders, signed = _q2d_plan(nms)
+    trig = {m: _azimuthal_pair(m, t) for m in signed}
+    prefix_lo = {am: (jnp.ones_like(r) if am == 1 else r ** (am - 1))
+                 for am in {abs(m) for m in signed}}
+
+    tables = {}
+    for am, Nmax in orders.items():
         if am == 0:
-            continue
-        if am in m_has_pos:
-            cos_table[am] = jnp.cos(am * t)
-            sin_der_table[am] = -am * jnp.sin(am * t)
-        if am in m_has_neg:
-            sin_table[am] = jnp.sin(am * t)
-            cos_der_table[am] = am * jnp.cos(am * t)
-        if am == 1:
-            r_am_minus_1_table[am] = jnp.ones_like(r)
-            r_am_table[am] = r
+            tables[0] = (Qbfs_der_seq(range(Nmax + 1), r), None)
         else:
-            r_am_minus_1_table[am] = r ** (am - 1)
-            r_am_table[am] = r_am_minus_1_table[am] * r
-    Q_tables = {}
-    dQ_tables = {}
-    qbfs_der_table = None
-    for am, Nmax in max_ns.items():
-        if am == 0:
-            qbfs_der_table = Qbfs_der_seq(range(Nmax + 1), r)
-        else:
-            Q_tables[am], dQ_tables[am] = _q2d_radial_recurrence(Nmax, am, u)
-    out_dr = []
-    out_dt = []
+            Q_list, dQ_list = _q2d_tables(Nmax, am, r * r)
+            tables[am] = (Q_list, dQ_list)
+
     zeros = jnp.zeros(jnp.broadcast_shapes(jnp.shape(r), jnp.shape(t)),
                       dtype=jnp.asarray(r).dtype)
+    out_dr, out_dt = [], []
     for n, m in nms:
         if m == 0:
-            out_dr.append(qbfs_der_table[n] * jnp.ones_like(zeros))
+            out_dr.append(tables[0][0][n] * jnp.ones_like(zeros))
             out_dt.append(zeros)
             continue
         am = abs(m)
-        Q = Q_tables[am][n]
-        dQdu = dQ_tables[am][n]
-        r_am = r_am_table[am]
-        r_am_minus_1 = r_am_minus_1_table[am]
-        F = r_am * Q
-        Fp = am * r_am_minus_1 * Q + 2 * r_am * r * dQdu
-        if m > 0:
-            out_dr.append(cos_table[am] * Fp)
-            out_dt.append(sin_der_table[am] * F)
-        else:
-            out_dr.append(sin_table[am] * Fp)
-            out_dt.append(cos_der_table[am] * F)
+        Q, dQdu = (tab[n] for tab in tables[am])
+        lo = prefix_lo[am]
+        hi = lo * r  # r^|m|
+        F = hi * Q
+        Fp = am * lo * Q + 2 * hi * r * dQdu
+        T, dT = trig[m]
+        out_dr.append(T * Fp)
+        out_dt.append(dT * F)
     return jnp.stack(out_dr), jnp.stack(out_dt)
 
 
@@ -732,40 +661,29 @@ def Q2d_der_xy_seq(nms, x, y):
     dQ_tables = {}
     for am, Nmax in max_ns.items():
         if am == 0:
-            Q_tables[0], dQ_tables[0] = _qbfs_aux_recurrence(Nmax, rho_sq)
+            Q_tables[0], dQ_tables[0] = _qbfs_tables(Nmax, rho_sq)
         else:
-            Q_tables[am], dQ_tables[am] = _q2d_radial_recurrence(Nmax, am, rho_sq)
+            Q_tables[am], dQ_tables[am] = _q2d_tables(Nmax, am, rho_sq)
     am_max = max(max_ns) if max_ns else 0
-    harm = _harmonic_powers(am_max, x, y) if am_max > 0 else None
+    make_ladder, factor = _ladder_and_factor()
+    ladder = make_ladder(am_max, x, y) if am_max > 0 else None
     if 0 in max_ns:
-        u = rho_sq
-        env = u * (1 - u)
-        denv_du = 1 - 2 * u
+        env = rho_sq * (1 - rho_sq)
+        denv_du = 1 - 2 * rho_sq
     out_dx = []
     out_dy = []
     for n, m in nms:
         am = abs(m)
+        Q, dQdu = Q_tables[am][n], dQ_tables[am][n]
         if m == 0:
-            Q = Q_tables[0][n]
-            dQdu = dQ_tables[0][n]
             common = denv_du * Q + env * dQdu
-            out_dx.append(2 * x * common)
-            out_dy.append(2 * y * common)
-            continue
-        J = Q_tables[am][n]
-        Jp = dQ_tables[am][n]
-        C_am, S_am = harm[am]
-        C_amm1, S_amm1 = harm[am - 1]
-        if m > 0:
-            H = C_am
-            dHdx = am * C_amm1
-            dHdy = -am * S_amm1
+            pair = (2 * x * common, 2 * y * common)
         else:
-            H = S_am
-            dHdx = am * S_amm1
-            dHdy = am * C_amm1
-        out_dx.append(2 * x * Jp * H + J * dHdx)
-        out_dy.append(2 * y * Jp * H + J * dHdy)
+            H, Hx, Hy = factor(m, ladder)
+            pair = (2 * x * dQdu * H + Q * Hx,
+                    2 * y * dQdu * H + Q * Hy)
+        out_dx.append(pair[0])
+        out_dy.append(pair[1])
     return jnp.stack(out_dx), jnp.stack(out_dy)
 
 

@@ -206,15 +206,27 @@ def zernike_nm_der_seq(nms, r, t, norm=True):
     return jnp.stack(out)
 
 
-def _harmonic_powers(mmax, x, y):
-    """(C_k, S_k) = (Re, Im) of (x + iy)^k for k = 0..mmax, as a list."""
-    C = jnp.ones_like(x)
-    S = jnp.zeros_like(x)
-    out = [(C, S)]
+def _harmonic_ladder(mmax, x, y):
+    """Real/imag part pairs of (x + iy)^k for k = 0..mmax, as a list."""
+    ladder = [(jnp.ones_like(x), jnp.zeros_like(x))]
     for _ in range(mmax):
-        C, S = x * C - y * S, x * S + y * C
-        out.append((C, S))
-    return out
+        re, im = ladder[-1]
+        ladder.append((x * re - y * im, x * im + y * re))
+    return ladder
+
+
+def _angular_factor(m, ladder):
+    """(H, dH/dx, dH/dy) for the harmonic polynomial H = Re/Im (x+iy)^|m|.
+
+    Follows from d(x+iy)^k = k (x+iy)^(k-1) {dx + i dy}: the gradient of
+    either component is |m| times the one-lower ladder rung, rotated.
+    """
+    am = abs(m)
+    re_lo, im_lo = ladder[am - 1]
+    re_hi, im_hi = ladder[am]
+    if m > 0:
+        return re_hi, am * re_lo, -am * im_lo
+    return im_hi, am * im_lo, am * re_lo
 
 
 def zernike_nm_der_xy(n, m, x, y, norm=True):
@@ -222,31 +234,25 @@ def zernike_nm_der_xy(n, m, x, y, norm=True):
 
     Uses the factoring Z = J(2 rho^2 - 1) * H(x, y) where H is the harmonic
     polynomial Re/Im (x + iy)^|m| (reference rationale:
-    prysm/polynomials/zernike.py:383-445).
+    prysm/polynomials/zernike.py:383-445); the gradient is the product
+    rule through that factoring, assembled by _angular_factor.
     """
     am = abs(m)
     n_j = (n - am) // 2
-    rho_sq = x * x + y * y
-    arg = 2 * rho_sq - 1
-    J, Jp = jacobi_with_der(n_j, 0, am, arg)
+    u = 2 * (x * x + y * y) - 1
+    J, Jp = jacobi_with_der(n_j, 0, am, u)
+    # du/dx = 4x, du/dy = 4y
+    gx, gy = 4 * x * Jp, 4 * y * Jp
     if am == 0:
-        dzdx = 4 * x * Jp
-        dzdy = 4 * y * Jp
+        dzdx, dzdy = gx, gy
     else:
-        harm = _harmonic_powers(am, x, y)
-        C_prev, S_prev = harm[am - 1]
-        C_am, S_am = harm[am]
-        if m > 0:
-            dzdx = 4 * x * Jp * C_am + am * J * C_prev
-            dzdy = 4 * y * Jp * C_am - am * J * S_prev
-        else:
-            dzdx = 4 * x * Jp * S_am + am * J * S_prev
-            dzdy = 4 * y * Jp * S_am + am * J * C_prev
-    if norm:
-        N = zernike_norm(n, m)
-        dzdx = dzdx * N
-        dzdy = dzdy * N
-    return dzdx, dzdy
+        H, Hx, Hy = _angular_factor(m, _harmonic_ladder(am, x, y))
+        dzdx = gx * H + J * Hx
+        dzdy = gy * H + J * Hy
+    if not norm:
+        return dzdx, dzdy
+    N = zernike_norm(n, m)
+    return dzdx * N, dzdy * N
 
 
 def zernike_nm_der_xy_seq(nms, x, y, norm=True):
@@ -254,35 +260,25 @@ def zernike_nm_der_xy_seq(nms, x, y, norm=True):
     nms = list(nms)
     if not nms:
         return jnp.zeros((0, 2) + jnp.shape(x))
-    rho_sq = x * x + y * y
-    arg = 2 * rho_sq - 1
+    u = 2 * (x * x + y * y) - 1
     plan = _zernike_static_plan(nms)
-    tables = {am: jacobi_seq_with_der(range(max_nj + 1), 0, am, arg)
+    tables = {am: jacobi_seq_with_der(range(max_nj + 1), 0, am, u)
               for am, max_nj in plan.items()}
-    max_am = max(plan) if plan else 0
-    harm = _harmonic_powers(max_am, x, y)
+    ladder = _harmonic_ladder(max(plan) if plan else 0, x, y)
     out = []
     for n, m in nms:
         am = abs(m)
-        n_j = (n - am) // 2
-        J = tables[am][0][n_j]
-        Jp = tables[am][1][n_j]
+        J, Jp = (t[(n - am) // 2] for t in tables[am])
+        gx, gy = 4 * x * Jp, 4 * y * Jp
         if am == 0:
-            dzdx = 4 * x * Jp
-            dzdy = 4 * y * Jp
+            dzdx, dzdy = gx, gy
         else:
-            C_am, S_am = harm[am]
-            C_prev, S_prev = harm[am - 1]
-            if m > 0:
-                dzdx = 4 * x * Jp * C_am + am * J * C_prev
-                dzdy = 4 * y * Jp * C_am - am * J * S_prev
-            else:
-                dzdx = 4 * x * Jp * S_am + am * J * S_prev
-                dzdy = 4 * y * Jp * S_am + am * J * C_prev
+            H, Hx, Hy = _angular_factor(m, ladder)
+            dzdx = gx * H + J * Hx
+            dzdy = gy * H + J * Hy
         if norm:
             N = zernike_norm(n, m)
-            dzdx = dzdx * N
-            dzdy = dzdy * N
+            dzdx, dzdy = dzdx * N, dzdy * N
         out.append(jnp.stack([dzdx, dzdy]))
     return jnp.stack(out)
 
@@ -330,22 +326,20 @@ def zernike_sum_der_xy(coefs, nms, x, y, norm=True):
 
     max_am = max(used_ms)
     if max_am >= 1:
-        C_prev = jnp.ones_like(x)
-        S_prev = jnp.zeros_like(x)
-        for m in range(1, max_am + 1):
-            C_m = x * C_prev - y * S_prev
-            S_m = x * S_prev + y * C_prev
-            if m in by_m_cos:
-                R, Ru = _radial(m, by_m_cos[m])
-                W = W + R * C_m
-                dWdx = dWdx + 4 * x * Ru * C_m + m * R * C_prev
-                dWdy = dWdy + 4 * y * Ru * C_m - m * R * S_prev
-            if m in by_m_sin:
-                R, Ru = _radial(m, by_m_sin[m])
-                W = W + R * S_m
-                dWdx = dWdx + 4 * x * Ru * S_m + m * R * S_prev
-                dWdy = dWdy + 4 * y * Ru * S_m + m * R * C_prev
-            C_prev, S_prev = C_m, S_m
+        ladder = _harmonic_ladder(max_am, x, y)
+        branches = (
+            (signed_m, bucket[abs(signed_m)])
+            for signed_m, bucket in
+            [(m, by_m_cos) for m in range(1, max_am + 1)]
+            + [(-m, by_m_sin) for m in range(1, max_am + 1)]
+            if abs(signed_m) in bucket
+        )
+        for signed_m, coefs_m in branches:
+            R, Ru = _radial(abs(signed_m), coefs_m)
+            H, Hx, Hy = _angular_factor(signed_m, ladder)
+            W = W + R * H
+            dWdx = dWdx + (4 * x * Ru) * H + R * Hx
+            dWdy = dWdy + (4 * y * Ru) * H + R * Hy
 
     return W, dWdx, dWdy
 
@@ -435,60 +429,45 @@ def zernikes_to_magnitude_angle(coefs):
     return d2
 
 
-_names = {
-    1: 'Primary',
-    2: 'Secondary',
-    3: 'Tertiary',
-    4: 'Quaternary',
-    5: 'Quinary',
-}
-
-_names_m = {
-    1: 'Coma',
-    2: 'Astigmatism',
-    3: 'Trefoil',
-    4: 'Quadrafoil',
-    5: 'Pentafoil',
-    6: 'Hexafoil',
-    7: 'Septafoil',
-    8: 'Octafoil',
-}
+# ordinal prefixes (1-based) and azimuthal family names (|m|, 1-based)
+_ORDINALS = ('Primary', 'Secondary', 'Tertiary', 'Quaternary', 'Quinary')
+_FAMILIES = ('Coma', 'Astigmatism', 'Trefoil', 'Quadrafoil', 'Pentafoil',
+             'Hexafoil', 'Septafoil', 'Octafoil')
 
 
-def _name_accessor(n, m):
+def _ordinal(k):
+    return _ORDINALS[k - 1] if 1 <= k <= len(_ORDINALS) else f'{k}th'
+
+
+def _family(am):
+    return _FAMILIES[am - 1] if 1 <= am <= len(_FAMILIES) else f'{am}-foil'
+
+
+def _order_rank(n, m):
+    """Which Primary/Secondary/... copy of the family (n, m) belongs to."""
     if m == 0 and n >= 4:
-        return int((n / 2) + 1)
+        return n // 2 + 1
     if is_odd(m) and n >= 3:
-        return abs(int((n - 3) / 2 + 1))
+        return abs((n - 3) // 2 + 1)
     return int(n / abs(m))
-
-
-def _name_helper(n, m):
-    accessor = _name_accessor(n, m)
-    prefix = _names.get(accessor, f'{accessor}th')
-    name = _names_m.get(abs(m), f'{abs(m)}-foil')
-    if n == 1:
-        name = 'Tilt'
-    if is_odd(m):
-        suffix = 'X' if sign(m) == 1 else 'Y'
-    else:
-        suffix = '00°' if sign(m) == 1 else '45°'
-    return f'{prefix} {name} {suffix}'
 
 
 def nm_to_name(n, m):
     """Convert an (n, m) index into a human readable name."""
+    positive = sign(m) == 1
     if n == 0:
         return 'Piston'
     if n == 1:
-        return 'Tilt X' if sign(m) == 1 else 'Tilt Y'
-    if n == 2 and m == 0:
-        return 'Defocus'
+        return 'Tilt X' if positive else 'Tilt Y'
     if m == 0:
-        accessor = int((n / 2) - 1)
-        prefix = _names.get(accessor, f'{accessor}th')
-        return f'{prefix} Spherical'
-    return _name_helper(n, m)
+        return ('Defocus' if n == 2
+                else f'{_ordinal(n // 2 - 1)} Spherical')
+    family = 'Tilt' if n == 1 else _family(abs(m))
+    if is_odd(m):
+        suffix = 'X' if positive else 'Y'
+    else:
+        suffix = '00°' if positive else '45°'
+    return f'{_ordinal(_order_rank(n, m))} {family} {suffix}'
 
 
 def top_n(coefs, n=5):

@@ -11,6 +11,9 @@ import numbers
 
 import numpy as np
 
+import functools
+import operator
+
 import jax.numpy as jnp
 
 from .dft import focus_dft, focus_dft_adjoint, unfocus_dft, unfocus_dft_adjoint
@@ -129,23 +132,28 @@ def prepare_measured_fpm(measurement, dx, center=(0, 0), charge=None, fill=None)
     return fpm
 
 
+def _mr_levels(executor):
+    """Per-level (executor, window, xf, yf) tuples of a multiresolution stack."""
+    return zip(executor.executors, executor.windows, executor.xf, executor.yf)
+
+
 def to_fpm_and_back_multiresolution(wavefunction, fpm, executor, return_more=False):
-    """Multi-resolution to_fpm_and_back: sum of per-level windowed round trips."""
-    out = None
-    fields_at_fpm = []
-    fields_after_fpm = []
-    for ex, win, xf, yf in zip(executor.executors, executor.windows,
-                               executor.xf, executor.yf):
-        field_at_fpm = focus_dft(wavefunction, ex)
-        field_after_fpm = field_at_fpm * fpm(xf, yf) * win
-        contribution = unfocus_dft(field_after_fpm, ex)
-        out = contribution if out is None else out + contribution
-        if return_more:
-            fields_at_fpm.append(field_at_fpm)
-            fields_after_fpm.append(field_after_fpm)
-    if return_more:
-        return out, fields_at_fpm, fields_after_fpm
-    return out
+    """Multi-resolution to_fpm_and_back: sum of per-level windowed round trips.
+
+    Each level forward-propagates to its focal grid, applies mask x
+    partition-of-unity window, and inverse-propagates; the level sums
+    reconstruct the full-bandwidth round trip (reference rationale:
+    prysm/propagation/coronagraph.py:203-246).
+    """
+    at_fpm, after_fpm, contributions = [], [], []
+    for ex, win, xf, yf in _mr_levels(executor):
+        E_focus = focus_dft(wavefunction, ex)
+        E_masked = E_focus * fpm(xf, yf) * win
+        contributions.append(unfocus_dft(E_masked, ex))
+        at_fpm.append(E_focus)
+        after_fpm.append(E_masked)
+    total = functools.reduce(operator.add, contributions)
+    return (total, at_fpm, after_fpm) if return_more else total
 
 
 def to_fpm_and_back_multiresolution_adjoint(wavefunction, fpm, executor,
@@ -154,30 +162,24 @@ def to_fpm_and_back_multiresolution_adjoint(wavefunction, fpm, executor,
                                             field_at_fpm=None):
     """Adjoint of to_fpm_and_back_multiresolution."""
     if return_fpm_grad and field_at_fpm is None:
-        raise ValueError('return_fpm_grad=True requires field_at_fpm from the forward propagation')
-    out = None
-    Ebbars, intermediates, fpm_bars = [], [], []
-    per_level = zip(executor.executors, executor.windows,
-                    executor.xf, executor.yf)
-    for k, (ex, win, xf, yf) in enumerate(per_level):
+        raise ValueError('return_fpm_grad=True requires field_at_fpm from '
+                         'the forward propagation')
+    Ebbars, intermediates, fpm_bars, contributions = [], [], [], []
+    for k, (ex, win, xf, yf) in enumerate(_mr_levels(executor)):
         mask = fpm(xf, yf)
         Ebbar = unfocus_dft_adjoint(wavefunction, ex)
         intermediate = _adjoint_multiply(Ebbar, mask * win)
-        contribution = focus_dft_adjoint(intermediate, ex)
-        out = contribution if out is None else out + contribution
-        if return_more:
-            Ebbars.append(Ebbar)
-            intermediates.append(intermediate)
+        contributions.append(focus_dft_adjoint(intermediate, ex))
+        Ebbars.append(Ebbar)
+        intermediates.append(intermediate)
         if return_fpm_grad:
-            fpm_bars.append(_adjoint_multiply(Ebbar, field_at_fpm[k] * win,
-                                              real=not jnp.iscomplexobj(m)))
-    if return_more:
-        if return_fpm_grad:
-            return out, Ebbars, intermediates, fpm_bars
-        return out, Ebbars, intermediates
-    elif return_fpm_grad:
-        return out, fpm_bars
-    return out
+            fpm_bars.append(
+                _adjoint_multiply(Ebbar, field_at_fpm[k] * win,
+                                  real=not jnp.iscomplexobj(mask)))
+    total = functools.reduce(operator.add, contributions)
+    extras = ((Ebbars, intermediates) if return_more else ()) + \
+        ((fpm_bars,) if return_fpm_grad else ())
+    return (total, *extras) if extras else total
 
 
 def babinet(wavefunction, lyot, fpm, executor, return_more=False):
@@ -187,20 +189,14 @@ def babinet(wavefunction, lyot, fpm, executor, return_more=False):
     1 - fpm is compactly supported (Soummer-style; see reference notes at
     prysm/propagation/coronagraph.py:308-359).
     """
-    fpm = 1 - fpm
-    result = to_fpm_and_back(wavefunction, fpm=fpm, executor=executor,
-                             return_more=return_more)
+    round_trip = to_fpm_and_back(wavefunction, fpm=1 - fpm,
+                                 executor=executor, return_more=return_more)
+    removed, *focal_fields = round_trip if return_more else (round_trip,)
+    field_at_lyot = wavefunction - removed
+    field_after_lyot = (field_at_lyot if lyot is None
+                        else lyot * field_at_lyot)
     if return_more:
-        field, field_at_fpm, field_after_fpm = result
-    else:
-        field = result
-    field_at_lyot = wavefunction - field
-    if lyot is not None:
-        field_after_lyot = lyot * field_at_lyot
-    else:
-        field_after_lyot = field_at_lyot
-    if return_more:
-        return field_after_lyot, field_at_fpm, field_after_fpm, field_at_lyot
+        return (field_after_lyot, *focal_fields, field_at_lyot)
     return field_after_lyot
 
 

@@ -122,7 +122,21 @@ class Wavefront:
 
     def copy(self):
         """Return a copy of this instance (arrays are immutable; shallow)."""
-        return Wavefront(self.data, self.wavelength, self.dx, self.space)
+        return self._like(self.data)
+
+    # view builders: re-wrap raw arrays in this wavefront's metadata
+    def _like(self, data):
+        """A wavefront sharing this one's wavelength/dx/space."""
+        return Wavefront(data, self.wavelength, self.dx, self.space)
+
+    def _at_focus(self, data, executor):
+        """A focal-plane wavefront on the executor's output grid."""
+        return Wavefront(data, self.wavelength, executor.focal_dx, 'psf')
+
+    def _focal_stack(self, fields, executor):
+        """Focal-plane views of per-level fields of a multiresolution pack."""
+        return [Wavefront(f, self.wavelength, ex.focal_dx, 'psf')
+                for f, ex in zip(fields, executor.executors)]
 
     # -- explicit adjoints (API parity with the reference) -------------------
     def from_amp_and_phase_adjoint_phase(self, wf_bar):
@@ -352,12 +366,12 @@ class Wavefront:
         fpm = _field_data(fpm)
         pak = to_fpm_and_back(self.data, fpm=fpm, executor=executor,
                               return_more=return_more)
-        if return_more:
-            at_next_pupil, at_fpm, after_fpm = pak
-            return (Wavefront(at_next_pupil, self.wavelength, self.dx, self.space),
-                    Wavefront(at_fpm, self.wavelength, executor.focal_dx, 'psf'),
-                    Wavefront(after_fpm, self.wavelength, executor.focal_dx, 'psf'))
-        return Wavefront(pak, self.wavelength, self.dx, self.space)
+        if not return_more:
+            return self._like(pak)
+        at_next_pupil, at_fpm, after_fpm = pak
+        return (self._like(at_next_pupil),
+                self._at_focus(at_fpm, executor),
+                self._at_focus(after_fpm, executor))
 
     def to_fpm_and_back_adjoint(self, fpm, executor, return_more=False,
                                 return_fpm_grad=False, field_at_fpm=None):
@@ -368,18 +382,12 @@ class Wavefront:
                                       return_more=return_more,
                                       return_fpm_grad=return_fpm_grad,
                                       field_at_fpm=field_at_fpm)
-        wrap_pupil = lambda d: Wavefront(d, self.wavelength, self.dx, self.space)  # NOQA
-        wrap_psf = lambda d: Wavefront(d, self.wavelength, executor.focal_dx, 'psf')  # NOQA
-        if return_more:
-            if return_fpm_grad:
-                Eabar, Ebbar, intermediate, fpm_bar = pak
-                return wrap_pupil(Eabar), wrap_psf(Ebbar), wrap_psf(intermediate), wrap_psf(fpm_bar)
-            Eabar, Ebbar, intermediate = pak
-            return wrap_pupil(Eabar), wrap_psf(Ebbar), wrap_psf(intermediate)
-        elif return_fpm_grad:
-            Eabar, fpm_bar = pak
-            return wrap_pupil(Eabar), wrap_psf(fpm_bar)
-        return wrap_pupil(pak)
+        if not (return_more or return_fpm_grad):
+            return self._like(pak)
+        # first element is the pupil gradient; the rest live at focus
+        head, *tail = pak
+        return (self._like(head),
+                *(self._at_focus(t, executor) for t in tail))
 
     def to_fpm_and_back_multiresolution(self, fpm, executor, return_more=False):
         """Multi-resolution focal-plane-mask round trip."""
@@ -388,14 +396,11 @@ class Wavefront:
         pak = to_fpm_and_back_multiresolution(self.data, fpm, executor,
                                               return_more=return_more)
         if not return_more:
-            return Wavefront(pak, self.wavelength, self.dx, self.space)
+            return self._like(pak)
         out, at_fpm, after_fpm = pak
-        out = Wavefront(out, self.wavelength, self.dx, self.space)
-        at_fpm = [Wavefront(f, self.wavelength, ex.focal_dx, 'psf')
-                  for f, ex in zip(at_fpm, executor.executors)]
-        after_fpm = [Wavefront(f, self.wavelength, ex.focal_dx, 'psf')
-                     for f, ex in zip(after_fpm, executor.executors)]
-        return out, at_fpm, after_fpm
+        return (self._like(out),
+                self._focal_stack(at_fpm, executor),
+                self._focal_stack(after_fpm, executor))
 
     def to_fpm_and_back_multiresolution_adjoint(self, fpm, executor,
                                                 return_more=False,
@@ -408,22 +413,12 @@ class Wavefront:
             self.data, fpm, executor, return_more=return_more,
             return_fpm_grad=return_fpm_grad, field_at_fpm=field_at_fpm)
 
-        def _psf_wrap(fields):
-            return [Wavefront(f, self.wavelength, ex.focal_dx, 'psf')
-                    for f, ex in zip(fields, executor.executors)]
-
-        if return_more:
-            if return_fpm_grad:
-                Eabar, Ebbars, intermediates, fpm_bars = pak
-                return (Wavefront(Eabar, self.wavelength, self.dx, self.space),
-                        _psf_wrap(Ebbars), _psf_wrap(intermediates), _psf_wrap(fpm_bars))
-            Eabar, Ebbars, intermediates = pak
-            return (Wavefront(Eabar, self.wavelength, self.dx, self.space),
-                    _psf_wrap(Ebbars), _psf_wrap(intermediates))
-        elif return_fpm_grad:
-            Eabar, fpm_bars = pak
-            return Wavefront(Eabar, self.wavelength, self.dx, self.space), _psf_wrap(fpm_bars)
-        return Wavefront(pak, self.wavelength, self.dx, self.space)
+        if not (return_more or return_fpm_grad):
+            return self._like(pak)
+        # pupil gradient first, then per-level focal stacks
+        head, *stacks = pak
+        return (self._like(head),
+                *(self._focal_stack(fields, executor) for fields in stacks))
 
     def babinet(self, lyot, fpm, executor, return_more=False):
         """Lyot coronagraph via Babinet's principle."""
@@ -431,13 +426,13 @@ class Wavefront:
         lyot = _field_data(lyot)
         pak = babinet(self.data, lyot=lyot, fpm=fpm, executor=executor,
                       return_more=return_more)
-        if return_more:
-            after_lyot, at_fpm, after_fpm, at_lyot = pak
-            return (Wavefront(after_lyot, self.wavelength, self.dx, self.space),
-                    Wavefront(at_fpm, self.wavelength, executor.focal_dx, 'psf'),
-                    Wavefront(after_fpm, self.wavelength, executor.focal_dx, 'psf'),
-                    Wavefront(at_lyot, self.wavelength, self.dx, self.space))
-        return Wavefront(pak, self.wavelength, self.dx, self.space)
+        if not return_more:
+            return self._like(pak)
+        after_lyot, at_fpm, after_fpm, at_lyot = pak
+        return (self._like(after_lyot),
+                self._at_focus(at_fpm, executor),
+                self._at_focus(after_fpm, executor),
+                self._like(at_lyot))
 
     def babinet_adjoint(self, lyot, fpm, executor, field_at_fpm=None,
                         field_at_lyot=None, return_fpm_grad=False,
@@ -452,13 +447,11 @@ class Wavefront:
                               return_fpm_grad=return_fpm_grad,
                               return_lyot_grad=return_lyot_grad)
         if not (return_fpm_grad or return_lyot_grad):
-            return Wavefront(pak, self.wavelength, self.dx, self.space)
-        pak = list(pak)
-        out = [Wavefront(pak[0], self.wavelength, self.dx, self.space)]
-        idx = 1
+            return self._like(pak)
+        remaining = iter(pak)
+        out = [self._like(next(remaining))]
         if return_fpm_grad:
-            out.append(Wavefront(pak[idx], self.wavelength, executor.focal_dx, 'psf'))
-            idx += 1
+            out.append(self._at_focus(next(remaining), executor))
         if return_lyot_grad:
-            out.append(Wavefront(pak[idx], self.wavelength, self.dx, self.space))
+            out.append(self._like(next(remaining)))
         return tuple(out)

@@ -305,34 +305,33 @@ class CompositeKeystoneAperture:
         # host constants: see _host_planner
         cs['mask'] = np.asarray(cs['mask'])
         ks['masks'] = [np.asarray(mk) for mk in ks['masks']]
-        pak['amplitude_mask'] = np.asarray(pak['amplitude_mask'])
-        self.center_xx = cs['x']
-        self.center_yy = cs['y']
-        self.center_rr = cs['r']
-        self.center_tt = cs['t']
-        self.center_mask = cs['mask']
-        self.center_window = cs['window']
-        self.segment_centers = ks['centers']
-        self.segment_corners = ks['corners']
-        self.segment_ids_ods = ks['ids_ods']
-        self.segment_windows = ks['windows']
-        self.segment_grids = ks['local_xy']
-        self.segment_masks = ks['masks']
-        self.segment_rotations = ks['rotations']
-        self.segment_ledges = ks['left_edges']
-        self.segment_redges = ks['right_edges']
-        self.segment_radial_diameters = ks['radial_diameters']
-        self.segment_ids = ks['ids']
-        self.amp = pak['amplitude_mask']
-        self.x = x
-        self.y = y
-        self.center_circle_diameter = center_circle_diameter
-        self.radial_gap = radial_gap
-        self.azimuthal_gap = azimuthal_gap
-        self.rings = rings
-        self.ring_radius = ring_radius
-        self.segments_per_ring = segments_per_ring
-        self.rotation_per_ring = rotation_per_ring
+
+        # table-driven attribute exposure: (public attr, packet key)
+        center_view = ('x', 'y', 'r', 't', 'mask', 'window')
+        for key in center_view:
+            # single-letter grid keys double up: center_xx, center_rr, ...
+            attr = f'center_{key * 2 if len(key) == 1 else key}'
+            setattr(self, attr, cs[key])
+        keystone_view = {
+            'segment_centers': 'centers', 'segment_corners': 'corners',
+            'segment_ids_ods': 'ids_ods', 'segment_windows': 'windows',
+            'segment_grids': 'local_xy', 'segment_masks': 'masks',
+            'segment_rotations': 'rotations', 'segment_ledges': 'left_edges',
+            'segment_redges': 'right_edges',
+            'segment_radial_diameters': 'radial_diameters',
+            'segment_ids': 'ids',
+        }
+        for attr, key in keystone_view.items():
+            setattr(self, attr, ks[key])
+        self.amp = np.asarray(pak['amplitude_mask'])
+
+        geometry_params = dict(
+            x=x, y=y, center_circle_diameter=center_circle_diameter,
+            radial_gap=radial_gap, azimuthal_gap=azimuthal_gap,
+            rings=rings, ring_radius=ring_radius,
+            segments_per_ring=segments_per_ring,
+            rotation_per_ring=rotation_per_ring)
+        self.__dict__.update(geometry_params)
 
     def prepare_opd_bases(self, center_basis, center_orders,
                           segment_basis, segment_orders,

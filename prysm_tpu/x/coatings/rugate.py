@@ -1,8 +1,14 @@
 """Rugate and inhomogeneous-index coating synthesis.
 
-Rebuild of ``prysm/x/coatings/rugate.py``: profile discretization,
-sinusoidal notch rugates with apodization, and Fourier synthesis of an
-index profile from a target reflectance spectrum.
+TPU-first rebuild of the graded-index layer (reference:
+``prysm/x/coatings/rugate.py``): profile discretization, sinusoidal
+notch rugates with apodization, and Fourier synthesis of an index
+profile from a target reflectance spectrum.
+
+Unlike the reference's per-depth scalar callbacks, profiles here are
+evaluated vectorized over the whole sublayer-center grid in one shot
+(:func:`_profile_samples`), which is both faster on host and the shape
+the JAX-side stack engine wants.
 """
 import numpy as onp
 
@@ -10,21 +16,47 @@ from ...conf import config
 from .stack import Stack
 
 
-def quintic_taper(edge_fraction=0.5):
-    """Amplitude window w(u) ramping with a quintic smoothstep at both ends."""
-    e = float(edge_fraction)
+def _midpoints(total_thickness, count):
+    """Centers of count equal sublayers spanning [0, total_thickness]."""
+    edges = onp.linspace(0.0, total_thickness, count + 1)
+    return 0.5 * (edges[:-1] + edges[1:])
 
-    def smoothstep(t):
-        t = onp.clip(t, 0.0, 1.0)
-        return t * t * t * (10 - 15 * t + 6 * t * t)
+
+def _profile_samples(n_of_z, depths):
+    """Evaluate an index profile at many depths, vectorized when possible."""
+    try:
+        sampled = n_of_z(onp.asarray(depths, dtype=config.precision))
+        sampled = onp.asarray(sampled)
+        if sampled.shape == onp.shape(depths):
+            return sampled
+    except Exception:  # NOQA: BLE001 - scalar-only profiles are fine
+        pass
+    return onp.asarray([n_of_z(float(z)) for z in depths])
+
+
+def _uniform_stack(indices, total_thickness, substrate_index, ambient_index):
+    """Stack of equal-thickness sublayers with the given index samples."""
+    count = len(indices)
+    thicknesses = onp.full(count, total_thickness / count,
+                           dtype=config.precision)
+    return Stack(list(indices), thicknesses, substrate_index, ambient_index)
+
+
+def quintic_taper(edge_fraction=0.5):
+    """Amplitude window w(u) ramping with a quintic smoothstep at both ends.
+
+    Formulated as a single smoothstep of the distance to the nearest
+    profile edge, normalized by edge_fraction.
+    """
+    e = float(edge_fraction)
 
     def window(u):
         u = onp.asarray(u, dtype=config.precision)
         if e <= 0:
             return onp.ones_like(u)
-        rising = smoothstep(u / e)
-        falling = smoothstep((1.0 - u) / e)
-        return onp.minimum(rising, falling)
+        edge_distance = onp.minimum(u, 1.0 - u)
+        t = onp.clip(edge_distance / e, 0.0, 1.0)
+        return t * t * t * (10 - 15 * t + 6 * t * t)
 
     return window
 
@@ -32,12 +64,9 @@ def quintic_taper(edge_fraction=0.5):
 def discretize_profile(n_of_z, total_thickness, n_sublayers, substrate_index,
                        ambient_index=1.0):
     """Sample a continuous index profile into a Stack of thin sublayers."""
-    edges = onp.linspace(0.0, total_thickness, n_sublayers + 1)
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    indices = [n_of_z(float(z)) for z in centers]
-    thicknesses = onp.full(n_sublayers, total_thickness / n_sublayers,
-                           dtype=config.precision)
-    return Stack(indices, thicknesses, substrate_index, ambient_index)
+    samples = _profile_samples(n_of_z, _midpoints(total_thickness, n_sublayers))
+    return _uniform_stack(samples, total_thickness, substrate_index,
+                          ambient_index)
 
 
 def rugate_period(n_avg, design_wvl):
@@ -54,30 +83,25 @@ def sinusoidal_rugate(n_avg, n_amp, design_wvl, n_periods, *,
                       sublayers_per_period=30, substrate_index=None,
                       ambient_index=1.0, apodization=None, clamp=None):
     """Sinusoidal rugate stack with a first-order notch at design_wvl."""
-    Lambda = rugate_period(n_avg, design_wvl)
-    total = n_periods * Lambda
-    if substrate_index is None:
-        substrate_index = n_avg
-    win = apodization
+    period = rugate_period(n_avg, design_wvl)
+    total = n_periods * period
+    count = int(round(n_periods * sublayers_per_period))
 
-    def n_of_z(z):
-        amp = n_amp
-        if win is not None:
-            amp = n_amp * float(win(z / total))
-        n = n_avg + amp * onp.sin(2 * onp.pi * z / Lambda)
-        if clamp is not None:
-            n = onp.clip(n, clamp[0], clamp[1])
-        return n
+    z = _midpoints(total, count)
+    envelope = n_amp if apodization is None else n_amp * apodization(z / total)
+    profile = n_avg + envelope * onp.sin(2 * onp.pi * z / period)
+    if clamp is not None:
+        profile = onp.clip(profile, *clamp)
 
-    n_sub = int(round(n_periods * sublayers_per_period))
-    return discretize_profile(n_of_z, total, n_sub, substrate_index,
-                              ambient_index)
+    fallback = n_avg if substrate_index is None else substrate_index
+    return _uniform_stack(profile, total, fallback, ambient_index)
 
 
 def apodize(n_of_z, n_avg, total_thickness, window):
     """Wrap a profile so its modulation about n_avg is amplitude-tapered."""
     def tapered(z):
-        return n_avg + float(window(z / total_thickness)) * (n_of_z(z) - n_avg)
+        modulation = n_of_z(z) - n_avg
+        return n_avg + float(window(z / total_thickness)) * modulation
 
     return tapered
 
@@ -87,32 +111,33 @@ def rugate_from_target(wavenumbers, target_amplitude, n_avg,
                        substrate_index=None, ambient_index=1.0, clamp=None):
     """Fourier-synthesize an index profile from a target r(k) spectrum.
 
-    Q(x) = (1/pi) Re int r(k) exp(2 i k x) dk drives d(ln n)/dx; optical
-    thickness is then mapped to physical depth via dz = dx / n.
+    The classic rugate inverse recipe: the kernel
+    Q(x) = (1/pi) Re int r(k) exp(2 i k x) dk drives d(ln n)/dx on the
+    optical-thickness axis x; physical depth follows from dz = dx / n.
     """
     k = onp.asarray(wavenumbers, dtype=config.precision)
     r = onp.asarray(target_amplitude, dtype=config.precision)
     dk = k[1] - k[0]
 
-    x = onp.linspace(0.0, total_optical_thickness,
-                     max(n_sublayers * 4, 2000))
-    phase = onp.exp(2j * onp.outer(x, k))
-    Q = (1.0 / onp.pi) * onp.real((r[None, :] * phase).sum(axis=1)) * dk
-    ln_n = onp.log(n_avg) + 2.0 * onp.cumsum(Q) * (x[1] - x[0])
-    n_x = onp.exp(ln_n)
+    dense = max(n_sublayers * 4, 2000)
+    x = onp.linspace(0.0, total_optical_thickness, dense)
+    dx = x[1] - x[0]
+    # one dense matvec for the cosine-kernel integral over the k grid
+    kernel = onp.real(onp.exp(2j * onp.outer(x, k)) @ r.astype(complex))
+    Q = kernel * (dk / onp.pi)
+    n_x = n_avg * onp.exp(2.0 * onp.cumsum(Q) * dx)
     if clamp is not None:
-        n_x = onp.clip(n_x, clamp[0], clamp[1])
+        n_x = onp.clip(n_x, *clamp)
 
-    dz = (x[1] - x[0]) / n_x
-    z = onp.concatenate([onp.zeros(1), onp.cumsum(dz[:-1])])
-    total_z = float(z[-1])
+    # walk optical thickness to physical depth
+    z = onp.zeros_like(x)
+    z[1:] = onp.cumsum(dx / n_x[:-1])
 
     def n_of_z(zz):
         return float(onp.interp(zz, z, n_x))
 
-    if substrate_index is None:
-        substrate_index = n_avg
-    return discretize_profile(n_of_z, total_z, n_sublayers, substrate_index,
+    fallback = n_avg if substrate_index is None else substrate_index
+    return discretize_profile(n_of_z, float(z[-1]), n_sublayers, fallback,
                               ambient_index)
 
 

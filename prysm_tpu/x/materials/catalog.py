@@ -1,6 +1,9 @@
 """Catalog containers, namespaced lookup, explicit ambiguity handling.
 
-Rebuild of ``prysm/x/materials/catalog.py``.
+TPU-first rebuild of the catalog layer (reference:
+``prysm/x/materials/catalog.py``).  Queries compile to predicate lists
+and name resolution is score-based (exact primary-name hits outrank
+alias hits), rather than the reference's inline filter chains.
 """
 from .core import MaterialRecord, _normalize_name, _range_contains  # NOQA: F401
 
@@ -16,87 +19,125 @@ class AmbiguousMaterialError(KeyError):
 
 
 def _record_label(record):
-    parts = []
-    if record.catalog:
-        parts.append(record.catalog)
-    parts.append(record.name)
-    if record.variant:
-        parts.append(record.variant)
-    return ':'.join(parts)
+    tags = (record.catalog, record.name, record.variant)
+    return ':'.join(t for t in tags if t)
 
 
-def _matches_name(record, name):
-    norm = _normalize_name(name)
-    return any(_normalize_name(c) == norm for c in record.names_for_match())
+# --------------------------- query compilation ---------------------------
+#
+# A filter dict compiles to a list of record predicates once per query;
+# matching is then all(p(record)).  Special keys get dedicated builders;
+# anything else is a metadata equality test.
+
+def _attr_predicate(attr, want):
+    target = _normalize_name(want)
+    return lambda rec: _normalize_name(getattr(rec, attr) or '') == target
 
 
-def _record_matches_query(record, query):
+def _class_predicate(want):
+    return lambda rec: rec.material_class == want
+
+
+def _band_predicate(attr, want):
+    return lambda rec: _range_contains(getattr(rec, attr), want)
+
+
+def _metadata_predicate(key, want):
+    return lambda rec: rec.metadata.get(key) == want
+
+
+_PREDICATE_BUILDERS = {
+    'catalog': lambda v: _attr_predicate('catalog', v),
+    'variant': lambda v: _attr_predicate('variant', v),
+    'process': lambda v: _attr_predicate('process', v),
+    'material_class': _class_predicate,
+    'wavelength_range_contains':
+        lambda v: _band_predicate('wavelength_range', v),
+    'temperature_range_contains':
+        lambda v: _band_predicate('temperature_range', v),
+}
+
+
+def _compile_filters(filters):
+    """Compile a filter dict into a list of record predicates."""
+    predicates = []
+    for key, value in filters.items():
+        if value is None:
+            continue
+        build = _PREDICATE_BUILDERS.get(key)
+        predicates.append(build(value) if build is not None
+                          else _metadata_predicate(key, value))
+    return predicates
+
+
+def _passes(record, predicates):
+    return all(p(record) for p in predicates)
+
+
+# ----------------------------- name matching -----------------------------
+
+_PRIMARY_HIT, _ALIAS_HIT = 2, 1
+
+
+def _name_score(record, norm_query):
+    """2 for an exact primary-name hit, 1 for alias/variant, 0 for none."""
+    if _normalize_name(record.name) == norm_query:
+        return _PRIMARY_HIT
+    for candidate in record.names_for_match()[1:]:
+        if _normalize_name(candidate) == norm_query:
+            return _ALIAS_HIT
+    return 0
+
+
+def _loose_name_match(record, query):
+    """Substring-tolerant match used by search()."""
     if query is None:
         return True
     norm = _normalize_name(query)
     for candidate in record.names_for_match():
-        cnorm = _normalize_name(candidate)
-        if norm == cnorm or norm in cnorm:
+        normalized = _normalize_name(candidate)
+        if norm == normalized or norm in normalized:
             return True
     return False
 
 
-_FILTER_KEYS = {'catalog', 'variant', 'process', 'material_class',
-                'wavelength_range_contains', 'temperature_range_contains'}
-
-
-def _record_matches_filters(record, filters):
-    for key in ('catalog', 'variant', 'process'):
-        want = filters.get(key)
-        if want is not None and _normalize_name(
-                getattr(record, key) or '') != _normalize_name(want):
-            return False
-    mc = filters.get('material_class')
-    if mc is not None and record.material_class != mc:
-        return False
-    wrc = filters.get('wavelength_range_contains')
-    if wrc is not None and not _range_contains(record.wavelength_range, wrc):
-        return False
-    trc = filters.get('temperature_range_contains')
-    if trc is not None and not _range_contains(record.temperature_range, trc):
-        return False
-    for key, value in filters.items():
-        if key in _FILTER_KEYS or value is None:
-            continue
-        if record.metadata.get(key) != value:
-            return False
-    return True
-
-
 def _resolve_record(records, name, qualifiers):
-    """The one record matching name+qualifiers, or KeyError/Ambiguous."""
+    """The one record matching name+qualifiers, or KeyError/Ambiguous.
+
+    catalog and namespace are accepted as synonyms.  Among equally-valid
+    candidates, an exact primary-name hit beats alias hits (so e.g.
+    LAF3 resolves even when N-LAF3 carries LAF3 as an alias); a tie at
+    the top score is ambiguous.
+    """
     qualifiers = dict(qualifiers)
-    catalog = qualifiers.pop('catalog', None)
-    if catalog is None:
-        catalog = qualifiers.pop('namespace', None)
-    matches = [r for r in records
-               if _matches_name(r, name)
-               and _record_matches_filters(r, {'catalog': catalog, **qualifiers})]
-    if not matches:
+    namespace = qualifiers.pop('catalog', None) or qualifiers.pop('namespace', None)
+    predicates = _compile_filters({'catalog': namespace, **qualifiers})
+    norm = _normalize_name(name)
+
+    scored = [(score, rec) for rec in records
+              if (score := _name_score(rec, norm)) and _passes(rec, predicates)]
+    if not scored:
         raise KeyError(f'no material named {name!r}')
-    if len(matches) > 1:
-        norm = _normalize_name(name)
-        # an exact primary-name hit beats alias hits (LAF3 vs N-LAF3)
-        primary = [r for r in matches if _normalize_name(r.name) == norm]
-        if len(primary) == 1:
-            return primary[0]
-        raise AmbiguousMaterialError(name, matches)
-    return matches[0]
+    best = max(s for s, _ in scored)
+    winners = [rec for s, rec in scored if s == best]
+    if len(winners) > 1:
+        raise AmbiguousMaterialError(name, [rec for _, rec in scored])
+    return winners[0]
 
 
 def _search_records(records, query, filters):
-    return [r for r in records
-            if _record_matches_query(r, query)
-            and _record_matches_filters(r, filters)]
+    predicates = _compile_filters(filters)
+    return [rec for rec in records
+            if _loose_name_match(rec, query) and _passes(rec, predicates)]
 
 
 class RecordSet:
-    """Shared query behavior over a records() sequence."""
+    """Shared query behavior over a records() sequence.
+
+    Anything that yields MaterialRecords via records() gets lookup,
+    ambiguity handling, the "namespace:name" split, and metadata search
+    for free; Catalog/CatalogChain/registry only supply records().
+    """
 
     def records(self):
         """The records in this set; subclasses implement."""
@@ -113,7 +154,7 @@ class RecordSet:
     def __getitem__(self, key):
         """Lookup by name or 'namespace:name'."""
         if isinstance(key, str) and ':' in key:
-            namespace, name = key.split(':', 1)
+            namespace, _, name = key.partition(':')
             return self.material_for_name(name, catalog=namespace)
         return self.material_for_name(key)
 
@@ -127,14 +168,16 @@ class Catalog(RecordSet):
 
     @classmethod
     def from_materials(cls, materials, *, namespace=None):
-        """Build a catalog from material instances without mutating them."""
-        records = []
-        for material in materials:
-            override = (namespace
-                        if namespace is not None and not material.catalog
-                        else None)
-            records.append(material.record(catalog=override))
-        return cls(records, namespace=namespace)
+        """Build a catalog from material instances without mutating them.
+
+        The namespace stamps records whose material has no catalog of
+        its own; materials that already belong to a catalog keep it.
+        """
+        def stamped(material):
+            unowned = namespace is not None and not material.catalog
+            return material.record(catalog=namespace if unowned else None)
+
+        return cls([stamped(m) for m in materials], namespace=namespace)
 
     def records(self):
         """All material records."""
@@ -149,4 +192,7 @@ class CatalogChain(RecordSet):
 
     def records(self):
         """Records from every catalog in chain order."""
-        return tuple(r for catalog in self.catalogs for r in catalog.records())
+        out = []
+        for catalog in self.catalogs:
+            out.extend(catalog.records())
+        return tuple(out)

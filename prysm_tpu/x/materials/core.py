@@ -1,15 +1,21 @@
 """Material protocol, records, and the shared material base class.
 
-Rebuild of ``prysm/x/materials/core.py``.  Wavelengths are microns,
-temperatures Kelvin, complex index n + 1j*k.  Materials are host-side
-metadata objects whose ``n``/``k`` evaluate through numpy (float64) — the
-trace/thin-film consumers pull scalars or small vectors out of them at
-setup time, outside jit, so there is nothing to accelerate here.
+TPU-first rebuild of the glass/material layer (reference:
+``prysm/x/materials/core.py``).  Wavelengths are microns, temperatures
+Kelvin, and the complex index convention is n + 1j*k.  Materials are
+host-side metadata objects; ``n``/``k`` evaluate through numpy (float64)
+because trace and thin-film consumers sample them at setup time, outside
+jit — there is nothing to accelerate on-device here.
+
+Architecture notes (differs from the reference's subclass-override
+design): provenance fields are declared once in ``_PROVENANCE_FIELDS``
+and plumbed by table, band guards live in the small ``_Band`` value
+type, and concrete materials supply *evaluation channels* (``_Channel``)
+rather than overriding ``n``/``k`` wholesale.
 """
 import inspect
 
 import numpy as np
-
 
 
 class MaterialRangeError(ValueError):
@@ -21,71 +27,135 @@ class MissingKError(ValueError):
 
 
 def _normalize_name(name):
-    return ''.join(ch for ch in str(name).strip().upper() if ch not in '-_ ')
+    """Case/punctuation-insensitive key used for all material name matching."""
+    keep = (c for c in str(name).strip().upper() if c not in set('-_ '))
+    return ''.join(keep)
+
+
+class _Band:
+    """Half-open-tolerant validity interval with a named error message.
+
+    Wraps the (lo, hi) tuples materials carry for wavelength and
+    temperature.  Either endpoint may be None (unbounded).
+    """
+
+    __slots__ = ('lo', 'hi')
+
+    def __init__(self, pair):
+        self.lo, self.hi = (None, None) if pair is None else pair
+
+    @property
+    def unbounded(self):
+        return self.lo is None and self.hi is None
+
+    def covers(self, other):
+        """True if this band fully contains the other band (both closed)."""
+        if self.unbounded or other is None:
+            return False
+        olo, ohi = other
+        edges = (self.lo, self.hi, olo, ohi)
+        if any(e is None for e in edges):
+            return False
+        return self.lo <= olo and ohi <= self.hi
+
+    def holds(self, values):
+        """True if every value lies inside the band."""
+        lo = -np.inf if self.lo is None else self.lo
+        hi = np.inf if self.hi is None else self.hi
+        v = np.asarray(values, dtype=float)
+        return bool(np.all((v >= lo) & (v <= hi)))
+
+    def describe(self):
+        """Human-readable band text for error messages."""
+        if self.lo is None:
+            return f'<= {self.hi:g}'
+        if self.hi is None:
+            return f'>= {self.lo:g}'
+        return f'{self.lo:g} to {self.hi:g}'
+
+    def demand(self, values, label, owner):
+        """Raise MaterialRangeError unless all values are inside the band."""
+        if self.unbounded or self.holds(values):
+            return
+        raise MaterialRangeError(
+            f'{label} for {owner} is outside valid range {self.describe()}')
 
 
 def _range_contains(outer, inner):
-    if outer is None or inner is None:
-        return False
-    lo, hi = outer
-    ilo, ihi = inner
-    if None in (lo, hi, ilo, ihi):
-        return False
-    return lo <= ilo and hi >= ihi
-
-
-def _accepts_temperature(func):
-    if func is None:
-        return False
-    try:
-        sig = inspect.signature(func)
-    except (TypeError, ValueError):
-        return False
-    for p in sig.parameters.values():
-        if p.kind is inspect.Parameter.VAR_KEYWORD:
-            return True
-        if p.name == 'temperature' and p.kind in (
-                inspect.Parameter.KEYWORD_ONLY,
-                inspect.Parameter.POSITIONAL_OR_KEYWORD):
-            return True
-    return False
+    """True if the (lo, hi) interval outer fully contains inner."""
+    return _Band(outer).covers(inner)
 
 
 def _validate_range(values, valid_range, label, name):
-    if valid_range is None:
-        return
-    lo, hi = valid_range
-    if lo is None and hi is None:
-        return
-    out = False
-    if lo is not None:
-        out = out | np.less(values, lo)
-    if hi is not None:
-        out = out | np.greater(values, hi)
-    if np.any(out):
-        if lo is None:
-            text = f'<= {hi:g}'
-        elif hi is None:
-            text = f'>= {lo:g}'
-        else:
-            text = f'{lo:g} to {hi:g}'
-        raise MaterialRangeError(
-            f'{label} for {name} is outside valid range {text}')
+    """Module-level band check kept for the format-specific catalogs."""
+    _Band(valid_range).demand(values, label, name)
+
+
+def _accepts_temperature(func):
+    """True when func can receive temperature as a keyword."""
+    if func is None:
+        return False
+    try:
+        params = inspect.signature(func).parameters
+    except (TypeError, ValueError):
+        return False
+    kinds_ok = (inspect.Parameter.KEYWORD_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    return any(
+        p.kind is inspect.Parameter.VAR_KEYWORD
+        or (p.name == 'temperature' and p.kind in kinds_ok)
+        for p in params.values()
+    )
+
+
+def _fill(like, value):
+    """value broadcast to the shape (and array-ness) of the query."""
+    if np.isscalar(like):
+        return like * 0 + value
+    if hasattr(like, 'shape'):
+        return np.zeros_like(like) + value
+    return np.full(np.shape(like), value, dtype=np.float64)
+
+
+class _Channel:
+    """One evaluation channel (n or k): a formula plus calling convention.
+
+    Decouples "how do I call this user function" from the material
+    classes.  The convention is resolved once at construction.
+    """
+
+    __slots__ = ('formula', 'coefficients', 'wants_temperature')
+
+    def __init__(self, formula, coefficients=()):
+        self.formula = formula
+        self.coefficients = tuple(coefficients)
+        self.wants_temperature = _accepts_temperature(formula)
+
+    def __call__(self, wvl_um, temperature):
+        if temperature is not None and self.wants_temperature:
+            return self.formula(wvl_um, *self.coefficients,
+                                temperature=temperature)
+        return self.formula(wvl_um, *self.coefficients)
+
+    @classmethod
+    def constant(cls, value):
+        """Channel returning a constant, broadcast to the query shape."""
+        return cls(lambda wvl: _fill(wvl, value))
 
 
 def _user_page_info(material):
-    wr = material.wavelength_range
-    lo, hi = wr if wr is not None else (None, None)
+    """Default refractiveindex.info-shaped provenance view."""
+    band = _Band(material.wavelength_range)
+    label = material.catalog or 'USER'
     meta = material.metadata
-    catalog = material.catalog
     return {
         'shelf': 'user',
-        'book': catalog or 'USER',
+        'book': label,
         'page': material.name,
         'filepath': material.source or '',
-        'catalog': catalog or 'USER',
-        'rangeMin': lo,
-        'rangeMax': hi,
+        'catalog': label,
+        'rangeMin': band.lo,
+        'rangeMax': band.hi,
         'model': meta.get('model', meta.get('method')),
     }
 
@@ -106,32 +176,38 @@ class MaterialProtocol:
         """Alias for n(wvl_um)."""
 
 
+# the provenance surface shared by records and materials, declared once
+_PROVENANCE_FIELDS = (
+    'catalog', 'variant', 'source', 'citation', 'license',
+    'wavelength_range', 'temperature_range', 'process',
+)
+
+
 class MaterialRecord:
     """Metadata-only catalog entry with a lazy loader."""
 
-    __slots__ = ('name', 'catalog', 'variant', 'aliases', 'source',
-                 'citation', 'license', 'wavelength_range',
-                 'temperature_range', 'process', 'material_class',
-                 'metadata', 'loader', 'material_id')
+    __slots__ = _PROVENANCE_FIELDS + (
+        'name', 'aliases', 'material_class', 'metadata', 'loader',
+        'material_id',
+    )
 
-    def __init__(self, name, *, catalog=None, variant=None, aliases=(),
-                 source=None, citation=None, license=None,
-                 wavelength_range=None, temperature_range=None, process=None,
-                 material_class=None, metadata=None, loader=None,
-                 material_id=None):
-        self.name, self.catalog, self.variant = name, catalog, variant
-        self.aliases = tuple(aliases) if aliases is not None else ()
-        self.source, self.citation = source, citation
-        self.license = license
-        self.wavelength_range = wavelength_range
-        self.temperature_range = temperature_range
-        self.process, self.loader = process, loader
-        self.metadata = {} if metadata is None else dict(metadata)
-        if material_class is None:
-            material_class = self.metadata.get('material_class')
-        self.material_class = material_class
+    def __init__(self, name, *, aliases=(), material_class=None,
+                 metadata=None, loader=None, material_id=None, **provenance):
+        self.name = name
+        self.aliases = tuple(aliases or ())
+        for field in _PROVENANCE_FIELDS:
+            setattr(self, field, provenance.pop(field, None))
+        if provenance:
+            unexpected = ', '.join(sorted(provenance))
+            raise TypeError(f'unexpected record fields: {unexpected}')
+        self.metadata = dict(metadata or {})
+        self.loader = loader
+        self.material_class = (material_class
+                               if material_class is not None
+                               else self.metadata.get('material_class'))
         if material_id is None:
-            material_id = ':'.join(str(p) for p in (catalog, name, variant) if p)
+            tags = (self.catalog, name, self.variant)
+            material_id = ':'.join(str(t) for t in tags if t)
         self.material_id = material_id
 
     def load(self):
@@ -142,31 +218,27 @@ class MaterialRecord:
 
     def names_for_match(self):
         """Name, variant, and aliases used for normalized lookup."""
-        names = [self.name]
-        if self.variant:
-            names.append(self.variant)
-        names.extend(self.aliases)
-        return tuple(names)
+        head = (self.name, self.variant) if self.variant else (self.name,)
+        return head + self.aliases
 
 
 class BaseMaterial:
-    """Shared metadata, range validation, and derived optical metrics."""
+    """Shared metadata, band validation, and derived optical metrics.
 
-    def __init__(self, name, *, catalog=None, variant=None, source=None,
-                 citation=None, license=None, wavelength_range=None,
-                 temperature_range=None, process=None, metadata=None,
-                 missing_k='zero'):
+    Subclasses either supply evaluation channels or implement ``n``
+    (and optionally ``k``) directly; range checking is uniform via the
+    ``_check_*`` guards.
+    """
+
+    def __init__(self, name, *, metadata=None, missing_k='zero', **provenance):
         if missing_k not in ('zero', 'raise'):
             raise ValueError("missing_k must be 'zero' or 'raise'")
         self.name = name
-        self.catalog = catalog
-        self.variant = variant
-        self.source = source
-        self.citation = citation
-        self.license = license
-        self.wavelength_range = wavelength_range
-        self.temperature_range = temperature_range
-        self.process = process
+        for field in _PROVENANCE_FIELDS:
+            setattr(self, field, provenance.pop(field, None))
+        if provenance:
+            unexpected = ', '.join(sorted(provenance))
+            raise TypeError(f'unexpected material fields: {unexpected}')
         self.metadata = dict(metadata or {})
         self.missing_k = missing_k
         self._page_info_builder = _user_page_info
@@ -181,25 +253,21 @@ class BaseMaterial:
         return self._page_info_builder(self)
 
     def _check_wavelength(self, wvl):
-        if self.metadata.get('extrapolate_wavelength'):
-            return
-        _validate_range(wvl, self.wavelength_range, 'wavelength', self.name)
+        if not self.metadata.get('extrapolate_wavelength'):
+            _Band(self.wavelength_range).demand(wvl, 'wavelength', self.name)
 
     def _check_temperature(self, temperature):
-        if temperature is None or self.metadata.get('extrapolate_temperature'):
+        if temperature is None:
             return
-        _validate_range(temperature, self.temperature_range, 'temperature',
-                        self.name)
+        if not self.metadata.get('extrapolate_temperature'):
+            _Band(self.temperature_range).demand(
+                temperature, 'temperature', self.name)
 
     def _missing_k(self, wvl_um):
         if self.missing_k == 'raise':
             raise MissingKError(
                 f'extinction data k is not available for {self.name}')
-        if np.isscalar(wvl_um):
-            return wvl_um * 0
-        if hasattr(wvl_um, 'shape'):
-            return np.zeros_like(wvl_um)
-        return np.zeros(np.shape(wvl_um), dtype=np.float64)
+        return _fill(wvl_um, 0.0)
 
     def k(self, wvl_um, temperature=None):
         """Extinction coefficient, or the configured missing-k policy."""
@@ -209,8 +277,9 @@ class BaseMaterial:
 
     def nk(self, wvl_um, temperature=None):
         """Complex refractive index n + 1j*k."""
-        return (self.n(wvl_um, temperature=temperature)
-                + 1j * self.k(wvl_um, temperature=temperature))
+        parts = (self.n(wvl_um, temperature=temperature),
+                 self.k(wvl_um, temperature=temperature))
+        return parts[0] + 1j * parts[1]
 
     def n_at(self, wvl_um, temperature=None):
         """n at one wavelength; registry-search convenience."""
@@ -218,78 +287,75 @@ class BaseMaterial:
 
     def dispersion(self, wvl1_um, wvl2_um, temperature=None):
         """n(wvl1) - n(wvl2)."""
-        return (self.n(wvl1_um, temperature=temperature)
-                - self.n(wvl2_um, temperature=temperature))
+        n1, n2 = (self.n(w, temperature=temperature)
+                  for w in (wvl1_um, wvl2_um))
+        return n1 - n2
 
     def partial_dispersion(self, wvl1_um, wvl2_um, wvl3_um, wvl4_um,
                            temperature=None):
         """(n1 - n2) / (n3 - n4)."""
-        return (self.dispersion(wvl1_um, wvl2_um, temperature=temperature)
-                / self.dispersion(wvl3_um, wvl4_um, temperature=temperature))
+        pairs = ((wvl1_um, wvl2_um), (wvl3_um, wvl4_um))
+        num, den = (self.dispersion(*p, temperature=temperature)
+                    for p in pairs)
+        return num / den
 
     def abbe(self, wvl_short_um, wvl_center_um, wvl_long_um, temperature=None):
         """Abbe-like number for arbitrary line choices."""
-        nc = self.n(wvl_center_um, temperature=temperature)
-        ns = self.n(wvl_short_um, temperature=temperature)
-        nl = self.n(wvl_long_um, temperature=temperature)
-        return (nc - 1) / (ns - nl)
+        center = self.n(wvl_center_um, temperature=temperature)
+        spread = self.dispersion(wvl_short_um, wvl_long_um,
+                                 temperature=temperature)
+        return (center - 1) / spread
 
-    def _central_difference(self, evaluate, x, h_floor, valid_range,
-                            extrapolate):
-        """Range-clamped central difference (one-sided at band edges)."""
+    def _band_derivative(self, evaluate, x, h_floor, band_pair, extrapolate):
+        """Finite difference of evaluate() about x, clamped to the band.
+
+        At a closed band edge the stencil degrades to one-sided rather
+        than sampling out of range; a fully collapsed stencil returns 0.
+        """
         h = np.maximum(np.abs(x) * 1e-6, h_floor)
-        hi_pt = np.add(x, h)
-        lo_pt = np.subtract(x, h)
-        if valid_range is not None and not extrapolate:
-            lo, hi = valid_range
-            if hi is not None:
-                hi_pt = np.minimum(hi_pt, hi)
-            if lo is not None:
-                lo_pt = np.maximum(lo_pt, lo)
-        num = evaluate(hi_pt) - evaluate(lo_pt)
-        den = hi_pt - lo_pt
-        return np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den))
+        band = _Band(band_pair if not extrapolate else None)
+        lo = -np.inf if band.lo is None else band.lo
+        hi = np.inf if band.hi is None else band.hi
+        upper = np.clip(np.add(x, h), lo, hi)
+        lower = np.clip(np.subtract(x, h), lo, hi)
+        span = upper - lower
+        rise = evaluate(upper) - evaluate(lower)
+        degenerate = span == 0
+        return np.where(degenerate, 0.0,
+                        rise / np.where(degenerate, 1.0, span))
 
     def dn_dlambda(self, wvl_um, temperature=None):
         """Finite-difference dn/dwvl."""
-        return self._central_difference(
-            lambda w: self.n(w, temperature=temperature), wvl_um, 1e-6,
-            self.wavelength_range, self.metadata.get('extrapolate_wavelength'))
+        return self._band_derivative(
+            lambda w: self.n(w, temperature=temperature),
+            wvl_um, 1e-6, self.wavelength_range,
+            self.metadata.get('extrapolate_wavelength'))
 
     def dn_dT(self, wvl_um, temperature):
         """Finite-difference dn/dT."""
-        return self._central_difference(
-            lambda t: self.n(wvl_um, temperature=t), temperature, 1e-3,
-            self.temperature_range, self.metadata.get('extrapolate_temperature'))
+        return self._band_derivative(
+            lambda t: self.n(wvl_um, temperature=t),
+            temperature, 1e-3, self.temperature_range,
+            self.metadata.get('extrapolate_temperature'))
+
+    def provenance(self):
+        """The provenance fields as a dict (record-construction helper)."""
+        return {f: getattr(self, f) for f in _PROVENANCE_FIELDS}
 
     def record(self, *, loader=None, catalog=None):
         """Create a metadata record for this material."""
-        if loader is None:
-            loader = lambda: self  # NOQA: E731
+        fields = self.provenance()
+        if catalog is not None:
+            fields['catalog'] = catalog
         return MaterialRecord(
             name=self.name,
-            catalog=self.catalog if catalog is None else catalog,
-            variant=self.variant,
             aliases=tuple(self.metadata.get('aliases', ())),
-            source=self.source,
-            citation=self.citation,
-            license=self.license,
-            wavelength_range=self.wavelength_range,
-            temperature_range=self.temperature_range,
-            process=self.process,
             material_class=self.metadata.get('material_class',
                                              type(self).__name__),
             metadata=dict(self.metadata),
-            loader=loader,
+            loader=loader if loader is not None else (lambda: self),
+            **fields,
         )
-
-
-def _const_like(wvl_um, value):
-    if np.isscalar(wvl_um):
-        return wvl_um * 0 + value
-    if hasattr(wvl_um, 'shape'):
-        return np.zeros_like(wvl_um) + value
-    return np.zeros(np.shape(wvl_um), dtype=np.float64) + value
 
 
 class ConstantMaterial(BaseMaterial):
@@ -297,20 +363,21 @@ class ConstantMaterial(BaseMaterial):
 
     def __init__(self, n, *, name=None, k=None, **kwargs):
         n = float(n)
-        if np.isfinite(n) is False:
+        if not np.isfinite(n):
             raise ValueError('the constant index n must be finite')
         if k is not None:
             k = float(k)
-            if k < 0 or not np.isfinite(k):
+            if not (np.isfinite(k) and k >= 0):
                 raise ValueError('the constant k must be finite and >= 0')
-        missing_k = kwargs.pop('missing_k',
-                               'raise' if k is not None else 'zero')
+        policy = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
         super().__init__(name if name is not None else f'const_{n:g}',
-                         missing_k=missing_k, **kwargs)
+                         missing_k=policy, **kwargs)
         self.n_value, self.k_value = n, k
         self.index = n
         self.extinction = k if k is not None else 0.0
         self.fit_report = None
+        self._n_channel = _Channel.constant(n)
+        self._k_channel = None if k is None else _Channel.constant(k)
         self.metadata.setdefault('model', 'constant')
         self.metadata.setdefault('extrapolate', True)
 
@@ -318,15 +385,15 @@ class ConstantMaterial(BaseMaterial):
         """Constant real index, shaped like the query."""
         self._check_wavelength(wvl_um)
         self._check_temperature(temperature)
-        return _const_like(wvl_um, self.n_value)
+        return self._n_channel(wvl_um, temperature)
 
     def k(self, wvl_um, temperature=None):
         """Constant extinction, shaped like the query."""
         self._check_wavelength(wvl_um)
         self._check_temperature(temperature)
-        if self.k_value is None:
+        if self._k_channel is None:
             return self._missing_k(wvl_um)
-        return _const_like(wvl_um, self.k_value)
+        return self._k_channel(wvl_um, temperature)
 
 
 class FormulaMaterial(BaseMaterial):
@@ -334,35 +401,44 @@ class FormulaMaterial(BaseMaterial):
 
     def __init__(self, name, formula, coefficients=(), *, k_formula=None,
                  k_coefficients=(), **kwargs):
-        missing_k = kwargs.pop('missing_k',
-                               'zero' if k_formula is None else 'raise')
-        super().__init__(name, missing_k=missing_k, **kwargs)
-        self.formula = formula
-        self.coefficients = tuple(coefficients)
-        self.k_formula = k_formula
-        self.k_coefficients = tuple(k_coefficients)
-        self._formula_wants_temperature = _accepts_temperature(formula)
-        self._k_formula_wants_temperature = _accepts_temperature(k_formula)
+        policy = kwargs.pop('missing_k',
+                            'zero' if k_formula is None else 'raise')
+        super().__init__(name, missing_k=policy, **kwargs)
+        self._n_channel = _Channel(formula, coefficients)
+        self._k_channel = (None if k_formula is None
+                           else _Channel(k_formula, k_coefficients))
+
+    # formula/coefficients exposed as properties so the channel is the
+    # single source of truth
+    @property
+    def formula(self):
+        return self._n_channel.formula
+
+    @property
+    def coefficients(self):
+        return self._n_channel.coefficients
+
+    @property
+    def k_formula(self):
+        return None if self._k_channel is None else self._k_channel.formula
+
+    @property
+    def k_coefficients(self):
+        return () if self._k_channel is None else self._k_channel.coefficients
 
     def n(self, wvl_um, temperature=None):
         """Formula-derived real index."""
         self._check_wavelength(wvl_um)
         self._check_temperature(temperature)
-        if temperature is not None and self._formula_wants_temperature:
-            return self.formula(wvl_um, *self.coefficients,
-                                temperature=temperature)
-        return self.formula(wvl_um, *self.coefficients)
+        return self._n_channel(wvl_um, temperature)
 
     def k(self, wvl_um, temperature=None):
         """Formula-derived extinction coefficient."""
         self._check_wavelength(wvl_um)
         self._check_temperature(temperature)
-        if self.k_formula is None:
+        if self._k_channel is None:
             return self._missing_k(wvl_um)
-        if temperature is not None and self._k_formula_wants_temperature:
-            return self.k_formula(wvl_um, *self.k_coefficients,
-                                  temperature=temperature)
-        return self.k_formula(wvl_um, *self.k_coefficients)
+        return self._k_channel(wvl_um, temperature)
 
 
 # d/F/C spectral lines, microns (nd / Abbe definition)
@@ -372,9 +448,9 @@ _LINE_D, _LINE_F, _LINE_C = 0.5875618, 0.4861327, 0.6562725
 def model_glass(nd, vd, name=None):
     """Two-term Cauchy stand-in glass hitting (nd, Vd) at the d/F/C lines."""
     from .formulas import cauchy
-    B = ((nd - 1.0) / vd) / (1.0 / _LINE_F ** 2 - 1.0 / _LINE_C ** 2)
+    inv_sq_spread = 1.0 / _LINE_F ** 2 - 1.0 / _LINE_C ** 2
+    B = (nd - 1.0) / (vd * inv_sq_spread)
     A = nd - B / _LINE_D ** 2
-    if name is None:
-        name = f'model {nd:.4f}/{vd:.2f}'
-    return FormulaMaterial(name, cauchy, (A, B),
+    label = name if name is not None else f'model {nd:.4f}/{vd:.2f}'
+    return FormulaMaterial(label, cauchy, (A, B),
                            metadata={'model_glass': True, 'nd': nd, 'vd': vd})

@@ -5,8 +5,9 @@ Rebuild of ``prysm/x/materials/registry.py``.
 from .catalog import (
     CatalogChain,
     RecordSet,
-    _record_matches_filters,
-    _record_matches_query,
+    _compile_filters,
+    _loose_name_match,
+    _passes,
 )
 from .core import MissingKError
 
@@ -59,9 +60,9 @@ class MaterialRegistry(RecordSet):
         query = criteria.get('query')
         meta = {k: v for k, v in criteria.items()
                 if k != 'query' and k not in _COMPUTED}
-        if not _record_matches_query(record, query):
+        if not _loose_name_match(record, query):
             return False
-        if not _record_matches_filters(record, meta):
+        if not _passes(record, _compile_filters(meta)):
             return False
 
         def in_band(value, lo, hi):

@@ -461,39 +461,44 @@ def _stop_target(system, stop_index, wvl_um, build_bundle, field):
     return _StopTarget(center, pupil_map)
 
 
-# adaptive field-continuation homotopy parameters
-_LADDER_STEP0 = 0.25
-_LADDER_GROW = 1.6
-_LADDER_MIN_STEP = 1.0 / 128
-_LADDER_MAXITER = 200
+# adaptive field-continuation homotopy tuning: initial fractional-field
+# step, growth factor after a successful rung, the subdivision floor below
+# which a field is declared untransmittable, and an iteration backstop
+_CONTINUATION = {'step0': 0.25, 'grow': 1.6,
+                 'min_step': 1.0 / 128, 'maxiter': 200}
 
 
 def _scaled_field(field, frac):
-    return Field(hx=field.hx * frac, hy=field.hy * frac, kind=field.kind,
-                 unit=field.unit, object_z=field.object_z,
-                 vignetting=field.vignetting)
+    return field._replace(hx=field.hx * frac, hy=field.hy * frac) \
+        if hasattr(field, '_replace') else Field(
+            hx=field.hx * frac, hy=field.hy * frac, kind=field.kind,
+            unit=field.unit, object_z=field.object_z,
+            vignetting=field.vignetting)
 
 
-class _ParaxialAimingView:
-    """A system view that pins ray_aiming to paraxial (ladder EP seeds)."""
+class _PinnedAimingProxy:
+    """Delegating system view whose ray_aiming is pinned to 'paraxial'.
 
-    __slots__ = ('_sys',)
+    Breaks the recursion where the continuation ladder's parabasal EP
+    seed would launch an aimed chief that re-enters the ladder.
+    """
+
     ray_aiming = 'paraxial'
 
     def __init__(self, system):
-        self._sys = system
+        self._inner = system
 
     def __getattr__(self, name):
-        return getattr(self._sys, name)
+        return getattr(self._inner, name)
 
     def __getitem__(self, key):
-        return self._sys[key]
+        return self._inner[key]
 
     def __len__(self):
-        return len(self._sys)
+        return len(self._inner)
 
     def __iter__(self):
-        return iter(self._sys)
+        return iter(self._inner)
 
 
 def _parabasal_ep_z(system, field, wvl_um):
@@ -503,7 +508,7 @@ def _parabasal_ep_z(system, field, wvl_um):
     except ImportError:
         return _entrance_pupil_z(system, wvl_um)
     try:
-        ep = first_order(_ParaxialAimingView(system), field, wvl_um).ep_z
+        ep = first_order(_PinnedAimingProxy(system), field, wvl_um).ep_z
     except (ValueError, IndexError, ArithmeticError,
             onp.linalg.LinAlgError):
         ep = None
@@ -574,8 +579,8 @@ def _aim_to_stop_with_ladder(P, S, rho_norm, build_bundle, field, system,
     warm_landed = onp.zeros(rho_norm.shape[0], dtype=bool)
     landed_full = onp.zeros(rho_norm.shape[0], dtype=bool)
     P_full = S_full = None
-    progress, rung = 0.0, _LADDER_STEP0
-    for _ in range(_LADDER_MAXITER):
+    progress, rung = 0.0, _CONTINUATION['step0']
+    for _ in range(_CONTINUATION['maxiter']):
         if progress >= 1.0:
             break
         reach = min(1.0, progress + rung)
@@ -600,12 +605,12 @@ def _aim_to_stop_with_ladder(P, S, rho_norm, build_bundle, field, system,
                 warmS[landed_k] = Sk[landed_k]
             warm_landed = warm_landed | landed_k
             progress = reach
-            rung = min(rung * _LADDER_GROW, 1.0)
+            rung = min(rung * _CONTINUATION['grow'], 1.0)
             if progress >= 1.0:
                 landed_full, P_full, S_full = landed_k, Pk, Sk
         else:
             rung *= 0.5
-            if rung < _LADDER_MIN_STEP:
+            if rung < _CONTINUATION['min_step']:
                 break
 
     rescued = landed_full & ~landed

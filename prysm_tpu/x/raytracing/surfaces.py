@@ -73,39 +73,30 @@ from .sags import (
 # Sample count per axis for the departure-band precompute; the max-departure
 # estimate is padded to absorb the grid resolution (reference surfaces.py:85)
 DEPARTURE_BAND_SAMPLES = 64
-# Max |grad(sag - seed conic sag)| above which the acceptance band can admit
-# multiple surface crossings (reference surfaces.py:89)
+# departure-gradient ceiling: past this slope the acceptance band can hold
+# more than one crossing, so first-root selection warns (ref surfaces.py:89)
 DEPARTURE_GRADIENT_WARN = 0.5
 
 
 class DepartureBand:
-    """Conic-seed departure bounds for the intersection first-root guarantee.
+    """Conic-seed departure bounds backing the first-root guarantee.
 
-    bounded is False (numeric fields None) for an analytic shape or a
-    conic seed with no characterizable domain (reference surfaces.py:92-131).
-
-    Attributes
-    ----------
-    max_departure : float
-        padded max sag departure from the seed conic over the domain
-    domain_radius : float
-        disk radius the band was characterized on
-    gradient_bound : float
-        departure-slope bound for the monotonicity certificate
-    lipschitz : float
-        sag-slope bound for the Lipschitz-march rescue
+    Quantifies how far (and how steeply) a polynomial sag departs from
+    its seed conic over a characterized disk: max_departure pads the
+    sag envelope, domain_radius records the disk, gradient_bound feeds
+    the monotonicity certificate, and lipschitz the Lipschitz-march
+    rescue.  An unbounded band (analytic shape, or no characterizable
+    conic domain; reference surfaces.py:92-131) carries None in every
+    numeric field and bounded=False.
     """
 
-    __slots__ = ('bounded', 'max_departure', 'domain_radius',
-                 'gradient_bound', 'lipschitz')
+    _LIMIT_FIELDS = ('max_departure', 'domain_radius',
+                     'gradient_bound', 'lipschitz')
 
-    def __init__(self, *, bounded, max_departure=None, domain_radius=None,
-                 gradient_bound=None, lipschitz=None):
+    def __init__(self, *, bounded, **limits):
         self.bounded = bounded
-        self.max_departure = max_departure
-        self.domain_radius = domain_radius
-        self.gradient_bound = gradient_bound
-        self.lipschitz = lipschitz
+        for field in self._LIMIT_FIELDS:
+            setattr(self, field, limits.get(field) if bounded else None)
 
     @classmethod
     def unbounded(cls):
@@ -115,13 +106,13 @@ class DepartureBand:
     def __repr__(self):
         if not self.bounded:
             return 'DepartureBand(bounded=False)'
-        try:
-            return (f'DepartureBand(max_departure={self.max_departure:g}, '
-                    f'domain_radius={self.domain_radius:g}, '
-                    f'gradient_bound={self.gradient_bound:g}, '
-                    f'lipschitz={self.lipschitz:g})')
-        except (TypeError, ValueError):
-            return 'DepartureBand(bounded=True, traced)'
+        parts = []
+        for field in self._LIMIT_FIELDS:
+            try:
+                parts.append(f'{field}={getattr(self, field):g}')
+            except (TypeError, ValueError):
+                return 'DepartureBand(bounded=True, traced)'
+        return f"DepartureBand({', '.join(parts)})"
 
 
 def _concrete_float(x):
@@ -837,36 +828,39 @@ class Surface:
         self.P = P
         self.R = R
         self.material = material
-        self.params = shape.params
         self.aperture = aperture
-        self.sag = shape.sag
-        self.sag_and_normal = shape.sag_and_normal
         self.grating = grating
         self.coating = coating
-        self._analytic_intersect = bool(getattr(shape, 'analytic_intersect', False))
+        # views onto the shape object, re-exposed for trace consumers
+        self.params = shape.params
+        self.sag = shape.sag
+        self.sag_and_normal = shape.sag_and_normal
+        self._analytic_intersect = bool(getattr(shape, 'analytic_intersect',
+                                                False))
         self._departure_band = None
 
+    # validated attributes: setters coerce, getters return the stored model
     @property
     def aperture(self):
         """Surface aperture model."""
-        return self._aperture
+        return self._aperture_model
 
     @aperture.setter
     def aperture(self, value):
-        self._aperture = as_aperture(value)
+        self._aperture_model = as_aperture(value)
 
     @property
     def grating(self):
         """Optical-path modifier on this surface, or None."""
-        return self._grating
+        return self._opl_modifier
 
     @grating.setter
     def grating(self, value):
-        if value is not None and not isinstance(value, OPLFunc):
+        if not (value is None or isinstance(value, OPLFunc)):
             raise TypeError(
                 'grating must be an OPLFunc (LinearGrating, CallableOPL) '
                 f'or None; got {value!r}')
-        self._grating = value
+        self._opl_modifier = value
 
     def grating_opl(self, Q_loc, wavelength):
         """OPL added by the surface modifier at local intersection points.

@@ -282,8 +282,21 @@ def compensate(opd, tol_maps, comp_maps, *, rcond=1e-9):
     return project_out(opd, basis), project_out(tol_maps, basis), basis
 
 
+def _column(values, count, fallback):
+    """values as a (count,) f64 vector, broadcasting scalars; None->fallback."""
+    if values is None:
+        return fallback
+    arr = np.asarray(values, dtype=_PREC)
+    return np.broadcast_to(arr, (count,)).copy() if arr.ndim == 0 else arr
+
+
 class WavefrontDifferential:
-    """Wavefront-error quadratic for one launch bundle and tolerance set."""
+    """Wavefront-error quadratic for one launch bundle and tolerance set.
+
+    Holds RMS^2(tau) = C + B.tau + tau' G tau with G the Gram matrix of
+    the derivative maps; every report/rollup/inverse query below is a
+    closed-form read of (C, B, G).
+    """
 
     __slots__ = ('W0', 'dW', 'names', 'steps', 'variances',
                  'x_pupil', 'y_pupil',
@@ -293,6 +306,8 @@ class WavefrontDifferential:
     def __init__(self, opd, dW, *, names=None, steps=None, variances=None,
                  reference='chief', x_pupil=None, y_pupil=None,
                  comp_names=None, comp_maps=None, comp_motions=None):
+        if reference not in ('chief', 'piston'):
+            raise ValueError("reference must be 'chief' or 'piston'")
         self.W0 = np.asarray(opd, dtype=_PREC).ravel()
         self.dW = np.asarray(dW, dtype=_PREC)
         if self.dW.ndim != 2 or self.dW.shape[0] != self.W0.shape[0]:
@@ -300,15 +315,11 @@ class WavefrontDifferential:
                 f'dW must be (N, P) parallel to opd (N={self.W0.shape[0]});'
                 f' got {self.dW.shape}')
         self.n_samples, self.n_params = self.dW.shape
+        P = self.n_params
         self.names = (list(names) if names is not None
-                      else [f'tol{i}' for i in range(self.n_params)])
-        self.steps = (np.asarray(steps, dtype=_PREC) if steps is not None
-                      else np.ones(self.n_params, dtype=_PREC))
-        self.variances = (
-            np.asarray(variances, dtype=_PREC) if variances is not None
-            else self.steps * self.steps)
-        if reference not in ('chief', 'piston'):
-            raise ValueError("reference must be 'chief' or 'piston'")
+                      else [f'tol{i}' for i in range(P)])
+        self.steps = _column(steps, P, np.ones(P, dtype=_PREC))
+        self.variances = _column(variances, P, self.steps * self.steps)
         self.reference = reference
         self.x_pupil = None if x_pupil is None else np.asarray(x_pupil)
         self.y_pupil = None if y_pupil is None else np.asarray(y_pupil)
@@ -318,11 +329,12 @@ class WavefrontDifferential:
         self.comp_motions = (None if comp_motions is None
                              else np.asarray(comp_motions, dtype=_PREC))
 
-        n = self.n_samples
-        self.C = float(np.mean(self.W0 * self.W0))
-        self.B = 2.0 * np.mean(self.W0[:, None] * self.dW, axis=0)
-        self.G = (self.dW.T @ self.dW) / n
-        self.A = np.diag(self.G).copy()
+        # the quadratic itself: mean-over-samples inner products
+        scale = 1.0 / self.n_samples
+        self.C = float(self.W0 @ self.W0) * scale
+        self.B = (self.W0 @ self.dW) * (2.0 * scale)
+        self.G = (self.dW.T @ self.dW) * scale
+        self.A = np.ascontiguousarray(np.diagonal(self.G))
         self.rms_nominal = float(np.sqrt(self.C))
 
     # ---------- per-tolerance quadratic ------------------------------------
@@ -333,17 +345,16 @@ class WavefrontDifferential:
 
     def rms_at(self, p, T):
         """Predicted RMS with tolerance p at value T, others nominal."""
-        A, B, C = self.quadratic_coeffs(p)
         T = np.asarray(T, dtype=_PREC)
-        val = A * T * T + B * T + C
-        return np.sqrt(np.maximum(val, 0.0))
+        rms_sq = np.polyval(self.quadratic_coeffs(p), T)
+        return np.sqrt(np.clip(rms_sq, 0.0, None))
 
     def sensitivity(self):
         """dRMS/dtau at nominal for every tolerance."""
         if self.rms_nominal == 0.0:
             # RMS ~ |T| at a perfect wavefront: report sqrt(A)
             return np.sqrt(self.A)
-        return self.B / (2.0 * self.rms_nominal)
+        return self.B * (0.5 / self.rms_nominal)
 
     # ---------- full quadratic form ----------------------------------------
 
@@ -351,12 +362,11 @@ class WavefrontDifferential:
         """RMS^2(tau), vectorized over rows of tau."""
         tau = np.asarray(tau, dtype=_PREC)
         single = tau.ndim == 1
-        if single:
-            tau = tau[None, :]
-        lin = tau @ self.B
-        quad = np.sum((tau @ self.G) * tau, axis=1)
-        val = np.maximum(self.C + lin + quad, 0.0)
-        return float(val[0]) if single else val
+        tau = np.atleast_2d(tau)
+        rms_sq = self.C + tau @ self.B + np.einsum(
+            'tp,pq,tq->t', tau, self.G, tau)
+        rms_sq = np.clip(rms_sq, 0.0, None)
+        return float(rms_sq[0]) if single else rms_sq
 
     def predict_rms(self, tau):
         """sqrt(predict_rms_sq(tau))."""
@@ -376,20 +386,20 @@ class WavefrontDifferential:
                 'zernike_sensitivity needs the pupil coordinates; build '
                 'the model via wavefront_differential (which records them)')
         nms = list(nms)
-        x = self.x_pupil
-        y = self.y_pupil
+        x, y = self.x_pupil, self.y_pupil
         if normalization_radius is None:
             normalization_radius = float(np.sqrt(np.max(x * x + y * y)))
-        nominal_coefs, _ = wavefront_zernike_fit(
-            self.W0, x, y, nms,
-            normalization_radius=normalization_radius, norm=norm)
-        dcoefs = np.empty((len(nms), self.n_params), dtype=_PREC)
-        for p in range(self.n_params):
-            coefs_p, _ = wavefront_zernike_fit(
-                self.dW[:, p], x, y, nms,
+
+        def fit(column):
+            coefs, _ = wavefront_zernike_fit(
+                column, x, y, nms,
                 normalization_radius=normalization_radius, norm=norm)
-            dcoefs[:, p] = coefs_p
-        return np.asarray(nominal_coefs, dtype=_PREC), dcoefs
+            return np.asarray(coefs, dtype=_PREC)
+
+        # one fit per map: the nominal wavefront then every derivative map
+        stacked = np.column_stack(
+            [fit(m) for m in (self.W0, *self.dW.T)])
+        return stacked[:, 0], stacked[:, 1:]
 
     # ---------- compensators -----------------------------------------------
 
@@ -407,19 +417,13 @@ class WavefrontDifferential:
     # ---------- RSS roll-up ------------------------------------------------
 
     def _scales(self, scales):
-        if scales is None:
-            return self.steps
-        scales = np.asarray(scales, dtype=_PREC)
-        if scales.ndim == 0:
-            scales = np.full(self.n_params, float(scales), dtype=_PREC)
-        return scales
+        return _column(scales, self.n_params, self.steps)
 
     def expected_rms_sq(self, scales=None):
         """E[RMS^2] for independent zero-mean tolerances."""
         variance = (self.variances if scales is None
-                    else self._scales(scales) ** 2)
-        extra = float(np.sum(variance * self.A))
-        return self.C + extra
+                    else np.square(self._scales(scales)))
+        return self.C + float(variance @ self.A)
 
     def expected_rms(self, scales=None):
         """sqrt(expected_rms_sq) -- the RSS-rolled-up predicted RMS."""
@@ -428,36 +432,44 @@ class WavefrontDifferential:
     def rms_change_per_tolerance(self, scales=None):
         """Per-tolerance RMS minus nominal at tau_p = +scale_p."""
         s = self._scales(scales)
-        rms_p = np.sqrt(np.maximum(self.A * s * s + self.B * s + self.C,
-                                   0.0))
-        return rms_p - self.rms_nominal
+        rms_sq = (self.A * s + self.B) * s + self.C
+        return np.sqrt(np.clip(rms_sq, 0.0, None)) - self.rms_nominal
 
     # ---------- inverse sensitivity ----------------------------------------
 
     def inverse_sensitivity(self, target_delta_rms, *, tiny=1e-30):
-        """(t_lo, t_hi): allowed tolerance range for a target RMS increase."""
+        """(t_lo, t_hi): allowed tolerance range for a target RMS increase.
+
+        Vectorized roots of A T^2 + B T + cc = 0 per tolerance with
+        cc = C - RMS_target^2 (<= 0 for a positive target); degenerate
+        quadratics fall back to the linear or unbounded solution.
+        """
         target_rms = self.rms_nominal + float(target_delta_rms)
         cc = self.C - target_rms * target_rms
-        t_lo = np.empty(self.n_params, dtype=_PREC)
-        t_hi = np.empty(self.n_params, dtype=_PREC)
-        for p in range(self.n_params):
-            A, B = float(self.A[p]), float(self.B[p])
-            if abs(A) <= tiny:
-                if abs(B) <= tiny:
-                    t_lo[p], t_hi[p] = -np.inf, np.inf
-                    continue
-                root = -cc / B
-                if root >= 0:
-                    t_lo[p], t_hi[p] = -np.inf, root
-                else:
-                    t_lo[p], t_hi[p] = root, np.inf
-                continue
-            disc = B * B - 4.0 * A * cc
-            sq = np.sqrt(max(disc, 0.0))
-            r1 = (-B - sq) / (2.0 * A)
-            r2 = (-B + sq) / (2.0 * A)
-            t_lo[p], t_hi[p] = (r1, r2) if r1 <= r2 else (r2, r1)
-        return t_lo, t_hi
+        A, B = self.A, self.B
+
+        with np.errstate(divide='ignore', invalid='ignore'):
+            # quadratic branch
+            half_width = np.sqrt(np.clip(B * B - 4.0 * A * cc, 0.0, None))
+            q_lo = (-B - half_width) / (2.0 * A)
+            q_hi = (-B + half_width) / (2.0 * A)
+            quad_lo = np.minimum(q_lo, q_hi)
+            quad_hi = np.maximum(q_lo, q_hi)
+            # linear branch (A ~ 0): one root, unbounded on one side
+            lin_root = -cc / B
+
+        linear = np.abs(A) <= tiny
+        flat = linear & (np.abs(B) <= tiny)
+        root_positive = lin_root >= 0
+        t_lo = np.where(linear,
+                        np.where(root_positive, -np.inf, lin_root),
+                        quad_lo)
+        t_hi = np.where(linear,
+                        np.where(root_positive, lin_root, np.inf),
+                        quad_hi)
+        t_lo = np.where(flat, -np.inf, t_lo)
+        t_hi = np.where(flat, np.inf, t_hi)
+        return t_lo.astype(_PREC), t_hi.astype(_PREC)
 
     # ---------- fast Monte Carlo over the quadratic ------------------------
 
@@ -471,54 +483,57 @@ class WavefrontDifferential:
                 f'model, got {len(perturbations)}')
         rng = np.random.default_rng(seed)
         n_trials = int(n_trials)
-        nominals = np.array([p.nominal for p in perturbations],
-                            dtype=_PREC)
-        tau = np.empty((n_trials, self.n_params), dtype=_PREC)
-        sampled = (np.empty((n_trials, self.n_params), dtype=_PREC)
-                   if record_samples else None)
-        for trial in range(n_trials):
-            for i, p in enumerate(perturbations):
-                v = p.sample(rng)
-                tau[trial, i] = v - nominals[i]
-                if record_samples:
-                    sampled[trial, i] = v
-        merits = self.predict_rms(tau)
+        nominals = np.array([p.nominal for p in perturbations], dtype=_PREC)
+        # draw column-by-column: each perturbation owns a contiguous batch
+        sampled = np.column_stack([
+            [p.sample(rng) for _ in range(n_trials)]
+            for p in perturbations
+        ]).astype(_PREC) if perturbations else np.empty((n_trials, 0), _PREC)
+        merits = self.predict_rms(sampled - nominals)
         names = [p.name for p in perturbations]
-        return MonteCarloResult(merits, sampled, nominals, names)
+        return MonteCarloResult(merits,
+                                sampled if record_samples else None,
+                                nominals, names)
 
     # ---------- reporting --------------------------------------------------
 
     def rows(self, scales=None):
         """Per-tolerance rows: name, A, B, C, sensitivity, delta_rms."""
-        s = self._scales(scales)
-        sens = self.sensitivity()
-        drms = self.rms_change_per_tolerance(scales)
-        out = []
-        for p in range(self.n_params):
-            out.append({
-                'name': self.names[p],
-                'A': float(self.A[p]),
-                'B': float(self.B[p]),
-                'C': self.C,
-                'scale': float(s[p]),
-                'sensitivity': float(sens[p]),
-                'delta_rms': float(drms[p]),
-            })
-        return out
+        columns = {
+            'name': self.names,
+            'A': self.A,
+            'B': self.B,
+            'C': [self.C] * self.n_params,
+            'scale': self._scales(scales),
+            'sensitivity': self.sensitivity(),
+            'delta_rms': self.rms_change_per_tolerance(scales),
+        }
+        rows = []
+        for values in zip(*columns.values()):
+            row = dict(zip(columns, values))
+            rows.append({k: (v if k == 'name' else float(v))
+                         for k, v in row.items()})
+        return rows
+
+    # (field, header, width) for sensitivity_table, in print order
+    _TABLE_SPEC = (('name', 'name', '<20'), ('scale', 'scale', '>12'),
+                   ('A', 'A', '>12'), ('B', 'B', '>12'),
+                   ('sensitivity', 'dRMS/dtau', '>12'),
+                   ('delta_rms', 'dRMS@scale', '>12'))
 
     def sensitivity_table(self, scales=None):
         """Column-aligned per-tolerance sensitivity report (a string)."""
-        lines = [
-            f'WavefrontDifferential(rms_nominal={self.rms_nominal:.6g}):',
-            (f'{"name":<20} {"scale":>12} {"A":>12} {"B":>12} '
-             f'{"dRMS/dtau":>12} {"dRMS@scale":>12}'),
-        ]
-        for r in self.rows(scales):
-            lines.append(
-                f'{r["name"]:<20} {r["scale"]:>12.6g} {r["A"]:>12.6g} '
-                f'{r["B"]:>12.6g} {r["sensitivity"]:>12.6g} '
-                f'{r["delta_rms"]:>12.6g}')
-        return '\n'.join(lines)
+        spec = self._TABLE_SPEC
+        header = ' '.join(format(title, align)
+                          for _, title, align in spec)
+        body = (
+            ' '.join(format(row[field], align if field == 'name'
+                            else align + '.6g')
+                     for field, _, align in spec)
+            for row in self.rows(scales)
+        )
+        title = f'WavefrontDifferential(rms_nominal={self.rms_nominal:.6g}):'
+        return '\n'.join([title, header, *body])
 
     def __repr__(self):
         return (f'WavefrontDifferential(n_samples={self.n_samples}, '
@@ -528,11 +543,10 @@ class WavefrontDifferential:
 
 def cumulative_probability(merits):
     """(thresholds, probability): empirical CDF of a merit sample."""
-    m = getattr(merits, 'merits', merits)
-    m = np.sort(np.asarray(m, dtype=_PREC))
-    n = m.shape[0]
-    prob = (np.arange(1, n + 1, dtype=_PREC)) / n
-    return m, prob
+    thresholds = np.sort(np.asarray(getattr(merits, 'merits', merits),
+                                    dtype=_PREC))
+    count = thresholds.shape[0]
+    return thresholds, np.linspace(1.0 / count, 1.0, count, dtype=_PREC)
 
 
 __all__ = [

