@@ -13,8 +13,11 @@ L-BFGS-B driver — the reference's single native-code touchpoint) and
   point handling converges faster; for unbounded/weakly-bounded problems
   they behave alike.
 """
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from scipy.optimize import _lbfgsb as _sp_lbfgsb
@@ -146,130 +149,295 @@ class LBFGSB:
         return self._x, float(self._f), self._g
 
 
-class PrysmLBFGSB:
-    """Pure-JAX projected L-BFGS with box bounds.
+# ---------------------------------------------------------------------------
+# Pure-JAX L-BFGS-B: compact limited-memory form, generalized Cauchy point,
+# and subspace minimization (Byrd, Lu, Nocedal & Zhu 1995), device-resident.
+# ---------------------------------------------------------------------------
 
-    Two-loop recursion over a rolling (s, y) memory with Armijo
-    backtracking; iterates are projected onto the box and gradients masked
-    at active bounds.  All state is jnp arrays — no host library in the
-    loop, so the curvature updates fuse with the user's jitted fg.
+def _compact_form(S, Y, valid, theta):
+    """W, M of the compact representation B = theta I - W M W^T.
+
+    S, Y are (m, n) rolling histories ordered oldest -> newest with
+    invalid rows zeroed; valid is the (m,) slot mask.  Invalid slots are
+    decoupled by padding the middle-matrix diagonal, and contribute
+    nothing because their W columns are zero.
+    """
+    m = S.shape[0]
+    SY = S @ Y.T
+    SS = S @ S.T
+    pad = jnp.where(valid, 0.0, 1.0)
+    D = jnp.diag(jnp.where(valid, jnp.diagonal(SY), 1.0))
+    L = jnp.tril(SY, -1)
+    M_inv = jnp.block([[-D, L.T],
+                       [L, theta * SS + jnp.diag(pad)]])
+    W = jnp.concatenate([Y.T, theta * S.T], axis=1)  # (n, 2m)
+    M = jnp.linalg.inv(M_inv)
+    return W, M
+
+
+def _cauchy_point(x, g, lower, upper, W, M, theta):
+    """Generalized Cauchy point of the L-BFGS-B quadratic along P(x - t g).
+
+    Walks the breakpoints of the projected-gradient path in sorted order,
+    updating the directional derivative pair (f', f'') in the compact
+    form (BLNZ Algorithm CP), inside one lax.while_loop with static
+    shapes.  Returns (x_cauchy, c) with c = W^T (x_cauchy - x).
+    """
+    eps = jnp.finfo(x.dtype).eps
+    n = x.shape[0]
+    inf = jnp.inf
+
+    at_lower_out = (x <= lower) & (g > 0)
+    at_upper_out = (x >= upper) & (g < 0)
+    d = jnp.where(at_lower_out | at_upper_out, 0.0, -g)
+
+    # per-variable breakpoint along x - t g
+    t_break = jnp.where(
+        d > 0, (upper - x) / jnp.where(d == 0, 1.0, d),
+        jnp.where(d < 0, (lower - x) / jnp.where(d == 0, 1.0, d), inf))
+    t_break = jnp.where(d == 0, inf, t_break)
+    order = jnp.argsort(t_break)
+    t_sorted = t_break[order]
+
+    p = W.T @ d                                     # (2m,)
+    fp = -(d @ d)
+    fpp = -theta * fp - p @ (M @ p)
+    fpp = jnp.maximum(fpp, eps)
+    dt_min = -fp / fpp
+
+    xc0 = jnp.where(at_lower_out, lower, jnp.where(at_upper_out, upper, x))
+
+    def cond(state):
+        j, t_old, fp, fpp, dt_min, p, c, d, xc, done = state
+        return (~done) & (j < n)
+
+    def body(state):
+        j, t_old, fp, fpp, dt_min, p, c, d, xc, done = state
+        b = order[j]
+        t_b = t_sorted[j]
+        dt = t_b - t_old
+        # stop when the 1-D minimizer lands inside this interval, or when
+        # the remaining breakpoints are at infinity
+        stop = (dt_min < dt) | ~jnp.isfinite(t_b)
+
+        def fix_variable(args):
+            fp, fpp, p, c, d, xc = args
+            g_b = g[b]
+            d_b = d[b]
+            bound_b = jnp.where(d_b > 0, upper[b], lower[b])
+            z_b = bound_b - x[b]
+            c2 = c + dt * p
+            w_b = W[b]
+            Mw = M @ w_b
+            fp2 = (fp + dt * fpp + g_b * g_b + theta * g_b * z_b
+                   - g_b * (w_b @ (M @ c2)))
+            fpp2 = (fpp - theta * g_b * g_b - 2.0 * g_b * (Mw @ p)
+                    - g_b * g_b * (Mw @ w_b))
+            fpp2 = jnp.maximum(fpp2, eps)
+            p2 = p + g_b * w_b
+            d2 = d.at[b].set(0.0)
+            xc2 = xc.at[b].set(bound_b)
+            return fp2, fpp2, p2, c2, d2, xc2
+
+        fp2, fpp2, p2, c2, d2, xc2 = jax.lax.cond(
+            stop, lambda a: a, fix_variable, (fp, fpp, p, c, d, xc))
+        dt_min2 = jnp.where(stop, dt_min, -fp2 / fpp2)
+        t_old2 = jnp.where(stop, t_old, t_b)
+        return (j + 1, t_old2, fp2, fpp2, dt_min2, p2, c2, d2, xc2,
+                done | stop)
+
+    c0 = jnp.zeros(W.shape[1], dtype=x.dtype)
+    state = (0, jnp.asarray(0.0, x.dtype), fp, fpp, dt_min, p, c0, d,
+             xc0, jnp.asarray(False))
+    (_, t_old, fp, fpp, dt_min, p, c, d, xc, _) = jax.lax.while_loop(
+        cond, body, state)
+
+    dt_min = jnp.maximum(dt_min, 0.0)
+    t_cp = t_old + dt_min
+    # free variables move to their path position; fixed ones already sit
+    # at their bounds in xc
+    moved = jnp.clip(x + t_cp * d, lower, upper)
+    xc = jnp.where(d != 0, moved, xc)
+    c = c + dt_min * p
+    return xc, c
+
+
+def _subspace_step(x, g, xc, c, lower, upper, W, M, theta):
+    """Subspace minimizer over the free variables at the Cauchy point.
+
+    Direct primal method with Sherman-Morrison-Woodbury on the compact
+    form; fixed variables are masked rather than gathered so all shapes
+    stay static under jit.  Returns the line-search target xbar.
+    """
+    free = (xc > lower) & (xc < upper)
+    freef = free.astype(x.dtype)
+
+    # reduced gradient of the quadratic at the Cauchy point
+    r = (g + theta * (xc - x) - W @ (M @ c)) * freef
+
+    Wf = W * freef[:, None]                          # zero fixed rows
+    k2 = W.shape[1]
+    inner = jnp.eye(k2, dtype=x.dtype) - (M @ (Wf.T @ Wf)) / theta
+    v = jnp.linalg.solve(inner, M @ (Wf.T @ r))
+    du = -(r / theta + (Wf @ v) / (theta * theta))
+    du = du * freef
+
+    # longest feasible fraction of the full subspace step
+    to_upper = jnp.where(du > 0, (upper - xc) / jnp.where(du == 0, 1.0, du),
+                         jnp.inf)
+    to_lower = jnp.where(du < 0, (lower - xc) / jnp.where(du == 0, 1.0, du),
+                         jnp.inf)
+    alpha = jnp.clip(jnp.min(jnp.minimum(to_upper, to_lower)), 0.0, 1.0)
+    return jnp.clip(xc + alpha * du, lower, upper)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lbfgsb_direction(x, g, S, Y, valid, theta, lower, upper):
+    """One fused device program: compact form -> Cauchy point -> subspace."""
+    W, M = _compact_form(S, Y, valid, theta)
+    xc, c = _cauchy_point(x, g, lower, upper, W, M, theta)
+    xbar = _subspace_step(x, g, xc, c, lower, upper, W, M, theta)
+    return xbar
+
+
+class PrysmLBFGSB:
+    """Pure-JAX L-BFGS-B: full BLNZ algorithm, device-resident.
+
+    Implements the same method as the compiled driver wrapped by LBFGSB
+    (limited-memory compact form, generalized Cauchy point over the
+    projected-gradient path, subspace minimization on the free set,
+    strong-Wolfe-style line search) with all per-iteration linear algebra
+    in one jitted device program; only fg evaluations and the line-search
+    control flow run on host.  Reference twins:
+    prysm/x/optym/_prysm_lbfgsb.py (pure Python) and _lbfgsb.py (F77).
     """
 
     def __init__(self, fg, x0, memory=10, lower_bounds=None, upper_bounds=None,
                  c1=1e-4, c2=0.9, max_ls=25):
         """fg(x) -> (f, g); x0 initial vector; memory = history pairs."""
         self.problem = as_problem(fg)
-        self.x0 = jnp.asarray(x0, dtype=float)
+        self.x0 = jnp.asarray(x0, dtype=float).ravel()
+        n = self.x0.size
         self.m = int(memory)
-        self.l = (jnp.full_like(self.x0, -jnp.inf) if lower_bounds is None  # NOQA
-                  else jnp.asarray(lower_bounds, dtype=float))
-        self.u = (jnp.full_like(self.x0, jnp.inf) if upper_bounds is None
-                  else jnp.asarray(upper_bounds, dtype=float))
+        self.l = (jnp.full(n, -jnp.inf, dtype=float) if lower_bounds is None  # NOQA
+                  else jnp.asarray(lower_bounds, dtype=float).ravel())
+        self.u = (jnp.full(n, jnp.inf, dtype=float) if upper_bounds is None
+                  else jnp.asarray(upper_bounds, dtype=float).ravel())
         self.x = jnp.clip(self.x0, self.l, self.u)
-        self.c1 = c1
-        self.c2 = c2
+        self.c1 = float(c1)
+        self.c2 = float(c2)
         self.max_ls = int(max_ls)
-        self._S = []
-        self._Y = []
+
+        dt = self.x.dtype
+        self._S = jnp.zeros((self.m, n), dtype=dt)
+        self._Y = jnp.zeros((self.m, n), dtype=dt)
+        self._valid = jnp.zeros(self.m, dtype=bool)
+        self._theta = 1.0
         self._prev = None
-        self._cached_fg = None  # (f, g) at self.x, from the line search
+        self._cached_fg = None
         self.nfev = 0
         self.iter = 0
         self.last_step_metadata = {}
 
-    def _masked_gradient(self, x, g):
-        at_lower = jnp.isfinite(self.l) & (x <= self.l) & (g > 0)
-        at_upper = jnp.isfinite(self.u) & (x >= self.u) & (g < 0)
-        return jnp.where(at_lower | at_upper, 0, g)
+    # -- history ------------------------------------------------------------
 
-    def _two_loop(self, g):
-        q = g
-        alphas = []
-        for s, y, rho in reversed(self._pairs):
-            a = rho * jnp.vdot(s, q)
-            alphas.append(a)
-            q = q - a * y
-        if self._pairs:
-            s, y, rho = self._pairs[-1]
-            gamma = jnp.vdot(s, y) / jnp.vdot(y, y)
-            q = q * gamma
-        for (s, y, rho), a in zip(self._pairs, reversed(alphas)):
-            b = rho * jnp.vdot(y, q)
-            q = q + s * (a - b)
-        return q
+    def _admit_pair(self, s, y):
+        """Shift in a curvature pair when s.y passes the BLNZ test."""
+        sy = float(s @ y)
+        yy = float(y @ y)
+        if sy <= 2.2e-16 * yy or not np.isfinite(sy):
+            return
+        self._S = jnp.roll(self._S, -1, axis=0).at[-1].set(s)
+        self._Y = jnp.roll(self._Y, -1, axis=0).at[-1].set(y)
+        self._valid = jnp.roll(self._valid, -1).at[-1].set(True)
+        self._theta = yy / sy
 
-    @property
-    def _pairs(self):
-        return list(zip(self._S, self._Y, self._rhos))
+    def _projected_gradient_norm(self, x, g):
+        pg = jnp.clip(x - g, self.l, self.u) - x
+        return float(jnp.max(jnp.abs(pg)))
+
+    # -- iteration ----------------------------------------------------------
 
     def step(self):
-        """Perform one projected quasi-Newton iteration (Wolfe line search)."""
+        """One full L-BFGS-B iteration; returns the pre-step (x, f, g)."""
         if self._cached_fg is not None:
             f, g = self._cached_fg
             self._cached_fg = None
         else:
             f, g = self.problem.fg(self.x)
             self.nfev += 1
-        f = jnp.asarray(f, dtype=float)
-        g = jnp.asarray(g, dtype=float)
-        gm = self._masked_gradient(self.x, g)
+        f0 = float(f)
+        g = jnp.asarray(g, dtype=float).ravel()
 
-        if jnp.linalg.norm(gm) == 0:
+        if self._projected_gradient_norm(self.x, g) == 0.0:
             raise StopIteration(_DriverStop(True, 'projected gradient is zero'))
 
         if self._prev is not None:
             x_prev, g_prev = self._prev
-            s = self.x - x_prev
-            y = g - g_prev
-            sy = float(jnp.vdot(s, y))
-            if sy > 1e-10 * float(jnp.linalg.norm(s) * jnp.linalg.norm(y) + 1e-300):
-                self._S.append(s)
-                self._Y.append(y)
-                if len(self._S) > self.m:
-                    self._S.pop(0)
-                    self._Y.pop(0)
+            self._admit_pair(self.x - x_prev, g - g_prev)
 
-        self._rhos = [1.0 / jnp.vdot(s, y) for s, y in zip(self._S, self._Y)]
-        d = -self._two_loop(gm)
-        # ensure descent on the masked gradient
-        if float(jnp.vdot(d, gm)) >= 0:
-            d = -gm
+        xbar = _lbfgsb_direction(self.x, g, self._S, self._Y, self._valid,
+                                 jnp.asarray(self._theta, self.x.dtype),
+                                 self.l, self.u)
+        d = xbar - self.x
+        slope = float(d @ g)
+        if slope >= 0 or not np.isfinite(slope):
+            # quadratic model failed to produce descent: steepest-descent
+            # restart on the projected gradient
+            self._S = jnp.zeros_like(self._S)
+            self._Y = jnp.zeros_like(self._Y)
+            self._valid = jnp.zeros_like(self._valid)
+            self._theta = 1.0
+            d = jnp.clip(self.x - g, self.l, self.u) - self.x
+            slope = float(d @ g)
+            if slope >= 0:
+                raise StopIteration(_DriverStop(True, 'no descent direction'))
 
-        x = self.x
-        f0 = float(f)
-        slope = float(jnp.vdot(gm, d))
-
-        # Wolfe line search with bisection/expansion bracketing; the trial
-        # gradient is cached for the next iteration (one fg per accepted step
-        # in the common alpha=1 case)
-        alpha = 1.0
-        lo, hi = 0.0, jnp.inf
-        accepted = False
+        x, accepted = self.x, False
+        alpha, lo, hi = 1.0, 0.0, np.inf
+        f_best, x_best, fg_best = np.inf, None, None
         for _ in range(self.max_ls):
             x_trial = jnp.clip(x + alpha * d, self.l, self.u)
             f_trial, g_trial = self.problem.fg(x_trial)
             f_trial = float(f_trial)
             self.nfev += 1
-            if f_trial > f0 + self.c1 * alpha * slope:
+            if f_trial < f_best:
+                f_best, x_best = f_trial, x_trial
+                fg_best = (f_trial, jnp.asarray(g_trial, dtype=float).ravel())
+            if f_trial > f0 + self.c1 * alpha * slope or not np.isfinite(f_trial):
                 hi = alpha
                 alpha = 0.5 * (lo + hi)
                 continue
-            dslope = float(jnp.vdot(jnp.asarray(g_trial, dtype=float), d))
-            if dslope < self.c2 * slope:  # step too short; expand
-                lo = alpha
-                alpha = 2 * alpha if jnp.isinf(hi) else 0.5 * (lo + hi)
-                continue
-            accepted = True
-            break
-        if not accepted:
-            if f_trial < f0:  # accept the best-effort decrease
+            dslope = float(jnp.asarray(g_trial, dtype=float).ravel() @ d)
+            if abs(dslope) <= self.c2 * abs(slope):
                 accepted = True
+                break
+            if dslope < 0:
+                lo = alpha
+                alpha = 2 * alpha if np.isinf(hi) else 0.5 * (lo + hi)
+            else:
+                hi = alpha
+                alpha = 0.5 * (lo + hi)
+        if not accepted:
+            if f_best < f0:
+                x_trial, (f_trial, g_trial) = x_best, fg_best
             else:
                 raise StopIteration(_DriverStop(False, 'line search failed'))
 
         self._prev = (x, g)
         self.x = x_trial
-        self._cached_fg = (f_trial, jnp.asarray(g_trial, dtype=float))
+        self._cached_fg = (f_trial, jnp.asarray(g_trial, dtype=float).ravel())
         self.iter += 1
-        self.last_step_metadata = {'alpha': alpha, 'f_next': f_trial}
+        self.last_step_metadata = {'alpha': alpha, 'f_next': float(f_trial)}
         return x, f0, g
+
+    def run_to(self, N):
+        """Run up to N iterations; returns (x, f, g) at the final point."""
+        for _ in range(N):
+            try:
+                self.step()
+            except StopIteration:
+                break
+        f, g = (self._cached_fg if self._cached_fg is not None
+                else self.problem.fg(self.x))
+        return self.x, float(f), jnp.asarray(g, dtype=float)
