@@ -20,3 +20,6 @@ from .coronagraph import (  # NOQA
 from .mdft_contraction import (  # NOQA
     shard_mdft_contraction, shard_mdft_contraction_roundtrip,
 )
+from .raytrace import (  # NOQA
+    shard_wavefront_fit, shard_merged_trace_rate,
+)

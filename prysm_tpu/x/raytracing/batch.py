@@ -120,6 +120,49 @@ def unmerge(history, F):
     return h.reshape(n_surf, F, FN // F, *h.shape[2:])
 
 
+def fit_from_trace(P_end, S_end, OPL, alive, A, ramps, chief_onehot,
+                   P_xp, n_image, reduce_rays=lambda x: x):
+    """Masked Zernike normal-equation fit from merged-trace outputs.
+
+    Chief-ray quantities are gathered through one-hot sums rather than
+    indexing, and every ray-axis contraction funnels through
+    ``reduce_rays`` — identity serially; ``lax.psum`` over the ray mesh
+    axis in the sharded path (parallel/raytrace.py), where each device
+    holds a slice of the ray axis and the chief may live on another
+    shard.  The two paths are numerically identical because the one-hot
+    products contribute exact zeros off the chief.
+    """
+    # (F, 3) chief landing point; (F,) chief path total -- psum'd sums.
+    # Dead rays carry NaN histories; select-before-multiply keeps the
+    # 0 * NaN products out of the one-hot sums.
+    chief_mask = chief_onehot > 0
+    center = reduce_rays(jnp.einsum(
+        'fn,fnc->fc', chief_onehot,
+        jnp.where(chief_mask[..., None], P_end, 0.0)))
+    if P_xp is None:
+        kappa = jnp.zeros(P_end.shape[0], dtype=P_end.dtype)
+    else:
+        R = jnp.linalg.norm(P_xp[None] - center, axis=-1)
+        kappa = 1.0 / R
+    s, _ = eic_closing(P_end, S_end, center[:, None, :], kappa[:, None])
+    total = OPL + n_image * s
+    chief_total = reduce_rays(jnp.einsum(
+        'fn,fn->f', chief_onehot, jnp.where(chief_mask, total, 0.0)))
+    opd = total - chief_total[:, None] + ramps
+    # masked normal equations: dead (and pad) rays weight zero
+    w = alive.astype(opd.dtype)
+    opd0 = jnp.where(alive, opd, 0.0)
+    Aw = A * w[..., None]
+    G = reduce_rays(jnp.einsum('fnk,fnl->fkl', Aw, A))
+    b = reduce_rays(jnp.einsum('fnk,fn->fk', Aw, opd0))
+    coefs = jnp.linalg.solve(G, b[..., None])[..., 0]
+    fit = jnp.einsum('fnk,fk->fn', A, coefs)
+    err2 = jnp.where(alive, (opd0 - fit) ** 2, 0.0)
+    rms = jnp.sqrt(reduce_rays(err2.sum(axis=1))
+                   / reduce_rays(w.sum(axis=1)))
+    return coefs, rms
+
+
 def device_wavefront_fit(system, nms, fields=None, wavelengths=None,
                          sampling=None, *, epd=None, norm=True,
                          normalization_radius=None):
@@ -155,39 +198,20 @@ def device_wavefront_fit(system, nms, fields=None, wavelengths=None,
         P_xp = None if xp is None else np.asarray(xp, dtype=_PREC)
         n_image = float(ctx.n_image)
 
-        def step(P, S, A, ramps, P_xp, *, _w=wvl, _F=F, _N=N,
-                 _chiefs=tuple(int(c) for c in chiefs)):
+        chief_onehot = np.zeros((F, N), dtype=_PREC)
+        chief_onehot[np.arange(F), chiefs] = 1.0
+
+        def step(P, S, A, ramps, chief_w, P_xp, *, _w=wvl, _F=F, _N=N):
             res = raytrace(surfaces, P.reshape(_F * _N, 3),
                            S.reshape(_F * _N, 3), _w)
-            P_end = res.P[-1].reshape(_F, _N, 3)
-            S_end = res.S[-1].reshape(_F, _N, 3)
-            OPL = res.OPL.sum(axis=0).reshape(_F, _N)
-            alive = (res.status.imag == 0).reshape(_F, _N)
-            ci = jnp.asarray(_chiefs)
-            take = lambda a: a[jnp.arange(_F), ci]  # NOQA: E731
-            center = take(P_end)                          # (F, 3)
-            if P_xp is None:
-                kappa = jnp.zeros(_F, dtype=P.dtype)
-            else:
-                R = jnp.linalg.norm(P_xp[None] - center, axis=-1)
-                kappa = 1.0 / R
-            s, _ = eic_closing(P_end, S_end, center[:, None, :],
-                               kappa[:, None])
-            total = OPL + n_image * s
-            opd = total - take(total)[:, None] + ramps
-            # masked normal equations: dead rays weight zero
-            w = alive.astype(opd.dtype)
-            opd0 = jnp.where(alive, opd, 0.0)
-            Aw = A * w[..., None]
-            G = jnp.einsum('fnk,fnl->fkl', Aw, A)
-            b = jnp.einsum('fnk,fn->fk', Aw, opd0)
-            coefs = jnp.linalg.solve(G, b[..., None])[..., 0]
-            fit = jnp.einsum('fnk,fk->fn', A, coefs)
-            err2 = jnp.where(alive, (opd0 - fit) ** 2, 0.0)
-            rms = jnp.sqrt(err2.sum(axis=1) / w.sum(axis=1))
-            return coefs, rms
+            return fit_from_trace(
+                res.P[-1].reshape(_F, _N, 3),
+                res.S[-1].reshape(_F, _N, 3),
+                res.OPL.sum(axis=0).reshape(_F, _N),
+                (res.status.imag == 0).reshape(_F, _N),
+                A, ramps, chief_w, P_xp, n_image)
 
-        args = [jnp.asarray(a) for a in (P, S, A, ramps)]
+        args = [jnp.asarray(a) for a in (P, S, A, ramps, chief_onehot)]
         xp_dev = None if P_xp is None else jnp.asarray(P_xp)
         c, r = jax.jit(step)(*args, xp_dev)
         coef_out.append(c)
@@ -195,4 +219,4 @@ def device_wavefront_fit(system, nms, fields=None, wavelengths=None,
     return jnp.stack(coef_out), jnp.stack(rms_out)
 
 
-__all__ = ['device_wavefront_fit', 'merged_trace', 'unmerge']
+__all__ = ['device_wavefront_fit', 'fit_from_trace', 'merged_trace', 'unmerge']

@@ -28,10 +28,16 @@ EXECUTABLE = {
     'how-tos/polychromatic.md': 2,
     'college/101-how-prysm-tpu-works.md': None,
     'college/102-precision-and-dispatch.md': None,
+    'college/103-coordinates-grids-and-units.md': None,
+    'college/104-richdata-and-io.md': None,
     'college/201-zernikes-on-a-circle.md': None,
     'college/202-other-bases-and-derivatives.md': None,
+    'college/203-orthogonalizing-arbitrary-apertures.md': None,
+    'college/204-forbes-q-and-clenshaw.md': None,
+    'college/205-analytic-derivatives-payoff.md': None,
     'college/301-a-first-diffraction-model.md': None,
     'college/302-fixed-sampling-dft.md': None,
+    'college/303-pupils-apertures-and-the-psf.md': None,
 }
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.S)
@@ -68,3 +74,30 @@ def test_all_docs_have_resolvable_links():
                 continue
             resolved = (md.parent / target).resolve()
             assert resolved.exists(), f'{md}: broken link -> {target}'
+
+
+def test_scaling_doc_numbers_match_committed_bench():
+    """The perf table in the scaling how-to is exactly the newest BENCH file.
+
+    Regenerate with tools/render_bench_table.py; hand-edited numbers fail
+    here (VERDICT r2: docs quoted numbers ~30% above the driver capture).
+    """
+    import re
+    import sys
+    sys.path.insert(0, str(DOCS.parent))
+    from tools.render_bench_table import render_table
+    doc = (DOCS / 'how-tos' / 'tpu-and-scaling.md').read_text()
+    # compare against the bench round the doc itself cites, so the table
+    # can never misquote its declared source
+    cited = re.search(r'BENCH r(\d+)', doc)
+    assert cited, 'scaling doc must cite its BENCH round'
+    n = int(cited.group(1))
+    candidates = [DOCS.parent / f'BENCH_r{n:02d}.json',
+                  DOCS.parent / f'BENCH_SELF_r{n:02d}.json']
+    bench_path = next((c for c in candidates if c.exists()), None)
+    assert bench_path is not None, f'cited bench file missing: {candidates}'
+    lines, _ = render_table(str(bench_path))
+    for line in lines:
+        assert line in doc, (
+            f'doc table does not match its cited BENCH file; bad row:\n'
+            f'  {line}\nregenerate with: python tools/render_bench_table.py')

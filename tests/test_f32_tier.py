@@ -135,3 +135,120 @@ def test_eic_closing_f32_tier(f32):
     # absolute error in mm; 1e-4 waves at 0.5 um is 5e-8 mm of OPD spread
     # over the closing segment; f32 on ~5 mm segments holds ~1e-6 mm
     assert err.max() < 5e-5
+
+
+def test_coronagraph_babinet_f32_tier(f32):
+    """f32 Babinet Lyot chain within 1e-4 peak-relative of f64.
+
+    The Babinet subtraction E_in - E_back is the cancellation-prone
+    stage; this pins how much the f32 tier loses in the dark hole.
+    """
+    from prysm_tpu.propagation.coronagraph import babinet
+
+    def build(dtype):
+        N, fN = 128, 64
+        dx = 2.2 / N
+        x, y = make_xy_grid(N, diameter=2.2)
+        r, _ = cart_to_polar(jnp.asarray(np.asarray(x), dtype),
+                             jnp.asarray(np.asarray(y), dtype))
+        amp = antialias(circle_sdf(1.0, r), dx)
+        lyot = antialias(circle_sdf(0.9, r), dx)
+        plan = prepare_executor(dx, (N, N), 0.25, fN, 0.55, 10.0)
+        fx = (np.arange(fN) - fN // 2) * 0.25
+        fpm = jnp.asarray(
+            (np.hypot(*np.meshgrid(fx, fx)) > 2.0).astype(np.float64),
+            dtype)
+        E = amp.astype(plan.Ex.dtype if hasattr(plan, 'Ex') else complex)
+        return np.asarray(
+            jnp.abs(babinet(amp + 0j, lyot=lyot, fpm=fpm,
+                            executor=plan)) ** 2,
+            dtype=np.float64)
+
+    I32 = build(jnp.float32)
+    config.precision = None
+    I64 = build(jnp.float64)
+    peak = I64.max()
+    assert np.abs(I32 - I64).max() / peak < 1e-4
+
+
+def test_detector_chain_f32_tier(f32):
+    """Deterministic detector stages (no sampling) agree to f32 rounding."""
+    from prysm_tpu.detector import Detector, bindown, tile
+
+    img64 = np.linspace(0, 8e4, 256 * 256).reshape(256, 256)
+
+    def stages(dtype):
+        det = Detector(dark_current=2.0, read_noise=0.0, bias=100.0,
+                       fwc=6e4, conversion_gain=0.5, bits=14,
+                       exposure_time=1e-2)
+        im = jnp.asarray(img64, dtype)
+        # deterministic sub-chain: electrons -> clip -> gain -> ADC cap
+        electrons = im * det.exposure_time \
+            + det.dark_current * det.exposure_time
+        clipped = jnp.clip(electrons, 0, det.fwc)
+        dn = jnp.clip(clipped / det.conversion_gain + det.bias,
+                      0, 2 ** det.bits - 1)
+        small = bindown(dn, 4, mode='mean')
+        big = tile(small, 4)
+        return (np.asarray(dn, np.float64), np.asarray(small, np.float64),
+                np.asarray(big, np.float64))
+
+    dn32, sm32, bg32 = stages(jnp.float32)
+    config.precision = None
+    dn64, sm64, bg64 = stages(jnp.float64)
+    assert np.abs(dn32 - dn64).max() / dn64.max() < 1e-6
+    assert np.abs(sm32 - sm64).max() / sm64.max() < 1e-6
+    assert np.abs(bg32 - bg64).max() / bg64.max() < 1e-6
+
+
+def test_raytrace_chain_f32_tier(f32):
+    """f32 doublet trace: landing coordinates within 1e-4 mm of f64.
+
+    Surface intersection Newton iterations are the accuracy-limiting
+    stage; this pins the tier for mm-scale systems.
+    """
+    import prysm_tpu.x.raytracing as rt
+    import prysm_tpu.x.materials as mat
+    from prysm_tpu.x.raytracing.spencer_and_murty import raytrace
+
+    bk7 = mat.model_glass(1.5168, 64.17, name='BK7ish')
+    lens = rt.LensData()
+    lens.add(rt.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(rt.Sphere(-1 / 45.0), thickness=95.0, material=mat.air)
+    sys_ = rt.OpticalSystem(lens, aperture=rt.ApertureSpec.epd(18.0),
+                            fields=[0.0], wavelengths=[0.55], stop_index=1)
+    surfaces = sys_.to_surfaces()
+    P, S = rt.launch(sys_, sys_.field(), 0.55, rt.Sampling.hex(5))
+    P = np.asarray(P, np.float64)
+    S = np.asarray(S, np.float64)
+
+    def trace(dtype):
+        res = raytrace(surfaces, jnp.asarray(P, dtype),
+                       jnp.asarray(S, dtype), 0.55)
+        return (np.asarray(res.P[-1], np.float64),
+                np.asarray(res.OPL.sum(axis=0), np.float64))
+
+    P32, L32 = trace(jnp.float32)
+    config.precision = None
+    P64, L64 = trace(jnp.float64)
+    assert np.abs(P32 - P64).max() < 1e-4       # mm at the image plane
+    # OPL is ~100 mm of absolute path: f32 keeps ~1e-5 relative
+    assert np.abs(L32 - L64).max() / np.abs(L64).max() < 1e-5
+
+
+def test_interferogram_stats_f32_tier(f32):
+    """pv/rms/Sa at f32 within 1e-5 relative of f64."""
+    from prysm_tpu.interferogram import Interferogram
+
+    rng = np.random.default_rng(11)
+    z = rng.normal(scale=30.0, size=(128, 128))
+
+    def stats(dtype):
+        ig = Interferogram(phase=jnp.asarray(z, dtype), dx=0.1,
+                           wavelength=0.6328)
+        return np.asarray([float(ig.pv), float(ig.rms), float(ig.Sa)])
+
+    s32 = stats(jnp.float32)
+    config.precision = None
+    s64 = stats(jnp.float64)
+    np.testing.assert_allclose(s32, s64, rtol=1e-5)

@@ -13,9 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from prysm_tpu.ops import dispatch
-from prysm_tpu.ops import mdft as om
 from prysm_tpu.ops.zernike import zernike_sum_pallas
-from prysm_tpu.ops.raster import polygon_raster_pallas, circle_raster_pallas
 
 
 @pytest.fixture(autouse=True)
@@ -42,59 +40,6 @@ def _random_problem(rng, My=16, Mx=24, Ny=40, Nx=56):
     a = (rng.standard_normal((Ny, Nx))
          + 1j * rng.standard_normal((Ny, Nx))).astype(np.complex64)
     return Ey, Ex, a
-
-
-def test_mdft2_matches_dense():
-    rng = np.random.default_rng(5)
-    Ey, Ex, a = _random_problem(rng)
-    norm = 0.73
-    pack = om.plan_mdft_pack(Ey, Ex, norm)
-    out = np.asarray(om.mdft2(pack, jnp.asarray(a)))
-    ref = norm * Ey @ a @ Ex.T
-    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-6
-
-
-def test_mdft2_adjoint_matches_dense_and_vdot():
-    rng = np.random.default_rng(6)
-    Ey, Ex, a = _random_problem(rng)
-    norm = 1.31
-    pack = om.plan_mdft_pack(Ey, Ex, norm)
-    g = (rng.standard_normal((16, 24))
-         + 1j * rng.standard_normal((16, 24))).astype(np.complex64)
-    adj = np.asarray(om.mdft2_adjoint(pack, jnp.asarray(g)))
-    ref = norm * Ey.conj().T @ g @ Ex.conj()
-    assert np.abs(adj - ref).max() / np.abs(ref).max() < 5e-6
-    # <Ax, y> == <x, A^H y>
-    Ax = np.asarray(om.mdft2(pack, jnp.asarray(a)))
-    lhs = np.vdot(Ax, g)
-    rhs = np.vdot(a, adj)
-    assert abs(lhs - rhs) / abs(lhs) < 5e-6
-
-
-def test_mdft2_vjp_matches_jnp_autodiff():
-    rng = np.random.default_rng(7)
-    Ey, Ex, a = _random_problem(rng)
-    pack = om.plan_mdft_pack(Ey, Ex, 0.5)
-    Eyj = jnp.asarray(Ey, jnp.complex64)
-    Exj = jnp.asarray(Ex, jnp.complex64)
-    g1 = jax.grad(lambda v: jnp.sum(jnp.abs(om.mdft2(pack, v)) ** 2))(jnp.asarray(a))
-    g2 = jax.grad(lambda v: jnp.sum(jnp.abs(0.5 * Eyj @ v @ Exj.T) ** 2))(jnp.asarray(a))
-    g1, g2 = np.asarray(g1), np.asarray(g2)
-    assert np.abs(g1 - g2).max() / np.abs(g2).max() < 1e-4
-
-
-def test_mdft2_batched_field_and_basis():
-    rng = np.random.default_rng(8)
-    Ey, Ex, a = _random_problem(rng)
-    W = 3
-    EyW = np.stack([Ey * (k + 1) for k in range(W)])
-    pack = om.plan_mdft_pack(EyW, Ex, 1.0)
-    aW = np.stack([a, 2 * a, 3 * a])
-    out = np.asarray(om.mdft2(pack, jnp.asarray(aW)))
-    ref = np.stack([EyW[k] @ aW[k] @ Ex.T for k in range(W)])
-    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-6
-    with pytest.raises(ValueError):
-        om.mdft2(pack, jnp.asarray(aW[:2]))
 
 
 def test_zernike_sum_pallas_matches_seq():
@@ -149,31 +94,6 @@ def test_zernike_sum_pallas_norm_off_and_empty():
     assert np.abs(np.asarray(z) - np.asarray(ref)).max() < 1e-5
     empty = zernike_sum_pallas(jnp.zeros(0), [], r, t)
     assert np.all(np.asarray(empty) == 0)
-
-
-def test_polygon_raster_matches_geometry():
-    from prysm_tpu.coordinates import make_xy_grid
-    from prysm_tpu.geometry import polygon_sdf, antialias, _generate_vertices
-    x, y = make_xy_grid(80, diameter=2.0)
-    dx = float(x[0, 1] - x[0, 0])
-    verts = _generate_vertices(6, 0.77, (0.1, -0.06), 9.0)
-    mp = np.asarray(polygon_raster_pallas(verts, x, y, dx))
-    mj = np.asarray(antialias(polygon_sdf(verts, x, y), dx))
-    assert np.abs(mp - mj).max() < 2e-4
-
-
-def test_circle_raster_matches_geometry_incl_invert():
-    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
-    from prysm_tpu.geometry import circle_sdf, antialias
-    x, y = make_xy_grid(80, diameter=2.0)
-    r, _ = cart_to_polar(x, y)
-    dx = float(x[0, 1] - x[0, 0])
-    cp = np.asarray(circle_raster_pallas(0.8, r, dx))
-    cj = np.asarray(antialias(circle_sdf(0.8, r), dx))
-    assert np.abs(cp - cj).max() < 2e-4
-    obsc = np.asarray(circle_raster_pallas(0.3, r, dx, invert=True))
-    ref = np.asarray(antialias(-circle_sdf(0.3, r), dx))
-    assert np.abs(obsc - ref).max() < 2e-4
 
 
 def test_expose_fused_deterministic_chain():
@@ -242,31 +162,6 @@ def test_zernike_sum_pallas_grads_coefs_mode():
 # round 2: CZT chirp fusion + extended raster shapes
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize('ps,fs', [((64, 64), (48, 48)),
-                                   ((48, 64), (32, 40)),
-                                   ((33, 47), (21, 27)),
-                                   ((256, 16), (8, 96))])  # x_first False
-def test_czt_pallas_matches_plan(interpret_mode, ps, fs):
-    from prysm_tpu.propagation import dft
-    from prysm_tpu.ops.czt import czt_pallas
-
-    plan = dft.prepare_executor(0.01, ps, 0.4, fs, 0.55, 10.0, kind='czt')
-    rng = np.random.default_rng(0)
-    E = rng.normal(size=ps) + 1j * rng.normal(size=ps)
-    want = np.asarray(plan(jnp.asarray(E)))
-    got = np.asarray(czt_pallas(plan, jnp.asarray(E)))
-    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
-
-
-def test_czt_pallas_rejects_batched(interpret_mode):
-    from prysm_tpu.propagation import dft
-    from prysm_tpu.ops.czt import czt_pallas
-
-    plan = dft.prepare_executor(0.01, (16, 16), 0.4, (8, 8), 0.55, 10.0,
-                                kind='czt')
-    with pytest.raises(ValueError, match='single'):
-        czt_pallas(plan, jnp.zeros((2, 16, 16), jnp.complex128))
-
 
 def _grids(N=192, diameter=2.2):
     from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
@@ -275,59 +170,3 @@ def _grids(N=192, diameter=2.2):
     xb, yb = jnp.broadcast_arrays(x, y)
     return xb, yb, r, diameter / N
 
-
-def test_annulus_raster_matches(interpret_mode):
-    from prysm_tpu.ops.raster import annulus_raster_pallas
-    from prysm_tpu import geometry as g
-    _, _, r, dx = _grids()
-    got = np.asarray(annulus_raster_pallas(0.3, 0.9, r, dx))
-    want = np.asarray(g.antialias(g.annulus_sdf(0.3, 0.9, r), dx))
-    assert np.abs(got - want).max() < 1e-5
-
-
-@pytest.mark.parametrize('angle', [0, 25, 90])
-def test_rectangle_raster_matches(interpret_mode, angle):
-    from prysm_tpu.ops.raster import rectangle_raster_pallas
-    from prysm_tpu import geometry as g
-    x, y, _, dx = _grids()
-    got = np.asarray(rectangle_raster_pallas(0.5, x, y, dx, height=0.3,
-                                             angle=angle))
-    want = np.asarray(g.antialias(
-        g.rectangle_sdf(0.5, x, y, height=0.3, angle=angle), dx))
-    assert np.abs(got - want).max() < 1e-5
-
-
-@pytest.mark.parametrize('sides,rotation', [(6, 0), (6, 10), (5, 33)])
-def test_regular_polygon_raster_matches(interpret_mode, sides, rotation):
-    from prysm_tpu.ops.raster import regular_polygon_raster_pallas
-    from prysm_tpu import geometry as g
-    x, y, _, dx = _grids()
-    got = np.asarray(regular_polygon_raster_pallas(sides, 0.8, x, y, dx,
-                                                   rotation=rotation))
-    want = np.asarray(g.antialias(
-        g.regular_polygon_sdf(sides, 0.8, x, y, rotation=rotation), dx))
-    assert np.abs(got - want).max() < 1e-5
-
-
-def test_telescope_pupil_raster_matches_csg_chain(interpret_mode):
-    from prysm_tpu.ops.raster import telescope_pupil_raster_pallas
-    from prysm_tpu import geometry as g
-    x, y, r, dx = _grids()
-    got = np.asarray(telescope_pupil_raster_pallas(
-        x, y, dx, outer_radius=1.0, inner_radius=0.3,
-        spider_vanes=4, spider_width=0.05, spider_rotation=15))
-    d = g.subtract(g.subtract(g.circle_sdf(1.0, r), g.circle_sdf(0.3, r)),
-                   g.spider_sdf(4, 0.05, x, y, rotation=15))
-    want = np.asarray(g.antialias(d, dx))
-    assert np.abs(got - want).max() < 1e-5
-
-
-def test_telescope_pupil_unobscured_is_circle(interpret_mode):
-    from prysm_tpu.ops.raster import (telescope_pupil_raster_pallas,
-                                      circle_raster_pallas)
-    x, y, r, dx = _grids()
-    got = np.asarray(telescope_pupil_raster_pallas(x, y, dx,
-                                                   outer_radius=0.9))
-    want = np.asarray(circle_raster_pallas(0.9, r, dx))
-    # r arrives f64-then-cast in one path, sqrt(x^2+y^2) in f32 in the other
-    assert np.abs(got - want).max() < 1e-5

@@ -312,3 +312,177 @@ def test_hybrid_mesh_device_count_mismatch():
     from prysm_tpu.parallel import make_hybrid_mesh
     with pytest.raises(ValueError, match='devices'):
         make_hybrid_mesh({'host': 3}, {'chip': 5})
+
+
+# ---------------------------------------------------------------------------
+# sharded raytrace (round 3: rays axis over the mesh, psum'd fit)
+# ---------------------------------------------------------------------------
+
+def _doublet_system():
+    import prysm_tpu.x.raytracing as rt
+    import prysm_tpu.x.materials as mat
+    bk7 = mat.model_glass(1.5168, 64.17, name='BK7ish')
+    sf5 = mat.model_glass(1.6727, 32.2, name='SF5ish')
+    lens = rt.LensData()
+    lens.add(rt.Sphere(1 / 62.0), thickness=6.0, material=bk7)
+    lens.add(rt.Sphere(-1 / 45.0), thickness=3.0, material=sf5)
+    lens.add(rt.Sphere(-1 / 128.0), thickness=95.0, material=mat.air)
+    return rt, rt.OpticalSystem(lens, aperture=rt.ApertureSpec.epd(20.0),
+                                fields=[0.0, 1.0, 2.0], wavelengths=[0.55],
+                                stop_index=1)
+
+
+@requires_8_devices
+def test_sharded_raytrace_fit_matches_serial():
+    from prysm_tpu.parallel import make_mesh, shard_wavefront_fit
+    from prysm_tpu.x.raytracing.batch import device_wavefront_fit
+    rt, sys_ = _doublet_system()
+    nms = [(0, 0), (1, 1), (1, -1), (2, 0), (2, 2), (3, 1)]
+    sampling = rt.Sampling.hex(6)
+    c0, r0 = device_wavefront_fit(sys_, nms, sampling=sampling)
+    mesh = make_mesh({'rays': 8})
+    c1, r1 = shard_wavefront_fit(mesh, sys_, nms, sampling=sampling)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                               rtol=1e-9, atol=1e-11)
+
+
+@requires_8_devices
+def test_sharded_raytrace_fit_uneven_rays_pad():
+    # hex(4) gives a ray count not divisible by 8: pads carry zero weight
+    from prysm_tpu.parallel import make_mesh, shard_wavefront_fit
+    from prysm_tpu.x.raytracing.batch import device_wavefront_fit
+    rt, sys_ = _doublet_system()
+    nms = [(0, 0), (2, 0), (2, 2)]
+    sampling = rt.Sampling.hex(4)
+    c0, _ = device_wavefront_fit(sys_, nms, sampling=sampling)
+    mesh = make_mesh({'rays': 8})
+    c1, _ = shard_wavefront_fit(mesh, sys_, nms, sampling=sampling)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-9, atol=1e-11)
+
+
+@requires_8_devices
+def test_sharded_merged_trace_rate_runs():
+    from prysm_tpu.parallel import make_mesh, shard_merged_trace_rate
+    rt, sys_ = _doublet_system()
+    mesh = make_mesh({'rays': 8})
+    landed, ray_surfs = shard_merged_trace_rate(mesh, sys_, 0.55,
+                                               rt.Sampling.hex(8))
+    assert ray_surfs > 0
+    assert np.all(np.isfinite(np.asarray(landed)))
+
+
+# ---------------------------------------------------------------------------
+# 512^2 sharded == serial for the remaining patterns (round 3, VERDICT
+# item 6: broadband / contraction / multires / overlap at realistic sizes
+# that cross per-device 128-lane tile boundaries)
+# ---------------------------------------------------------------------------
+
+@requires_8_devices
+def test_sharded_broadband_step_matches_unsharded_512():
+    coefs, amp, modes, wavelengths, weights, plan = _setup(N=512, W=4,
+                                                           fN=512)
+    I_meas = broadband_psf(coefs * 0.5, amp, modes, wavelengths, weights,
+                           plan)
+
+    def loss_unsharded(c):
+        I = broadband_psf(c, amp, modes, wavelengths, weights, plan)
+        return jnp.sum((I - I_meas) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_unsharded)(coefs)
+    mesh = make_mesh({'wl': 2, 'ty': 4})
+    l_sh, g_sh = shard_broadband_step(mesh, plan, amp, modes, wavelengths,
+                                      weights, I_meas)(coefs)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-10 * float(
+                                   np.abs(np.asarray(g_ref)).max()))
+
+
+@requires_8_devices
+def test_contraction_sharded_mdft_matches_serial_512():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    from prysm_tpu.propagation import prepare_executor
+    from prysm_tpu.propagation.dft import focus_dft, unfocus_dft
+    from prysm_tpu import parallel as par
+
+    N, fN = 512, 256
+    dx = 2.2 / N
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    a = jnp.asarray(np.asarray(antialias(circle_sdf(1.0, r), dx)),
+                    dtype=jnp.complex128)
+    plan = prepare_executor(dx, (N, N), 0.4, fN, 0.55, 10.0)
+    mesh = par.make_mesh({'ct': 8})
+
+    f = par.shard_mdft_contraction(mesh, plan)(a)
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(focus_dft(a, plan)), atol=1e-11)
+    rt = par.shard_mdft_contraction_roundtrip(mesh, plan)
+    c = rt(a)
+    np.testing.assert_allclose(
+        np.asarray(c),
+        np.asarray(unfocus_dft(focus_dft(a, plan), plan)), atol=1e-11)
+
+
+@requires_8_devices
+def test_sharded_multiresolution_matches_serial_512():
+    from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
+    from prysm_tpu.geometry import circle_sdf, antialias
+    from prysm_tpu.propagation import prepare_multiresolution
+    from prysm_tpu.propagation.coronagraph import (
+        to_fpm_and_back_multiresolution, vortex_phase_mask)
+    from prysm_tpu import parallel as par
+
+    N = 512
+    wvl, efl = 0.55, 10.0
+    dx = 2.2 / N
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    a = jnp.asarray(np.asarray(amp), dtype=jnp.complex128)
+    fpm = vortex_phase_mask(2)
+
+    mre = prepare_multiresolution(dx, (N, N), 0.5, 144, wvl, efl,
+                                  num_levels=8, scaling=2.0,
+                                  fine_samples=144)
+    c_serial = to_fpm_and_back_multiresolution(
+        a, lambda xf, yf: 1 - fpm(xf, yf), mre)
+    plan = par.stack_multiresolution(mre, fpm, babinet=True)
+    mesh = par.make_mesh({'lv': 8})
+    c_shard = par.shard_multires_roundtrip(mesh, plan)(a)
+    np.testing.assert_allclose(np.asarray(c_shard), np.asarray(c_serial),
+                               atol=1e-12)
+
+
+@requires_8_devices
+def test_overlapped_spectral_grad_matches_monolithic_512():
+    from prysm_tpu.parallel.overlap import overlapped_spectral_grad
+    from prysm_tpu.mathops import cis
+    coefs, amp, modes, wavelengths, weights, plan = _setup(N=512, W=16,
+                                                           fN=512)
+    opd0 = jnp.tensordot(coefs * 0.5, modes, axes=(0, 0))
+    fields0 = amp[None] * cis(
+        (2 * jnp.pi / (wavelengths * 1e3))[:, None, None] * opd0[None])
+    E0 = plan(fields0)
+    I_pw = E0.real ** 2 + E0.imag ** 2
+    mesh = make_mesh({'wl': 8})
+
+    def loss_ref(c):
+        opd = jnp.tensordot(c, modes, axes=(0, 0))
+        fields = amp[None] * cis(
+            (2 * jnp.pi / (wavelengths * 1e3))[:, None, None] * opd[None])
+        E = plan(fields)
+        I = E.real ** 2 + E.imag ** 2
+        return jnp.sum(weights[:, None, None] * (I - I_pw * 0.9) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(coefs)
+    ostep = overlapped_spectral_grad(mesh, plan, amp, modes, wavelengths,
+                                     weights, I_pw * 0.9, n_chunks=2)
+    l_sh, g_sh = ostep(coefs)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8)
