@@ -108,29 +108,38 @@ def main(N=256, fN=64, amp_nm=3.0, seed=0):
 
 
 if __name__ == '__main__':
-    # Time FIRST, before any device->host fetch: on relay-tunneled
-    # accelerators a single host read disables execution pipelining for
-    # the rest of the process (see bench.py), burying the true rate.
+    # Honest timing on relay-tunneled accelerators (bench.py lesson 1):
+    # block_until_ready does not await execution, so time ONE program
+    # chaining K sensing steps (the estimate feeds the next stimulus —
+    # exactly a closed sensing loop) ended by a fetch, and take the
+    # slope between two K values.
     setup = build()
     R, I0 = reconstructor(setup)
-    step = jax.jit(lambda c, setup, R, I0:
-                   sense(render(c, **setup), R, I0))
     c = jnp.asarray([1.0, -0.5, 0.3, 0.2, -0.1, 0.4], dtype=setup['amp'].dtype)
-    out = step(c, setup, R, I0)
-    jax.block_until_ready(out)
 
-    n = 200
-    best = float('inf')
-    for _ in range(4):
-        t0 = time.time()
-        for _ in range(n):
-            out = step(c, setup, R, I0)
-        jax.block_until_ready(out)
-        best = min(best, (time.time() - t0) / n)
-    # prove execution: fetch and validate the last estimate AFTER timing
-    est = np.asarray(out)
-    assert np.all(np.isfinite(est)) and abs(est[0] - 1.0) < 0.2
-    rate = 1.0 / best
+    def make_chain(K):
+        @jax.jit
+        def run(c, R, I0):
+            def body(_, ck):
+                est = sense(render(ck, **setup), R, I0)
+                return ck + 1e-6 * est     # closed-loop feedback
+            return jnp.sum(jax.lax.fori_loop(0, K, body, c))
+        return run
+
+    def timed(K, reps=3):
+        fn = make_chain(K)
+        jax.block_until_ready(fn(c, R, I0))  # compile untimed
+        best = float('inf')
+        for _ in range(reps):
+            t0 = time.time()
+            v = float(fn(c, R, I0))          # the fetch is the sync
+            best = min(best, time.time() - t0)
+            assert np.isfinite(v)
+        return best
+
+    K1, K2 = 64, 1024
+    per_step = (timed(K2) - timed(K1)) / (K2 - K1)
+    rate = 1.0 / per_step
     print(f'LOWFS sensing rate: {rate:,.0f} frames/s '
           f'({rate / 2000:.0f}x the reference lowfssim 2 kHz headline)')
 
