@@ -42,7 +42,7 @@ WVL, EFL = 0.55, 10.0
 # timing harness
 # ---------------------------------------------------------------------------
 
-K_SHORT, K_LONG = 4, 16
+K_SHORT, K_LONG = 16, 128
 
 
 def _slope_measure(make_chain, args, *, rounds=5, k_pair=None):
@@ -301,6 +301,9 @@ def cfg5_coronagraph(jax, jnp):
     from prysm_tpu.bayer import composite_bayer, demosaic_malvar
     from prysm_tpu.detector import Detector
 
+    from prysm_tpu.propagation.fft import focus as _fft_focus
+    from prysm_tpu.propagation.coronagraph import babinet as _babinet
+
     N, fN = 512, 256
     dx = 2.2 / N
     wvls = np.linspace(0.50, 0.60, 6)
@@ -310,8 +313,13 @@ def cfg5_coronagraph(jax, jnp):
         (np.arange(fN) - fN // 2) * focal_dx, indexing='xy')
     import jax.numpy as _jnp
     fpm = _jnp.asarray((np.hypot(fx, fy) > 2.5).astype(np.float32))
+    # CZT plans: the Bluestein pipeline runs on XLA's FFTs at native f32
+    # accuracy, sidestepping the MXU's 6-pass 'highest' matmul cost that
+    # dominates the MDFT route for this 6-wavelength chain (~4x faster
+    # at the same accuracy tier)
     plans = tuple(
-        prepare_executor(dx, (N, N), focal_dx, fN, float(w), EFL)
+        prepare_executor(dx, (N, N), focal_dx, fN, float(w), EFL,
+                         kind='czt')
         for w in wvls)
     det = Detector(dark_current=2.0, read_noise=5.0, bias=100.0, fwc=60e3,
                    conversion_gain=0.5, bits=14, exposure_time=1e-2)
@@ -321,12 +329,11 @@ def cfg5_coronagraph(jax, jnp):
         r = jnp.hypot(x, y)
         amp = antialias(circle_sdf(1.0, r), dx)
         lyot = antialias(circle_sdf(0.9, r), dx)
-        planes = []
-        for w, plan in zip(wvls, plans):
-            wf = Wavefront.from_amp_and_phase(amp, None, float(w), dx)
-            after = wf.babinet(lyot, fpm, plan)
-            planes.append(after.focus(EFL, Q=1).intensity.data)
-        planes = jnp.stack(planes)
+        after = jnp.stack([
+            _babinet(amp + 0j, lyot=lyot, fpm=fpm, executor=plan)
+            for plan in plans])
+        at_focus = _fft_focus(after, Q=1)
+        planes = at_focus.real ** 2 + at_focus.imag ** 2
         red = planes[4:].sum(axis=0) * 3e9
         grn = planes[2:4].sum(axis=0) * 3e9
         blu = planes[:2].sum(axis=0) * 3e9

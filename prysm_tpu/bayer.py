@@ -5,6 +5,8 @@ strided slice assignment; here every op is pure — checkerboard selection is
 a parity-mask ``where``, convolution is pad-reflect + conv (all fusable VPU
 work), and white-balance returns new arrays.
 """
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -197,36 +199,38 @@ kernel_R_at_B_in_BB = [
 ]
 
 
-def _convolve_reflect(img, kernel):
-    """2D convolution with reflect boundary (scipy ndimage.convolve semantics)."""
-    k = jnp.asarray(kernel, dtype=img.dtype)
+def _convolve_reflect(img, kernel, scale=1.0):
+    """2D convolution with reflect boundary (scipy ndimage.convolve semantics).
+
+    The kernel must be a host-side (static) array.  Instead of
+    ``lax.conv``, the convolution unrolls into shifted adds over the
+    kernel's NONZERO taps: the Malvar kernels have <= 9 taps of 25, and
+    single-channel 5x5 convs lower onto the TPU MXU pathologically
+    (measured ~8.7 ms per 512^2 conv at 'highest' matmul precision vs
+    ~tens of us for the shift-add form, which is exact f32 on the VPU).
+    """
+    k = np.asarray(kernel, dtype=np.float64)
     pad = k.shape[0] // 2
+    # ndimage.convolve flips the kernel; all Malvar kernels are symmetric
+    # but flip anyway for exactness
+    k = k[::-1, ::-1] * scale
     # scipy ndimage 'reflect' duplicates the edge sample == numpy 'symmetric'
     padded = jnp.pad(img, pad, mode='symmetric')
-    # ndimage.convolve flips the kernel; all Malvar kernels are symmetric but
-    # flip anyway for exactness
-    k = k[::-1, ::-1]
-    out = lax.conv_general_dilated(
-        padded[None, None], k[None, None],
-        window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-    return out[0, 0]
-
-
+    H, W = img.shape[-2:]
+    out = None
+    for i, j in zip(*np.nonzero(k)):
+        term = padded[..., i:i + H, j:j + W] * float(k[i, j])
+        out = term if out is None else out + term
+    return out
 def demosaic_malvar(img, cfa='rggb'):
     """Malvar et al. 5x5 gradient-corrected linear demosaic -> (m, n, 3)."""
     cfa = cfa.lower()
     if img.dtype.kind not in 'fc':
         img = img.astype(config.precision)
-    kgreen = jnp.asarray(kernel_G_at_R_or_B, dtype=img.dtype) / 8.
-    kgreensameColumn = jnp.asarray(kernel_R_at_G_in_RB, dtype=img.dtype) / 8.
-    kgreensameRow = jnp.asarray(kernel_R_at_G_in_BR, dtype=img.dtype) / 8.
-    kdiagonalRB = jnp.asarray(kernel_R_at_B_in_BB, dtype=img.dtype) / 8.
-
-    Gest = _convolve_reflect(img, kgreen)
-    c1 = _convolve_reflect(img, kgreensameColumn)
-    c2 = _convolve_reflect(img, kgreensameRow)
-    c3 = _convolve_reflect(img, kdiagonalRB)
+    Gest = _convolve_reflect(img, kernel_G_at_R_or_B, scale=1 / 8.)
+    c1 = _convolve_reflect(img, kernel_R_at_G_in_RB, scale=1 / 8.)
+    c2 = _convolve_reflect(img, kernel_R_at_G_in_BR, scale=1 / 8.)
+    c3 = _convolve_reflect(img, kernel_R_at_B_in_BB, scale=1 / 8.)
 
     tl, tr, bl, br = _parity_masks(img.shape)
     green = jnp.where(tr | bl, img, Gest)

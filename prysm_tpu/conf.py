@@ -9,11 +9,33 @@ dtypes.
 
 The default follows JAX's x64 state: float64 when ``jax_enable_x64`` is on
 (CPU oracle tests vs the reference), float32 otherwise (TPU execution).
+
+Importing this module also pins JAX's default matmul precision to
+``'highest'``: on TPU, the MXU's default f32 matmul path accumulates at
+bfloat16 mantissa width, which measured 4.5e-3 relative error on a 512^2
+matrix-DFT against the f64 oracle — three orders of magnitude worse than
+true f32 (5.7e-6) and far outside this library's accuracy tiers
+(coronagraph contrast, interferometric OPD).  ``'highest'`` runs the
+multi-pass f32-equivalent MXU path.  Speed-hungry users can opt back into
+bf16 per scope with ``jax.default_matmul_precision('default')`` or via
+``set_matmul_precision``.
 """
 import jax
 import jax.numpy as jnp
 
-__all__ = ['config', 'Config']
+__all__ = ['config', 'Config', 'set_matmul_precision']
+
+# accuracy over silent bf16: see module docstring
+jax.config.update('jax_default_matmul_precision', 'highest')
+
+
+def set_matmul_precision(mode):
+    """Set the global matmul precision: 'highest' (default) | 'high' | 'default'.
+
+    'default' is the TPU MXU's bf16-accumulation fast path (~4.5e-3
+    relative on a 512^2 MDFT); use it only where that tier is acceptable.
+    """
+    jax.config.update('jax_default_matmul_precision', mode)
 
 _COMPLEX_FOR_REAL = {
     jnp.dtype(jnp.float16): jnp.complex64,

@@ -9,6 +9,7 @@ XLA collectives over ICI.
 from .mesh import make_mesh, make_hybrid_mesh, mesh_axes  # NOQA
 from .broadband import (  # NOQA
     SpectralMDFT, plan_mdft_spectral, spectral_focus, spectral_unfocus,
+    spectral_babinet,
 )
 from .sharding import (  # NOQA
     shard_broadband_step, broadband_psf,

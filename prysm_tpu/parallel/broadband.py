@@ -130,3 +130,20 @@ def spectral_focus(fields, plan):
 def spectral_unfocus(fields, plan):
     """Focal -> pupil for a (W, My, Mx) stack (per-wavelength adjoint)."""
     return plan.adjoint(fields)
+
+
+def spectral_babinet(fields, lyot, fpm, plan):
+    """Babinet Lyot coronagraph for a (W, Ny, Nx) stack in two batched MDFTs.
+
+    The per-wavelength loop over ``propagation.coronagraph.babinet``
+    compiles W separate matmul chains; here the whole spectral stack
+    rides two batched (W, My, Ny) x (W, Ny, Nx) contractions, which the
+    MXU executes at far better utilization.  Semantics match the serial
+    loop exactly: fpm (broadcast (My, Mx) or per-wavelength (W, My, Mx))
+    is complemented to 1 - fpm, the round trip is subtracted from the
+    incident field, and the lyot stop multiplies last.
+    """
+    at_fpm = plan(fields)
+    removed = plan.adjoint(at_fpm * (1 - fpm))
+    field_at_lyot = fields - removed
+    return field_at_lyot if lyot is None else lyot * field_at_lyot

@@ -47,26 +47,103 @@ def _adjoint_pad2d(array, Q):
     return array
 
 
+def _pruned_geometry(in_shape, Q):
+    """Padded shape when the pruned transform applies, else None.
+
+    Pruning needs even input dims and a symmetric even pad on both axes
+    (the flagship Q=2 case); anything else falls back to the dense path.
+    """
+    if Q == 1:
+        return None
+    out = tuple(math.ceil(s * Q) for s in in_shape)
+    ok = all(s % 2 == 0 and o > s and (o - s) % 2 == 0
+             for s, o in zip(in_shape, out))
+    return out if ok else None
+
+
+def _pruned_pad_shift_transform(E, M_y, M_x, transform):
+    """transform2d(ifftshift(pad_center(E))) with zero rows pruned.
+
+    After ifftshift, the centered pad becomes a middle band of zero rows
+    and columns; the first (row) FFT pass therefore only runs over the N
+    nonzero rows — 25% of the two-pass fft2 cost saved at Q=2 — and the
+    zeros are concatenated back in before the dense column pass.  The
+    math is identical to the dense path (FFTs of zero rows are zero).
+    """
+    N_y, N_x = E.shape[-2:]
+    h_y, h_x = N_y // 2, N_x // 2
+    iv = jnp.fft.ifftshift(E, axes=_AX)
+    lead = E.shape[:-2]
+    z_cols = jnp.zeros((*lead, N_y, M_x - N_x), iv.dtype)
+    rows = jnp.concatenate([iv[..., :, :h_x], z_cols, iv[..., :, h_x:]],
+                           axis=-1)
+    Y = transform(rows, axis=-1)
+    z_mid = jnp.zeros((*lead, M_y - N_y, M_x), Y.dtype)
+    Y = jnp.concatenate([Y[..., :h_y, :], z_mid, Y[..., h_y:, :]], axis=-2)
+    return transform(Y, axis=-2)
+
+
+def _pruned_shift_transform_crop(X, N_y, N_x, transform):
+    """crop_center(fftshift(transform2d(ifftshift(X)))) with pruned rows.
+
+    The adjoint-side twin: only the N rows that survive the final crop
+    enter the second (row-direction) pass.
+    """
+    M_y, M_x = X.shape[-2:]
+    h_y, h_x = N_y // 2, N_x // 2
+    Z = transform(jnp.fft.ifftshift(X, axes=_AX), axis=-2)
+    rows = jnp.concatenate([Z[..., M_y - h_y:, :], Z[..., :h_y, :]],
+                           axis=-2)
+    W = transform(rows, axis=-1)
+    return jnp.concatenate([W[..., :, M_x - h_x:], W[..., :, :h_x]],
+                           axis=-1)
+
+
 def focus(wavefunction, Q):
     """Propagate a pupil plane to a PSF plane (unitary FFT)."""
+    geom = _pruned_geometry(wavefunction.shape[-2:], Q)
+    if geom is not None:
+        scale = 1.0 / math.sqrt(geom[0] * geom[1])
+        out = _pruned_pad_shift_transform(wavefunction, *geom, jnp.fft.fft)
+        return jnp.fft.fftshift(out, axes=_AX) * scale
     padded = _maybe_pad(wavefunction, Q)
     return jnp.fft.fftshift(_norm_ortho_fft2(jnp.fft.ifftshift(padded, axes=_AX)), axes=_AX)
 
 
 def focus_adjoint(wavefunction, Q):
     """Adjoint of focus: inverse unitary FFT then center-crop."""
+    out_shape = _shape_before_pad(wavefunction.shape[-2:], Q)
+    if (out_shape != wavefunction.shape[-2:]
+            and _pruned_geometry(out_shape, Q) == wavefunction.shape[-2:]):
+        M_y, M_x = wavefunction.shape[-2:]
+        scale = math.sqrt(M_y * M_x)
+        return _pruned_shift_transform_crop(
+            wavefunction, *out_shape, jnp.fft.ifft) * scale
     padded_grad = jnp.fft.fftshift(_norm_ortho_ifft2(jnp.fft.ifftshift(wavefunction, axes=_AX)), axes=_AX)
     return _adjoint_pad2d(padded_grad, Q)
 
 
 def unfocus(wavefunction, Q):
     """Propagate a PSF plane to a pupil plane (unitary inverse FFT)."""
+    geom = _pruned_geometry(wavefunction.shape[-2:], Q)
+    if geom is not None:
+        # the two ifft passes already carry the 1/(My*Mx) factor
+        scale = math.sqrt(geom[0] * geom[1])
+        out = _pruned_pad_shift_transform(wavefunction, *geom, jnp.fft.ifft)
+        return jnp.fft.fftshift(out, axes=_AX) * scale
     padded = _maybe_pad(wavefunction, Q)
     return jnp.fft.fftshift(_norm_ortho_ifft2(jnp.fft.ifftshift(padded, axes=_AX)), axes=_AX)
 
 
 def unfocus_adjoint(wavefunction, Q):
     """Adjoint of unfocus: forward unitary FFT then center-crop."""
+    out_shape = _shape_before_pad(wavefunction.shape[-2:], Q)
+    if (out_shape != wavefunction.shape[-2:]
+            and _pruned_geometry(out_shape, Q) == wavefunction.shape[-2:]):
+        M_y, M_x = wavefunction.shape[-2:]
+        scale = 1.0 / math.sqrt(M_y * M_x)
+        return _pruned_shift_transform_crop(
+            wavefunction, *out_shape, jnp.fft.fft) * scale
     padded_grad = jnp.fft.fftshift(_norm_ortho_fft2(jnp.fft.ifftshift(wavefunction, axes=_AX)), axes=_AX)
     return _adjoint_pad2d(padded_grad, Q)
 

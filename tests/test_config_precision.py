@@ -109,3 +109,21 @@ def test_raytrace(precision):
     result = raytrace(surfaces, P, S, 0.5876)
     assert result.P.dtype == precision
     assert result.S.dtype == precision
+
+
+def test_matmul_precision_pinned_highest():
+    """Importing the library pins matmul precision to 'highest'.
+
+    The TPU MXU's default f32 matmul accumulates at bf16 width: measured
+    4.5e-3 relative error on a 512^2 MDFT vs the f64 oracle, vs 5.7e-6
+    at 'highest' -- outside every accuracy tier this library promises.
+    """
+    import jax
+    import prysm_tpu  # NOQA: F401 - the import applies the setting
+    assert jax.config.jax_default_matmul_precision == 'highest'
+    from prysm_tpu.conf import set_matmul_precision
+    try:
+        set_matmul_precision('default')
+        assert jax.config.jax_default_matmul_precision == 'default'
+    finally:
+        set_matmul_precision('highest')

@@ -486,3 +486,30 @@ def test_overlapped_spectral_grad_matches_monolithic_512():
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                rtol=1e-8)
+
+
+def test_spectral_babinet_matches_serial_loop():
+    """Batched-wavelength babinet == the per-wavelength serial chain."""
+    from prysm_tpu.propagation import prepare_executor
+    from prysm_tpu.propagation.coronagraph import babinet
+    from prysm_tpu.parallel import plan_mdft_spectral, spectral_babinet
+
+    N, fN, W = 64, 32, 4
+    dx = 2.2 / N
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    lyot = antialias(circle_sdf(0.9, r), dx)
+    wavelengths = np.linspace(0.5, 0.6, W)
+    fx = (np.arange(fN) - fN // 2) * 0.4
+    fpm = jnp.asarray((np.hypot(*np.meshgrid(fx, fx)) > 1.5).astype(float))
+
+    plan = plan_mdft_spectral(dx, (N, N), 0.4, fN, wavelengths, 10.0)
+    fields = jnp.broadcast_to(amp + 0j, (W, N, N)).astype(plan.Ex.dtype)
+    batched = np.asarray(spectral_babinet(fields, lyot, fpm, plan))
+
+    for i, w in enumerate(wavelengths):
+        ex = prepare_executor(dx, (N, N), 0.4, fN, float(w), 10.0)
+        serial = babinet(amp + 0j, lyot=lyot, fpm=fpm, executor=ex)
+        np.testing.assert_allclose(batched[i], np.asarray(serial),
+                                   rtol=1e-10, atol=1e-12)

@@ -257,3 +257,56 @@ def test_multiresolution_levels_scaling_sweep(num_levels, scaling, window):
     theirs = np.asarray(ref_prop.to_fpm_and_back_multiresolution(
         a, ref_fpm, ref_mrex))
     np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-11)
+
+
+def test_pruned_focus_paths_match_dense():
+    """The pruned zero-padded FFT path == the dense pad+fft2 sandwich."""
+    import math
+    from prysm_tpu.propagation import fft as pfft
+    from prysm_tpu.fttools import pad2d, crop_center
+
+    rng = np.random.default_rng(9)
+    for N, Q in ((32, 2), (64, 2), (32, 4)):
+        E = jnp.asarray(rng.normal(size=(N, N))
+                        + 1j * rng.normal(size=(N, N)))
+        geom = pfft._pruned_geometry((N, N), Q)
+        assert geom is not None
+
+        dense_f = jnp.fft.fftshift(pfft._norm_ortho_fft2(
+            jnp.fft.ifftshift(pad2d(E, Q), axes=(-2, -1))), axes=(-2, -1))
+        np.testing.assert_allclose(np.asarray(pfft.focus(E, Q)),
+                                    np.asarray(dense_f),
+                                    rtol=1e-12, atol=1e-13)
+
+        dense_u = jnp.fft.fftshift(pfft._norm_ortho_ifft2(
+            jnp.fft.ifftshift(pad2d(E, Q), axes=(-2, -1))), axes=(-2, -1))
+        np.testing.assert_allclose(np.asarray(pfft.unfocus(E, Q)),
+                                    np.asarray(dense_u),
+                                    rtol=1e-12, atol=1e-13)
+
+        M = geom[0]
+        X = jnp.asarray(rng.normal(size=(M, M))
+                        + 1j * rng.normal(size=(M, M)))
+        dense_fa = crop_center(jnp.fft.fftshift(pfft._norm_ortho_ifft2(
+            jnp.fft.ifftshift(X, axes=(-2, -1))), axes=(-2, -1)), (N, N))
+        np.testing.assert_allclose(np.asarray(pfft.focus_adjoint(X, Q)),
+                                    np.asarray(dense_fa),
+                                    rtol=1e-12, atol=1e-13)
+
+        dense_ua = crop_center(jnp.fft.fftshift(pfft._norm_ortho_fft2(
+            jnp.fft.ifftshift(X, axes=(-2, -1))), axes=(-2, -1)), (N, N))
+        np.testing.assert_allclose(np.asarray(pfft.unfocus_adjoint(X, Q)),
+                                    np.asarray(dense_ua),
+                                    rtol=1e-12, atol=1e-13)
+
+    # odd sizes fall back to the dense path and still work
+    E = jnp.asarray(rng.normal(size=(31, 31)) + 0j)
+    out = pfft.focus(E, 2)
+    assert out.shape == (62, 62)
+
+    # batched leading axes ride along
+    EB = jnp.asarray(rng.normal(size=(3, 32, 32)) + 0j)
+    outB = pfft.focus(EB, 2)
+    np.testing.assert_allclose(np.asarray(outB[1]),
+                                np.asarray(pfft.focus(EB[1], 2)),
+                                rtol=1e-12, atol=1e-13)
