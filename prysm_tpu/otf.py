@@ -62,8 +62,36 @@ def _normalized_transform(psf, dx):
     return normalized, data, df
 
 
+def _mtf_magnitude_rfft(psf):
+    """|fftshift(fft2(ifftshift(psf)))| for REAL psf via rfft2 + mirror.
+
+    Hermitian symmetry |F(-k)| = |F(k)| rebuilds the full magnitude
+    plane from the half-plane rfft2 — about half the FFT work of the
+    complex transform, which matters because the MTF transform is one
+    of the three FFT passes in the flagship gradient step.  Requires
+    even trailing dims (callers fall back otherwise).
+    """
+    M = psf.shape[-1]
+    half = jnp.abs(jnp.fft.rfft2(jnp.fft.ifftshift(psf, axes=_AX),
+                                 axes=_AX))              # (..., My, M//2+1)
+    # columns kx = M//2+1 .. M-1: |F(ky, kx)| = |F((-ky) % My, M - kx)|
+    left = half[..., :, 1:M // 2]                         # kx = 1..M//2-1
+    mirrored = jnp.flip(left, axis=-1)                    # kx -> M - kx
+    mirrored = jnp.roll(jnp.flip(mirrored, axis=-2), 1, axis=-2)  # ky -> -ky
+    full = jnp.concatenate([half, mirrored], axis=-1)
+    return jnp.fft.fftshift(full, axes=_AX)
+
+
 def mtf_from_psf(psf, dx=None, return_more=False):
     """MTF = |center-normalized transform of the PSF| as RichData."""
+    unwrapped, dxv = _unwrap_psf(psf, dx)
+    even = all(s % 2 == 0 for s in unwrapped.shape[-2:])
+    if not return_more and even and unwrapped.dtype.kind == 'f':
+        mag = _mtf_magnitude_rfft(unwrapped)
+        cy, cx = _center(mag.shape)
+        df = 1000 / (mag.shape[-2] * dxv)
+        normalized = mag / mag[..., cy:cy + 1, cx:cx + 1]
+        return RichData(data=normalized, dx=df, wavelength=None)
     normalized, data, df = _normalized_transform(psf, dx)
     rd = RichData(data=jnp.abs(normalized), dx=df, wavelength=None)
     if return_more:

@@ -310,3 +310,21 @@ def test_pruned_focus_paths_match_dense():
     np.testing.assert_allclose(np.asarray(outB[1]),
                                 np.asarray(pfft.focus(EB[1], 2)),
                                 rtol=1e-12, atol=1e-13)
+
+
+def test_mtf_rfft_fast_path_matches_dense():
+    """The real-input rfft2+mirror MTF == the complex-transform MTF."""
+    from prysm_tpu.otf import mtf_from_psf, _normalized_transform
+
+    rng = np.random.default_rng(4)
+    for shape in ((64, 64), (32, 48), (3, 64, 64)):
+        psf = jnp.asarray(rng.random(shape))
+        fast = np.asarray(mtf_from_psf(psf, 1.0).data)
+        normalized, _, _ = _normalized_transform(psf, 1.0)
+        dense = np.abs(np.asarray(normalized))
+        np.testing.assert_allclose(fast, dense, rtol=1e-10, atol=1e-12)
+    # odd sizes fall back to the dense path
+    psf = jnp.asarray(rng.random((33, 33)))
+    rd = mtf_from_psf(psf, 1.0)
+    c = rd.shape[0] // 2
+    assert float(rd.data[c, c]) == 1.0

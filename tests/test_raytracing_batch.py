@@ -14,7 +14,7 @@ WVLS = [0.4861, 0.5876, 0.6563]
 NMS = [(2, 0), (2, 2), (2, -2), (3, 1), (3, -1), (4, 0)]
 
 
-def _system():
+def _system(wavelengths=None):
     bk7 = mat.model_glass(1.5168, 64.17, name='BK7ish')
     sf5 = mat.model_glass(1.6727, 32.2, name='SF5ish')
     lens = rt.LensData()
@@ -22,7 +22,8 @@ def _system():
     lens.add(rt.Sphere(-1 / 45.0), thickness=3.0, material=sf5)
     lens.add(rt.Sphere(-1 / 128.0), thickness=95.0, material=mat.air)
     sys_ = rt.OpticalSystem(lens, aperture=rt.ApertureSpec.epd(20.0),
-                            fields=[0.0, 1.0, 2.0], wavelengths=WVLS,
+                            fields=[0.0, 1.0, 2.0],
+                            wavelengths=wavelengths or WVLS,
                             stop_index=1)
     sys_.solve.image_distance()
     return sys_
@@ -76,3 +77,41 @@ def test_device_fit_handles_vignetted_rays():
                                       normalization_radius=10.0)
     assert onp.all(onp.isfinite(onp.asarray(coefs)))
     assert onp.all(onp.isfinite(onp.asarray(rms)))
+
+
+def test_merged_trace_matches_per_field_loop():
+    """The merged (F*N) bundle reproduces per-field traces exactly."""
+    import jax.numpy as jnp
+    from prysm_tpu.x.raytracing.batch import merged_trace, unmerge
+    from prysm_tpu.x.raytracing.spencer_and_murty import raytrace
+
+    sys_ = _system()
+    samp = rt.Sampling.hex(4)
+    wvls, results = merged_trace(sys_, sampling=samp)
+    res = results[0]
+    fields = list(sys_.fields)
+    F = len(fields)
+    P_merged = unmerge(res.P, F)
+    surfaces = sys_.to_surfaces()
+    for i, f in enumerate(fields):
+        P, S = rt.launch(sys_, f, float(wvls[0]), samp)
+        single = raytrace(surfaces, jnp.asarray(onp.asarray(P)),
+                          jnp.asarray(onp.asarray(S)), float(wvls[0]))
+        onp.testing.assert_allclose(onp.asarray(P_merged[:, i]),
+                                    onp.asarray(single.P),
+                                    rtol=1e-12, atol=1e-12)
+
+
+def test_device_fit_multiwavelength_shapes_and_dispersion():
+    """(W, F, K) output shapes; defocus coefficient moves with wavelength
+    through the glass dispersion."""
+    sys_ = _system(wavelengths=[0.48, 0.5876, 0.65])
+    coefs, rms = device_wavefront_fit(sys_, NMS, sampling=rt.Sampling.hex(5))
+    W = 3
+    F = len(list(sys_.fields))
+    assert coefs.shape[:2] == (W, F)
+    assert rms.shape == (W, F)
+    focus_idx = NMS.index((2, 0)) if (2, 0) in NMS else 0
+    defocus = onp.asarray(coefs)[:, 0, focus_idx]
+    # dispersion: blue and red focus differ (mm-scale OPD, small but real)
+    assert abs(defocus[0] - defocus[2]) > 3e-5
