@@ -134,3 +134,50 @@ def test_chebygauss_matches():
     tx, ty = ref_coords.chebygauss_quadrature_xy(5, radius=1.2)
     np.testing.assert_allclose(np.asarray(ox), np.asarray(tx), atol=1e-12)
     np.testing.assert_allclose(np.asarray(oy), np.asarray(ty), atol=1e-12)
+
+
+@pytest.mark.parametrize('angle', [0.0, 25.0])
+def test_rotated_ellipse_matches(angle):
+    (x, y), (rx, ry) = _grid()
+    ours = geom.rotated_ellipse_sdf(0.8, 0.4, x, y, major_axis_angle=angle)
+    theirs = ref_geom.rotated_ellipse_sdf(0.8, 0.4, rx, ry,
+                                          major_axis_angle=angle)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-12)
+
+
+def test_rectangle_with_corner_fillets_matches():
+    (x, y), (rx, ry) = _grid()
+    ours = geom.rectangle_with_corner_fillets_sdf(0.7, 0.5, 0.1, x, y)
+    theirs = ref_geom.rectangle_with_corner_fillets_sdf(0.7, 0.5, 0.1,
+                                                        rx, ry)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-12)
+
+
+def test_offset_circle_matches():
+    (x, y), (rx, ry) = _grid()
+    ours = geom.offset_circle(0.4, x, y, center=(0.2, -0.1))
+    theirs = ref_geom.offset_circle(0.4, rx, ry, center=(0.2, -0.1))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                               atol=1e-12)
+
+
+def test_gaussian_matches():
+    (x, y), (rx, ry) = _grid()
+    ours = geom.gaussian(0.3, x, y)
+    theirs = ref_geom.gaussian(0.3, rx, ry)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-12)
+
+
+def test_multisample_matches_antialias_tier():
+    """Edge-multisampled membership tracks the SDF antialias within a
+    coverage tolerance (they are different estimators of the same edge)."""
+    (x, y), _ = _grid()
+    r, _ = coords.cart_to_polar(x, y)
+    dx = float(x[0, 1] - x[0, 0])
+    aa = np.asarray(geom.antialias(geom.circle_sdf(0.8, r), dx))
+    ms = np.asarray(geom.multisample(
+        lambda xx, yy: (xx * xx + yy * yy) <= 0.8 ** 2, x, y, samples=8))
+    assert np.abs(aa - ms).max() < 0.3      # edge pixels only
+    # the two estimators agree closely away from the exact edge band
+    interior = aa == 1.0
+    assert np.abs(aa - ms)[interior].max() < 0.05

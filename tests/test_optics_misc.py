@@ -20,30 +20,48 @@ import prysm.degradations as ref_degradations
 import prysm.convolution as ref_convolution
 
 
-def test_thinlens_scalar_relations_match():
-    pairs = [
-        ('object_to_image_dist', (50.0, -200.0)),
-        ('image_to_object_dist', (50.0, 70.0)),
-        ('object_image_to_efl', (-200.0, 70.0)),
-        ('efl_to_fno', (100.0, 25.0)),
-        ('fno_to_na', (4.0,)),
-        ('na_to_fno', (0.125,)),
-        ('object_dist_to_mag', (50.0, -500.0)),
-        ('mag_to_object_dist', (50.0, -0.1)),
-        ('defocus_to_image_displacement', (0.5, 4.0, 0.55)),
-        ('image_displacement_to_defocus', (10.0, 4.0, 0.55)),
-        ('singlet_efl', (0.01, -0.005, 3.0, 1.5)),
-        ('singlet_bfl', (0.01, -0.005, 3.0, 1.5)),
-        ('singlet_ffl', (0.01, -0.005, 3.0, 1.5)),
-        ('twolens_efl', (100.0, -50.0, 20.0)),
-        ('twolens_bfl', (100.0, -50.0, 20.0)),
-        ('twolens_ffl', (100.0, -50.0, 20.0)),
-        ('twolens_separation', (100.0, -50.0, 120.0)),
-    ]
-    for name, args in pairs:
-        ours = float(getattr(thinlens, name)(*args))
-        theirs = float(getattr(ref_thinlens, name)(*args))
-        np.testing.assert_allclose(ours, theirs, rtol=1e-12, err_msg=name)
+_THINLENS_CASES = [
+    ('object_to_image_dist', (50.0, -200.0)),
+    ('image_to_object_dist', (50.0, 70.0)),
+    ('object_image_to_efl', (-200.0, 70.0)),
+    ('efl_to_power', (100.0,)),
+    ('power_to_efl', (0.01,)),
+    ('efl_to_fno', (100.0, 25.0)),
+    ('fno_to_efl', (4.0, 25.0)),
+    ('fno_to_epd', (4.0, 100.0)),
+    ('image_dist_epd_to_na', (100.0, 25.0)),
+    ('image_dist_epd_to_fno', (100.0, 25.0)),
+    ('fno_to_na', (4.0,)),
+    ('na_to_fno', (0.125,)),
+    ('object_dist_to_mag', (50.0, -500.0)),
+    ('mag_to_object_dist', (50.0, -0.1)),
+    ('mag_to_image_dist', (50.0, -0.1)),
+    ('linear_to_long_mag', (-0.1,)),
+    ('mag_to_fno', (-0.1, 4.0)),
+    ('mag_to_fno', (-0.5, 2.8, 0.8)),
+    ('defocus_to_image_displacement', (0.5, 4.0, 0.55)),
+    ('image_displacement_to_defocus', (10.0, 4.0, 0.55)),
+    ('image_shift_to_tilt', (5.0, 4.0)),
+    ('tilt_to_image_shift', (0.25, 4.0)),
+    ('singlet_power', (0.01, -0.005, 3.0, 1.5)),
+    ('singlet_efl', (0.01, -0.005, 3.0, 1.5)),
+    ('singlet_bfl', (0.01, -0.005, 3.0, 1.5)),
+    ('singlet_ffl', (0.01, -0.005, 3.0, 1.5)),
+    ('singlet_efl', (0.01, -0.005, 3.0, 1.7, 1.33)),
+    ('twolens_power', (100.0, -50.0, 20.0)),
+    ('twolens_efl', (100.0, -50.0, 20.0)),
+    ('twolens_bfl', (100.0, -50.0, 20.0)),
+    ('twolens_ffl', (100.0, -50.0, 20.0)),
+    ('twolens_separation', (100.0, -50.0, 120.0)),
+]
+
+
+@pytest.mark.parametrize('name,args', _THINLENS_CASES,
+                         ids=[f'{n}{a}' for n, a in _THINLENS_CASES])
+def test_thinlens_scalar_relations_match(name, args):
+    ours = float(getattr(thinlens, name)(*args))
+    theirs = float(getattr(ref_thinlens, name)(*args))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12, err_msg=name)
 
 
 @pytest.mark.parametrize('pol', ['s', 'p'])

@@ -135,8 +135,12 @@ def test_index_roundtrips_match():
 
 
 def test_nm_to_name_matches():
-    for nm in NMS:
-        assert poly.nm_to_name(*nm) == ref_poly.nm_to_name(*nm)
+    # exhaustive through order 12: covers Piston/Tilt/Defocus specials,
+    # the Primary..Quinary ladder, every -foil family, and the numeric
+    # fallbacks for high orders
+    for n in range(0, 13):
+        for m in range(-n, n + 1, 2):
+            assert poly.nm_to_name(n, m) == ref_poly.nm_to_name(n, m), (n, m)
 
 
 def test_sum_of_2d_modes_matches():
