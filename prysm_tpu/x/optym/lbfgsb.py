@@ -7,11 +7,13 @@ L-BFGS-B driver — the reference's single native-code touchpoint) and
 * ``LBFGSB`` drives scipy's reverse-communication ``setulb`` (the C port in
   SciPy >= 1.15) with the step() API, so governors compose with a
   production-quality bound-constrained quasi-Newton method.
-* ``PrysmLBFGSB`` is a pure-JAX projected L-BFGS with two-loop recursion and
-  Armijo backtracking — device-resident state, no host library.  For
-  strongly bound-active problems the scipy driver's generalized Cauchy
-  point handling converges faster; for unbounded/weakly-bounded problems
-  they behave alike.
+* ``PrysmLBFGSB`` is a pure-JAX implementation of the full
+  Byrd-Lu-Nocedal-Zhu algorithm: compact limited-memory form,
+  generalized Cauchy point over the projected-gradient path, and
+  Sherman-Morrison-Woodbury subspace minimization on the free set, all
+  inside one jitted device program per iteration.  On bound-active
+  problems it matches the compiled driver iteration-for-iteration (see
+  tests/test_optym.py head-to-heads).
 """
 import functools
 
