@@ -56,17 +56,23 @@ def _slope_measure(make_chain, args, *, rounds=5, k_pair=None):
     witness: a NaN/Inf anywhere in the chain surfaces here.
     """
     k_short, k_long = k_pair or (K_SHORT, K_LONG)
-    fns = {K: make_chain(K) for K in (k_short, k_long)}
-    for K, fn in fns.items():
-        v = float(fn(*args))  # compile + first (untimed) execution
+    import jax.numpy as jnp
+    # ONE compile per config: make_chain(None) must accept the trip count
+    # as a traced argument (fori_loop lowers to while_loop), so both K
+    # points share a single executable — remote compiles dominate the
+    # bench wall-clock otherwise
+    fn = make_chain(None)
+    ks = {K: jnp.int32(K) for K in (k_short, k_long)}
+    for K, kv in ks.items():
+        v = float(fn(*args, kv))  # compile + first (untimed) execution
         if not np.isfinite(v):
             raise RuntimeError(f'chain K={K} produced non-finite output')
     samples = []
     for _ in range(rounds):
         ts = {}
-        for K, fn in fns.items():
+        for K, kv in ks.items():
             t0 = time.perf_counter()
-            v = float(fn(*args))
+            v = float(fn(*args, kv))
             ts[K] = time.perf_counter() - t0
             if not np.isfinite(v):
                 raise RuntimeError('chain produced non-finite output')
@@ -140,9 +146,9 @@ def cfg1_flagship(jax, jnp):
 
     grad_step = jax.value_and_grad(loss, has_aux=True)
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def run(c, I_meas):
+        def run(c, I_meas, K):
             def body(_, ck):
                 (_, _), g = grad_step(ck, I_meas)
                 return ck - 1e-12 * g   # descent feedback: steps chain
@@ -202,9 +208,9 @@ def cfg2_mdft_grad(jax, jnp):
 
     grad_step = jax.value_and_grad(loss)
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def run(c, plan, I_meas):
+        def run(c, plan, I_meas, K):
             def body(_, ck):
                 _, g = grad_step(ck, plan, I_meas)
                 return ck - 1e-12 * g
@@ -248,9 +254,9 @@ def cfg3_segmented(jax, jnp):
             .focus(EFL, Q=2).intensity
         return encircled_energy(I.data, I.dx, 10.0), I.data
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def chain(c, amp):
+        def chain(c, amp, K):
             def body(_, ck):
                 ee, _ = run(ck, amp)
                 return ck + 1e-12 * ee   # scalar feedback: steps chain
@@ -281,9 +287,9 @@ def cfg4_angular_spectrum(jax, jnp):
         c = (a * lens).free_space(dz=100.0, Q=1)
         return c.intensity.data
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def chain(tok):
+        def chain(tok, K):
             def body(_, tk):
                 return 1e-18 * jnp.sum(run(tk))
             return jax.lax.fori_loop(0, K, body, tok)
@@ -343,9 +349,9 @@ def cfg5_coronagraph(jax, jnp):
         frame = det.expose_fused(mosaic, seed=0)
         return demosaic_malvar(frame.astype(jnp.float32))
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def chain(fpm, plans, key):
+        def chain(fpm, plans, key, K):
             def body(i, carry):
                 tok, key = carry
                 key = __import__('jax').random.fold_in(key, i)
@@ -385,9 +391,9 @@ def cfg6_raytrace(jax, jnp):
     P = _jnp.asarray(P.reshape(F * N, 3).astype(np.float32))
     S = _jnp.asarray(S.reshape(F * N, 3).astype(np.float32))
 
-    def make_chain(K):
+    def make_chain(_K):
         @jax.jit
-        def chain(P, S):
+        def chain(P, S, K):
             def body(_, Pk):
                 res = raytrace(surfaces, Pk, S, WVL)
                 # perturb the launch by a sub-nm epsilon of the landing
