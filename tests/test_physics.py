@@ -11,7 +11,8 @@ import pytest
 import jax.numpy as jnp
 
 from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
-from prysm_tpu.geometry import circle
+from prysm_tpu.geometry import circle, circle_sdf, antialias
+from prysm_tpu.polynomials import zernike_nm
 from prysm_tpu.propagation import Wavefront
 from prysm_tpu.psf import airydisk
 from prysm_tpu.otf import diffraction_limited_mtf, mtf_from_psf
@@ -78,3 +79,56 @@ def test_array_orientation_consistency_tilt():
 @pytest.mark.parametrize('fno, wvl', [(1, .5), (8, 10)])
 def test_airydisk_has_unit_peak(fno, wvl):
     assert float(airydisk(jnp.asarray(0.0), fno=fno, wavelength=wvl)) == pytest.approx(1, abs=1e-9)
+
+
+@pytest.mark.parametrize('Q', [2, 3, 4])
+def test_psf_energy_conservation_unitary_focus(Q):
+    """Parseval: the ortho-normalized focus conserves total energy for
+    any padding factor (pruned and dense paths alike)."""
+    N = 128
+    x, y = make_xy_grid(N, diameter=2.0)
+    dx = 2.0 / N
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(0.8, r), dx)
+    wf = Wavefront.from_amp_and_phase(amp, None, 0.55, dx)
+    E_pupil = float(jnp.sum(jnp.abs(wf.data) ** 2))
+    E_psf = float(jnp.sum(wf.focus(10.0, Q=Q).intensity.data))
+    assert E_psf == pytest.approx(E_pupil, rel=1e-5)
+
+
+def test_defocus_symmetry_of_psf():
+    """+/- defocus give identical PSFs for a symmetric pupil (intensity
+    is blind to the conjugate phase)."""
+    N = 128
+    x, y = make_xy_grid(N, diameter=2.0)
+    dx = 2.0 / N
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(0.8, r), dx)
+    z20 = zernike_nm(2, 0, r, t)
+    for sign in (+1.0, -1.0):
+        wf = Wavefront.from_amp_and_phase(amp, sign * 50.0 * z20, 0.55, dx)
+        I = wf.focus(10.0, Q=2).intensity.data
+        if sign > 0:
+            I_plus = I
+    np.testing.assert_allclose(np.asarray(I), np.asarray(I_plus),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_mtf_cutoff_frequency():
+    """The diffraction MTF hits zero at 1/(wvl*fno) cycles/um."""
+    from prysm_tpu.otf import mtf_from_psf
+    N, efl, epd, wvl = 256, 100.0, 25.0, 0.55
+    x, y = make_xy_grid(N, diameter=epd * 1.1)
+    dx = epd * 1.1 / N
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(epd / 2, r), dx)
+    wf = Wavefront.from_amp_and_phase(amp, None, wvl, dx)
+    psf = wf.focus(efl, Q=2).intensity
+    mtf = mtf_from_psf(psf.data, psf.dx)
+    fno = efl / epd
+    cutoff_cy_um = 1.0 / (wvl * fno)          # incoherent cutoff
+    c = mtf.shape[0] // 2
+    freqs = np.asarray(mtf.x)[c] / 1000.0     # cy/mm -> cy/um
+    vals = np.asarray(mtf.data)[c]
+    beyond = vals[freqs > cutoff_cy_um * 1.05]
+    assert beyond.size and np.abs(beyond).max() < 1e-3

@@ -93,3 +93,48 @@ def test_composite_keystone_matches_reference(grids):
     for mm, mr in zip(km.segment_masks, kr.segment_masks):
         np.testing.assert_allclose(np.asarray(mm), np.asarray(mr),
                                    atol=1e-12)
+
+
+def test_segment_counts_and_exclusion(grids):
+    """2 rings -> 19 segments; exclude= removes them from mask and ids."""
+    x, y, _, _ = grids
+    cha = seg.CompositeHexagonalAperture(x, y, 2, 1.0, 0.02)
+    assert len(cha.segment_ids) == 19          # 1 + 6 + 12
+    area_full = float(np.asarray(cha.amp).sum())
+    chx = seg.CompositeHexagonalAperture(x, y, 2, 1.0, 0.02, exclude=(0,))
+    assert len(chx.segment_ids) == 18
+    assert float(np.asarray(chx.amp).sum()) < area_full
+
+
+def test_segment_piston_moves_psf_energy(grids):
+    """Random per-segment piston lowers the Strehl of the composite PSF."""
+    import jax.numpy as jnp
+    from prysm_tpu.propagation import Wavefront
+    from prysm_tpu.polynomials import zernike_nm_seq
+
+    x, y, _, _ = grids
+    dx = float(x[0, 1] - x[0, 0])
+    cha = seg.CompositeHexagonalAperture(x, y, 2, 1.0, 0.007)
+    cha.prepare_opd_bases(zernike_nm_seq, [(0, 0)])
+    nseg = len(cha.segment_ids)
+    amp = jnp.asarray(cha.amp)
+
+    def peak(coefs):
+        wf = Wavefront.from_amp_and_phase(amp, cha.compose_opd(coefs),
+                                          0.55, dx)
+        I = wf.focus(10.0, Q=2).intensity.data
+        return float(jnp.max(I))
+
+    flat = peak(jnp.zeros((nseg, 1)))
+    rng = np.random.default_rng(0)
+    aberrated = peak(jnp.asarray(rng.uniform(-80, 80, (nseg, 1))))
+    assert aberrated < 0.8 * flat
+
+
+def test_keystone_ring_counts(grids):
+    """Keystone apertures expose per-ring segment identifiers."""
+    x, y, _, _ = grids
+    cka = seg.CompositeKeystoneAperture(x, y, 1.5, 2, 1.0,
+                                        [6, 12], 0.02, 0.02)
+    assert len(cka.segment_ids) == 6 + 12
+    assert np.asarray(cka.amp).sum() > 0
