@@ -38,6 +38,7 @@ EXECUTABLE = {
     'college/301-a-first-diffraction-model.md': None,
     'college/302-fixed-sampling-dft.md': None,
     'college/303-pupils-apertures-and-the-psf.md': None,
+    'college/304-coronagraphs-and-dark-holes.md': None,
 }
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.S)
