@@ -256,3 +256,67 @@ def test_shack_hartmann_matches_reference():
     screen_t = np.asarray(ref_sh.shack_hartmann(0.5, 4, 10, 0.55,
                                                 np.asarray(x), np.asarray(y)))
     np.testing.assert_allclose(screen_o, screen_t, rtol=1e-8, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# polarization physics invariants (round 3 depth)
+# ---------------------------------------------------------------------------
+
+def test_malus_law():
+    """Crossed polarizers: transmitted intensity follows cos^2(theta)."""
+    for theta in (0.0, 30.0, 60.0, 90.0):
+        pol0 = xpol.linear_polarizer(0.0)
+        polt = xpol.jones_rotation_matrix(np.radians(-theta)) \
+            @ xpol.linear_polarizer(0.0) \
+            @ xpol.jones_rotation_matrix(np.radians(theta))
+        E = polt @ (pol0 @ xpol.linear_pol_vector(0.0)[..., None])
+        I = float(np.sum(np.abs(np.asarray(E)) ** 2))
+        assert I == pytest.approx(np.cos(np.radians(theta)) ** 2,
+                                  abs=1e-6)
+
+
+def test_quarter_wave_plate_makes_circular():
+    """Linear at 45 deg through a QWP at 0 becomes circular light."""
+    E_in = xpol.linear_pol_vector(45.0)[..., None]
+    E_out = np.asarray(xpol.quarter_wave_plate(0.0) @ E_in).ravel()
+    # equal magnitudes, +/- 90 deg relative phase
+    assert abs(abs(E_out[0]) - abs(E_out[1])) < 1e-6
+    rel = np.angle(E_out[1] / E_out[0])
+    assert abs(abs(rel) - np.pi / 2) < 1e-6
+
+
+def test_half_wave_plate_rotates_polarization():
+    """An HWP at angle t maps linear 0 deg to linear 2t."""
+    E_out = np.asarray(
+        xpol.half_wave_plate(np.radians(20.0))
+        @ xpol.linear_pol_vector(0.0)[..., None]).ravel()
+    want = np.asarray(xpol.linear_pol_vector(40.0)).ravel()
+    # same state up to a global phase
+    phase = E_out[np.argmax(np.abs(E_out))] / \
+        want[np.argmax(np.abs(E_out))]
+    np.testing.assert_allclose(E_out, want * phase, atol=1e-6)
+
+
+def test_jones_to_mueller_physical():
+    """Mueller matrices of common Jones elements are physical: M00 >= 0,
+    first row/col bounded by M00, rotations preserve intensity."""
+    for jones in (xpol.linear_polarizer(0.3),
+                  xpol.quarter_wave_plate(0.7),
+                  xpol.half_wave_plate(0.2),
+                  xpol.jones_rotation_matrix(0.5)):
+        M = np.asarray(xpol.jones_to_mueller(jones))
+        assert M[0, 0] >= 0
+        assert np.all(np.abs(M) <= M[0, 0] + 1e-9)
+    M_rot = np.asarray(xpol.jones_to_mueller(
+        xpol.jones_rotation_matrix(0.5)))
+    assert M_rot[0, 0] == pytest.approx(1.0, abs=1e-7)
+
+
+def test_pauli_coefficients_roundtrip():
+    """jones == sum_i c_i sigma_i for the Pauli expansion."""
+    J = np.asarray(xpol.linear_retarder(0.9, theta=0.3))
+    cs = xpol.pauli_coefficients(jnp.asarray(J))
+    rebuilt = sum(
+        np.asarray(c) * np.asarray(xpol.pauli_spin_matrix(i))
+        for i, c in enumerate(cs))
+    np.testing.assert_allclose(rebuilt, J, atol=1e-7)
