@@ -320,3 +320,40 @@ def test_pauli_coefficients_roundtrip():
         np.asarray(c) * np.asarray(xpol.pauli_spin_matrix(i))
         for i, c in enumerate(cs))
     np.testing.assert_allclose(rebuilt, J, atol=1e-7)
+
+
+def test_single_mode_cutoff_at_2405():
+    """Below V = 2.405 (the first J0 zero) only LP01 propagates."""
+    below = xfib.find_all_modes(2.3)
+    above = xfib.find_all_modes(2.5)
+    assert set(below.keys()) == {0}
+    assert len(np.atleast_1d(np.asarray(below[0]))) == 1
+    total_above = sum(len(np.atleast_1d(np.asarray(v)))
+                      for v in above.values())
+    assert total_above > 1                    # LP11 joins above cutoff
+
+
+def test_lp_mode_count_grows_with_V():
+    """The guided-mode count is monotone in V (~V^2/2 asymptotically)."""
+    counts = []
+    for V in (2.0, 5.0, 10.0, 20.0):
+        md = xfib.find_all_modes(V)
+        counts.append(sum(len(np.atleast_1d(np.asarray(v)))
+                          for v in md.values()))
+    assert counts == sorted(counts) and counts[-1] > counts[0]
+
+
+def test_distinct_lp_modes_are_orthogonal():
+    """Different LP radial orders of the same family are orthogonal over
+    the cross-section (overlap integral ~0); self-overlap is 1."""
+    V, a = 8.0, 2.0
+    x, y = make_xy_grid(128, diameter=16)
+    r, t = cart_to_polar(x, y)
+    md = xfib.find_all_modes(V)
+    modes0 = xfib.compute_LP_modes(V, md, a, np.asarray(r), np.asarray(t))[0]
+    E1 = jnp.asarray(np.asarray(modes0[0]))
+    E2 = jnp.asarray(np.asarray(modes0[1]))
+    self_o = float(xfib.mode_overlap_integral(E1, E1))
+    cross_o = float(xfib.mode_overlap_integral(E1, E2))
+    assert self_o == pytest.approx(1.0, abs=1e-6)
+    assert cross_o < 1e-3
