@@ -171,3 +171,46 @@ def test_zygo_ascii_write_parses(tmp_path):
     ours_payload = fn.read_text().splitlines()[16:]
     ref_payload = fn2.read_text().splitlines()[16:]
     assert ours_payload == ref_payload
+
+
+def test_psd_parseval():
+    """The integrated PSD equals the variance of the detrended surface
+    (Parseval with the periodogram normalization, no window)."""
+    rng = np.random.default_rng(7)
+    N, dx = 128, 0.1
+    z = rng.standard_normal((N, N))
+    z -= z.mean()
+    ux, uy, P = itf.psd(jnp.asarray(z), dx, window=jnp.ones((N, N)))
+    dux = float(np.asarray(ux).ravel()[1] - np.asarray(ux).ravel()[0])
+    duy = dux
+    integral = float(jnp.sum(P)) * dux * duy
+    var = float(np.var(z))
+    np.testing.assert_allclose(integral, var, rtol=1e-6)
+
+
+def test_interferogram_crop_and_mask_update_stats():
+    """Masking NaNs a region out of every statistic; crop shrinks shape."""
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((96, 96)) * 20
+    ig = itf.Interferogram(phase=jnp.asarray(z), dx=0.1, wavelength=0.6328)
+    pv0 = float(ig.pv)
+    from prysm_tpu.coordinates import cart_to_polar
+    r, _ = cart_to_polar(ig.x, ig.y)
+    ig.mask(np.asarray(r) < 3.0)
+    assert float(ig.pv) <= pv0
+    shape0 = ig.shape
+    ig.crop()
+    assert ig.shape[0] <= shape0[0] and ig.shape[1] <= shape0[1]
+
+
+def test_remove_piston_tiptilt_reduce_rms():
+    """Detrending always reduces (or holds) the RMS, and zeroes the mean."""
+    rng = np.random.default_rng(2)
+    y, x = np.mgrid[0:64, 0:64]
+    z = 5.0 + 0.3 * x - 0.2 * y + rng.standard_normal((64, 64))
+    ig = itf.Interferogram(phase=jnp.asarray(z), dx=0.1, wavelength=0.6328)
+    rms0 = float(ig.rms)
+    ig.remove_piston()
+    assert abs(float(jnp.nanmean(ig.data))) < 1e-9
+    ig.remove_tiptilt()
+    assert float(ig.rms) < rms0
