@@ -149,10 +149,8 @@ def make_rotation_matrix(zyx, radians=False, host=False):
 
 def coerce_3d_rotation(R):
     """None, a supplied rotation matrix, or a matrix from (Z,Y,X) Euler angles."""
-    if R is None:
-        return None
-    if type(R) in (list, tuple):
-        R = make_rotation_matrix(R)
+    if isinstance(R, (list, tuple)):
+        return make_rotation_matrix(R)
     return R
 
 
@@ -232,54 +230,43 @@ def solve_for_planar_homography(src, dst):
     """
     src = np.asarray(src, dtype=np.float64)
     dst = np.asarray(dst, dtype=np.float64)
-    if src.shape != dst.shape or src.ndim != 2 or src.shape[1] != 2:
-        raise ValueError('src and dst must have matching shape (N, 2)')
-    if len(src) < 4:
-        raise ValueError('at least four point pairs are required')
+    if src.ndim != 2 or src.shape[-1] != 2 or src.shape != dst.shape:
+        raise ValueError('src and dst must be matching (N, 2) point sets')
+    if src.shape[0] < 4:
+        raise ValueError('the DLT needs at least four correspondences')
 
     def normalize(points):
+        # Hartley conditioning: centroid to the origin, mean radius sqrt(2)
         center = points.mean(axis=0)
-        shifted = points - center
-        mean_distance = np.hypot(shifted[:, 0], shifted[:, 1]).mean()
-        if mean_distance == 0:
+        spread = np.hypot(*(points - center).T).mean()
+        if spread == 0:
             raise ValueError('points must not all coincide')
-        scale = np.sqrt(2) / mean_distance
-        T = np.asarray([
-            [scale, 0, -scale * center[0]],
-            [0, scale, -scale * center[1]],
-            [0, 0, 1],
-        ])
-        homogeneous = np.column_stack((points, np.ones(len(points))))
-        normalized = homogeneous @ T.T
-        return normalized[:, :2], T
+        s = np.sqrt(2) / spread
+        T = np.array([[s, 0.0, -s * center[0]],
+                      [0.0, s, -s * center[1]],
+                      [0.0, 0.0, 1.0]])
+        return (points - center) * s, T
 
     srcn, Tsrc = normalize(src)
     dstn, Tdst = normalize(dst)
-    x1, y1 = srcn.T
-    N = len(x1)
-    x2, y2 = dstn.T
-    A = np.zeros((2 * N, 9))
-    A[0::2, 0] = -x1
-    A[0::2, 1] = -y1
-    A[0::2, 2] = -1
-    A[0::2, 6] = x2 * x1
-    A[0::2, 7] = x2 * y1
-    A[0::2, 8] = x2
-    A[1::2, 3] = -x1
-    A[1::2, 4] = -y1
-    A[1::2, 5] = -1
-    A[1::2, 6] = y2 * x1
-    A[1::2, 7] = y2 * y1
-    A[1::2, 8] = y2
+    # DLT design matrix, assembled blockwise from the homogeneous source
+    # points: each correspondence contributes [-p1, 0, x2 p1] (x equation)
+    # and [0, -p1, y2 p1] (y equation); row order does not affect the
+    # nullspace, so the x block stacks above the y block.
+    p1 = np.column_stack((srcn, np.ones(len(srcn))))
+    zero = np.zeros_like(p1)
+    x2 = dstn[:, :1]
+    y2 = dstn[:, 1:]
+    A = np.concatenate([
+        np.concatenate([-p1, zero, x2 * p1], axis=1),
+        np.concatenate([zero, -p1, y2 * p1], axis=1),
+    ], axis=0)
     if np.linalg.matrix_rank(A) < 8:
         raise ValueError('point configuration is degenerate')
-    _, _, Vt = np.linalg.svd(A)
-    Hn = Vt[-1].reshape((3, 3))
+    Hn = np.linalg.svd(A)[2][-1].reshape(3, 3)
     H = np.linalg.inv(Tdst) @ Hn @ Tsrc
-    if abs(H[2, 2]) > np.finfo(H.dtype).eps:
-        H = H / H[2, 2]
-    else:
-        H = H / np.linalg.norm(H)
+    w = H[2, 2]
+    H = H / (w if abs(w) > np.finfo(H.dtype).eps else np.linalg.norm(H))
     return jnp.asarray(H, dtype=config.precision)
 
 

@@ -75,8 +75,8 @@ from .aperture import (  # NOQA
     circular_aperture,
 )
 from .intersections import (  # NOQA
-    ConicSeedMixin,
     ray_conic_intersect,
+    seeded_newton_intersect,
     ray_plane_intersect,
     ray_sphere_intersect,
 )

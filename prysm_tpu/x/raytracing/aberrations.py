@@ -109,10 +109,10 @@ def _fourth_order_asphere_term(shape):
     params = getattr(shape, 'params', None) or {}
     conic_part = (float(params.get('k', 0.0))
                   * float(params.get('c', 0.0)) ** 3 / 8.0)
-    kind = type(shape).__name__
-    if kind in ('Conic', 'OffAxisConic'):
+    kind = getattr(shape, 'kind', '')
+    if kind in ('conic', 'off_axis_conic'):
         return conic_part
-    if kind == 'EvenAsphere':
+    if kind == 'even_asphere':
         coefs = params.get('coefs', ()) or ()
         return conic_part + (float(coefs[0]) if len(coefs) else 0.0)
     return 0.0

@@ -94,12 +94,13 @@ def apply_seeds(surfaces, seeds, eps):
             p = dict(shape.params)
             for pname, scale, k in shape_contribs:
                 if pname not in p:
+                    kind = getattr(shape, 'kind', type(shape).__name__)
                     raise KeyError(
-                        f'surface {j} is a {type(shape).__name__} with '
+                        f'surface {j} is a {kind} shape with '
                         f'shape DOFs {sorted(p)}; seed targets {pname!r} '
                         '(note: indices are compiled indices, OBJECT = 0)')
                 p[pname] = p[pname] + eps[k] * scale
-            shape = type(shape).from_params(p)
+            shape = shape.with_params(p)
         if sag_terms:
             base = shape
 

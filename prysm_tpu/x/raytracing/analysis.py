@@ -22,7 +22,6 @@ from ._trace_grid import (  # NOQA: F401
     field_sweep, iter_trace_grid, trace_cell)
 from ._resolve import (compiled_surfaces, resolve_wavelength,
                        trace_context)
-from .surfaces import Conic, Plane, Sphere, EvenAsphere
 
 _PREC = np.float64
 
@@ -515,7 +514,7 @@ def distortion(system, fields=None, wavelength=None, *,
 
 # ---------- field curvature --------------------------------------------------
 
-_AXISYMMETRIC_SHAPES = (Plane, Conic, Sphere, EvenAsphere)
+_AXISYMMETRIC_KINDS = ('plane', 'conic', 'sphere', 'even_asphere')
 
 
 def _field_is_pure_y(field):
@@ -531,8 +530,8 @@ def _system_is_axisymmetric(system):
             return False
         P = np.asarray(getattr(surf, 'P', (0, 0, 0)), dtype=float)
         return (not np.any(np.abs(P[:2]) > 1e-12)
-                and isinstance(getattr(surf, 'shape', None),
-                               _AXISYMMETRIC_SHAPES))
+                and getattr(getattr(surf, 'shape', None), 'kind', None)
+                in _AXISYMMETRIC_KINDS)
 
     return all(symmetric(surf) for surf in prescription)
 

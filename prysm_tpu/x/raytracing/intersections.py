@@ -62,17 +62,16 @@ def ray_plane_intersect(P, S):
 def _conic_quadratic_coeffs(c, kappa, P1, S, dx, dy):
     """(A, B, C) of the conic quadratic in Welford's rationalized form.
 
-    Mirrors reference ``intersections.py:50-60``; shared by the vertex-side
-    root and the closest-approach rescue band for seed-miss rays.
+    Shared by the vertex-side root (reference ``intersections.py:50-60``
+    covers the same physics) and the closest-approach rescue band for
+    seed-miss rays.  Assembled over the transverse xy plane as vectors.
     """
-    Sx = S[..., 0]
-    Sy = S[..., 1]
     Sz = S[..., 2]
-    Xp = P1[..., 0] + dx
-    Yp = P1[..., 1] + dy
+    shift = jnp.stack([jnp.asarray(dx), jnp.asarray(dy)]).astype(P1.dtype)
+    Pxy = P1[..., :2] + shift
     A_ = 1.0 + kappa * Sz * Sz
-    B_ = Xp * Sx + Yp * Sy - Sz / c
-    C_ = Xp * Xp + Yp * Yp
+    B_ = jnp.sum(Pxy * S[..., :2], axis=-1) - Sz / c
+    C_ = jnp.sum(Pxy * Pxy, axis=-1)
     return A_, B_, C_
 
 
@@ -274,8 +273,9 @@ def bracketed_newton_solve_s(P1, S, sag_and_normal, s_lo, s_hi,
     """
     if lipschitz is None:
         raise ValueError(
-            'bracketed_newton_solve_s requires a lipschitz bound (max |grad '
-            'sag| over the domain); it guarantees the first-root march.')
+            'a lipschitz bound (the max |grad sag| over the domain) is '
+            'required: it is what guarantees the march cannot step over '
+            'the first root.')
     P1 = jnp.atleast_2d(P1)
     S = jnp.atleast_2d(S)
     tol_sag = resolve_tol_sag(tol_sag, P1.dtype)
@@ -285,132 +285,120 @@ def bracketed_newton_solve_s(P1, S, sag_and_normal, s_lo, s_hi,
                                     domain_radius=domain_radius)
 
 
-class ConicSeedMixin:
-    """Newton intersection seeded by the analytic root of a conic fit.
+def seeded_newton_intersect(seed, P, S, sag_and_normal, tol_sag=None,
+                            maxiter=None, departure=None, domain_radius=None,
+                            departure_gradient=None, sag_lipschitz=None,
+                            forward_only=False):
+    """Conic-seeded Newton intersection -> (Q, n, valid).
 
-    The shape supplies seed_conic() -> (c, k, dx, dy); the conic root seeds
-    the Newton iteration on the full sag, cutting iterations to a handful
-    for realistic departures.  Optional departure bounds police the result
-    and route uncertified rays through the Lipschitz first-root rescue
-    (reference ``intersections.py:325-477``).
+    ``seed`` is the (c, k, dx, dy) conic approximant of the shape; its
+    analytic root seeds the Newton iteration on the full sag, cutting
+    iterations to a handful for realistic departures.  With
+    ``departure``/``domain_radius`` bounds (from the owning Surface's
+    DepartureBand), the Newton root is accepted only inside the
+    seed-relative band; uncertified rays run the Lipschitz rescue.  Twin of
+    reference ``intersections.py:337-477`` with the value-dependent rescue
+    gate (`if rescue.any()`) replaced by a masked march so the whole path
+    jits.
     """
+    if maxiter is None:
+        maxiter = SURFACE_INTERSECTION_DEFAULT_MAXITER
+    P = jnp.atleast_2d(P)
+    S = jnp.atleast_2d(S)
+    c, k, dx, dy = seed
+    Sz = S[..., 2]
+    s0 = -P[..., 2] / Sz
+    P1 = P + s0[..., None] * S
+    if _statically_zero(c):
+        seed = jnp.zeros_like(s0)
+        seed_ok = jnp.ones_like(s0, dtype=bool)
+        Q_conic = P1
+        n_conic = jnp.zeros(P1.shape, dtype=P1.dtype).at[..., 2].set(1.0)
+    else:
+        seed, seed_ok = _conic_quadratic_t(c, k, P1, S, dx, dy)
+        seed = jnp.where(seed_ok, seed, 0.0)
+        Q_conic = P1 + seed[..., None] * S
+        _, n_conic = conic_sag_and_normal(
+            c, k, Q_conic[..., 0] + dx, Q_conic[..., 1] + dy)
+    Q, n, valid = newton_raphson_solve_s(P1, S, sag_and_normal, s1=seed,
+                                         tol_sag=tol_sag, maxiter=maxiter)
+    tol = resolve_tol_sag(tol_sag, P1.dtype)
 
-    def seed_conic(self):
-        """(c, k, dx, dy) of the conic approximant; override per shape."""
-        p = getattr(self, 'params', {}) or {}
-        return p.get('c', 0.0), p.get('k', 0.0), 0.0, 0.0
-
-    def intersect(self, P, S, sag_and_normal, tol_sag=None, maxiter=None,
-                  departure=None, domain_radius=None,
-                  departure_gradient=None, sag_lipschitz=None,
-                  forward_only=False, **_ignored):
-        """Conic-seeded Newton intersection -> (Q, n, valid).
-
-        With ``departure``/``domain_radius`` bounds (from the owning
-        Surface's DepartureBand), the Newton root is accepted only inside
-        the seed-relative band; uncertified rays run the Lipschitz rescue.
-        Twin of reference ``intersections.py:337-477`` with the
-        value-dependent rescue gate (`if rescue.any()`) replaced by a
-        masked march so the whole path jits.
-        """
-        if maxiter is None:
-            maxiter = SURFACE_INTERSECTION_DEFAULT_MAXITER
-        P = jnp.atleast_2d(P)
-        S = jnp.atleast_2d(S)
-        c, k, dx, dy = self.seed_conic()
-        Sz = S[..., 2]
-        s0 = -P[..., 2] / Sz
-        P1 = P + s0[..., None] * S
-        if _statically_zero(c):
-            seed = jnp.zeros_like(s0)
-            seed_ok = jnp.ones_like(s0, dtype=bool)
-            Q_conic = P1
-            n_conic = jnp.zeros(P1.shape, dtype=P1.dtype).at[..., 2].set(1.0)
+    band_active = departure is not None and domain_radius is not None
+    if band_active:
+        s_root = row_dot(Q - P1, S)
+        cosi = jnp.abs(row_dot(S, n_conic))
+        # monotonicity certificate on the unfloored seed incidence
+        if departure_gradient is not None:
+            S_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - Sz * Sz))
+            certified = (cosi - departure_gradient * S_t) > CERTIFICATE_MARGIN
         else:
-            seed, seed_ok = _conic_quadratic_t(c, k, P1, S, dx, dy)
-            seed = jnp.where(seed_ok, seed, 0.0)
-            Q_conic = P1 + seed[..., None] * S
-            _, n_conic = conic_sag_and_normal(
-                c, k, Q_conic[..., 0] + dx, Q_conic[..., 1] + dy)
-        Q, n, valid = newton_raphson_solve_s(P1, S, sag_and_normal, s1=seed,
-                                             tol_sag=tol_sag, maxiter=maxiter)
-        tol = resolve_tol_sag(tol_sag, P1.dtype)
+            certified = jnp.ones(cosi.shape, dtype=bool)
+        # grazing/NaN incidence gets the widest finite band
+        cosi = jnp.where(cosi >= COS_INCIDENCE_FLOOR, cosi,
+                         COS_INCIDENCE_FLOOR)
+        # slack for Newton convergence noise in near-zero departure bands
+        band = (departure + 100.0 * tol * (1.0 + jnp.abs(seed))) / cosi
+        rseed_sq = (Q_conic[..., 0] * Q_conic[..., 0]
+                    + Q_conic[..., 1] * Q_conic[..., 1])
+        seed_hit = seed_ok & jnp.isfinite(seed)
+        police = seed_hit & (rseed_sq <= domain_radius * domain_radius)
+        in_band = jnp.abs(s_root - seed) <= band
+        # departure bounds do not certify roots outside the domain
+        rroot_sq = Q[..., 0] * Q[..., 0] + Q[..., 1] * Q[..., 1]
+        in_domain = rroot_sq <= domain_radius * domain_radius
+        # preserve roots the band-only guard would have accepted
+        old_anchorless = ~seed_hit & ~in_domain
+        prior_accept = (valid & (~police | (in_band & in_domain))
+                        & ~old_anchorless)
+        certified_accept = valid & police & in_band & in_domain & certified
+        rescue = police & ~certified_accept
+        lo = seed - band
+        hi = seed + band
+        if not _statically_zero(c):
+            # closest-approach band for rays whose seed conic misses
+            # (reference intersections.py:443-459)
+            A_, B_, C_ = _conic_quadratic_coeffs(c, k, P1, S, dx, dy)
+            abs_c = jnp.abs(jnp.asarray(c, dtype=P1.dtype))
+            z_max = abs_c * domain_radius * domain_radius / 2.0 + departure
+            scale = 2.0 / abs_c + 2.0 * jnp.abs(1.0 + k) * z_max
+            d_imp = (departure + 100.0 * tol) * scale
+            A_safe = jnp.where(A_ > 0, A_, 1.0)
+            t_star = -B_ / A_safe
+            c_min = C_ - B_ * B_ / A_safe
+            wsq = (d_imp - c_min) / A_safe
+            rescuable = (~seed_hit & (A_ > 0) & (wsq >= 0)
+                         & jnp.isfinite(t_star))
+            w = jnp.sqrt(jnp.abs(wsq))
+            lo = jnp.where(rescuable, t_star - w, lo)
+            hi = jnp.where(rescuable, t_star + w, hi)
+            rescue = rescue | rescuable
+        if sag_lipschitz is not None:
+            Qr, nr, vr = _lipschitz_march_solve_s(
+                sag_and_normal, P1, S, lo, hi, sag_lipschitz, tol,
+                max(maxiter, LIPSCHITZ_MARCH_MAXSTEPS),
+                domain_radius=domain_radius, active=rescue)
+        else:
+            Qr, nr = Q, n
+            vr = jnp.zeros(rescue.shape, dtype=bool)
+        won = rescue & vr
+        Q = jnp.where(won[..., None], Qr, Q)
+        n = jnp.where(won[..., None], nr, n)
+        # the rescue wins where it converged; where it stalls, previous
+        # band-only accepts survive; non-rescued accepts keep Newton
+        accept = certified_accept | won | (rescue & ~vr & prior_accept)
+        accept = accept | (prior_accept & ~rescue)
+        valid = accept
+        Q = jnp.where(valid[..., None], Q, jnp.nan)
+        n = jnp.where(valid[..., None], n, jnp.nan)
 
-        band_active = departure is not None and domain_radius is not None
-        if band_active:
-            s_root = row_dot(Q - P1, S)
-            cosi = jnp.abs(row_dot(S, n_conic))
-            # monotonicity certificate on the unfloored seed incidence
-            if departure_gradient is not None:
-                S_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - Sz * Sz))
-                certified = (cosi - departure_gradient * S_t) > CERTIFICATE_MARGIN
-            else:
-                certified = jnp.ones(cosi.shape, dtype=bool)
-            # grazing/NaN incidence gets the widest finite band
-            cosi = jnp.where(cosi >= COS_INCIDENCE_FLOOR, cosi,
-                             COS_INCIDENCE_FLOOR)
-            # slack for Newton convergence noise in near-zero departure bands
-            band = (departure + 100.0 * tol * (1.0 + jnp.abs(seed))) / cosi
-            rseed_sq = (Q_conic[..., 0] * Q_conic[..., 0]
-                        + Q_conic[..., 1] * Q_conic[..., 1])
-            seed_hit = seed_ok & jnp.isfinite(seed)
-            police = seed_hit & (rseed_sq <= domain_radius * domain_radius)
-            in_band = jnp.abs(s_root - seed) <= band
-            # departure bounds do not certify roots outside the domain
-            rroot_sq = Q[..., 0] * Q[..., 0] + Q[..., 1] * Q[..., 1]
-            in_domain = rroot_sq <= domain_radius * domain_radius
-            # preserve roots the band-only guard would have accepted
-            old_anchorless = ~seed_hit & ~in_domain
-            prior_accept = (valid & (~police | (in_band & in_domain))
-                            & ~old_anchorless)
-            certified_accept = valid & police & in_band & in_domain & certified
-            rescue = police & ~certified_accept
-            lo = seed - band
-            hi = seed + band
-            if not _statically_zero(c):
-                # closest-approach band for rays whose seed conic misses
-                # (reference intersections.py:443-459)
-                A_, B_, C_ = _conic_quadratic_coeffs(c, k, P1, S, dx, dy)
-                abs_c = jnp.abs(jnp.asarray(c, dtype=P1.dtype))
-                z_max = abs_c * domain_radius * domain_radius / 2.0 + departure
-                scale = 2.0 / abs_c + 2.0 * jnp.abs(1.0 + k) * z_max
-                d_imp = (departure + 100.0 * tol) * scale
-                A_safe = jnp.where(A_ > 0, A_, 1.0)
-                t_star = -B_ / A_safe
-                c_min = C_ - B_ * B_ / A_safe
-                wsq = (d_imp - c_min) / A_safe
-                rescuable = (~seed_hit & (A_ > 0) & (wsq >= 0)
-                             & jnp.isfinite(t_star))
-                w = jnp.sqrt(jnp.abs(wsq))
-                lo = jnp.where(rescuable, t_star - w, lo)
-                hi = jnp.where(rescuable, t_star + w, hi)
-                rescue = rescue | rescuable
-            if sag_lipschitz is not None:
-                Qr, nr, vr = _lipschitz_march_solve_s(
-                    sag_and_normal, P1, S, lo, hi, sag_lipschitz, tol,
-                    max(maxiter, LIPSCHITZ_MARCH_MAXSTEPS),
-                    domain_radius=domain_radius, active=rescue)
-            else:
-                Qr, nr = Q, n
-                vr = jnp.zeros(rescue.shape, dtype=bool)
-            won = rescue & vr
-            Q = jnp.where(won[..., None], Qr, Q)
-            n = jnp.where(won[..., None], nr, n)
-            # the rescue wins where it converged; where it stalls, previous
-            # band-only accepts survive; non-rescued accepts keep Newton
-            accept = certified_accept | won | (rescue & ~vr & prior_accept)
-            accept = accept | (prior_accept & ~rescue)
-            valid = accept
-            Q = jnp.where(valid[..., None], Q, jnp.nan)
-            n = jnp.where(valid[..., None], n, jnp.nan)
-
-        if forward_only:
-            # reject roots behind the incoming ray origin: total march
-            # s0 + s must move the ray forward along S, with slack for
-            # Newton noise (reference intersections.py:471-475)
-            s_root = row_dot(Q - P1, S)
-            backward = (s0 + s_root) < (-100.0 * tol * (1.0 + jnp.abs(s0)))
-            valid = valid & ~backward
-            Q = jnp.where(valid[..., None], Q, jnp.nan)
-            n = jnp.where(valid[..., None], n, jnp.nan)
-        return Q, n, valid
+    if forward_only:
+        # reject roots behind the incoming ray origin: total march
+        # s0 + s must move the ray forward along S, with slack for
+        # Newton noise (reference intersections.py:471-475)
+        s_root = row_dot(Q - P1, S)
+        backward = (s0 + s_root) < (-100.0 * tol * (1.0 + jnp.abs(s0)))
+        valid = valid & ~backward
+        Q = jnp.where(valid[..., None], Q, jnp.nan)
+        n = jnp.where(valid[..., None], n, jnp.nan)
+    return Q, n, valid

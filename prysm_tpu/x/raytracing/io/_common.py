@@ -148,16 +148,19 @@ def fold_sign(n_refl):
     return 1.0 - 2.0 * (n_refl % 2)
 
 
+# shape kinds a prescription writer can serialize losslessly
+_WRITABLE_KINDS = ('conic', 'sphere', 'plane')
+
+
 def writable_shape_or_raise(shape_kind, is_eval, writer):
     """Reject surface rows a prescription writer would serialize lossily."""
     if is_eval:
         return
-    from ..surfaces import Conic, Sphere, Plane
-    if shape_kind in (Conic, Sphere, Plane):
+    if shape_kind in _WRITABLE_KINDS:
         return
     raise NotImplementedError(
-        f'exporting {shape_kind.__name__} through {writer} would lose '
-        'shape data; writers support only Conic, Sphere, and Plane.')
+        f'exporting {shape_kind!r} through {writer} would lose '
+        'shape data; writers support only conic, sphere, and plane.')
 
 
 def aperture_export_radii(aperture, *, allow_annular):
@@ -197,8 +200,6 @@ def aperture_export_radii(aperture, *, allow_annular):
 def _check_row(row, ri, writer, allow_annular, objections):
     from ... import materials
     from ..lensdata import CoordBreak, SurfaceRow
-    from ..spencer_and_murty import _is_measurement_surf, STYPE_REFLECT
-    from ..surfaces import _map_stype, Conic, Plane, Sphere
 
     if isinstance(row, CoordBreak):
         allowed = {'write_zmx': ('basic',)}.get(writer, ('basic', 'dar'))
@@ -215,12 +216,12 @@ def _check_row(row, ri, writer, allow_annular, objections):
 def _check_surface_row(row, ri, allow_annular, objections):
     from ... import materials
     from ..spencer_and_murty import _is_measurement_surf, STYPE_REFLECT
-    from ..surfaces import _map_stype, Conic, Plane, Sphere
+    from ..surfaces import _map_stype
 
     stype = _map_stype(row.typ)
-    exportable_shape = row.shape_kind in (Conic, Plane, Sphere)
+    exportable_shape = row.shape_kind in _WRITABLE_KINDS
     if not (_is_measurement_surf(stype) or exportable_shape):
-        objections.append(f'row {ri} shape {row.shape_kind.__name__}')
+        objections.append(f'row {ri} shape {row.shape_kind}')
     if row.grating is not None:  # OPL modifiers have no export encoding
         objections.append(f'row {ri} OPLFunc/grating')
     if row.coating is not None:

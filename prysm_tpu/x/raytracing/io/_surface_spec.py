@@ -10,7 +10,7 @@ from typing import Any
 
 from ... import materials as _materials
 from ..surfaces import (Surface, Biconic, Conic, EvenAsphere, Plane,
-                        Sphere, Toroid, XY, Zernike)
+                        Toroid, XY, Zernike)
 from ._common import scale_surface_params_to_mm
 
 
@@ -55,11 +55,9 @@ def surface_spec_factory(material, length_scale=1.0):
 def surface_spec_from_row(row):
     """Normalize a LensData SurfaceRow for a writer port."""
     shape = row.build_shape()
-    if isinstance(shape, Plane):
-        kind = 'plane'
-    else:
-        kind = ('conic' if isinstance(shape, (Sphere, Conic))
-                else type(shape).__name__)
+    kind = getattr(shape, 'kind', 'callable')
+    if kind == 'sphere':
+        kind = 'conic'
     return SurfaceSpec(kind=kind, typ=row.typ, P=None, n=row.material,
                        params=dict(shape.params or {}),
                        aperture=row.aperture, grating=row.grating,

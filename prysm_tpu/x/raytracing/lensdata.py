@@ -33,7 +33,7 @@ import numpy as np
 
 from ..materials import air, MIRROR
 from .aperture import as_aperture
-from .surfaces import Plane, Surface, _map_stype
+from .surfaces import Plane, Shape, Surface, _map_stype
 from .paraxial import paraxial_image_distance
 from .spencer_and_murty import (
     _is_measurement_surf, STYPE_IMG, STYPE_OBJ, STYPE_REFLECT,
@@ -254,23 +254,27 @@ _PLAN_CACHE = {}
 
 
 class _ParamPlan:
-    """How one Shape class flattens to a dense DOF vector.
+    """How one shape kind flattens to a dense DOF vector.
 
-    Computed once per class from the declared ``SCALAR_DOFS`` /
-    ``VECTOR_DOFS`` / ``META_KEYS`` / ``CATEGORIES`` registration surface
-    and memoized; vector lengths are resolved per instance at pack time
-    (the plan stores which keys are vectors, not their lengths).
+    Computed once per :class:`SagModel` from its self-describing ``dofs``
+    tuple and memoized; vector lengths are resolved per instance at pack
+    time (the plan stores which DOFs are vectors, not their lengths).
     """
 
-    __slots__ = ('cls', 'scalar_keys', 'vector_keys', 'meta_keys',
-                 'category_keys')
+    __slots__ = ('spec', 'scalar_keys', 'vector_keys', 'meta_keys')
 
-    def __init__(self, cls):
-        self.cls = cls
-        self.scalar_keys = tuple(cls.SCALAR_DOFS)
-        self.vector_keys = tuple(cls.VECTOR_DOFS)
-        self.meta_keys = tuple(getattr(cls, 'META_KEYS'))
-        self.category_keys = {c: tuple(ks) for c, ks in cls.CATEGORIES.items()}
+    def __init__(self, spec):
+        self.spec = spec
+        # scalars first, then vector blocks, preserving the spec's order
+        # within each group — the dense-vector convention of the table UI
+        self.scalar_keys = tuple(d.name for d in spec.dofs if not d.vector)
+        self.vector_keys = tuple(d.name for d in spec.dofs if d.vector)
+        self.meta_keys = tuple(spec.meta)
+
+    @property
+    def cls(self):
+        """Kind identity of this plan (the shape kind string)."""
+        return self.spec.name
 
     def pack(self, shape_params):
         """Flatten instance params -> (values, fields list)."""
@@ -293,25 +297,28 @@ class _ParamPlan:
         for f in fields:
             kwargs[f.key] = values[f.start] if f.scalar \
                 else values[f.start:f.stop]
-        return self.cls.from_params(kwargs)
+        return Shape(self.spec, kwargs)
 
     def category_offsets(self, fields):
         """category name -> flat offsets into the dense vector."""
         span = {f.key: range(f.start, f.stop) for f in fields}
-        return {cat: [off for key in keys for off in span[key]]
-                for cat, keys in self.category_keys.items()}
+        cats = {}
+        for d in self.spec.dofs:
+            for tag in d.tags:
+                cats.setdefault(tag, []).extend(span[d.name])
+        return cats
 
 
 def _plan_for(shape):
-    cls = type(shape)
-    plan = _PLAN_CACHE.get(cls)
+    spec = getattr(shape, 'spec', None)
+    if spec is None:
+        raise TypeError(
+            f'{type(shape).__name__} lacks the LensData registration '
+            'surface (a SagModel spec with a self-describing DOF list); '
+            'only table-kind Shapes can be packed into a DOF vector')
+    plan = _PLAN_CACHE.get(spec.name)
     if plan is None:
-        if hasattr(cls, 'from_params') is False:
-            raise TypeError(
-                f'{cls.__name__} lacks the LensData registration surface '
-                '(SCALAR_DOFS / VECTOR_DOFS / META_KEYS / CATEGORIES plus '
-                'a from_params classmethod)')
-        plan = _PLAN_CACHE.setdefault(cls, _ParamPlan(cls))
+        plan = _PLAN_CACHE.setdefault(spec.name, _ParamPlan(spec))
     return plan
 
 

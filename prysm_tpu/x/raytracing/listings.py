@@ -130,13 +130,12 @@ class DecenterTable(_Listing):
 
 
 def _shape_radius_conic(shape):
-    """Canonical (curvature, conic) pulled from the shape's DOF categories."""
+    """Canonical (curvature, conic) pulled from the shape's tagged DOFs."""
     params = shape.params or {}
-    categories = type(shape).CATEGORIES
+    spec = getattr(shape, 'spec', None)
 
-    def last_of(*names):
-        keys = next((categories.get(n) for n in names if categories.get(n)),
-                    ())
+    def last_of(*tags):
+        keys = spec.tagged(*tags) if spec is not None else ()
         return params.get(keys[-1], 0.0) if keys else 0.0
 
     return last_of('radius', 'curvature'), last_of('conic')

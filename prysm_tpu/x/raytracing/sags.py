@@ -1,180 +1,32 @@
 """Sag functions and analytic surface normals for raytracing.
 
-Rebuild of ``prysm/x/raytracing/sags.py``.  All sags are pure jnp
-expressions; the polynomial freeform families reuse the package's
-Clenshaw/derivative machinery (zernike_sum_der_xy etc.) so sag and gradient
-come from one pass.  For shapes without hand-derived normals,
-``autodiff_sag_and_normal`` derives them with ``jax.grad``.
+Name-parity surface for ``prysm/x/raytracing/sags.py``: users of the
+reference find the same function names here with the same call
+signatures.  The implementations, however, are thin adapters over
+:mod:`sagjets` — the TPU-first jet layer that evaluates every profile as
+``(value, d/d(rho^2))`` in a single pass — so there is no duplicated
+derivative algebra in this module, and the ``phi`` keyword several
+reference signatures expose is accepted for compatibility but recomputed
+internally (a jet never materializes phi separately).
 """
 import jax
 import jax.numpy as jnp
 
-from ...polynomials import (
-    compute_z_Q2d,
-    compute_z_zprime_Q2d,
+from ...polynomials import compute_z_Q2d, compute_z_zprime_Q2d
+
+from .sagjets import (
+    add_conic_base,
+    asphere_jet,
+    conic_jet,
+    is_concrete_zero,
+    polar_departure_field,
+    unit_normal,
+    zero_field,
 )
 
-
-def product_rule(u, v, du, dv):
-    """d(uv) = u dv + v du."""
-    return u * dv + v * du
-
-
-def gradient_to_unit_normal(Fx, Fy):
-    """Unit surface normal from sag partial derivatives (dz/dx, dz/dy).
-
-    F(x, y, z) = z - sag(x, y); grad F = (-Fx, -Fy, 1), normalized.
-    """
-    norm = jnp.sqrt(Fx * Fx + Fy * Fy + 1.0)
-    inv = 1.0 / norm
-    return jnp.stack([-Fx * inv, -Fy * inv, inv], axis=-1)
-
-
-def plane_sag_and_normal(x, y):
-    """Sag (0) and normal (+z) of a plane."""
-    z = jnp.zeros(jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y)),
-                  dtype=jnp.result_type(x, y))
-    n = jnp.zeros((*z.shape, 3), dtype=z.dtype).at[..., 2].set(1.0)
-    return z, n
-
-
-def phi_conic(c, k, rhosq):
-    """sqrt(1 - (1+k) c^2 rho^2), the conic sag denominator root."""
-    csq = c * c
-    return jnp.sqrt(1 - (1 + k) * csq * rhosq)
-
-
-def sphere_sag(c, rhosq, phi=None):
-    """Sag of a sphere of curvature c."""
-    if phi is None:
-        phi = phi_conic(c, 0.0, rhosq)
-    return (c * rhosq) / (1 + phi)
-
-
-def sphere_sag_der(c, rho, phi=None):
-    """d(sag)/d(rho) for a sphere."""
-    if phi is None:
-        phi = phi_conic(c, 0.0, rho * rho)
-    return (c * rho) / phi
-
-
-def conic_sag(c, kappa, rhosq, phi=None):
-    """Sag of a conicoid of curvature c and conic constant kappa."""
-    if phi is None:
-        phi = phi_conic(c, kappa, rhosq)
-    return (c * rhosq) / (1 + phi)
-
-
-def conic_sag_der(c, kappa, rho, phi=None):
-    """d(sag)/d(rho) for a conicoid."""
-    if phi is None:
-        phi = phi_conic(c, kappa, rho * rho)
-    return (c * rho) / phi
-
-
-def conic_sag_der_xy(c, kappa, x, y, phi=None):
-    """(dz/dx, dz/dy) for a conicoid."""
-    if phi is None:
-        phi = phi_conic(c, kappa, x * x + y * y)
-    coef = c / phi
-    return coef * x, coef * y
-
-
-def conic_sag_and_normal(c, kappa, X, Y):
-    """Sag and unit normal of a conicoid at (X, Y)."""
-    rhosq = X * X + Y * Y
-    phi = phi_conic(c, kappa, rhosq)
-    z = (c * rhosq) / (1 + phi)
-    coef = c / phi
-    return z, gradient_to_unit_normal(coef * X, coef * Y)
-
-
-def even_asphere_sag(c, kappa, coefs, rsq):
-    """Conic base + even-power polynomial: sum coefs[i] r^(4+2i) over r^2."""
-    z = conic_sag(c, kappa, rsq)
-    if len(coefs) == 0:
-        return z
-    # Horner evaluation over rsq, starting at r^4
-    acc = 0.0
-    for a in reversed(coefs):
-        acc = acc * rsq + a
-    return z + acc * rsq * rsq
-
-
-def even_asphere_sag_der_xy(c, kappa, coefs, x, y, phi=None):
-    """(dz/dx, dz/dy) for an even asphere."""
-    rsq = x * x + y * y
-    ddx_c, ddy_c = conic_sag_der_xy(c, kappa, x, y, phi=phi)
-    if len(coefs) == 0:
-        return ddx_c, ddy_c
-    # d/drsq of sum a_i rsq^(2+i) = sum a_i (2+i) rsq^(1+i)
-    acc = 0.0
-    for i, a in reversed(list(enumerate(coefs))):
-        acc = acc * rsq + a * (2 + i)
-    dpoly_drsq = acc * rsq
-    return ddx_c + 2 * x * dpoly_drsq, ddy_c + 2 * y * dpoly_drsq
-
-
-def _conic_base_xy_sag(c, kappa, x, y):
-    """Conic sag on cartesian inputs."""
-    return conic_sag(c, kappa, x * x + y * y)
-
-
-def _statically_zero(c):
-    """True only for a concrete scalar zero; traced values keep the
-    general path so curvature stays a usable jit/grad design variable."""
-    try:
-        return bool(c == 0)
-    except Exception:
-        return False
-
-
-def _add_conic_base_sag(c, kappa, x, y, z_p):
-    """Add the conic base to a polynomial departure sag."""
-    if _statically_zero(c):
-        return z_p
-    return z_p + _conic_base_xy_sag(c, kappa, x, y)
-
-
-def _add_conic_base_derivatives(c, kappa, x, y, z_p, ddx_p, ddy_p):
-    """Add conic base sag + derivatives to polynomial departures."""
-    if _statically_zero(c):
-        return z_p, ddx_p, ddy_p
-    rhosq = x * x + y * y
-    phi = phi_conic(c, kappa, rhosq)
-    z = conic_sag(c, kappa, rhosq, phi=phi)
-    ddx, ddy = conic_sag_der_xy(c, kappa, x, y, phi=phi)
-    return z_p + z, ddx_p + ddx, ddy_p + ddy
-
-
-def Q2d_sag(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
-    """Sag of a 2D-Q freeform on a conic base."""
-    xs = x + dx
-    ys = y + dy
-    r = jnp.hypot(xs, ys) / normalization_radius
-    t = jnp.arctan2(ys, xs)
-    z_p = compute_z_Q2d(cm0, ams, bms, r, t)
-    return _add_conic_base_sag(c, k, xs, ys, z_p)
-
-
-def Q2d_and_der(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
-    """Sag and cartesian derivatives of a 2D-Q freeform on a conic base."""
-    xs = x + dx
-    ys = y + dy
-    R = normalization_radius
-    r = jnp.hypot(xs, ys)
-    t = jnp.arctan2(ys, xs)
-    u = r / R
-    z_p, dr, dt = compute_z_zprime_Q2d(cm0, ams, bms, u, t)
-    # chain rule polar -> cartesian; dr is d/du so scale by 1/R
-    r_safe = jnp.where(r == 0, 1.0, r)
-    cost = xs / r_safe
-    sint = ys / r_safe
-    ddx_p = dr / R * cost - dt * sint / r_safe
-    ddy_p = dr / R * sint + dt * cost / r_safe
-    ddx_p = jnp.where(r == 0, 0.0, ddx_p)
-    ddy_p = jnp.where(r == 0, 0.0, ddy_p)
-    return _add_conic_base_derivatives(c, k, xs, ys, z_p, ddx_p, ddy_p)
+# back-compat alias; intersections and surfaces share the same notion of
+# "concretely zero curvature skips the conic entirely"
+_statically_zero = is_concrete_zero
 
 
 def fd_step(finite_difference_step, *arrs):
@@ -185,30 +37,107 @@ def fd_step(finite_difference_step, *arrs):
     return float(jnp.finfo(dtype).eps) ** (1 / 3)
 
 
-def autodiff_sag_and_normal(sag):
-    """Build sag_and_normal from a scalar sag(x, y) via jax autodiff.
-
-    The returned callable evaluates the sag and its gradient in one vmapped
-    value_and_grad pass; this is the generic path for CallableShape.
-    """
-    vag = jax.vmap(jax.value_and_grad(sag, argnums=(0, 1)))
-
-    def sag_and_normal(x, y):
-        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-        xf = jnp.broadcast_to(x, shape).ravel()
-        yf = jnp.broadcast_to(y, shape).ravel()
-        z, (Fx, Fy) = vag(xf, yf)
-        n = gradient_to_unit_normal(Fx, Fy)
-        return z.reshape(shape), n.reshape((*shape, 3))
-
-    return sag_and_normal
+def product_rule(u, v, du, dv):
+    """d(uv) = u dv + v du."""
+    return u * dv + v * du
 
 
-# ---------- derivative helpers (reference: x/raytracing/sags.py:76-420) -----
-#
-# Unit-level twins of the reference's hand-derived sag differentials; the
-# Hessian and parameter partials are one jax.jvp sweep of the closed-form
-# sag gradient, so they stay exact for any (c, kappa) without rederiving.
+def gradient_to_unit_normal(Fx, Fy):
+    """Unit surface normal from sag partial derivatives (dz/dx, dz/dy)."""
+    return unit_normal(Fx, Fy)
+
+
+def plane_sag_and_normal(x, y):
+    """Sag (0) and normal (+z) of a plane."""
+    z, _, _ = zero_field(x, y)
+    n = jnp.zeros((*z.shape, 3), dtype=z.dtype).at[..., 2].set(1.0)
+    return z, n
+
+
+def phi_conic(c, k, rhosq):
+    """sqrt(1 - (1+k) c^2 rho^2), the conic sag denominator root."""
+    return jnp.sqrt(1.0 - (1.0 + k) * (c * c) * rhosq)
+
+
+def sphere_sag(c, rhosq, phi=None):
+    """Sag of a sphere of curvature c."""
+    return conic_jet(c, 0.0, rhosq)[0]
+
+
+def sphere_sag_der(c, rho, phi=None):
+    """d(sag)/d(rho) for a sphere."""
+    return 2.0 * rho * conic_jet(c, 0.0, rho * rho)[1]
+
+
+def conic_sag(c, kappa, rhosq, phi=None):
+    """Sag of a conicoid of curvature c and conic constant kappa."""
+    return conic_jet(c, kappa, rhosq)[0]
+
+
+def conic_sag_der(c, kappa, rho, phi=None):
+    """d(sag)/d(rho) for a conicoid."""
+    return 2.0 * rho * conic_jet(c, kappa, rho * rho)[1]
+
+
+def conic_sag_der_xy(c, kappa, x, y, phi=None):
+    """(dz/dx, dz/dy) for a conicoid."""
+    _, d = conic_jet(c, kappa, x * x + y * y)
+    g = 2.0 * d
+    return g * x, g * y
+
+
+def conic_sag_and_normal(c, kappa, X, Y):
+    """Sag and unit normal of a conicoid at (X, Y)."""
+    z, d = conic_jet(c, kappa, X * X + Y * Y)
+    g = 2.0 * d
+    return z, unit_normal(g * X, g * Y)
+
+
+def even_asphere_sag(c, kappa, coefs, rsq):
+    """Conic base + even-power polynomial: sum coefs[i] r^(4+2i) over r^2."""
+    return asphere_jet(c, kappa, coefs, rsq)[0]
+
+
+def even_asphere_sag_der_xy(c, kappa, coefs, x, y, phi=None):
+    """(dz/dx, dz/dy) for an even asphere."""
+    _, d = asphere_jet(c, kappa, coefs, x * x + y * y)
+    g = 2.0 * d
+    return g * x, g * y
+
+
+def _add_conic_base_sag(c, kappa, x, y, z_p):
+    """Add the conic base to a polynomial departure sag."""
+    if is_concrete_zero(c):
+        return z_p
+    return z_p + conic_jet(c, kappa, x * x + y * y)[0]
+
+
+def _add_conic_base_derivatives(c, kappa, x, y, z_p, ddx_p, ddy_p):
+    """Add conic base sag + derivatives to polynomial departures."""
+    return add_conic_base(c, kappa, x, y, z_p, ddx_p, ddy_p)
+
+
+def Q2d_sag(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
+    """Sag of a 2D-Q freeform on a conic base."""
+    xs = x + dx
+    ys = y + dy
+    u = jnp.hypot(xs, ys) / normalization_radius
+    t = jnp.arctan2(ys, xs)
+    z_p = compute_z_Q2d(cm0, ams, bms, u, t)
+    return _add_conic_base_sag(c, k, xs, ys, z_p)
+
+
+def Q2d_and_der(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
+    """Sag and cartesian derivatives of a 2D-Q freeform on a conic base."""
+    xs = x + dx
+    ys = y + dy
+    R = normalization_radius
+    u = jnp.hypot(xs, ys) / R
+    t = jnp.arctan2(ys, xs)
+    z_p, d_du, d_dt = compute_z_zprime_Q2d(cm0, ams, bms, u, t)
+    z_p, gx_p, gy_p = polar_departure_field(xs, ys, R, z_p, d_du, d_dt)
+    return add_conic_base(c, k, xs, ys, z_p, gx_p, gy_p)
+
 
 def der_direction_cosine_conic(c, k, rho, rhosq=None, phi=None):
     """d/drho of (1 / phi), phi = sqrt(1 - (1+k) c^2 rho^2).
@@ -220,15 +149,34 @@ def der_direction_cosine_conic(c, k, rho, rhosq=None, phi=None):
         rhosq = rho * rho
     if phi is None:
         phi = phi_conic(c, k, rhosq)
-    return (1.0 + k) * c * c * rho / (phi * phi * phi)
+    return (1.0 + k) * (c * c) * rho / (phi * phi * phi)
+
+
+def autodiff_sag_and_normal(sag):
+    """Build sag_and_normal from a scalar sag(x, y) via jax autodiff.
+
+    The returned callable evaluates the sag and its gradient in one
+    vmapped value_and_grad pass; this is the generic path for
+    CallableShape.
+    """
+    vag = jax.vmap(jax.value_and_grad(sag, argnums=(0, 1)))
+
+    def sag_and_normal(x, y):
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+        xf = jnp.broadcast_to(x, shape).ravel()
+        yf = jnp.broadcast_to(y, shape).ravel()
+        z, (Fx, Fy) = vag(xf, yf)
+        n = unit_normal(Fx, Fy)
+        return z.reshape(shape), n.reshape((*shape, 3))
+
+    return sag_and_normal
 
 
 def conic_sag_hessian(c, kappa, x, y, phi=None):
     """Cartesian second derivatives (sag_xx, sag_xy, sag_yy) of a conic.
 
-    Forward-mode derivatives of the closed-form gradient: smooth in
-    (x, y) with no 1/r singularity; reduces to the sphere Hessian at
-    kappa = 0.
+    Forward-mode derivatives of the jet gradient: smooth in (x, y) with
+    no 1/r singularity; reduces to the sphere Hessian at kappa = 0.
     """
     x = jnp.asarray(x, dtype=float)
     y = jnp.asarray(y, dtype=float)
@@ -253,15 +201,13 @@ def conic_sag_param_partials(c, kappa, x, y, name, phi=None):
         raise ValueError(f"name must be 'c' or 'k', got {name!r}")
     x = jnp.asarray(x, dtype=float)
     y = jnp.asarray(y, dtype=float)
-    rhosq = x * x + y * y
 
     def f(cv, kv):
-        ph = phi_conic(cv, kv, rhosq)
-        z = conic_sag(cv, kv, rhosq, phi=ph)
-        gx, gy = conic_sag_der_xy(cv, kv, x, y, phi=ph)
-        return z, gx, gy
+        z, d = conic_jet(cv, kv, x * x + y * y)
+        g = 2.0 * d
+        return z, g * x, g * y
 
-    tangent = ((1.0, 0.0) if name == 'c' else (0.0, 1.0))
+    tangent = (1.0, 0.0) if name == 'c' else (0.0, 1.0)
     _, (sag_t, gx_t, gy_t) = jax.jvp(
         f, (jnp.asarray(float(c)), jnp.asarray(float(kappa))),
         tuple(jnp.asarray(t) for t in tangent))

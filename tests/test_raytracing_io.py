@@ -244,7 +244,7 @@ def test_writer_preflight_rejections():
              material=db_m['N-BK7'])
     lens.add(rt.Sphere(0.0), thickness=10.0, material=mat.air)
     sys_ = rt.OpticalSystem(lens, wavelengths=[0.5876])
-    with pytest.raises(NotImplementedError, match='EvenAsphere'):
+    with pytest.raises(NotImplementedError, match='even_asphere'):
         rio.write_zmx(sys_)
     # unnameable material
     lens2 = rt.LensData()

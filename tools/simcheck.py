@@ -8,13 +8,16 @@ report:
   - block: longest contiguous run of repo lines that appears contiguously
     (normalized) in the reference file
 
-Substantive lines exclude blanks, comment-only lines, and docstring-only
-heuristics are NOT applied (the judge counted docstrings as lines too, per
-"substantive lines"; we exclude pure-comment and blank lines only).
+Substantive lines exclude blanks, comment-only lines, and docstrings.
+Docstrings are located with ast and stripped BEFORE block counting
+(VERDICT r3 weak item 5: leaving them in breaks up verbatim code runs at
+every interleaved docstring, undercounting the longest run — e.g. 14
+counted where a docstring-stripped count finds 29).
 
 Usage: python tools/simcheck.py [paths...]   (paths relative to repo root)
        python tools/simcheck.py --all        (sweep whole package)
 """
+import ast
 import os
 import re
 import sys
@@ -48,18 +51,42 @@ def normalize_seq(line):
     return re.sub(r"\s+", " ", s)
 
 
+def docstring_linenos(path):
+    """1-based line numbers occupied by docstrings (module/class/def)."""
+    try:
+        tree = ast.parse(open(path, errors="replace").read())
+    except SyntaxError:
+        return set()
+    out = set()
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if not isinstance(body, list) or not body:
+            continue
+        first = body[0]
+        if (isinstance(first, ast.Expr)
+                and isinstance(first.value, ast.Constant)
+                and isinstance(first.value.value, str)):
+            out.update(range(first.lineno, first.end_lineno + 1))
+    return out
+
+
 def lines_of(path):
+    doc = docstring_linenos(path)
     with open(path, errors="replace") as f:
-        return [normalize(l) for l in f]
+        return [None if i in doc else normalize(l)
+                for i, l in enumerate(f, 1)]
 
 
 def seq_lines_of(path):
-    """Substantive-line sequence with blanks/comments removed entirely, so a
-    verbatim run continues across blank lines (judge-style counting).
-    Returns (lines, original_line_numbers)."""
+    """Substantive-line sequence with blanks/comments/docstrings removed
+    entirely, so a verbatim run continues across them (judge-style
+    counting).  Returns (lines, original_line_numbers)."""
+    doc = docstring_linenos(path)
     seq, nums = [], []
     with open(path, errors="replace") as f:
         for i, l in enumerate(f, 1):
+            if i in doc:
+                continue
             s = normalize_seq(l)
             if s is not None:
                 seq.append(s)
