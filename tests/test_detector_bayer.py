@@ -97,6 +97,70 @@ def test_expose_prnu_dcnu_scale():
     assert a == pytest.approx(want, rel=5e-3)
 
 
+# ---------------------------------------------------------------------------
+# expose dispatch (VERDICT r3 item 4: the parity API must reach the fused
+# kernel on TPU without the user knowing expose_fused exists)
+# ---------------------------------------------------------------------------
+
+def test_expose_dispatch_cpu_uses_exact_poisson():
+    ours, _ = _det_pair()
+    img = jnp.asarray(_img(), jnp.float32)
+    ours.expose(img, key=jax.random.PRNGKey(0))
+    # these tests run on the CPU backend: auto must keep exact Poisson
+    assert ours.last_expose_path == 'random'
+
+
+def test_expose_dispatch_forced_fused_matches_statistics():
+    ours, _ = _det_pair()
+    img = jnp.asarray(_img(lo=500.0, hi=5000.0), jnp.float32)
+    auto = np.asarray(ours.expose(img, key=jax.random.PRNGKey(1)),
+                      dtype=np.float64)
+    forced = np.asarray(ours.expose(img, seed=1, method='fused'),
+                        dtype=np.float64)
+    assert ours.last_expose_path == 'fused'
+    # different samplers, same model: means agree to noise tolerance
+    assert abs(forced.mean() - auto.mean()) < 0.02 * auto.mean()
+    assert abs(forced.std() - auto.std()) < 0.1 * auto.std()
+
+
+def test_expose_dispatch_requires_key_or_seed():
+    ours, _ = _det_pair()
+    with pytest.raises(ValueError, match='key or integer seed'):
+        ours.expose(jnp.asarray(_img(), jnp.float32))
+
+
+def test_expose_dispatch_auto_policy_hooks():
+    """The policy function itself: photon-starved/f64/3D stay exact."""
+    ours, _ = _det_pair()
+    rich = jnp.full((32, 32), 1000.0, jnp.float32)
+    starved = jnp.full((32, 32), 1.0, jnp.float32)
+    # policy is backend-gated; emulate the TPU decision table directly
+    import unittest.mock as mock
+    with mock.patch.object(jax, 'default_backend', return_value='tpu'):
+        assert ours._choose_path(rich, 'auto') == 'fused'
+        assert ours._choose_path(starved, 'auto') == 'random'
+        assert ours._choose_path(rich.astype(jnp.float64), 'auto') == 'random'
+        assert ours._choose_path(rich[None], 'auto') == 'random'
+        # traced values assume the production photon-rich regime
+
+        def probe(x):
+            assert ours._choose_path(x, 'auto') == 'fused'
+            return x
+
+        jax.jit(probe)(rich)
+    assert ours._choose_path(rich, 'auto') == 'random'  # CPU backend
+    with pytest.raises(ValueError, match='method'):
+        ours._choose_path(rich, 'bogus')
+
+
+def test_expose_seed_only_reproducible():
+    ours, _ = _det_pair()
+    img = jnp.asarray(_img(), jnp.float32)
+    a = np.asarray(ours.expose(img, seed=7))
+    b = np.asarray(ours.expose(img, seed=7))
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize('shape', [(64, 64), (66, 64), (48, 96)])
 @pytest.mark.parametrize('factor', [2, 3, 4])
 @pytest.mark.parametrize('mode', ['avg', 'sum'])
