@@ -316,15 +316,24 @@ class PrysmLBFGSB:
 
     def __init__(self, fg, x0, memory=10, lower_bounds=None, upper_bounds=None,
                  c1=1e-4, c2=0.9, max_ls=25):
-        """fg(x) -> (f, g); x0 initial vector; memory = history pairs."""
+        """fg(x) -> (f, g); x0 initial vector; memory = history pairs.
+
+        The working dtype tracks x0: an f32 start keeps every history
+        buffer, bound, and linear-algebra pass in f32 (integer x0 promotes
+        to the default float).
+        """
         self.problem = as_problem(fg)
-        self.x0 = jnp.asarray(x0, dtype=float).ravel()
+        x0 = jnp.asarray(x0)
+        if not jnp.issubdtype(x0.dtype, jnp.floating):
+            x0 = x0.astype(float)
+        self.x0 = x0.ravel()
+        dtype = self.x0.dtype
         n = self.x0.size
         self.m = int(memory)
-        self.l = (jnp.full(n, -jnp.inf, dtype=float) if lower_bounds is None  # NOQA
-                  else jnp.asarray(lower_bounds, dtype=float).ravel())
-        self.u = (jnp.full(n, jnp.inf, dtype=float) if upper_bounds is None
-                  else jnp.asarray(upper_bounds, dtype=float).ravel())
+        self.l = (jnp.full(n, -jnp.inf, dtype=dtype) if lower_bounds is None  # NOQA
+                  else jnp.asarray(lower_bounds, dtype=dtype).ravel())
+        self.u = (jnp.full(n, jnp.inf, dtype=dtype) if upper_bounds is None
+                  else jnp.asarray(upper_bounds, dtype=dtype).ravel())
         self.x = jnp.clip(self.x0, self.l, self.u)
         self.c1 = float(c1)
         self.c2 = float(c2)
@@ -369,7 +378,7 @@ class PrysmLBFGSB:
             f, g = self.problem.fg(self.x)
             self.nfev += 1
         f0 = float(f)
-        g = jnp.asarray(g, dtype=float).ravel()
+        g = jnp.asarray(g, dtype=self.x.dtype).ravel()
 
         if self._projected_gradient_norm(self.x, g) == 0.0:
             raise StopIteration(_DriverStop(True, 'projected gradient is zero'))
@@ -405,12 +414,13 @@ class PrysmLBFGSB:
             self.nfev += 1
             if f_trial < f_best:
                 f_best, x_best = f_trial, x_trial
-                fg_best = (f_trial, jnp.asarray(g_trial, dtype=float).ravel())
+                fg_best = (f_trial,
+                           jnp.asarray(g_trial, dtype=self.x.dtype).ravel())
             if f_trial > f0 + self.c1 * alpha * slope or not np.isfinite(f_trial):
                 hi = alpha
                 alpha = 0.5 * (lo + hi)
                 continue
-            dslope = float(jnp.asarray(g_trial, dtype=float).ravel() @ d)
+            dslope = float(jnp.asarray(g_trial, dtype=self.x.dtype).ravel() @ d)
             if abs(dslope) <= self.c2 * abs(slope):
                 accepted = True
                 break
@@ -428,7 +438,8 @@ class PrysmLBFGSB:
 
         self._prev = (x, g)
         self.x = x_trial
-        self._cached_fg = (f_trial, jnp.asarray(g_trial, dtype=float).ravel())
+        self._cached_fg = (f_trial,
+                           jnp.asarray(g_trial, dtype=self.x.dtype).ravel())
         self.iter += 1
         self.last_step_metadata = {'alpha': alpha, 'f_next': float(f_trial)}
         return x, f0, g
@@ -442,4 +453,4 @@ class PrysmLBFGSB:
                 break
         f, g = (self._cached_fg if self._cached_fg is not None
                 else self.problem.fg(self.x))
-        return self.x, float(f), jnp.asarray(g, dtype=float)
+        return self.x, float(f), jnp.asarray(g, dtype=self.x.dtype)
