@@ -237,6 +237,43 @@ def test_distributed_focus_rejects_odd_and_indivisible():
 
 
 # ---------------------------------------------------------------------------
+# flagship shape: 1024^2 pupil fwd+bwd sharded == serial (round 4, VERDICT
+# item 6: nothing sharded had ever run at the flagship's production size,
+# so tiling bugs that only appear at 1024^2 were invisible to the CPU mesh)
+# ---------------------------------------------------------------------------
+
+@requires_8_devices
+def test_distributed_focus_grad_step_matches_oracle_1024_flagship():
+    from prysm_tpu.parallel import make_mesh
+    from prysm_tpu.parallel.fft import shard_focus_grad_step
+    from prysm_tpu.propagation.fft import focus
+
+    N, Q = 1024, 2  # the psf_mtf_grad_1024_fft bench geometry
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(N, N)) + 1j * rng.normal(size=(N, N))
+    mesh = make_mesh({'fy': 8})
+    want = np.asarray(focus(jnp.asarray(E), Q))
+    I_meas = jnp.asarray(np.abs(want) ** 2 * 0.9)
+    step = shard_focus_grad_step(mesh, (N, N), Q,
+                                 dtype=np.asarray(E.real).dtype)
+    loss, (gre, gim) = step(jnp.asarray(E.real), jnp.asarray(E.imag), I_meas)
+
+    def oracle(Ere, Eim):
+        F = focus(jax.lax.complex(Ere, Eim), Q)
+        I = F.real ** 2 + F.imag ** 2
+        return jnp.sum((I - I_meas) ** 2)
+
+    lr, (gre_r, gim_r) = jax.value_and_grad(oracle, argnums=(0, 1))(
+        jnp.asarray(E.real), jnp.asarray(E.imag))
+    assert float(loss) == pytest.approx(float(lr), rel=1e-11)
+    scale = float(np.abs(np.asarray(gre_r)).max())
+    np.testing.assert_allclose(np.asarray(gre), np.asarray(gre_r),
+                               rtol=1e-9, atol=1e-11 * scale)
+    np.testing.assert_allclose(np.asarray(gim), np.asarray(gim_r),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
+# ---------------------------------------------------------------------------
 # grad-psum / backward overlap structure
 # ---------------------------------------------------------------------------
 
