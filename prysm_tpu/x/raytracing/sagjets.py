@@ -134,6 +134,34 @@ def add_conic_base(c, k, x, y, z, gx, gy):
     return z + zc, gx + g * x, gy + g * y
 
 
+def conic_scaled_departure(c, k, xs, ys, P, Px, Py):
+    """Base conic plus the Forbes normal-departure-scaled polynomial.
+
+    The Q2d freeform convention (Forbes, Opt. Express 20(3):2483, Eq.
+    5.1/5.2) measures the polynomial departure along the base conic's
+    NORMAL, so the sag contribution is sigma^-1 P with
+    sigma = n_z(base conic), i.e. sigma^-1 = sqrt(1 + |grad z_base|^2).
+    In jet form with w = c/q (so grad z_base = w (xs, ys)):
+
+        sigma^-1           = sqrt(1 + w^2 s),           s = xs^2 + ys^2
+        d(sigma^-1)/ds     = (w^2 + 2 w w' s) / (2 sigma^-1),
+        w'                 = (1+k) c^3 / (2 q^3)
+
+    Returns (z, gx, gy) of conic + sigma^-1 P with the product rule
+    applied against the departure's cartesian gradient (Px, Py).
+    """
+    s = xs * xs + ys * ys
+    q = jnp.sqrt(1.0 - (1.0 + k) * (c * c) * s)
+    w = c / q
+    si = jnp.sqrt(1.0 + (w * w) * s)
+    wp = (1.0 + k) * (c * c * c) / (2.0 * q * q * q)
+    dsi_ds = (w * w + 2.0 * w * wp * s) / (2.0 * si)
+    z = (c * s) / (1.0 + q) + si * P
+    gx = w * xs + si * Px + P * (2.0 * xs * dsi_ds)
+    gy = w * ys + si * Py + P * (2.0 * ys * dsi_ds)
+    return z, gx, gy
+
+
 def polar_departure_field(x, y, scale, value, d_du, d_dt):
     """(z, gx, gy) in cartesian from a polar-evaluated departure.
 

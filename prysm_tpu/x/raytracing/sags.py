@@ -18,6 +18,7 @@ from .sagjets import (
     add_conic_base,
     asphere_jet,
     conic_jet,
+    conic_scaled_departure,
     is_concrete_zero,
     polar_departure_field,
     unit_normal,
@@ -118,17 +119,32 @@ def _add_conic_base_derivatives(c, kappa, x, y, z_p, ddx_p, ddy_p):
 
 
 def Q2d_sag(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
-    """Sag of a 2D-Q freeform on a conic base."""
+    """Sag of a 2D-Q freeform on a conic base.
+
+    The polynomial departure rides the base conic's NORMAL (Forbes
+    convention), so it enters scaled by sigma^-1 = sqrt(1 + |grad
+    z_base|^2); a flat base (c concretely 0) has sigma = 1.
+    """
     xs = x + dx
     ys = y + dy
     u = jnp.hypot(xs, ys) / normalization_radius
     t = jnp.arctan2(ys, xs)
     z_p = compute_z_Q2d(cm0, ams, bms, u, t)
-    return _add_conic_base_sag(c, k, xs, ys, z_p)
+    if is_concrete_zero(c):
+        return z_p
+    s = xs * xs + ys * ys
+    zc, dc = conic_jet(c, k, s)
+    w = 2.0 * dc
+    sigma_inv = jnp.sqrt(1.0 + (w * w) * s)
+    return zc + sigma_inv * z_p
 
 
 def Q2d_and_der(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
-    """Sag and cartesian derivatives of a 2D-Q freeform on a conic base."""
+    """Sag and cartesian derivatives of a 2D-Q freeform on a conic base.
+
+    Normal-departure (sigma^-1) convention as in Q2d_sag, with the
+    product rule applied through the conic's sigma^-1 jet.
+    """
     xs = x + dx
     ys = y + dy
     R = normalization_radius
@@ -136,7 +152,9 @@ def Q2d_and_der(cm0, ams, bms, x, y, normalization_radius, c, k, dx=0, dy=0):
     t = jnp.arctan2(ys, xs)
     z_p, d_du, d_dt = compute_z_zprime_Q2d(cm0, ams, bms, u, t)
     z_p, gx_p, gy_p = polar_departure_field(xs, ys, R, z_p, d_du, d_dt)
-    return add_conic_base(c, k, xs, ys, z_p, gx_p, gy_p)
+    if is_concrete_zero(c):
+        return z_p, gx_p, gy_p
+    return conic_scaled_departure(c, k, xs, ys, z_p, gx_p, gy_p)
 
 
 def der_direction_cosine_conic(c, k, rho, rhosq=None, phi=None):

@@ -645,8 +645,12 @@ class OpticalSystem:
             source_path=self.source_path,
             source_format=self.source_format,
             extras=deepcopy(self.extras))
-        # carry the DOF registry, pickups, and solves onto the cloned lens
+        # carry the DOF registry, pickups, and solves onto the cloned lens;
+        # construction may already have compiled the twin (stop-index
+        # validation) with an empty registry, so drop that cache or the
+        # next to_surfaces() would skip dependency resolution entirely
         twin._design = self._design.copy(twin.lens)
+        twin.lens._invalidate()
         return twin
 
     def __repr__(self):
