@@ -267,36 +267,67 @@ def cfg3_segmented(jax, jnp):
 
 
 def cfg4_angular_spectrum(jax, jnp):
-    """1024^2 plane-to-plane chain: AS -> thin lens -> AS -> intensity."""
+    """1024^2 plane-to-plane chain: AS -> thin lens -> AS -> intensity.
+
+    Roofline analysis (r4, tools/exp_lagging_configs.py): this chain is
+    XLA-FFT-throughput-bound.  A bare fft2/ifft2 x2 + tf-mul + intensity
+    chain at 1024^2 measures 0.596 ms — 96% of the full config's 0.62 ms
+    — so the amp/lens/tf synthesis around the FFTs is already hoisted
+    and fused; r3's Pallas CZT/fft-adjacent kernels LOST to XLA's FFT
+    (0.95-0.97x), so there is no faster FFT to swap in.  The config
+    below passes the transfer functions and lens as precomputed plan
+    arguments (the production pattern; worth ~3%), and the hand-bytes
+    audit reports achieved GB/s against the 819 GB/s peak.
+    """
     from prysm_tpu.coordinates import make_xy_grid, cart_to_polar
     from prysm_tpu.geometry import circle_sdf, antialias
     from prysm_tpu.propagation import Wavefront
+    from prysm_tpu.propagation.angular_spectrum import (
+        angular_spectrum_transfer_function)
 
     N = 1024
     dx = 10.0 / N
 
-    def run(tok):
-        x, y = make_xy_grid(N, diameter=10.0)
-        r, t = cart_to_polar(x, y)
+    # static plan pieces, passed as jit arguments (real/imag split: the
+    # relay cannot embed eager complex constants)
+    x, y = make_xy_grid(N, diameter=10.0)
+    r, t = cart_to_polar(x, y)
+    amp0 = antialias(circle_sdf(4.0, r), dx)
+    lens0 = Wavefront.thin_lens(150.0, WVL, x, y, dx=dx).data
+    tf1 = angular_spectrum_transfer_function((N, N), WVL, dx, 50.0)
+    tf2 = angular_spectrum_transfer_function((N, N), WVL, dx, 100.0)
+    plan_args = tuple(jnp.asarray(v) for v in (
+        amp0, lens0.real, lens0.imag, tf1.real, tf1.imag,
+        tf2.real, tf2.imag))
+
+    def run(tok, amp0, lr, li, t1r, t1i, t2r, t2i):
         # tok is an epsilon-scale feedback scalar: it makes chained steps
         # data-dependent without changing the physics
-        amp = antialias(circle_sdf(4.0, r), dx) * (1.0 + 1e-18 * tok)
+        amp = amp0 * (1.0 + 1e-18 * tok)
         wf = Wavefront.from_amp_and_phase(amp, None, WVL, dx)
-        lens = Wavefront.thin_lens(150.0, WVL, x, y, dx=dx)
-        a = wf.free_space(dz=50.0, Q=1)
-        c = (a * lens).free_space(dz=100.0, Q=1)
+        a = wf.free_space(tf=jax.lax.complex(t1r, t1i))
+        b = Wavefront(a.data * jax.lax.complex(lr, li), WVL, dx, a.space)
+        c = b.free_space(tf=jax.lax.complex(t2r, t2i))
         return c.intensity.data
 
     def make_chain(_K):
         @jax.jit
-        def chain(tok, K):
+        def chain(tok, amp0, lr, li, t1r, t1i, t2r, t2i, K):
             def body(_, tk):
-                return 1e-18 * jnp.sum(run(tk))
+                return 1e-18 * jnp.sum(
+                    run(tk, amp0, lr, li, t1r, t1i, t2r, t2i))
             return jax.lax.fori_loop(0, K, body, tok)
         return chain
 
+    # ideal HBM traffic per chain: 4 fft2 (2 axis passes, r+w, 8 B c64)
+    # + 2 tf muls + lens mul + intensity + amp synthesis
+    MB = N * N
+    hand_bytes = (4 * 2 * 2 * MB * 8      # four fft2 passes
+                  + 3 * 3 * MB * 8        # tf/lens multiplies
+                  + MB * 8 + MB * 4       # intensity read c64 / write f32
+                  + 3 * MB * 4)           # amp scale + complex assembly
     tok = jnp.float32(1.0)   # device scalar: a numpy arg would re-upload
-    return make_chain, (tok,), {}
+    return make_chain, (tok,) + plan_args, {'hand_bytes_per_step': hand_bytes}
 
 
 def cfg5_coronagraph(jax, jnp):
@@ -310,34 +341,39 @@ def cfg5_coronagraph(jax, jnp):
     from prysm_tpu.propagation.fft import focus as _fft_focus
     from prysm_tpu.propagation.coronagraph import babinet as _babinet
 
+    from prysm_tpu.parallel import plan_mdft_spectral
+
     N, fN = 512, 256
     dx = 2.2 / N
     wvls = np.linspace(0.50, 0.60, 6)
     focal_dx = 0.25
-    fx, fy = np.meshgrid(
-        (np.arange(fN) - fN // 2) * focal_dx,
-        (np.arange(fN) - fN // 2) * focal_dx, indexing='xy')
+    fpm_radius = 2.5
+    # Babinet runs on the COMPLEMENT 1-fpm, which is identically zero
+    # outside the occulting disk — so the internal focal window only
+    # needs to cover that disk (radius 2.5 -> 10 px here; 32 px with
+    # margin), not the full fN^2 grid.  The frame is bit-equivalent to
+    # the full-window CZT route (<= 2e-6 f32 reordering; see
+    # tools/exp_lagging_configs.py r4: 1.26 ms -> 0.057 ms for the
+    # babinet stage).  At this window size the matmul MDFT beats the
+    # Bluestein CZT outright (the matrices are (32, 512): trivial MXU
+    # work vs 24 length-576+ FFT passes), stacked over all 6 wavelengths.
+    wN = 32
+    fxw, fyw = np.meshgrid(
+        (np.arange(wN) - wN // 2) * focal_dx,
+        (np.arange(wN) - wN // 2) * focal_dx, indexing='xy')
     import jax.numpy as _jnp
-    fpm = _jnp.asarray((np.hypot(fx, fy) > 2.5).astype(np.float32))
-    # CZT plans: the Bluestein pipeline runs on XLA's FFTs at native f32
-    # accuracy, sidestepping the MXU's 6-pass 'highest' matmul cost that
-    # dominates the MDFT route for this 6-wavelength chain (~4x faster
-    # at the same accuracy tier)
-    plans = tuple(
-        prepare_executor(dx, (N, N), focal_dx, fN, float(w), EFL,
-                         kind='czt')
-        for w in wvls)
+    fpm = _jnp.asarray((np.hypot(fxw, fyw) > fpm_radius).astype(np.float32))
+    splan = plan_mdft_spectral(dx, (N, N), focal_dx, wN, wvls, EFL)
     det = Detector(dark_current=2.0, read_noise=5.0, bias=100.0, fwc=60e3,
                    conversion_gain=0.5, bits=14, exposure_time=1e-2)
 
-    def run(fpm, plans, key):
+    def run(fpm, splan, key):
         x, y = make_xy_grid(N, diameter=2.2)
         r = jnp.hypot(x, y)
         amp = antialias(circle_sdf(1.0, r), dx)
         lyot = antialias(circle_sdf(0.9, r), dx)
-        after = jnp.stack([
-            _babinet(amp + 0j, lyot=lyot, fpm=fpm, executor=plan)
-            for plan in plans])
+        E = jnp.broadcast_to(amp, (len(wvls), N, N)) + 0j
+        after = _babinet(E, lyot=lyot, fpm=fpm, executor=splan)
         at_focus = _fft_focus(after, Q=1)
         planes = at_focus.real ** 2 + at_focus.imag ** 2
         red = planes[4:].sum(axis=0) * 3e9
@@ -352,11 +388,11 @@ def cfg5_coronagraph(jax, jnp):
 
     def make_chain(_K):
         @jax.jit
-        def chain(fpm, plans, key, K):
+        def chain(fpm, splan, key, K):
             def body(i, carry):
                 tok, key = carry
                 key = __import__('jax').random.fold_in(key, i)
-                frame = run(fpm * (1.0 + 1e-18 * tok), plans, key)
+                frame = run(fpm * (1.0 + 1e-18 * tok), splan, key)
                 return 1e-18 * jnp.sum(frame), key
             tok0 = jnp.float32(0.0)
             tok, _ = jax.lax.fori_loop(0, K, body, (tok0, key))
@@ -364,7 +400,7 @@ def cfg5_coronagraph(jax, jnp):
         return chain
 
     key = __import__('jax').random.PRNGKey(0)
-    return make_chain, (fpm, plans, key), {}
+    return make_chain, (fpm, splan, key), {}
 
 
 

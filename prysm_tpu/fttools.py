@@ -437,6 +437,54 @@ def plan_czt(x, y, fx, fy, sign=-1, norm=1.0, dtype=None,
     )
 
 
+def stack_czt_plans(plans):
+    """Fuse same-geometry CZT plans into one batched spectral plan.
+
+    The returned CZT maps ``(W, Ny, Nx) -> (W, My, Mx)`` with one batched
+    FFT pipeline instead of W separate ones — the per-wavelength chirps
+    ride a leading axis of every leaf, so a broadband chain (e.g. a
+    multi-wavelength coronagraph) runs all wavelengths through each FFT
+    together.  All static geometry (N/M/K, axis order) must agree across
+    plans; the per-plan scalar norms (wavelength-dependent) are folded
+    into the x_phase leaf so forward and adjoint stay exact.
+    """
+    plans = tuple(plans)
+    if not plans:
+        raise ValueError('stack_czt_plans needs at least one plan')
+    first = plans[0]
+    for p in plans[1:]:
+        same = (p.Nx, p.Ny, p.Mx, p.My, p.Kx, p.Ky, p.x_first) == \
+               (first.Nx, first.Ny, first.Mx, first.My, first.Kx, first.Ky,
+                first.x_first)
+        if not isinstance(p, CZT) or not same:
+            raise ValueError('stacked plans must be CZTs with identical '
+                             'static geometry')
+
+    # real/imag leaves stack separately: complex is only ever assembled
+    # inside traces (the relay cannot create complex device arrays eagerly)
+    def stack(part, row):
+        arrs = jnp.stack([getattr(p, part) for p in plans])  # (W, a[, 1])
+        return arrs if row else arrs[:, None, :]             # (W, 1, a)
+
+    parts = {}
+    for name, row in (('brow', True), ('bcol', False), ('Hrow', True),
+                      ('Hcol', False), ('arow', True), ('acol', False),
+                      ('y_phase', True)):
+        parts[name + '_re'] = stack(name + '_re', row)
+        parts[name + '_im'] = stack(name + '_im', row)
+    norms = jnp.asarray([p.norm for p in plans],
+                        dtype=first.x_phase_re.dtype)[:, None, None]
+    parts['x_phase_re'] = stack('x_phase_re', False) * norms
+    parts['x_phase_im'] = stack('x_phase_im', False) * norms
+    return CZT(
+        **parts,
+        norm=1.0,
+        Nx=first.Nx, Ny=first.Ny, Mx=first.Mx, My=first.My,
+        Kx=first.Kx, Ky=first.Ky, x_first=first.x_first,
+        pupil_dx=first.pupil_dx, focal_dx=first.focal_dx,
+    )
+
+
 # ----------------------------------------------------------------------------
 # FFT-compatible DFT plan (single FFT per axis)
 # ----------------------------------------------------------------------------

@@ -135,3 +135,65 @@ def test_czt_equals_mdft():
     a = rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
     np.testing.assert_allclose(np.asarray(m(jnp.asarray(a))), np.asarray(c(jnp.asarray(a))),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_stack_czt_plans_matches_per_plan():
+    """The batched spectral CZT equals the per-wavelength loop exactly."""
+    from prysm_tpu.propagation import prepare_executor
+    rng = np.random.default_rng(13)
+    N, fN = 64, 32
+    dx, fdx = 2.2 / N, 0.25
+    wvls = [0.50, 0.55, 0.60]
+    plans = tuple(prepare_executor(dx, (N, N), fdx, fN, w, 10.0, kind='czt')
+                  for w in wvls)
+    sp = ft.stack_czt_plans(plans)
+    E = jnp.asarray(rng.standard_normal((N, N))
+                    + 1j * rng.standard_normal((N, N)))
+    per = np.stack([np.asarray(p(E)) for p in plans])
+    bat = np.asarray(sp(jnp.broadcast_to(E, (3, N, N))))
+    np.testing.assert_allclose(bat, per, rtol=1e-12, atol=1e-13)
+    G = jnp.asarray(rng.standard_normal((3, fN, fN))
+                    + 1j * rng.standard_normal((3, fN, fN)))
+    per_a = np.stack([np.asarray(p.adjoint(G[i]))
+                      for i, p in enumerate(plans)])
+    np.testing.assert_allclose(np.asarray(sp.adjoint(G)), per_a,
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_stack_czt_plans_rejects_mismatched_geometry():
+    from prysm_tpu.propagation import prepare_executor
+    a = prepare_executor(0.01, (32, 32), 0.25, 16, 0.55, 10.0, kind='czt')
+    b = prepare_executor(0.01, (32, 32), 0.25, 24, 0.55, 10.0, kind='czt')
+    with pytest.raises(ValueError, match='geometry'):
+        ft.stack_czt_plans((a, b))
+    with pytest.raises(ValueError, match='at least one'):
+        ft.stack_czt_plans(())
+
+
+def test_babinet_compact_focal_window_is_exact():
+    """Babinet with the focal window cropped to the complement's support
+    equals the full-window propagation (1 - fpm is identically zero
+    outside the occulting disk, so the clipped frequencies contribute
+    nothing)."""
+    from prysm_tpu.propagation import prepare_executor
+    from prysm_tpu.propagation.coronagraph import babinet
+    N, fN, wN = 128, 64, 24
+    dx, fdx = 2.2 / N, 0.25
+    r_occ = 2.0  # occulting radius: 8 px < 12 px half-window
+
+    def fpm_for(n):
+        fx, fy = np.meshgrid(*[(np.arange(n) - n // 2) * fdx] * 2,
+                             indexing='xy')
+        return jnp.asarray((np.hypot(fx, fy) > r_occ).astype(float))
+
+    rng = np.random.default_rng(17)
+    E = jnp.asarray(rng.standard_normal((N, N))
+                    + 1j * rng.standard_normal((N, N)))
+    full = babinet(E, lyot=None, fpm=fpm_for(fN),
+                   executor=prepare_executor(dx, (N, N), fdx, fN, 0.55,
+                                             10.0, kind='czt'))
+    windowed = babinet(E, lyot=None, fpm=fpm_for(wN),
+                       executor=prepare_executor(dx, (N, N), fdx, wN, 0.55,
+                                                 10.0, kind='mdft'))
+    np.testing.assert_allclose(np.asarray(windowed), np.asarray(full),
+                               rtol=1e-10, atol=1e-11)
