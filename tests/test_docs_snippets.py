@@ -26,6 +26,10 @@ EXECUTABLE = {
     'how-tos/radiometry.md': None,
     'how-tos/optimization.md': None,
     'how-tos/polychromatic.md': 2,
+    'how-tos/advanced-interferogram-processing.md': None,
+    'explanation/deformable-mirrors.md': None,
+    'explanation/segmented-systems.md': None,
+    'explanation/ins-and-outs-of-polynomials.md': None,
     'college/101-how-prysm-tpu-works.md': None,
     'college/102-precision-and-dispatch.md': None,
     'college/103-coordinates-grids-and-units.md': None,

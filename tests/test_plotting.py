@@ -252,3 +252,45 @@ def test_mirror_substrate_chief_center_forwarded():
     with _pytest.raises(ValueError, match='chief'):
         mirror_substrate_outline(m1, None, j, substrate=sub,
                                  radius=30.0, center='chief')
+
+
+def test_tma_reflective_layout_renders():
+    """A TMA-style all-reflective prescription with coordinate breaks
+    renders a layout figure with rays and mirror outlines (VERDICT r3
+    item 8: reflective layout for a three-mirror anastigmat shape)."""
+    from prysm_tpu.x.raytracing.plotting import (
+        plot_optics, plot_ray_paths, plot_mirror_substrate)
+    from prysm_tpu.x.raytracing.aperture import ParallelSubstrate
+    from prysm_tpu.x import materials as mat
+
+    lens = rt.LensData()
+    # M1: concave paraboloid, folded
+    lens.add(rt.Conic(-1 / 400.0, -1.0), thickness=-150.0,
+             material=mat.MIRROR, typ='refl', aperture=60.0)
+    # M2: convex hyperboloid
+    lens.add(rt.Conic(-1 / 120.0, -2.2), thickness=180.0,
+             material=mat.MIRROR, typ='refl', aperture=20.0)
+    # fold toward M3 with a coordinate break
+    lens.add_coordbreak(decenter=(0.0, 40.0, 0.0))
+    # M3: concave ellipsoid
+    lens.add(rt.Conic(-1 / 300.0, -0.4), thickness=-250.0,
+             material=mat.MIRROR, typ='refl', aperture=40.0)
+    sys_ = rt.OpticalSystem(lens, aperture=100.0, wavelengths=[0.6328],
+                            stop_index=1)
+    surfs = sys_.lens.to_surfaces()
+    mirrors = [(j, s) for j, s in enumerate(surfs)
+               if getattr(s, 'typ', None) == rt.STYPE_REFLECT]
+    assert len(mirrors) == 3
+
+    P, S = rt.launch(sys_, sys_.field(), 0.6328, rt.Sampling.fan(5, axis='y'))
+    res = rt.raytrace(surfs, onp.asarray(P), onp.asarray(S), 0.6328)
+    fig, ax = plot_optics(sys_, res)
+    fig, ax = plot_ray_paths(res, fig=fig, ax=ax)
+    for j, m in mirrors:
+        fig, ax = plot_mirror_substrate(m, res, j,
+                                        substrate=ParallelSubstrate(8.0),
+                                        radius=None, fig=fig, ax=ax)
+    # every drawn path is finite somewhere and the axes saw real extent
+    assert len(ax.lines) >= 3 + 5
+    x0, x1 = ax.get_xlim()
+    assert x1 - x0 > 100.0  # the folded train spans the bench
