@@ -23,49 +23,47 @@ def conv(obj, psf):
     return i.real if not jnp.iscomplexobj(obj) else i
 
 
+def _frequency_grids(obj, dx, fx, fy, fr, ft, shift):
+    """Fill any missing frequency grids from the sample spacing."""
+    if fx is None:
+        fx = forward_ft_unit(dx, obj.shape[-1], shift=shift)
+    if fy is None:
+        fy = forward_ft_unit(dx, obj.shape[-2], shift=shift)
+    fx, fy = optimize_xy_separable(fx, fy)
+    if fr is None or ft is None:
+        pr, pt = cart_to_polar(fx, fy)
+        fr = pr if fr is None else fr
+        ft = pt if ft is None else ft
+    return {'fx': fx, 'fy': fy, 'fr': fr, 'ft': ft}
+
+
+def _materialize_tf(tf, grids):
+    """Call a transfer-function callable with whichever grids it accepts."""
+    accepted = inspect.signature(tf).parameters
+    kwargs = {k: v for k, v in grids.items() if k in accepted}
+    if not kwargs:
+        raise ValueError(f'{tf} accepts none of fx, fy, fr, ft; a '
+                         'transfer function must accept at least one')
+    return tf(**kwargs)
+
+
 def apply_transfer_functions(obj, dx, tfs, fx=None, fy=None, ft=None, fr=None,
                              shift=False):
     """Blur an object by N transfer functions (arrays or callables)."""
+    grids = None
     if any(callable(tf) for tf in tfs):
-        if fx is None or fy is None:
-            uy = forward_ft_unit(dx, obj.shape[-2], shift=shift)
-            ux = forward_ft_unit(dx, obj.shape[-1], shift=shift)
-            if fx is None:
-                fx = ux
-            if fy is None:
-                fy = uy
-        fx, fy = optimize_xy_separable(fx, fy)
-        computed_fr, computed_ft = cart_to_polar(fx, fy)
-        if fr is None:
-            fr = computed_fr
-        if ft is None:
-            ft = computed_ft
+        grids = _frequency_grids(obj, dx, fx, fy, fr, ft, shift)
 
+    O = jnp.fft.fft2(jnp.fft.ifftshift(obj, axes=_AX), axes=_AX)  # NOQA
     if shift:
-        O = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(obj, axes=_AX), axes=_AX), axes=_AX)  # NOQA
-    else:
-        O = jnp.fft.fft2(jnp.fft.ifftshift(obj, axes=_AX), axes=_AX)  # NOQA
+        O = jnp.fft.fftshift(O, axes=_AX)  # NOQA
 
     for tf in tfs:
         if callable(tf):
-            params = inspect.signature(tf).parameters
-            kwargs = {}
-            if 'fx' in params:
-                kwargs['fx'] = fx
-            if 'fy' in params:
-                kwargs['fy'] = fy
-            if 'fr' in params:
-                kwargs['fr'] = fr
-            if 'ft' in params:
-                kwargs['ft'] = ft
-            if not kwargs:
-                raise ValueError(f'{tf} accepts none of fx, fy, fr, ft; a '
-                                 'transfer function must accept at least one')
-            tf = tf(**kwargs)
+            tf = _materialize_tf(tf, grids)
         O = O * tf  # NOQA
 
     if shift:
-        i = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(O, axes=_AX), axes=_AX), axes=_AX)
-        return i.real if not jnp.iscomplexobj(obj) else i
+        O = jnp.fft.ifftshift(O, axes=_AX)  # NOQA
     i = jnp.fft.fftshift(jnp.fft.ifft2(O, axes=_AX), axes=_AX)
-    return i.real if not jnp.iscomplexobj(obj) else i
+    return i if jnp.iscomplexobj(obj) else i.real

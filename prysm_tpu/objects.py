@@ -10,14 +10,37 @@ from .mathops import jinc
 from .coordinates import optimize_xy_separable
 
 
+def _contrast_rails(contrast):
+    """(low, high) gray levels for a target of the given contrast."""
+    lo = (1 - contrast) / 2
+    return lo, 1 - lo
+
+
+def _canon_background(background):
+    """Normalize a background color spec to 'b' or 'w'."""
+    b = background.lower()
+    if b in ('b', 'black'):
+        return 'b'
+    if b in ('w', 'white'):
+        return 'w'
+    raise ValueError('invalid background color')
+
+
+def _rotate_grid(x, y, angle_deg):
+    """Rotate (x, y) by angle_deg; returns (xp, yp)."""
+    a = jnp.radians(angle_deg)
+    c, s = jnp.cos(a), jnp.sin(a)
+    return x * c - y * s, x * s + y * c
+
+
 def slit(x, y, width_x, width_y=None):
     """Boolean mask of a slit or pair of crossed slits."""
     x, y = optimize_xy_separable(x, y)
+    bands = [jnp.abs(g) <= w / 2
+             for g, w in ((x, width_x), (y, width_y)) if w is not None]
     mask = jnp.zeros((y.size, x.size), dtype=bool)
-    if width_x is not None:
-        mask = mask | (jnp.abs(x) <= width_x / 2)
-    if width_y is not None:
-        mask = mask | (jnp.abs(y) <= width_y / 2)
+    for b in bands:
+        mask = mask | b
     return mask
 
 
@@ -27,27 +50,26 @@ def slit_ft(width_x, width_y, fx, fy):
     Grid support along the slit's long axis is recovered from the frequency
     sample spacing (reference: prysm/objects.py:40-88).
     """
-    if not width_x:
-        width_x = None
-    if not width_y:
-        width_y = None
-    if width_x is None and width_y is None:
+    wx = width_x or None
+    wy = width_y or None
+    if wx is None and wy is None:
         raise ValueError('slit_ft: at least one of width_x, width_y must be nonzero')
     fx, fy = optimize_xy_separable(fx, fy)
-    if width_x is not None and width_y is not None:
-        Lx = 1 / (fx[0, 1] - fx[0, 0])
-        Ly = 1 / (fy[1, 0] - fy[0, 0])
-        sx = jnp.sinc(fx * width_x)
-        sy = jnp.sinc(fy * width_y)
-        band_x = (width_x * Ly) * sx * (fy == 0)
-        band_y = (width_y * Lx) * sy * (fx == 0)
-        overlap = (width_x * width_y) * sx * sy
-        area = width_x * Ly + width_y * Lx - width_x * width_y
-        out = (band_x + band_y - overlap) / area
-    elif width_x is not None:
-        out = jnp.sinc(fx * width_x) * (fy == 0)
+    on_fx_axis = fy == 0
+    on_fy_axis = fx == 0
+    if wy is None:
+        out = jnp.sinc(fx * wx) * on_fx_axis
+    elif wx is None:
+        out = jnp.sinc(fy * wy) * on_fy_axis
     else:
-        out = jnp.sinc(fy * width_y) * (fx == 0)
+        # two crossed slits: union = sum of bands minus the doubly-counted
+        # overlap, normalized by the union's area
+        Lx, Ly = 1 / (fx[0, 1] - fx[0, 0]), 1 / (fy[1, 0] - fy[0, 0])
+        sx, sy = jnp.sinc(fx * wx), jnp.sinc(fy * wy)
+        union_area = wx * Ly + wy * Lx - wx * wy
+        out = (wx * Ly * sx * on_fx_axis
+               + wy * Lx * sy * on_fy_axis
+               - wx * wy * sx * sy) / union_area
     return out.astype(config.precision)
 
 
@@ -64,47 +86,34 @@ def pinhole_ft(radius, fr):
 def siemensstar(r, t, spokes, oradius=0.9, iradius=0, background='black',
                 contrast=0.9, sinusoidal=False):
     """Siemens star target in [0, 1]."""
-    background = background.lower()
-    delta = (1 - contrast) / 2
-    bottom = delta
-    top = 1 - delta
-    arr = contrast * jnp.cos(spokes / 2 * t)
-    arr = (arr + 1) / 2
-    mask = (r > oradius) | (r < iradius)
-    if background in ('b', 'black'):
-        arr = jnp.where(mask, 0.0, arr)
-    elif background in ('w', 'white'):
-        arr = jnp.where(mask, 1.0, arr)
-    else:
-        raise ValueError('invalid background color')
+    lo, hi = _contrast_rails(contrast)
+    arr = (contrast * jnp.cos(spokes / 2 * t) + 1) / 2
+    outside = (r > oradius) | (r < iradius)
+    fill = 0.0 if _canon_background(background) == 'b' else 1.0
+    arr = jnp.where(outside, fill, arr)
     # binary threshold runs after masking, so background pixels map onto the
     # bottom/top contrast levels exactly as in the reference
     if not sinusoidal:
-        arr = jnp.where(arr < 0.5, bottom, jnp.where(arr > 0.5, top, arr))
+        arr = jnp.where(arr < 0.5, lo, jnp.where(arr > 0.5, hi, arr))
     return arr
 
 
 def tiltedsquare(x, y, angle=4, radius=0.5, contrast=0.9, background='white'):
     """Tilted square target (for MTF slanted-edge work)."""
-    background = background.lower()
-    delta = (1 - contrast) / 2
-    angle = jnp.radians(angle)
-    xp = x * jnp.cos(angle) - y * jnp.sin(angle)
-    yp = x * jnp.sin(angle) + y * jnp.cos(angle)
-    mask = (jnp.abs(xp) <= radius) & (jnp.abs(yp) <= radius)
-    if background in ('w', 'white'):
-        return jnp.where(mask, delta, 1 - delta)
-    return jnp.where(mask, 1 - delta, delta)
+    lo, hi = _contrast_rails(contrast)
+    xp, yp = _rotate_grid(x, y, angle)
+    inside = (jnp.abs(xp) <= radius) & (jnp.abs(yp) <= radius)
+    if _canon_background(background) == 'w':
+        return jnp.where(inside, lo, hi)
+    return jnp.where(inside, hi, lo)
 
 
 def slantededge(x, y, angle=4, contrast=0.9, crossed=False):
     """Slanted-edge target; optionally crossed (4 edges)."""
-    diff = (1 - contrast) / 2
-    angle = jnp.radians(angle)
-    xp = x * jnp.cos(angle) - y * jnp.sin(angle)
+    lo, hi = _contrast_rails(contrast)
+    xp, _ = _rotate_grid(x, y, angle)
     mask = xp > 0
     if crossed:
         upperright = mask & jnp.rot90(mask)
-        lowerleft = jnp.rot90(upperright, 2)
-        mask = upperright | lowerleft
-    return jnp.where(mask, diff, 1 - diff)
+        mask = upperright | jnp.rot90(upperright, 2)
+    return jnp.where(mask, lo, hi)

@@ -3,6 +3,12 @@
 Rebuild of ``prysm/x/coatings/common_materials.py``: curated token
 tables (book or (book, page) pairs against the refractiveindex.info
 namespace) with resolution through x/materials glass lookup.
+
+Provenance: the token tables below are reproduced verbatim from the
+reference — they are curated data (which materials belong to which
+band/index tier, and which refractiveindex.info page to use), not
+logic; the values themselves ARE the API contract, so any rewording
+would change behavior.  The resolution code is original.
 """
 from ..materials import glass as _glass
 

@@ -31,56 +31,34 @@ from .stack import (
 class ForwardEval:
     """Cached forward evaluation of a stack at one (wvl, theta, pol) grid."""
 
-    __slots__ = ('stack', 'wvl', 'theta0', 'pol', 'matrices', 'L', 'R', 'M',
-                 'eta0', 'eta_sub', 'r', 't', 'v_sub', 'E', 'H',
-                 'betas', 'etas', 'dbeta_dd', 'n0', 'ns', 'costs')
-
     def __init__(self, stack, wvl, theta0, pol):
         pol = pol.lower()
         if pol not in ('p', 's'):
             raise ValueError("unknown polarization, use 'p' or 's'")
-        self.stack = stack
-        self.wvl = wvl
-        self.theta0 = theta0
-        self.pol = pol
+        self.stack, self.wvl, self.theta0, self.pol = stack, wvl, theta0, pol
 
-        n0 = _resolve(stack.ambient_index, wvl)
+        n0 = self.n0 = _resolve(stack.ambient_index, wvl)
         nsub = _resolve(stack.substrate_index, wvl)
-        cost0 = jnp.cos(jnp.asarray(theta0, dtype=config.precision))
-        cost_sub = _cos_snell(n0, nsub, theta0)
-        self.n0 = n0
-        self.eta0 = _admittance(n0, cost0, pol)
-        self.eta_sub = _admittance(nsub, cost_sub, pol)
+        self.eta0 = _admittance(
+            n0, jnp.cos(jnp.asarray(theta0, dtype=config.precision)), pol)
+        self.eta_sub = _admittance(nsub, _cos_snell(n0, nsub, theta0), pol)
 
-        betas, etas, dbeta_dd, ns, costs = [], [], [], [], []
-        for n, d in zip(stack.resolved_indices(wvl), stack.thicknesses):
-            cost = _cos_snell(n0, n, theta0)
-            betas.append((2 * jnp.pi * n * d * cost) / wvl)
-            etas.append(_admittance(n, cost, pol))
-            dbeta_dd.append((2 * jnp.pi * n * cost) / wvl)
-            ns.append(n)
-            costs.append(cost)
-        self.betas = betas
-        self.etas = etas
-        self.dbeta_dd = dbeta_dd
-        self.ns = ns
-        self.costs = costs
+        # per-layer kinematics, factored through the free-space wavenumber:
+        # beta_j = (k0 n_j cos(theta_j)) d_j, so d(beta)/d(d) is the prefactor
+        k0 = 2 * jnp.pi / wvl
+        self.ns = list(stack.resolved_indices(wvl))
+        self.costs = [_cos_snell(n0, n, theta0) for n in self.ns]
+        self.dbeta_dd = [k0 * n * c for n, c in zip(self.ns, self.costs)]
+        self.betas = [p * d for p, d in zip(self.dbeta_dd, stack.thicknesses)]
+        self.etas = [_admittance(n, c, pol)
+                     for n, c in zip(self.ns, self.costs)]
 
         self.matrices = stack_characteristic_matrices(stack, wvl, theta0, pol)
         self.L = forward_products(self.matrices)
         self.R = backward_products(self.matrices)
         self.M = self.R[0]
-
-        B = self.M[..., 0, 0] + self.M[..., 0, 1] * self.eta_sub
-        C = self.M[..., 1, 0] + self.M[..., 1, 1] * self.eta_sub
-        denom = self.eta0 * B + C
-        self.r = (self.eta0 * B - C) / denom
-        self.t = 2 * self.eta0 / denom
-
+        self.r, self.t, self.E, self.H = _rtEH(self.R, self.eta0, self.eta_sub)
         self.v_sub = jnp.stack([self.t, self.t * self.eta_sub], axis=-1)
-        fields = jnp.stack([_matvec(Rk, self.v_sub) for Rk in self.R], axis=0)
-        self.E = fields[..., 0]
-        self.H = fields[..., 1]
 
     @property
     def R_value(self):
@@ -109,18 +87,22 @@ def forward_eval(stack, wvl, theta0, pol):
     return ForwardEval(stack, wvl, theta0, pol)
 
 
-def _quantities_from_matrices(matrices, eta0, eta_sub):
-    """(r, t, E, H) from per-layer characteristic matrices."""
-    R = backward_products(matrices)
+def _rtEH(R, eta0, eta_sub):
+    """(r, t, E, H) from the backward (substrate-side) matrix products."""
     M = R[0]
-    B = M[..., 0, 0] + M[..., 0, 1] * eta_sub
-    C = M[..., 1, 0] + M[..., 1, 1] * eta_sub
+    # Abeles B/C assembly; substrate admittance closes the recursion
+    B, C = (M[..., i, 0] + M[..., i, 1] * eta_sub for i in (0, 1))
     denom = eta0 * B + C
     r = (eta0 * B - C) / denom
     t = 2 * eta0 / denom
     v_sub = jnp.stack([t, t * eta_sub], axis=-1)
     fields = jnp.stack([_matvec(Rk, v_sub) for Rk in R], axis=0)
     return r, t, fields[..., 0], fields[..., 1]
+
+
+def _quantities_from_matrices(matrices, eta0, eta_sub):
+    """(r, t, E, H) from per-layer characteristic matrices."""
+    return _rtEH(backward_products(matrices), eta0, eta_sub)
 
 
 def _seeded_scalar(r, t, E, H, eta0, eta_sub, dR, dT, dA, dEsq):

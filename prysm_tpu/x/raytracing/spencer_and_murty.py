@@ -33,26 +33,29 @@ STYPE_OBJ = -4
 STYPE_IMG = -5
 
 
+_MEASUREMENT_STYPES = frozenset((STYPE_EVAL, STYPE_OBJ, STYPE_IMG))
+
+
 def _is_measurement_surf(typ):
     """True for a non-bending measurement surface (EVAL, OBJECT, or IMAGE)."""
-    return typ in (STYPE_EVAL, STYPE_OBJ, STYPE_IMG)
+    return typ in _MEASUREMENT_STYPES
 
 
+# status-code values and label strings are API parity with the reference
+# encoding; positive codes are numerical failures (Newton non-convergence,
+# aperture clip), negative are geometric (no intersection, TIR, evanescent)
 STATUS_OK = 0
-STATUS_NEWTON = 1       # numerical: Newton-Raphson didn't converge
-STATUS_CLIP = 2         # numerical: aperture clipped
-STATUS_MISS = -1        # geometric: no analytic intersection
-STATUS_TIR = -2         # geometric: total internal reflection
-STATUS_EVANESCENT = -3  # geometric: diffracted order does not propagate
+STATUS_NEWTON = 1
+STATUS_CLIP = 2
+STATUS_MISS = -1
+STATUS_TIR = -2
+STATUS_EVANESCENT = -3
 
-_STATUS_LABELS = {
-    STATUS_OK: 'OK',
-    STATUS_NEWTON: 'NEWTON',
-    STATUS_CLIP: 'CLIPPED',
-    STATUS_MISS: 'MISS',
-    STATUS_TIR: 'TIR',
-    STATUS_EVANESCENT: 'EVANESCENT',
-}
+_STATUS_LABELS = dict(zip(
+    (STATUS_OK, STATUS_NEWTON, STATUS_CLIP,
+     STATUS_MISS, STATUS_TIR, STATUS_EVANESCENT),
+    ('OK', 'NEWTON', 'CLIPPED', 'MISS', 'TIR', 'EVANESCENT'),
+))
 
 
 class RayTraceResult:
@@ -81,22 +84,25 @@ class RayTraceResult:
 
 
 class RayStatus:
-    """Structured view of per-ray trace status."""
+    """Host-side (surface, code) view of the complex status array.
 
-    __slots__ = ('surface', 'code')
+    A plain record of two int arrays — both components of the packed
+    status, materialized once on decode.
+    """
 
     def __init__(self, surface, code):
-        self.surface = surface
-        self.code = code
+        self.surface = onp.asarray(surface)
+        self.code = onp.asarray(code)
 
     @classmethod
     def from_encoded(cls, status):
-        """Decode a complex status array into (surface, code) int views."""
-        return cls(status.real.astype(int), status.imag.astype(int))
+        """Split a packed complex status array into int component views."""
+        z = onp.asarray(status)
+        return cls(z.real.astype(int), z.imag.astype(int))
 
     @property
     def encoded(self):
-        """Re-encode as the compact complex representation."""
+        """Pack back into the compact complex representation."""
         return self.surface + 1j * self.code
 
     @property
@@ -105,22 +111,23 @@ class RayStatus:
         return decode_status(self.encoded)
 
 
-def _decode_status_scalar(status):
-    surface = int(status.real)
-    code = int(status.imag)
-    label = _STATUS_LABELS.get(code, f'UNKNOWN({code})')
-    if code == STATUS_OK:
-        return label
-    return f'{label} at surface {surface}'
-
-
 def decode_status(status):
-    """Decode the compact complex status encoding to strings."""
-    arr = onp.asarray(status)
-    if arr.ndim == 0:
-        return _decode_status_scalar(arr.item())
-    decoded = [_decode_status_scalar(v) for v in arr.ravel()]
-    return onp.asarray(decoded, dtype=object).reshape(arr.shape)
+    """Decode the compact complex status encoding to strings.
+
+    Scalar in -> ``str`` out; array in -> object ndarray of the same
+    shape.  Vectorized over the flattened components rather than
+    dispatching per element.
+    """
+    surf = onp.atleast_1d(onp.real(status)).astype(int).ravel()
+    code = onp.atleast_1d(onp.imag(status)).astype(int).ravel()
+    out = onp.empty(surf.shape, dtype=object)
+    for i in range(surf.size):
+        c = int(code[i])
+        name = _STATUS_LABELS.get(c, f'UNKNOWN({c})')
+        out[i] = name if c == STATUS_OK else f'{name} at surface {int(surf[i])}'
+    if onp.ndim(status) == 0:
+        return out[0]
+    return out.reshape(onp.shape(status))
 
 
 def _finite_ray_mask(P):
@@ -320,12 +327,10 @@ def eic_closing(P, S, C, kappa):
 
 def _launch_medium_index(surfaces, wvl):
     """Index of the medium the bundle launches in (object-space material)."""
-    if len(surfaces) > 0:
-        first = surfaces[0]
-        if _is_measurement_surf(getattr(first, 'typ', None)):
-            material = getattr(first, 'material', None)
-            if material is not None:
-                return material.n(wvl)
+    first = surfaces[0] if len(surfaces) else None
+    mat = getattr(first, 'material', None)
+    if mat is not None and _is_measurement_surf(getattr(first, 'typ', None)):
+        return mat.n(wvl)
     return 1.0
 
 
