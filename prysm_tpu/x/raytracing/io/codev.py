@@ -93,9 +93,10 @@ def _float_first(target_key):
 def _hdr_dim(deck, payload):
     if payload:
         token = payload[0].upper()
-        # Code V 'M' means millimeter, unlike the SI reading
-        deck['unit'] = {'M': 'mm', 'CM': 'cm', 'IN': 'in',
-                          'FT': 'ft'}.get(token, token.lower())
+        # Code V 'M' means millimeter, unlike the SI reading; 'C' and 'I'
+        # are the single-letter centimeter/inch spellings
+        deck['unit'] = {'M': 'mm', 'C': 'cm', 'CM': 'cm', 'I': 'in',
+                        'IN': 'in', 'FT': 'ft'}.get(token, token.lower())
 
 
 def _hdr_wl(deck, payload):
@@ -376,12 +377,18 @@ def _lookup_codev_glass(gla_token, database):
         return as_model
     if '_' not in gla_token:
         return _materials.lookup(gla_token, database=database)
+    # vendor-suffixed: a model-glass code with a redundant catalog tag
+    # resolves without any database at all, so check it before lookups
+    # (which may need the absent refractiveindex.info download)
+    name, vendor = gla_token.rsplit('_', 1)
+    as_model = _model_glass_from_token(name)
     try:
         return _materials.lookup(gla_token, database=database)
     except KeyError:
         pass
-    name, vendor = gla_token.rsplit('_', 1)
-    as_model = _model_glass_from_token(name)
+    except ImportError:
+        if as_model is None:
+            raise
     if as_model is not None:
         return as_model
     try:
@@ -573,11 +580,15 @@ def _emit_seq_header(system):
     title = getattr(system, 'title', None)
     if title:
         out.append(f'TITLE "{title}"')
-    wvls = [float(w) for w in (getattr(system, 'wavelengths', None) or [])]
+    def floats_of(name):
+        val = getattr(system, name, None)
+        return [] if val is None else [float(w) for w in val]
+
+    wvls = floats_of('wavelengths')
     if wvls:
         out.append('WL ' + ' '.join(f'{w * 1000.0:g}' for w in wvls))
         out.append(f'REF {int(getattr(system, "reference", 0)) + 1}')
-    weights = [float(w) for w in (getattr(system, 'weights', None) or [])]
+    weights = floats_of('weights')
     if weights and len(weights) == len(wvls) \
             and any(w != 1.0 for w in weights):
         out.append('WTW ' + ' '.join(f'{w:g}' for w in weights))

@@ -355,15 +355,19 @@ def _emit_header(system):
                              'a compiled surface')
         out.append(f'STOP {stop_surface}')
 
-    wvls = list(getattr(system, 'wavelengths', None) or [])
-    weights = list(getattr(system, 'weights', None) or [])
+    def aslist(name, default):
+        val = getattr(system, name, None)
+        return default if val is None else list(val)
+
+    wvls = aslist('wavelengths', [])
+    weights = aslist('weights', [])
     for i, w in enumerate(wvls):
         weight = weights[i] if i < len(weights) else 1.0
         out.append(f'WAVM {i + 1} {float(w):g} {float(weight):g}')
     if wvls:
         out.append(f'PWAV {int(getattr(system, "reference", 0)) + 1}')
 
-    fields = list(getattr(system, 'fields', ()) or ())
+    fields = aslist('fields', [])
     if fields:
         out.append(f'FTYP {0 if fields[0].kind == "angle" else 1}')
         out.append('XFLN ' + ' '.join(f'{f.hx:g}' for f in fields))
