@@ -52,8 +52,15 @@ class LBFGSB:
     """
 
     def __init__(self, fg, x0, memory=10, lower_bounds=None, upper_bounds=None,
-                 factr=1e7, pgtol=1e-8, maxls=20):
-        """fg(x) -> (f, g); x0 initial vector; memory = history pairs."""
+                 factr=0.0, pgtol=0.0, maxls=20):
+        """fg(x) -> (f, g); x0 initial vector; memory = history pairs.
+
+        factr/pgtol default to 0 (run until the caller's governor stops
+        the loop) so step()/run_to() do not terminate behind the user's
+        back; the driver may still signal CONVERGENCE at an exactly
+        stationary point, surfaced as StopIteration (step) or a
+        UserWarning (run_to).
+        """
         self.problem = as_problem(fg)
         x0 = np.asarray(x0, dtype=np.float64).ravel()
         self.x0 = x0.copy()
@@ -130,25 +137,39 @@ class LBFGSB:
                     g_prev = self._g.copy()
             elif code == _TASK_NEW_X:
                 self.iter += 1
+                self.last_step_metadata = {'task': 'NEW_X'}
                 return (x_prev,
                         float(self._f) if f_prev is None else f_prev,
                         self._g.copy() if g_prev is None else g_prev)
             elif code == _TASK_CONVERGENCE:
+                self.last_step_metadata = {'task': 'CONVERGENCE'}
                 raise StopIteration(_DriverStop(True, 'converged'))
             elif code in (_TASK_STOP, _TASK_WARNING):
+                self.last_step_metadata = {'task': 'STOP'}
                 raise StopIteration(_DriverStop(True, 'driver stop'))
             else:
+                self.last_step_metadata = {'task': f'ERROR({code})'}
                 raise StopIteration(_DriverStop(False, f'driver error code {code}'))
 
     def run_to(self, N):
-        """Run up to N iterations; returns (x, f, g) at the final point."""
-        out = None
+        """Yield (x, f, g) for up to N iterations.
+
+        If the driver signals convergence before N iterations complete
+        (possible only at an exactly stationary point with the factr=0 /
+        pgtol=0 defaults), the StopIteration is swallowed and a
+        UserWarning is emitted instead of propagating mid-iteration.
+        """
+        import warnings
         for _ in range(N):
             try:
-                out = self.step()
-            except StopIteration:
-                break
-        return self._x, float(self._f), self._g
+                yield self.step()
+            except StopIteration as e:
+                payload = e.args[0] if e.args else None
+                warnings.warn(
+                    'L-BFGS-B driver signaled '
+                    f'{getattr(payload, "message", "termination")} after '
+                    f'{self.iter} iteration(s); stopping early', UserWarning)
+                return
 
 
 # ---------------------------------------------------------------------------

@@ -332,7 +332,10 @@ class DampedLeastSquares:
         Aeq, Aineq = self._constraint_jacobians(at)
         gradient = J.T @ at.r
         H = J.T @ J
-        H[np.diag_indices_from(H)] += self._damping_vector(J, Aeq, Aineq)
+        lam_diag = self._damping_vector(J, Aeq, Aineq)
+        self._last_damping_diagonal = np.broadcast_to(
+            lam_diag, (J.shape[1],)).copy()
+        H[np.diag_indices_from(H)] += lam_diag
 
         seed = (np.flatnonzero(at.ineq <= self.active_tol).tolist()
                 if at.ineq.size else [])
@@ -340,10 +343,13 @@ class DampedLeastSquares:
             H, gradient, Aeq, -at.eq, Aineq, at.ineq, seed,
             self.constraint_tol, self.max_active_iter)
 
+        self._last_trust_scale = 1.0
         if self.trust_radii is not None and dx.size:
             over = np.isfinite(self.trust_radii) & (np.abs(dx) > self.trust_radii)
             if np.any(over):
-                dx = dx * float(np.min(self.trust_radii[over] / np.abs(dx[over])))
+                scale = float(np.min(self.trust_radii[over] / np.abs(dx[over])))
+                dx = dx * scale
+                self._last_trust_scale = scale
         return dx, gradient, lam_eq, lam_ineq, working
 
     def _backtrack(self, at, dx):
@@ -454,6 +460,8 @@ class DampedLeastSquares:
             'active_inequalities': self._working.copy(),
             'damping': np.asarray(self.damping, dtype=float).copy(),
             'damping_mode': self.damping_mode,
+            'damping_diagonal': getattr(self, '_last_damping_diagonal', None),
+            'trust_scale': getattr(self, '_last_trust_scale', 1.0),
             'f_next': self.current.cost if f_next is None else f_next,
         }
 
