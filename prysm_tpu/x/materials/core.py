@@ -109,12 +109,18 @@ def _accepts_temperature(func):
 
 
 def _fill(like, value):
-    """value broadcast to the shape (and array-ness) of the query."""
+    """value broadcast to the shape (and array-ness) of the query.
+
+    A dtype-carrying query keeps its dtype; plain Python sequences land
+    in the working precision (config.precision), matching the reference
+    so f32 device pipelines are not silently upcast.
+    """
     if np.isscalar(like):
         return like * 0 + value
     if hasattr(like, 'shape'):
         return np.zeros_like(like) + value
-    return np.full(np.shape(like), value, dtype=np.float64)
+    from ...conf import config
+    return np.full(np.shape(like), value, dtype=np.dtype(config.precision))
 
 
 class _Channel:

@@ -36,10 +36,12 @@ class MaterialData:
 
 
 def _query_dtype(query):
+    """The query's own float dtype, else the working precision."""
     dtype = getattr(query, 'dtype', None)
     if dtype is not None and np.issubdtype(dtype, np.floating):
         return dtype
-    return np.dtype(np.float64)
+    from ...conf import config
+    return np.dtype(config.precision)
 
 
 def _cast_like(values, query):
@@ -158,8 +160,14 @@ def _check_table(wavelengths, n, extras):
         _require(not np.any(k < 0), 'k must be nonnegative')
 
 
+def _working_precision():
+    from ...conf import config
+    return np.dtype(config.precision)
+
+
 def _optional_f64(value):
-    return None if value is None else np.array(value, dtype=np.float64)
+    return (None if value is None
+            else np.array(value, dtype=_working_precision()))
 
 
 class TabulatedMaterial(BaseMaterial):
@@ -171,8 +179,8 @@ class TabulatedMaterial(BaseMaterial):
                  extrapolate=False, method=None, k_zero_policy='raise',
                  **kwargs):
         missing_k = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
-        wavelengths = np.array(wavelengths, dtype=np.float64)
-        n = np.array(n, dtype=np.float64)
+        wavelengths = np.array(wavelengths, dtype=_working_precision())
+        n = np.array(n, dtype=_working_precision())
         k = _optional_f64(k)
         sigma_n = _optional_f64(sigma_n)
         sigma_k = _optional_f64(sigma_k)
@@ -248,7 +256,7 @@ def _orient_grid(grid, n_temps, n_wvls, label, layout):
     """Coerce a 2D sample grid into (temperature, wavelength) layout."""
     if grid is None:
         return None
-    arr = np.array(grid, dtype=np.float64)
+    arr = np.array(grid, dtype=_working_precision())
     if n_temps == n_wvls and arr.shape == (n_temps, n_wvls):
         # square: ambiguous; honor the explicit layout, default (T, w)
         return arr.T if layout == ('wavelength', 'temperature') else arr
@@ -270,8 +278,8 @@ class TemperatureGridMaterial(BaseMaterial):
                  dn_dlambda=None, dn_dT=None, sigma_n=None,
                  extrapolate=False, layout=None, **kwargs):
         missing_k = kwargs.pop('missing_k', 'zero' if k is None else 'raise')
-        wavelengths = np.array(wavelengths, dtype=np.float64)
-        temperatures = np.array(temperatures, dtype=np.float64)
+        wavelengths = np.array(wavelengths, dtype=_working_precision())
+        temperatures = np.array(temperatures, dtype=_working_precision())
         _require(wavelengths.ndim == 1, 'wavelengths must be a 1D array')
         _require(temperatures.ndim == 1, 'temperatures must be a 1D array')
         w_sort = np.argsort(wavelengths)
