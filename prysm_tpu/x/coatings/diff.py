@@ -139,18 +139,24 @@ def thickness_gradient(fwd, dR=None, dT=None, dA=None, dEsq=None):
 
 
 def index_gradient(fwd, dR=None, dT=None, dA=None, dEsq=None):
-    """Gradient of a seeded scalar merit w.r.t. every (real) layer index."""
+    """Gradient of a seeded scalar merit w.r.t. every (real) layer index.
+
+    The derivative is taken in the real part of each layer index; any
+    imaginary (absorbing) component is held fixed at its forward value
+    so lossy layers differentiate at the right point.
+    """
     eta0, eta_sub = fwd.eta0, fwd.eta_sub
     n0 = fwd.n0
     theta0 = fwd.theta0
     wvl = fwd.wvl
     pol = fwd.pol
     d = jnp.asarray(fwd.stack.thicknesses, dtype=config.precision)
+    imag = [jnp.imag(jnp.asarray(n)) for n in fwd.ns]
 
     def scalar_of_n(nvec):
         mats = []
         for j in range(nvec.shape[0]):
-            n = nvec[j]
+            n = nvec[j] + 1j * imag[j]
             cost = _cos_snell(n0, n, theta0)
             beta = (2 * jnp.pi * n * d[j] * cost) / wvl
             eta = _admittance(n, cost, pol)

@@ -40,9 +40,10 @@ class _Term:
         try:
             jnp.broadcast_shapes(self.wvl.shape, self.theta.shape,
                                  self.target.shape, self.weight.shape)
-        except ValueError as exc:
-            raise ValueError('wvl, theta, target, and weight must '
-                             'broadcast against each other') from exc
+        except (ValueError, TypeError) as exc:
+            # jax raises TypeError for rank-matched incompatible shapes
+            raise ValueError('wvl, theta, target, and weight must be '
+                             'broadcast-compatible') from exc
 
     # -- hooks each quantity implements --------------------------------------
 
