@@ -262,11 +262,27 @@ class FirstOrderProperties:
     ep_diameter: float = None
     xp_diameter: float = None
 
+    _ROW_LABELS = (
+        ('wavelength', 'wavelength'), ('n_surfaces', 'surfaces'),
+        ('total_track', 'total track'), ('efl', 'EFL'), ('bfl', 'BFL'),
+        ('ffl', 'FFL'),
+        ('paraxial_image_distance', 'paraxial image distance'),
+        ('epd', 'EPD'), ('fno', 'F/#'), ('na_image', 'NA (image)'),
+        ('ep_z', 'EP z'), ('xp_z', 'XP z'),
+        ('stop_diameter', 'stop diameter'),
+        ('ep_diameter', 'EP diameter'), ('xp_diameter', 'XP diameter'),
+    )
+
     def __repr__(self):
-        """Summary of the non-None fields."""
-        shown = [f'{f.name}={getattr(self, f.name)!r}' for f in fields(self)
-                 if getattr(self, f.name) is not None]
-        return f"FirstOrderProperties({', '.join(shown)})"
+        """Readable report; only the populated rows appear."""
+        rows = []
+        for name, label in self._ROW_LABELS:
+            value = getattr(self, name)
+            if value is None:
+                continue
+            text = f'{value:g}' if isinstance(value, float) else f'{value}'
+            rows.append(f'  {label}: {text}')
+        return 'FirstOrderProperties(\n' + '\n'.join(rows) + '\n)'
 
 
 def _fill_focal_block(summary, surfaces, M, n_obj):
