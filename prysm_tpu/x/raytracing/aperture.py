@@ -190,10 +190,15 @@ class FlatParentSubstrate(Substrate):
     """Flat backing referenced to the parent vertex."""
 
     def back_sag(self, surf, ploty, sag, center=0.0):
-        """Flat plane at the local vertex sag plus the signed thickness."""
+        """Flat plane through the parent vertex plus the signed thickness.
+
+        The parent vertex plane is local z = 0 — for an off-axis segment
+        the nonzero parent sag at the section center is deliberately NOT
+        added, so the back face is normal to the parent axis at the
+        vertex (the machinable datum), matching the reference.
+        """
         sag = np.asarray(sag, dtype=float)
-        vertex = float(np.asarray(surf.sag(np.zeros(1), np.zeros(1)))[0])
-        back = vertex + self._resolved_side(sag) * self.thickness
+        back = self._resolved_side(sag) * self.thickness
         return np.full_like(sag, back)
 
 
@@ -222,10 +227,23 @@ class FlatBackSubstrate(Substrate):
         raise ValueError(f'unknown FlatBackSubstrate reference {ref!r}')
 
     def back_sag(self, surf, ploty, sag, center=0.0):
-        """Plane through the surface tangent at the reference coordinate."""
+        """Plane through the surface tangent at the reference coordinate.
+
+        reference='aperture' anchors at whichever aperture edge sits
+        deepest toward the substrate side, so the flat back clears the
+        whole optical face of an asymmetric (off-axis) part.
+        """
         sag = np.asarray(sag, dtype=float)
         ploty = np.asarray(ploty, dtype=float)
-        y_ref = self._reference_coordinate(ploty)
+        if isinstance(self.reference, str) \
+                and self.reference.lower() == 'aperture':
+            ymax = float(np.nanmax(np.abs(ploty)))
+            cands = np.asarray([ymax, -ymax])
+            z_c = np.asarray(surf.sag(np.zeros(2), cands), dtype=float)
+            side = float(np.sign(self._resolved_side(sag)))
+            y_ref = float(cands[int(np.argmin(side * z_c))])
+        else:
+            y_ref = self._reference_coordinate(ploty)
         probe = np.asarray([y_ref], dtype=float)
         z, n_hat = surf.sag_and_normal(np.zeros_like(probe), probe)
         n_hat = np.asarray(n_hat)
