@@ -116,16 +116,22 @@ def _launch_trace(system, field, wavelength_um, sampling, *, epd, pupil_z,
 
 
 def trace_cell(system, field, wavelength_um, sampling, *, epd=None,
-               pupil_z=None, aim_to=None, kernel=raytrace):
-    """Launch and trace one (field, wavelength) bundle -> TraceRecord."""
+               pupil_z=None, aim_to=None, kernel=raytrace, trace_fn=None):
+    """Launch and trace one (field, wavelength) bundle -> TraceRecord.
+
+    ``trace_fn`` is the reference-parity spelling of ``kernel``.
+    """
+    kernel = trace_fn if trace_fn is not None else kernel
     parts = _launch_trace(system, field, wavelength_um, sampling, epd=epd,
                           pupil_z=pupil_z, aim_to=aim_to, kernel=kernel)
     return TraceRecord(0, 0, field, wavelength_um, *parts)
 
 
 def iter_trace_grid(system, fields, wavelengths, sampling, *,
-                    epd=None, pupil_z=None, aim_to=None, kernel=raytrace):
+                    epd=None, pupil_z=None, aim_to=None, kernel=raytrace,
+                    trace_fn=None):
     """Trace one pupil sampling over every field x wavelength cell."""
+    kernel = trace_fn if trace_fn is not None else kernel
     for i, field in enumerate(_resolve_fields(system, fields)):
         for j, wavelength_um in enumerate(_resolve_wavelengths(system, wavelengths)):
             parts = _launch_trace(system, field, wavelength_um, sampling, epd=epd,
