@@ -192,21 +192,21 @@ class _PlotNamespace:
         return plot_opd_fans(grid, **kwargs)
 
     def field_curvature(self, *, fields=None, wavelength=None,
-                        samples=21, **kwargs):
+                        samples=101, **kwargs):
         """S/T field-curvature plot."""
         from .plotting import plot_field_curvature
         return plot_field_curvature(self._sys, fields, wavelength,
                                     samples=samples, **kwargs)
 
     def distortion(self, *, fields=None, wavelength=None, epd=None,
-                   samples=21, distortion_type='f-tan', **kwargs):
+                   samples=101, distortion_type='f-tan', **kwargs):
         """Percent-distortion plot."""
         from .plotting import plot_distortion
         return plot_distortion(self._sys, fields, wavelength, epd=epd,
                                samples=samples,
                                distortion_type=distortion_type, **kwargs)
 
-    def chromatic_focal_shift(self, *, wavelengths=None, samples=21,
+    def chromatic_focal_shift(self, *, wavelengths=None, samples=101,
                               focus='best', epd=None, **kwargs):
         """Chromatic focal-shift plot."""
         from .plotting import plot_chromatic_focal_shift
@@ -215,7 +215,7 @@ class _PlotNamespace:
                                           epd=epd, **kwargs)
 
     def lateral_color(self, *, fields=None, wavelengths=None, epd=None,
-                      samples=21, **kwargs):
+                      samples=101, **kwargs):
         """Lateral-color plot."""
         from .plotting import plot_lateral_color
         return plot_lateral_color(self._sys, fields, wavelengths,

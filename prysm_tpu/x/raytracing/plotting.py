@@ -261,7 +261,7 @@ def _field_axis_values(fields):
 
 
 def plot_field_curvature(system, fields=None, wavelength=None, *,
-                         samples=21, fig=None, ax=None):
+                         samples=101, fig=None, ax=None):
     """S/T (or X/Y) parabasal focus vs field."""
     from .analysis import field_curvature
     r = field_curvature(system, fields, wavelength, samples=samples)
@@ -275,7 +275,7 @@ def plot_field_curvature(system, fields=None, wavelength=None, *,
 
 
 def plot_distortion(system, fields=None, wavelength=None, *, epd=None,
-                    samples=21, distortion_type='f-tan', fig=None, ax=None):
+                    samples=101, distortion_type='f-tan', fig=None, ax=None):
     """Percent distortion vs field."""
     from .analysis import distortion
     r = distortion(system, fields, wavelength, epd=epd, samples=samples,
@@ -287,7 +287,7 @@ def plot_distortion(system, fields=None, wavelength=None, *, epd=None,
     return fig, ax
 
 
-def plot_chromatic_focal_shift(system, wavelengths=None, *, samples=21,
+def plot_chromatic_focal_shift(system, wavelengths=None, *, samples=101,
                                focus='best', epd=None, fig=None, ax=None):
     """Focus shift vs wavelength."""
     from .analysis import chromatic_focal_shift
@@ -300,7 +300,7 @@ def plot_chromatic_focal_shift(system, wavelengths=None, *, samples=21,
 
 
 def plot_lateral_color(system, fields=None, wavelengths=None, *, epd=None,
-                       samples=21, fig=None, ax=None):
+                       samples=101, fig=None, ax=None):
     """Chief-ray lateral color vs field, referenced to the first column."""
     from .analysis import lateral_color
     from ._trace_grid import _resolve_wavelengths, field_sweep
@@ -309,8 +309,15 @@ def plot_lateral_color(system, fields=None, wavelengths=None, *, epd=None,
     landing = lateral_color(system, fields, wvls, epd=epd)
     h = _field_axis_values(fields)
     fig, ax = share_fig_ax(fig, ax)
+    # one curve per non-reference wavelength; the reference column is the
+    # zero of the differences and would plot as a flat line
+    ref = int(getattr(system, 'reference', 0) or 0)
+    if not 0 <= ref < len(wvls):
+        ref = 0
     for j, w in enumerate(wvls):
-        dy = landing[:, j, 1] - landing[:, 0, 1]
+        if j == ref:
+            continue
+        dy = landing[:, j, 1] - landing[:, ref, 1]
         ax.plot(dy, h, label=f'{w:.4g} um')
     ax.legend()
     ax.set(xlabel='lateral shift', ylabel='field')
@@ -327,7 +334,7 @@ def plot_full_field(grid, *, cmap='viridis', clim=None, colorbar=True,
         im.set_clim(*clim)
     if colorbar:
         fig.colorbar(im, ax=ax, label=f'{grid.metric} [{grid.data_unit}]')
-    ax.set(xlabel=f'hx [{grid.unit}]', ylabel=f'hy [{grid.unit}]')
+    ax.set(xlabel=f'field x [{grid.unit}]', ylabel=f'field y [{grid.unit}]')
     ax.set_aspect('equal')
     return fig, ax
 

@@ -528,6 +528,17 @@ class OpticalSystem:
         self._cache_gen = self.lens._version
         return self
 
+    # reference-parity aliases for the internal cache dictionaries
+    @property
+    def _derived(self):
+        """Derived paraxial/pupil value cache (reference spelling)."""
+        return self._paraxial_cache
+
+    @property
+    def _trace_cache(self):
+        """Traced-grid cache (reference spelling)."""
+        return self._grid_cache
+
     @property
     def epd(self):
         """Equivalent entrance-pupil diameter, or None (no aperture)."""
