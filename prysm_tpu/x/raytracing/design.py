@@ -443,6 +443,14 @@ class WavefrontRMS(_RayMerit):
             opd = opd - opd.mean()
         return float(np.sqrt(np.mean(np.square(opd))))
 
+    def value(self, trace, system, wavelength):
+        """RMS wavefront error of an already-traced bundle.
+
+        The tolerancing layer re-traces a frozen hand bundle and asks
+        the operand to score it directly (reference parity).
+        """
+        return self._rms(self._geometry(trace, system, wavelength))
+
     def __call__(self, system, cache):
         P, S, wvl = self._bundle(system, cache)
         run = cache.trace(P, S, wvl)
