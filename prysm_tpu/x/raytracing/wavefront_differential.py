@@ -85,14 +85,20 @@ def _xp_z_tangents_robust(surfaces, wavelength, seeds, stop_index):
 
 
 def _tangent_maps(lensdata, perturbations, compensators, P, S, wavelength, *,
-                  chief_index, axis_point, axis_dir, P_xp, field, pose_step):
-    """(opd, x_pupil, y_pupil, dW) from the forward-mode tangent engine."""
+                  chief_index, axis_point, axis_dir, P_xp, field, pose_step,
+                  extra_seeds=()):
+    """(opd, x_pupil, y_pupil, dW) from the forward-mode tangent engine.
+
+    Column order: perturbations, then raw extra seeds (surface
+    irregularities etc.), then compensators.
+    """
     from ._diff_raytrace import (
         seeds_from_perturbations,
         wavefront_with_tangents,
     )
 
     seeds = (seeds_from_perturbations(perturbations, pose_step=pose_step)
+             + list(extra_seeds)
              + seeds_from_perturbations(compensators, pose_step=pose_step))
     surfaces = lensdata.to_surfaces()
     P_xp_dot = None
@@ -128,17 +134,27 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
                            chief_index=None, axis_point=None, axis_dir=None,
                            P_xp=None, field=None, fd_step=None,
                            pose_step=1e-6, method='tangent',
-                           rms_reference='chief'):
+                           rms_reference='chief',
+                           extra_seeds=None, extra_steps=None):
     """Build a wavefront-differential model from one launch bundle.
 
     perturbations define the parameter-axis order; compensators are
-    projected out by least squares.  method='tangent' (default) builds
-    every derivative map from one forward-mode AD sweep per column;
+    projected out by least squares.  extra_seeds appends raw DiffSeed
+    tolerance columns (surface irregularities and other effects with no
+    LensData slot) after the perturbations, with extra_steps their
+    per-unit scales.  method='tangent' (default) builds every
+    derivative map from one forward-mode AD sweep per column;
     method='fd' uses central finite differences of the closed wavefront
     (fd_step overrides the half-step, default 1e-6 scaled by nominal).
     """
     perturbations = list(perturbations)
     compensators = list(compensators) if compensators else []
+    extra_seeds = list(extra_seeds) if extra_seeds else []
+    if extra_steps is None:
+        extra_steps = [1.0] * len(extra_seeds)
+    extra_steps = [float(s) for s in extra_steps]
+    if len(extra_steps) != len(extra_seeds):
+        raise ValueError('extra_steps must parallel extra_seeds')
     wavelength = resolve_wavelength(lensdata, wavelength)
     P = np.asarray(P, dtype=_PREC)
     S = np.asarray(S, dtype=_PREC)
@@ -150,10 +166,14 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
         opd0, x_pupil, y_pupil, dW = _tangent_maps(
             lensdata, perturbations, compensators, P, S, wavelength,
             chief_index=chief_index, axis_point=axis_point,
-            axis_dir=axis_dir, P_xp=P_xp, field=field, pose_step=pose_step)
+            axis_dir=axis_dir, P_xp=P_xp, field=field, pose_step=pose_step,
+            extra_seeds=extra_seeds)
         return _assemble_model(
             opd0, dW, x_pupil, y_pupil, perturbations, compensators,
-            comp_rcond=comp_rcond, rms_reference=rms_reference)
+            comp_rcond=comp_rcond, rms_reference=rms_reference,
+            extra_seeds=extra_seeds, extra_steps=extra_steps)
+    if extra_seeds:
+        raise ValueError("extra_seeds require method='tangent'")
     if method != 'fd':
         raise ValueError(f"method must be 'tangent' or 'fd', got {method!r}")
 
@@ -218,7 +238,8 @@ def wavefront_differential(lensdata, perturbations, P, S, wavelength, *,
 
 
 def _assemble_model(opd0, dW, x_pupil, y_pupil, perturbations,
-                    compensators, *, comp_rcond, rms_reference):
+                    compensators, *, comp_rcond, rms_reference,
+                    extra_seeds=(), extra_steps=()):
     """Shared model assembly for the tangent and FD map sources."""
     if rms_reference not in ('chief', 'piston'):
         raise ValueError("rms_reference must be 'chief' or 'piston'")
@@ -231,8 +252,12 @@ def _assemble_model(opd0, dW, x_pupil, y_pupil, perturbations,
     names = [p.name or f'tol{i}' for i, p in enumerate(perturbations)]
     steps = [p.step for p in perturbations]
     variances = [p.variance for p in perturbations]
+    for seed, step in zip(extra_seeds, extra_steps):
+        names.append(seed.name or f'seed{len(names)}')
+        steps.append(float(step))
+        variances.append(float(step) ** 2)
 
-    n_tol = len(perturbations)
+    n_tol = len(perturbations) + len(extra_seeds)
     tol_maps = dW[:, :n_tol]
     if not compensators:
         return WavefrontDifferential(opd, tol_maps, names=names,
