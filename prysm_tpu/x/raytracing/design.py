@@ -451,6 +451,57 @@ class WavefrontRMS(_RayMerit):
         """
         return self._rms(self._geometry(trace, system, wavelength))
 
+    def seed(self, trace, system, wavelength):
+        """(P_bar, S_bar, L_bar) adjoint cotangents of the closed RMS.
+
+        The closing is re-expressed in jnp over the trace histories with
+        the exit-pupil anchor frozen at its nominal location (the chief
+        image point, the reference-sphere curvature, and the per-ray EIC
+        segments all remain live functions of the histories), and one
+        jax.grad supplies exact seeds.
+        """
+        import jax
+        import jax.numpy as jnp
+        from .spencer_and_murty import eic_closing
+
+        closing = self._geometry(trace, system, wavelength)
+        valid = np.asarray(closing.valid)
+        chief = int(closing.chief_index)
+        P_xp = closing.P_xp
+        n_image = float(closing.n_image)
+        piston = self.reference == 'piston'
+        n_valid = float(valid.sum())
+        field = self.field
+        tilt = None
+        if field is not None:
+            ax, ay = field.angle_radians()
+            tilt = (float(np.sin(ax)), float(np.sin(ay)))
+        vmask = jnp.asarray(valid)
+
+        def rms_of(P_hist, S_hist, OPL_hist):
+            C = P_hist[-1][chief]
+            if P_xp is None:
+                kappa = 0.0
+            else:
+                gap = jnp.asarray(P_xp, dtype=P_hist.dtype) - C
+                kappa = 1.0 / jnp.sqrt(jnp.sum(gap * gap))
+            s, _ = eic_closing(P_hist[-1], S_hist[-1], C, kappa)
+            L = OPL_hist.sum(axis=0) + n_image * s
+            opd = L - L[chief]
+            if tilt is not None:
+                launch = P_hist[0]
+                opd = opd + (tilt[0] * (launch[:, 0] - launch[chief, 0])
+                             + tilt[1] * (launch[:, 1] - launch[chief, 1]))
+            opd = jnp.where(vmask, opd, 0.0)
+            if piston:
+                opd = jnp.where(vmask, opd - jnp.sum(opd) / n_valid, 0.0)
+            return jnp.sqrt(jnp.sum(opd * opd) / n_valid)
+
+        grads = jax.grad(rms_of, argnums=(0, 1, 2))(
+            jnp.asarray(trace.P), jnp.asarray(trace.S),
+            jnp.asarray(trace.OPL))
+        return tuple(np.asarray(g) for g in grads)
+
     def __call__(self, system, cache):
         P, S, wvl = self._bundle(system, cache)
         run = cache.trace(P, S, wvl)
