@@ -16,9 +16,9 @@ class _OptNamespace:
         self._sys = system
 
     def vary(self, category, surfaces='all'):
-        """Mark a category of DOFs free over a range of surfaces."""
+        """Mark a category of DOFs free; returns this namespace to chain."""
         self._sys._design.vary(category, surfaces)
-        return self._sys
+        return self
 
     def vary_all(self):
         """Mark every scalar DOF free."""
