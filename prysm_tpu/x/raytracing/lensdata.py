@@ -42,19 +42,34 @@ from .spencer_and_murty import (
 _TO_RAD = math.tau / 360.0
 
 
+def _xp_for(a):
+    """numpy for host scalars, jax.numpy for traced/device angles.
+
+    Keeps the rotation builders backend-pure so tilt DOFs stay on the
+    autodiff tape (the reference's torch-clean requirement, re-expressed
+    for jax tracers; ``lensdata.py:29-58``).
+    """
+    import jax
+    import jax.numpy as jnp
+    return jnp if isinstance(a, (jax.Array, jax.core.Tracer)) else np
+
+
 def _rot_x(a):
-    c, s = np.cos(a), np.sin(a)
-    return np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+    xp = _xp_for(a)
+    c, s = xp.cos(a), xp.sin(a)
+    return xp.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
 
 
 def _rot_y(a):
-    c, s = np.cos(a), np.sin(a)
-    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+    xp = _xp_for(a)
+    c, s = xp.cos(a), xp.sin(a)
+    return xp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
 def _rot_z(a):
-    c, s = np.cos(a), np.sin(a)
-    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    xp = _xp_for(a)
+    c, s = xp.cos(a), xp.sin(a)
+    return xp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
 def R_rh(rz, ry, rx, radians=False):
