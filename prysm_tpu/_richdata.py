@@ -75,12 +75,26 @@ class RichData:
             self._x, self._y = make_xy_grid(self.shape, dx=self.dx)
         return self._x
 
+    @x.setter
+    def x(self, value):
+        """Replace the X grid; derived polar grids invalidate (ref
+        _richdata.py:101-106; lookups here are stateless so there is no
+        interpolator cache to clear)."""
+        self._x = value
+        self._r = self._t = None
+
     @property
     def y(self):
         """Y coordinate grid, lazily built."""
         if self._y is None:
             self._x, self._y = make_xy_grid(self.shape, dx=self.dx)
         return self._y
+
+    @y.setter
+    def y(self, value):
+        """Replace the Y grid; derived polar grids invalidate."""
+        self._y = value
+        self._r = self._t = None
 
     @property
     def r(self):
@@ -89,12 +103,20 @@ class RichData:
             self._r, self._t = cart_to_polar(self.x, self.y)
         return self._r
 
+    @r.setter
+    def r(self, value):
+        self._r = value
+
     @property
     def t(self):
         """Azimuthal coordinate grid, lazily built."""
         if self._t is None:
             self._r, self._t = cart_to_polar(self.x, self.y)
         return self._t
+
+    @t.setter
+    def t(self, value):
+        self._t = value
 
     @property
     def support_x(self):
@@ -161,8 +183,13 @@ class RichData:
                axis_labels=(None, None), zorder=3, fig=None, ax=None):
         """Plot the data as an image with spatial extent (ref _richdata.py:311)."""
         import numpy as np
+        from numbers import Number
         from matplotlib import colors
         from .plotting import share_fig_ax
+        if isinstance(xlim, Number):
+            xlim = (-xlim, xlim)
+        if isinstance(ylim, Number):
+            ylim = (-ylim, ylim)
         fig, ax = share_fig_ax(fig, ax)
         data = np.asarray(self.data)
         if log:

@@ -100,7 +100,13 @@ def mtf_from_psf(psf, dx=None, return_more=False):
 
 
 def ptf_from_psf(psf, dx=None, return_more=False):
-    """PTF = angle of the center-normalized transform of the PSF."""
+    """PTF = angle of the center-normalized transform of the PSF.
+
+    Normalizing BEFORE taking the angle references the phase to the
+    central value with the same wrap placement as the reference
+    (otf.py:107-137); subtracting angles after conversion would wrap
+    differently.
+    """
     normalized, data, df = _normalized_transform(psf, dx)
     rd = RichData(data=jnp.angle(normalized), dx=df, wavelength=None)
     if return_more:
