@@ -69,14 +69,40 @@ class Config:
 
     @precision.setter
     def precision(self, prec):
+        """Accept a bit depth (16/32/64), a dtype-like, or None to reset.
+
+        Mirrors the reference setter's input domain (conf.py:47-76):
+        integers select the float of that width; anything numpy accepts
+        as a real floating dtype passes through; everything else is a
+        ValueError.
+        """
+        import numbers
+
+        import numpy as np
+
         if prec is None:
             self._explicit = None
             return
-        if prec in (32, '32', 'f32', 'float32'):
+        if isinstance(prec, numbers.Integral) and not isinstance(prec, bool):
+            by_depth = {16: jnp.float16, 32: jnp.float32, 64: jnp.float64}
+            if int(prec) not in by_depth:
+                raise ValueError(
+                    'precision bit depth must be one of 16, 32, 64; got '
+                    f'{prec!r}')
+            self._explicit = jnp.dtype(by_depth[int(prec)])
+            return
+        if prec in ('32', 'f32'):
             prec = jnp.float32
-        elif prec in (64, '64', 'f64', 'float64'):
+        elif prec in ('64', 'f64'):
             prec = jnp.float64
-        self._explicit = jnp.dtype(prec)
+        try:
+            dt = jnp.dtype(prec)
+        except TypeError as exc:
+            raise ValueError(f'{prec!r} is not a valid precision') from exc
+        if np.dtype(dt).kind != 'f':
+            raise ValueError(
+                f'precision must be a real floating dtype, got {dt}')
+        self._explicit = dt
 
     @property
     def precision_complex(self):
