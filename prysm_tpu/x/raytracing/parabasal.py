@@ -155,11 +155,52 @@ class ParabasalFirstOrder:
         for name in type(self).__slots__:
             setattr(self, name, None)
 
+    _ROW_LABELS = (
+        ('efl', 'EFL'), ('bfl', 'BFL'), ('ffl', 'FFL'),
+        ('paraxial_image_distance', 'paraxial image distance'),
+        ('paraxial_image_z', 'paraxial image z'),
+        ('fno', 'F/#'), ('na_image', 'NA (image)'),
+        ('ep_z', 'EP z'), ('xp_z', 'XP z'),
+        ('ep_distance', 'EP distance'), ('xp_distance', 'XP distance'),
+        ('stop_diameter', 'stop diameter'),
+        ('ep_diameter', 'EP diameter'), ('xp_diameter', 'XP diameter'),
+    )
+
     def __repr__(self):
-        shown = [f'{n}={getattr(self, n)!r}' for n in type(self).__slots__
-                 if getattr(self, n) is not None and n != 'abcd']
-        return (f'ParabasalFirstOrder (backend: {self.backend}; '
-                + ', '.join(shown) + ')')
+        """Labeled report; paired slots render X/Y section columns.
+
+        Mirrors the reference presentation (parabasal.py:168-170): a
+        title with the backend, scalar metadata rows, then the
+        first-order table -- two columns for the astigmatic sections,
+        one when force_sym collapsed them to scalars.
+        """
+        lines = [f'ParabasalFirstOrder (backend: {self.backend})']
+        meta = (('wavelength', self.wavelength), ('field', self.field),
+                ('surfaces', self.n_surfaces),
+                ('total track', self.total_track),
+                ('stop index', self.stop_index), ('EPD', self.epd),
+                ('n (object)', self.n_object), ('n (image)', self.n_image))
+        for label, value in meta:
+            if value is None:
+                continue
+            text = f'{value:g}' if isinstance(value, float) else f'{value}'
+            lines.append(f'  {label}: {text}')
+        paired = not self.force_sym
+        rows = []
+        for name, label in self._ROW_LABELS:
+            value = getattr(self, name)
+            if value is None:
+                continue
+            if paired:
+                rows.append(f'  {label:<24}{value[0]:>12.6g} '
+                            f'{value[1]:>12.6g}')
+            else:
+                rows.append(f'  {label:<24}{value:>12.6g}')
+        if rows:
+            if paired:
+                lines.append('  ' + ' ' * 22 + f'{"X":>12} {"Y":>12}')
+            lines.extend(rows)
+        return '\n'.join(lines)
 
 
 def _fill_metadata(report, tc, the_field, force_sym):
