@@ -120,7 +120,7 @@ def apply_seeds(surfaces, seeds, eps):
     return out
 
 
-def _trace_fn(surfaces, seeds, P, S, wvl, tol_sag):
+def _trace_fn(surfaces, seeds, P, S, wvl, tol_sag, Pdot0=None, Sdot0=None):
     """f(eps) over the nominal-valid subset of the bundle.
 
     Rays dead at the nominal point (clipped, TIR, missed) are dropped on
@@ -129,6 +129,14 @@ def _trace_fn(surfaces, seeds, P, S, wvl, tol_sag):
     reach reverse mode (0 cotangent times a NaN partial poisons the
     whole bundle otherwise).  Heads therefore see an all-valid bundle,
     which matches the operands' valid-ray statistics.
+
+    Pdot0 / Sdot0 ((N, 3, K)) carry launch-recipe tangents: when the
+    launch bundle itself depends on the seed parameters (an internal
+    stop moves the entrance pupil; an F/#/NA aperture spec rescales the
+    pupil with focal length), the start of each ray becomes
+    P + Pdot0 @ eps so the vjp/jvp picks up the launch term the
+    reference derives through its paraxial launch derivatives
+    (design.py:867).
     """
     P = onp.asarray(P, dtype=float)
     S = onp.asarray(S, dtype=float)
@@ -139,18 +147,31 @@ def _trace_fn(surfaces, seeds, P, S, wvl, tol_sag):
     if not valid.all():
         P = P[valid]
         S = S[valid]
+        if Pdot0 is not None:
+            Pdot0 = onp.asarray(Pdot0, dtype=float)[valid]
+        if Sdot0 is not None:
+            Sdot0 = onp.asarray(Sdot0, dtype=float)[valid]
     P = jnp.asarray(P)
     S = jnp.asarray(S)
+    Pdot0 = None if Pdot0 is None else jnp.asarray(Pdot0)
+    Sdot0 = None if Sdot0 is None else jnp.asarray(Sdot0)
 
     def f(eps):
-        r = raytrace(apply_seeds(surfaces, seeds, eps), P, S, wvl,
+        Pe, Se = P, S
+        if Pdot0 is not None:
+            Pe = Pe + Pdot0 @ eps
+        if Sdot0 is not None:
+            Se = Se + Sdot0 @ eps
+            Se = Se / jnp.linalg.norm(Se, axis=-1, keepdims=True)
+        r = raytrace(apply_seeds(surfaces, seeds, eps), Pe, Se, wvl,
                      tol_sag=tol_sag)
         return r.P, r.S, r.OPL
 
     return f
 
 
-def adjoint_gradient(system, P, S, wvl, seeds, head, *, tol_sag=None):
+def adjoint_gradient(system, P, S, wvl, seeds, head, *, tol_sag=None,
+                     Pdot0=None, Sdot0=None):
     """Gradient of a scalar merit w.r.t. every seed parameter.
 
     One forward trace and one reverse-mode pass (reference
@@ -162,7 +183,8 @@ def adjoint_gradient(system, P, S, wvl, seeds, head, *, tol_sag=None):
     surfaces = _resolve_surfaces(system)
     seeds = list(seeds)
     eps0 = jnp.zeros(len(seeds), dtype=config.precision)
-    f = _trace_fn(surfaces, seeds, P, S, wvl, tol_sag)
+    f = _trace_fn(surfaces, seeds, P, S, wvl, tol_sag, Pdot0=Pdot0,
+                  Sdot0=Sdot0)
 
     seed_meth = getattr(head, 'seed', None)
     if seed_meth is None:
@@ -192,7 +214,7 @@ def adjoint_gradient(system, P, S, wvl, seeds, head, *, tol_sag=None):
 
 
 def adjoint_gradient_multi(system, P, S, wvl, seeds, heads, *,
-                           tol_sag=None):
+                           tol_sag=None, Pdot0=None, Sdot0=None):
     """(grads, values) for several callable heads over one bundle.
 
     One forward trace and one linearization shared by all heads; each
@@ -203,7 +225,8 @@ def adjoint_gradient_multi(system, P, S, wvl, seeds, heads, *,
     seeds = list(seeds)
     heads = list(heads)
     eps0 = jnp.zeros(len(seeds), dtype=config.precision)
-    f = _trace_fn(surfaces, seeds, P, S, wvl, tol_sag)
+    f = _trace_fn(surfaces, seeds, P, S, wvl, tol_sag, Pdot0=Pdot0,
+                  Sdot0=Sdot0)
 
     def g(eps):
         Ph, Sh, L = f(eps)

@@ -50,12 +50,13 @@ class AdjointResult:
 
 
 def multi_objective_sensitivity(system, P, S, wvl, seeds, heads, *,
-                                tol_sag=None):
+                                tol_sag=None, Pdot0=None, Sdot0=None):
     """The M x P adjoint Jacobian: one reverse-mode pass per head.
 
     system: OpticalSystem / LensData / compiled surface list; seeds:
     DiffSeed sequence (column order); heads: callables or seed-protocol
-    merits (row order).  Returns an AdjointResult.
+    merits (row order).  Pdot0/Sdot0 are optional launch-recipe
+    tangents forwarded to the engine.  Returns an AdjointResult.
     """
     seeds = list(seeds)
     heads = list(heads)
@@ -72,13 +73,14 @@ def multi_objective_sensitivity(system, P, S, wvl, seeds, heads, *,
     if callable_rows:
         grads, values = adjoint_gradient_multi(
             system, P, S, wvl, seeds, [heads[m] for m in callable_rows],
-            tol_sag=tol_sag)
+            tol_sag=tol_sag, Pdot0=Pdot0, Sdot0=Sdot0)
         for i, m in enumerate(callable_rows):
             J[m] = grads[i]
             nominals[head_names[m]] = values[i]
     for m in other_rows:
         grad, nominal = adjoint_gradient(system, P, S, wvl, seeds,
-                                         heads[m], tol_sag=tol_sag)
+                                         heads[m], tol_sag=tol_sag,
+                                         Pdot0=Pdot0, Sdot0=Sdot0)
         J[m] = grad
         if nominal is not None:
             nominals[head_names[m]] = nominal

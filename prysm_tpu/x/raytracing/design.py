@@ -514,12 +514,15 @@ class WavefrontRMS(_RayMerit):
                                  P_xp_override=P_xp, ctx=ctx)
         return self._rms(closing)
 
-    def tangent_gradient(self, system, P, S, wvl, seeds):
+    def tangent_gradient(self, system, P, S, wvl, seeds,
+                         Pdot0=None, Sdot0=None):
         """d(rms_wfe)/d(seed) row via the forward-mode tangent engine.
 
         One jvp sweep per seed carries the closing's exit-pupil and
         curvature couplings exactly (paraxial stop motion enters through
         P_xp_dot, as in wavefront_differential's tangent path).
+        Pdot0/Sdot0 add launch-recipe tangents when the bundle itself
+        depends on the seeds (internal stop, F/#-derived pupil).
         """
         from ._diff_raytrace import wavefront_with_tangents
         from .wavefront_differential import _xp_z_tangents_robust
@@ -553,7 +556,8 @@ class WavefrontRMS(_RayMerit):
             P_xp=P_xp, P_xp_dot=P_xp_dot,
             reference_curvature=ref_curv,
             reference_curvature_dot=ref_curv_dot,
-            field=self.field, output='length')
+            field=self.field, output='length',
+            Pdot0=Pdot0, Sdot0=Sdot0)
         if self.reference == 'piston':
             opd = opd - np.mean(opd)
             dW = dW - np.mean(dW, axis=0, keepdims=True)
@@ -797,7 +801,14 @@ class Problem:
 
         self._set_x(x)
         x = np.asarray(x, dtype=float)
-        seeds = self._free_seeds()
+        try:
+            seeds = self._free_seeds()
+        except NotImplementedError:
+            # a free DOF has no seed mapping (vector shape coefficients);
+            # decline so the solver central-differences, as the
+            # reference does (design.py:867)
+            return None
+        launch_dots = self._launch_tangent_table(x, step)
         J = np.zeros((len(self.operands), x.size), dtype=_PREC)
 
         cache = _TraceCache(self.system)  # bundles shared across operands
@@ -807,9 +818,11 @@ class Problem:
             tangent_fn = getattr(op, 'tangent_gradient', None)
             if tangent_fn is not None:
                 P, S, wvl = op._bundle(self.system, cache)
+                Pdot0, Sdot0 = launch_dots.get(i, (None, None))
                 try:
                     row = tangent_fn(self.system, np.asarray(P),
-                                     np.asarray(S), wvl, seeds)
+                                     np.asarray(S), wvl, seeds,
+                                     Pdot0=Pdot0, Sdot0=Sdot0)
                 except (ValueError, NotImplementedError):
                     fd_rows.append(i)
                 else:
@@ -825,15 +838,75 @@ class Problem:
 
         for P, S, wvl, rows in reverse_groups.values():
             heads = [self.operands[i].adjoint_head() for i in rows]
+            Pdot0, Sdot0 = launch_dots.get(rows[0], (None, None))
             res = multi_objective_sensitivity(
                 self.system, np.asarray(P), np.asarray(S), wvl, seeds,
-                heads)
+                heads, Pdot0=Pdot0, Sdot0=Sdot0)
             for m, i in enumerate(rows):
                 J[i] = self.operands[i].weight * res.jacobian[m]
 
         if fd_rows:
             self._fd_fill(J, fd_rows, x, step)
         return J
+
+    def _launch_tangent_table(self, x, step=1e-6):
+        """Per-operand launch tangents (N, 3, K), central-FD of the recipe.
+
+        When the system carries a stop/aperture spec the launch bundle
+        depends on the free vector (the entrance pupil moves with
+        curvatures and gaps; an F/#/NA spec rescales the pupil with
+        focal length).  The reference folds this in through its paraxial
+        launch derivatives (design.py:867); here the recipe itself --
+        paraxial solves, no full trace -- is central-differenced once
+        per DOF and the tangents ride into the jvp/vjp engines.  Recipes
+        whose launch is exactly x-independent map to (None, None).
+        """
+        table = {}
+        memo = {}
+        ray_ops = [(i, op) for i, op in enumerate(self.operands)
+                   if getattr(op, '_bundle', None) is not None
+                   and (getattr(op, 'tangent_gradient', None) is not None
+                        or getattr(op, 'adjoint_head', None) is not None)]
+        if not ray_ops:
+            return table
+        if getattr(self.system, 'stop_index', None) is None and not ray_ops:
+            return table
+        try:
+            for i, op in ray_ops:
+                nominal = op._bundle(self.system, _TraceCache(self.system))
+                if nominal is None:
+                    continue
+                P0 = np.asarray(nominal[0], dtype=float)
+                key = (float(nominal[2]), P0.tobytes())
+                if key in memo:
+                    table[i] = memo[key]
+                    continue
+                n = x.size
+                Pdot = np.zeros(P0.shape + (n,), dtype=_PREC)
+                Sdot = np.zeros_like(Pdot)
+                moved = False
+                for k in range(n):
+                    h = step * max(1.0, abs(x[k]))
+                    probe = x.copy()
+                    probe[k] = x[k] + h
+                    self._set_x(probe)
+                    hi = op._bundle(self.system, _TraceCache(self.system))
+                    probe[k] = x[k] - h
+                    self._set_x(probe)
+                    lo = op._bundle(self.system, _TraceCache(self.system))
+                    dP = (np.asarray(hi[0], dtype=float)
+                          - np.asarray(lo[0], dtype=float)) / (2 * h)
+                    dS = (np.asarray(hi[1], dtype=float)
+                          - np.asarray(lo[1], dtype=float)) / (2 * h)
+                    if dP.any() or dS.any():
+                        moved = True
+                        Pdot[..., k] = dP
+                        Sdot[..., k] = dS
+                memo[key] = (Pdot, Sdot) if moved else (None, None)
+                table[i] = memo[key]
+        finally:
+            self._set_x(x)
+        return table
 
     def _fd_fill(self, J, rows, x, step):
         """Central-difference the given operand rows into J in place."""
