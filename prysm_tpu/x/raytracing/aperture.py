@@ -149,10 +149,14 @@ class Substrate:
         rear = np.asarray(self.back_sag(surf, ploty, sag, center=center),
                           dtype=float)
         if bore <= 0.0:
-            loop_z = np.concatenate([sag, rear[::-1], sag[:1]])
-            loop_y = np.concatenate([ploty, ploty[::-1], ploty[:1]])
+            # reference point order (aperture.py:169-171): face bottom-to-
+            # top, the top rim corner, back top-to-bottom, close at the
+            # face's first point
+            loop_z = np.concatenate([sag, rear[-1:], rear[::-1], sag[:1]])
+            loop_y = np.concatenate([ploty, ploty[-1:], ploty[::-1],
+                                     ploty[:1]])
             return loop_z, loop_y
-        # bored: one closed loop per side of the bore, NaN-separated
+        # bored: one closed loop per side of the bore, each NaN-terminated
         zz, yy = [], []
         for keep in (ploty >= center + bore, ploty <= center - bore):
             ok = keep & np.isfinite(sag) & np.isfinite(rear)
@@ -161,7 +165,7 @@ class Substrate:
             face_z, back_z, side_y = sag[ok], rear[ok], ploty[ok]
             zz += [*face_z, *back_z[::-1], face_z[0], np.nan]
             yy += [*side_y, *side_y[::-1], side_y[0], np.nan]
-        return np.asarray(zz[:-1]), np.asarray(yy[:-1])
+        return np.asarray(zz), np.asarray(yy)
 
     def __repr__(self):
         return f'{type(self).__name__}(thickness={self.thickness:g})'

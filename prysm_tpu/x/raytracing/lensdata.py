@@ -757,8 +757,8 @@ def lens_element_groups(surfaces, *, wvl=0.587,
         if STYPE_REFRACT != surf.typ:
             if open_group:
                 raise ValueError(
-                    'a lens group was cut off before the beam returned to '
-                    'the ambient medium')
+                    'the prescription terminates a lens group before the '
+                    'beam returned to the ambient medium')
             continue
         if surf.material is None:
             raise ValueError('every refracting surface needs a material')
@@ -770,7 +770,8 @@ def lens_element_groups(surfaces, *, wvl=0.587,
             open_group = []
     if open_group:
         raise ValueError(
-            'the final lens group never returns to the ambient medium')
+            'the prescription terminates inside glass: the final lens '
+            'group never returns to the ambient medium')
     return groups
 
 

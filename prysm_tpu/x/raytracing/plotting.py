@@ -43,15 +43,27 @@ def plot_ray_paths(result, *, x='z', y='y', lw=1, ls='-', c='r', alpha=1,
                    zorder=4, fig=None, ax=None):
     """Draw the traced ray paths of a RayTraceResult.
 
-    Invalid rays are dropped; the default view is the classical ZY plot.
+    A failed ray's position history keeps marching past the surface
+    that killed it; the drawn path stops where the ray did.  imag > 0
+    status codes (clip / no convergence) mean the ray reached surface
+    status.real (1-based), so its intersection there is drawn; imag < 0
+    (miss / TIR / evanescent) means it never arrived (reference
+    plotting.py:75-93).  The default view is the classical ZY plot.
     """
     ix, iy = _axis_pair(x, y)
     fig, ax = share_fig_ax(fig, ax)
-    P = np.asarray(result.P)
-    mask = valid_mask(result.status, P[-1])
-    P = np.array(P, copy=True)
-    if mask is not None:
-        P[:, ~np.asarray(mask), :] = np.nan
+    P = np.array(np.asarray(result.P), copy=True)
+    status = getattr(result, 'status', None)
+    if status is not None:
+        status = np.asarray(status)
+        real = status.real.astype(int)
+        imag = status.imag.astype(int)
+        nhist = P.shape[0]
+        last = np.where(imag == 0, nhist - 1,
+                        np.where(imag > 0, real, real - 1))
+        dead = np.arange(nhist)[:, None] > last[None, :]
+        if dead.any():
+            P[dead] = np.nan
     ax.plot(P[..., ix], P[..., iy], lw=lw, ls=ls, c=c, alpha=alpha,
             zorder=zorder)
     ax.set(xlabel=x, ylabel=y)
@@ -91,97 +103,350 @@ def _surface_profile_points(surf, radius, points, inner_radius=0.0):
     return pts + np.asarray(surf.P)
 
 
+def _sag_args(coord, axis):
+    """(x, y) sag arguments for a transverse coordinate on one axis."""
+    zeros = np.zeros_like(np.asarray(coord, dtype=float))
+    if axis == 'x':
+        return np.asarray(coord, dtype=float), zeros
+    return zeros, np.asarray(coord, dtype=float)
+
+
+def _face_to_plot(surf, zz, tt, x_axis, y_axis, draw_axis='y'):
+    """Map local (sag z, transverse t) samples to global plot coords."""
+    zz = np.asarray(zz, dtype=float)
+    tt = np.asarray(tt, dtype=float)
+    if draw_axis == 'x':
+        pts = np.stack([tt, np.zeros_like(tt), zz], axis=1)
+    else:
+        pts = np.stack([np.zeros_like(tt), tt, zz], axis=1)
+    pts = _profile_to_global(surf, pts)
+    ix, iy = _axis_pair(x_axis, y_axis)
+    return pts[:, ix], pts[:, iy]
+
+
+def _extent_inner(surf):
+    """Central bore radius of the drawn extent (0 when none)."""
+    extent = surf.aperture.extent
+    return 0.0 if extent is None else float(
+        getattr(extent, 'inner_radius', 0.0))
+
+
+def _surface_face(surf, points, axis, *, outer_radius, inner_radius=0.0,
+                  center=0.0, max_radius=None):
+    """(sag, ploty, edge_sag) meridional face samples, vertex-z included.
+
+    inner_radius NaN-masks a central bore in sag (edge_sag keeps the
+    unmasked values); max_radius clamps the sag evaluation so a steep
+    surface holds its rim value flat out to the drawn outer radius
+    (reference plotting.py:144-165).
+    """
+    local = np.linspace(-outer_radius, outer_radius, points)
+    ploty = center + local
+    eval_local = (local if max_radius is None
+                  else np.clip(local, -max_radius, max_radius))
+    xpt, ypt = _sag_args(center + eval_local, axis)
+    sag = np.asarray(surf.sag(xpt, ypt), dtype=float) + float(surf.P[2])
+    edge_sag = sag.copy()
+    sag[np.abs(local) < inner_radius] = np.nan
+    return sag, ploty, edge_sag
+
+
+def _reachable_radius(surf, radius, axis, center=0.0, samples=512):
+    """Largest radius (<= radius) where the surface sag is still finite.
+
+    Steep surfaces have no sag past their equator; the caller bridges
+    the remaining annulus to the element OD with a flat edge
+    (reference plotting.py:167-191).
+    """
+    probe = np.linspace(0.0, radius, samples)
+    xpt, ypt = _sag_args(center + probe, axis)
+    with np.errstate(invalid='ignore'):
+        sag = np.asarray(surf.sag(xpt, ypt), dtype=float)
+    bad = ~np.isfinite(sag)
+    if not bad.any():
+        return radius
+    first = int(np.argmax(bad))
+    return float(probe[first - 1]) if first > 0 else 0.0
+
+
+def _wall_step(xs, ys, px, py):
+    if xs and xs[-1] == px and ys[-1] == py:
+        return
+    xs.append(px)
+    ys.append(py)
+
+
+def _rim_wall(x0, x1, outer_y, features, side, endpoint_names):
+    """Rim-wall meridian from x0 to x1, inset by applicable EdgeFeatures.
+
+    Spans are clamped to the wall extent and walked in draw order;
+    square cuts/flats step down-across-up, chamfers ramp directly to
+    the inset depth (reference plotting.py:450-488).
+    """
+    xs, ys = [x0], [outer_y]
+    direction = np.sign(x1 - x0) or 1
+    lo, hi = min(x0, x1), max(x0, x1)
+    spans = []
+    for feature in features:
+        if not feature.applies_to(side):
+            continue
+        start, end, depth = feature.span(x0, x1, endpoint_names)
+        if direction < 0:
+            start, end = end, start
+        start = min(max(start, lo), hi)
+        end = min(max(end, lo), hi)
+        if start == end:
+            continue
+        spans.append((start, end, depth, feature.is_chamfer))
+    spans.sort(key=lambda item: direction * item[0])
+
+    current = x0
+    for start, end, depth, is_chamfer in spans:
+        inset = outer_y + depth if outer_y < 0 else outer_y - depth
+        if direction * (start - current) > 0:
+            _wall_step(xs, ys, start, outer_y)
+        if is_chamfer:
+            _wall_step(xs, ys, end, inset)
+        else:
+            _wall_step(xs, ys, start, inset)
+            _wall_step(xs, ys, end, inset)
+        _wall_step(xs, ys, end, outer_y)
+        current = end
+    _wall_step(xs, ys, x1, outer_y)
+    return xs, ys
+
+
+def _footprint_extent(phist, j, axis, surf=None, center=0.0):
+    """Max |transverse coordinate - center| of finite rays at surface j."""
+    from .spencer_and_murty import transform_to_local_coords
+    p = np.asarray(phist)[j + 1].reshape(-1, 3)
+    if surf is not None:
+        p, _ = transform_to_local_coords(p, surf.P, np.zeros_like(p),
+                                         surf.R)
+        p = np.asarray(p)
+    coord = p[..., 0 if axis == 'x' else 1] - center
+    coord = coord[np.isfinite(coord)]
+    return float(np.abs(coord).max()) if coord.size else 0.0
+
+
+def _warn_unsolved_extent():
+    """Warn once: an auto aperture is drawn from the per-call footprint."""
+    warnings.warn(
+        'drawing a surface whose auto aperture is unsolved or stale; '
+        'sizing it from the per-call ray footprint.  Call '
+        'sys.solve.apertures() to size and persist the drawn extents.',
+        stacklevel=2)
+
+
+def _version_of(system):
+    """The owning LensData edit version (None for a bare list)."""
+    return getattr(getattr(system, 'lens', system), '_version', None)
+
+
+def _drawn_radius_versioned(surf, phist, j, axis, version, center=0.0):
+    """Drawn half-diameter; a stale/unsolved auto extent warns."""
+    ap = surf.aperture
+    extent = ap.extent
+    if extent is not None and not ap.is_stale(version):
+        return float(extent.outer_radius)
+    if ap.clip is not None:
+        return float(ap.drawn_radius())
+    _warn_unsolved_extent()
+    return _footprint_extent(phist, j, axis, surf=surf, center=center)
+
+
+def _stop_marks_path(surf, phist, shist, j, x, y, stem_fraction=0.2):
+    """Aperture-stop T marks in global plot coordinates, or None.
+
+    One T per clear-aperture edge on the drawn meridian: a stem from
+    the edge pointing radially outward normal to the local optical
+    axis, and a shorter crossbar through the edge parallel to it.  The
+    local optical axis is the chief ray direction at the stop, falling
+    back to the surface local z when the trace has no usable
+    directions; the clear radius is the traced ray extent there
+    (reference plotting.py:193-261).
+    """
+    from .spencer_and_murty import transform_to_local_coords
+    axis_slot = 0 if y == 'x' else 1
+    p = np.asarray(phist)[j + 1].reshape(-1, 3)
+    p_loc, _ = transform_to_local_coords(p, surf.P, np.zeros_like(p),
+                                         surf.R)
+    p_loc = np.asarray(p_loc)
+    coord = p_loc[..., axis_slot]
+    if not np.isfinite(coord).any():
+        return None
+    a = max(abs(np.nanmin(coord)), abs(np.nanmax(coord)))
+    if not (np.isfinite(a) and a > 0):
+        return None
+
+    ix, iy = _axis_pair(x, y)
+    rsq = p_loc[..., 0] ** 2 + p_loc[..., 1] ** 2
+    rsq = np.where(np.isfinite(rsq), rsq, np.inf)
+    chief = int(np.argmin(rsq))
+    s = np.asarray(shist)[j + 1].reshape(-1, 3)[chief]
+    t = np.asarray([s[ix], s[iy]], dtype=float)
+    norm = np.hypot(t[0], t[1])
+    if norm == 0 or not np.isfinite(norm):
+        # fall back to the surface local z axis, expressed globally
+        axis = (np.asarray([0.0, 0.0, 1.0]) if surf.R is None
+                else np.asarray(surf.R, dtype=float)[2])
+        t = np.asarray([axis[ix], axis[iy]], dtype=float)
+        norm = np.hypot(t[0], t[1])
+        if norm == 0:
+            return None
+    t = t / norm
+    outward = np.asarray([-t[1], t[0]])
+
+    ploty = np.asarray([-a, a])
+    xpt, ypt = _sag_args(ploty, y)
+    sag = np.asarray(surf.sag(xpt, ypt), dtype=float) + float(surf.P[2])
+    ex, ey = _face_to_plot(surf, sag - float(surf.P[2]), ploty, x, y,
+                           draw_axis=y)
+    cx, cy = float(np.mean(ex)), float(np.mean(ey))
+
+    stem = stem_fraction * a
+    bar = 0.5 * stem
+    xx, yy = [], []
+    for k in range(2):
+        e0, e1 = float(ex[k]), float(ey[k])
+        sign = (1.0 if outward[0] * (e0 - cx) + outward[1] * (e1 - cy) >= 0
+                else -1.0)
+        out = sign * outward
+        xx += [e0 - 0.5 * bar * t[0], e0 + 0.5 * bar * t[0], np.nan,
+               e0, e0 + stem * out[0], np.nan]
+        yy += [e1 - 0.5 * bar * t[1], e1 + 0.5 * bar * t[1], np.nan,
+               e1, e1 + stem * out[1], np.nan]
+    return xx, yy
+
+
 def plot_optics(system, result=None, *, wvl=None, ambient_index=1.0,
                 index_atol=1e-9, points=100, lw=1, ls='-', c='k', alpha=1,
                 zorder=3, x='z', y='y', fig=None, ax=None,
                 stop_index=None):
-    """Draw the optics of a system: surface profiles, glass, stop marks.
+    """Draw the optics of a system as closed element outlines.
 
-    Surfaces draw over their aperture's drawn radius (footprint-sized
-    when auto extents are unsolved; run sys.solve.apertures() to size
-    and persist them); consecutive refracting surfaces of one element
-    connect with edge lines; a bare-plane stop draws edge T-marks.
+    Each surface's Aperture drives the drawing: the drawn extent sizes
+    the optical face, substrates (reflective surfaces) draw the back,
+    and rim features inset the element walls.  Lens elements close with
+    wall segments whose OD is the largest drawn radius in the group;
+    steep surfaces bridge flat from their equator to the OD (with a
+    warning unless capped by their own intentional aperture).  A stop
+    on a bare plane or eval surface marks each clear-aperture edge with
+    a small T; the clear radius comes from the traced rays
+    (reference plotting.py:495-667).
     """
     wvl = resolve_wavelength(system, wvl)
-    ix, iy = _axis_pair(x, y)
+    x, y = x.lower(), y.lower()
     fig, ax = share_fig_ax(fig, ax)
+    ax.set(aspect='equal')
     surfaces = compiled_surfaces(system)
-    phist = None if result is None else result.P
+    phist = None if result is None else np.asarray(result.P)
+    shist = None if result is None else np.asarray(result.S)
+    version = _version_of(system)
     if stop_index is None:
         stop_index = getattr(system, 'stop_index', None)
 
-    profiles = {}
-    for j, surf in enumerate(surfaces):
-        if _is_measurement_surf(surf.typ) and j != len(surfaces) - 1 \
-                and j != stop_index:
-            continue
-        radius = _drawn_radius(surf, phist, j)
-        inner = 0.0
-        extent = surf.aperture.extent
-        if extent is not None:
-            inner = float(getattr(extent, 'inner_radius', 0.0))
-        pts = _surface_profile_points(surf, radius, points, inner)
-        profiles[j] = pts
-        is_stop_plane = (j == stop_index
-                         and surf.typ not in (STYPE_REFLECT, STYPE_REFRACT))
-        if _is_measurement_surf(surf.typ) and not is_stop_plane:
-            ax.plot(pts[:, ix], pts[:, iy], lw=lw, ls='--', c='0.5',
-                    alpha=alpha, zorder=zorder)
-        elif is_stop_plane:
-            _draw_stop_marks(ax, surf, radius, ix, iy, zorder)
-        else:
-            ax.plot(pts[:, ix], pts[:, iy], lw=lw, ls=ls, c=c, alpha=alpha,
-                    zorder=zorder)
-        # mirror substrate back line
-        substrate = surf.aperture.substrate
-        if substrate is not None and surf.typ == STYPE_REFLECT:
-            t = float(getattr(substrate, 'thickness', 0.0))
-            back = pts.copy()
-            back[:, 2] = back[:, 2] + t
-            ax.plot(back[:, ix], back[:, iy], lw=lw, ls=ls, c=c,
-                    alpha=alpha, zorder=zorder)
-            for k in (0, -1):
-                ax.plot([pts[k, ix], back[k, ix]],
-                        [pts[k, iy], back[k, iy]], lw=lw, ls=ls, c=c,
-                        alpha=alpha, zorder=zorder)
+    def stop_marker(j, surf):
+        if phist is None:
+            return
+        marks = _stop_marks_path(surf, phist, shist, j, x, y)
+        if marks is not None:
+            ax.plot(*marks, c=c, lw=lw, ls=ls, alpha=alpha, zorder=zorder)
 
-    # close the lens-element glass outlines
-    try:
-        groups = lens_element_groups(surfaces, wvl=wvl,
-                                     ambient_index=ambient_index,
-                                     index_atol=index_atol)
-    except ValueError:
-        groups = []
-    for group in groups:
-        for a, b in zip(group[:-1], group[1:]):
-            if a not in profiles or b not in profiles:
+    groups = lens_element_groups(surfaces, wvl=wvl,
+                                 ambient_index=ambient_index,
+                                 index_atol=index_atol)
+    group_at = {group[0]: group for group in groups}
+
+    j = 0
+    n = len(surfaces)
+    while j < n:
+        surf = surfaces[j]
+        if surf.typ == STYPE_REFLECT:
+            radius = _drawn_radius_versioned(surf, phist, j, y, version)
+            substrate = surf.aperture.substrate
+            inner = _extent_inner(surf)
+            sag, ploty, edge_sag = _surface_face(
+                surf, points, y, outer_radius=radius, inner_radius=inner)
+            if substrate is None:
+                zz, tt = sag, ploty
+            else:
+                bore = max(inner, float(getattr(substrate, 'bore', 0.0)
+                                        or 0.0))
+                zz, tt = substrate.back_outline(
+                    surf, ploty, sag - float(surf.P[2]), bore=bore)
+                zz = np.asarray(zz, dtype=float) + float(surf.P[2])
+            xx, yy = _face_to_plot(surf, np.asarray(zz) - float(surf.P[2]),
+                                   tt, x, y, draw_axis=y)
+            ax.plot(xx, yy, c=c, lw=lw, ls=ls, alpha=alpha, zorder=zorder)
+            j += 1
+        elif surf.typ == STYPE_REFRACT:
+            if j not in group_at:
+                # an ambient-to-ambient dummy plane belongs to no lens
+                # element; the stop draws its marks, otherwise nothing
+                if j == stop_index:
+                    stop_marker(j, surf)
+                j += 1
                 continue
-            pa = profiles[a]
-            pb = profiles[b]
-            for ka, kb in ((0, 0), (-1, -1)):
-                ax.plot([pa[ka, ix], pb[kb, ix]],
-                        [pa[ka, iy], pb[kb, iy]], lw=lw, ls=ls, c=c,
-                        alpha=alpha, zorder=zorder)
+            group = group_at[j]
+            radii = [_drawn_radius_versioned(surfaces[si], phist, si, y,
+                                             version)
+                     for si in group]
+            od = max(radii)
+
+            faces = []
+            for own, si in zip(radii, group):
+                member = surfaces[si]
+                sag_reach = _reachable_radius(member, od, y)
+                # an intentionally smaller drawn extent caps the optical
+                # zone silently; a surface that cannot reach the OD warns
+                cap = own if own < od * (1.0 - 1e-9) else None
+                draw_r = sag_reach if cap is None else min(sag_reach, cap)
+                if (sag_reach < od * (1.0 - 1e-9)
+                        and (cap is None or sag_reach < cap)):
+                    warnings.warn(
+                        f'surface {si} optical sag only spans radius '
+                        f'{sag_reach:.4g}, short of the element outer '
+                        f'radius {od:.4g}; drawing a flat edge from the '
+                        'surface rim out to the OD', stacklevel=2)
+                faces.append(_surface_face(
+                    member, points, y, outer_radius=od,
+                    inner_radius=_extent_inner(member),
+                    max_radius=draw_r))
+
+            sag1, ploty1, edge1 = faces[0]
+            sag2, ploty2, edge2 = faces[-1]
+            # rim features come from the group's first and last surfaces
+            features = (list(surfaces[group[0]].aperture.features)
+                        + list(surfaces[group[-1]].aperture.features))
+            top_x, top_y = _rim_wall(edge1[-1], edge2[-1], od, features,
+                                     'upper', ('front', 'rear'))
+            bot_x, bot_y = _rim_wall(edge2[0], edge1[0], -od, features,
+                                     'lower', ('rear', 'front'))
+            zz = [*sag1, *top_x[1:], *sag2[::-1], *bot_x[1:]]
+            tt = [*ploty1, *top_y[1:], *ploty2[::-1], *bot_y[1:]]
+            for sag_m, ploty_m, _ in faces[1:-1]:
+                zz.extend([np.nan, *sag_m])
+                tt.extend([np.nan, *ploty_m])
+            # faces carry global z already; walls are drawn in the lab
+            # frame (elements with internal tilts draw per-surface)
+            ix, iy = _axis_pair(x, y)
+            arr = np.stack([np.zeros(len(tt)),
+                            np.asarray(tt, dtype=float),
+                            np.asarray(zz, dtype=float)], axis=1)
+            if y == 'x':
+                arr = arr[:, [1, 0, 2]]
+            ax.plot(arr[:, ix], arr[:, iy], c=c, lw=lw, ls=ls,
+                    alpha=alpha, zorder=zorder)
+            j = group[-1] + 1
+        else:
+            # eval surfaces draw nothing, except stop marks
+            if j == stop_index:
+                stop_marker(j, surf)
+            j += 1
 
     ax.set(xlabel=x, ylabel=y)
-    ax.set_aspect('equal')
     return fig, ax
-
-
-def _draw_stop_marks(ax, surf, radius, ix, iy, zorder):
-    """Edge T-marks for a bare-plane aperture stop."""
-    stem = 0.2 * radius
-    for sign in (1.0, -1.0):
-        edge = np.array([[0.0, sign * radius, 0.0],
-                         [0.0, sign * (radius + stem), 0.0]])
-        bar = np.array([[0.0, sign * radius, -0.5 * stem],
-                        [0.0, sign * radius, 0.5 * stem]])
-        for seg in (edge, bar):
-            pts = seg
-            if surf.R is not None:
-                pts = pts @ np.asarray(surf.R)
-            pts = pts + np.asarray(surf.P)
-            ax.plot(pts[:, ix], pts[:, iy], lw=1.5, c='k', zorder=zorder)
 
 
 def layout(system, *, fields=None, wavelength=None, sampling=None,
@@ -207,8 +472,16 @@ def plot_transverse_ray_aberration(phist, lw=1, ls='-', c='r', alpha=1,
                                    zorder=4, axis='y', chief_index=None,
                                    status=None, reference='chief',
                                    fig=None, ax=None):
-    """Transverse ray-aberration fan plot for one traced bundle."""
+    """Transverse ray-aberration fan plot for one traced bundle.
+
+    Accepts a RayTraceResult (its status masks failed rays) or a bare
+    position history plus an explicit ``status=``.
+    """
     from .analysis import transverse_ray_aberration
+    if status is None and hasattr(phist, 'status'):
+        status = phist.status
+    if hasattr(phist, 'P'):
+        phist = phist.P
     pupil, delta = transverse_ray_aberration(
         phist, axis=axis, chief_index=chief_index, status=status,
         reference=reference)
@@ -221,25 +494,53 @@ def plot_transverse_ray_aberration(phist, lw=1, ls='-', c='r', alpha=1,
 
 
 def plot_wave_aberration_fan(coord, opd, *, wavelength=None, units='waves',
-                             lw=1, ls='-', c='b', alpha=1, zorder=4,
-                             fig=None, ax=None):
-    """Wavefront (OPD) fan plot from pupil coordinates + OPD samples."""
+                             detrend=True, lw=1, ls='-', c='b', alpha=1,
+                             zorder=4, axis='y', label=None, fig=None,
+                             ax=None):
+    """Wavefront (OPD, microns) fan plot from pupil coordinates.
+
+    units 'waves' divides by the (required) wavelength; 'nm' scales by
+    1e3.  detrend subtracts a first-degree (piston + tilt) fit, on by
+    default (reference plotting.py:791-862).
+    """
     coord = np.asarray(coord)
     opd = np.asarray(opd)
-    if units == 'waves' and wavelength is not None:
+    units_l = str(units).lower()
+    if units_l in ('wave', 'waves'):
+        if wavelength is None:
+            raise ValueError('wavelength is required when units="waves"')
         opd = opd / float(wavelength)
+        ylabel = 'OPD [waves]'
+    elif units_l in ('nm', 'nanometer', 'nanometers'):
+        opd = opd * 1e3
+        ylabel = 'OPD [nm]'
+    else:
+        raise ValueError("units must be 'waves' or 'nm'")
+    if detrend:
+        finite = np.isfinite(coord) & np.isfinite(opd)
+        if np.count_nonzero(finite) >= 2:
+            slope, intercept = np.polyfit(coord[finite], opd[finite], 1)
+            opd = opd - (slope * coord + intercept)
     order = np.argsort(coord)
     fig, ax = share_fig_ax(fig, ax)
     ax.plot(coord[order], opd[order], lw=lw, ls=ls, c=c, alpha=alpha,
-            zorder=zorder)
-    ax.set(xlabel='pupil coordinate', ylabel=f'OPD [{units}]')
+            zorder=zorder, label=label)
+    ax.set(xlabel=f'normalized pupil {axis}', ylabel=ylabel)
     return fig, ax
 
 
 def plot_spot_diagram(phist, marker='+', c='k', alpha=1, zorder=4, s=None,
                       status=None, origin=None, fig=None, ax=None):
-    """Image-plane spot diagram for one traced bundle."""
+    """Image-plane spot diagram for one traced bundle.
+
+    Accepts a RayTraceResult (its status masks failed rays) or a bare
+    position history plus an explicit ``status=``.
+    """
     from .analysis import spot_positions
+    if status is None and hasattr(phist, 'status'):
+        status = phist.status
+    if hasattr(phist, 'P'):
+        phist = phist.P
     xs, ys = spot_positions(np.asarray(phist)[-1], status=status,
                             origin=origin)
     fig, ax = share_fig_ax(fig, ax)
@@ -261,14 +562,20 @@ def _field_axis_values(fields):
 
 
 def plot_field_curvature(system, fields=None, wavelength=None, *,
-                         samples=101, fig=None, ax=None):
-    """S/T (or X/Y) parabasal focus vs field."""
+                         samples=101, label=None, fig=None, ax=None):
+    """S/T (or X/Y) parabasal focus vs field.
+
+    ``label`` prefixes the section labels ('d' -> 'd S' / 'd T') so
+    multiple wavelengths can share one axes.
+    """
     from .analysis import field_curvature
     r = field_curvature(system, fields, wavelength, samples=samples)
     h = _field_axis_values(r.fields)
+    prefix = '' if label is None else f'{label} '
     fig, ax = share_fig_ax(fig, ax)
-    ax.plot(r.x_fan_z - r.image_z, h, label=r.labels[0])
-    ax.plot(r.y_fan_z - r.image_z, h, ls='--', label=r.labels[1])
+    ax.plot(r.x_fan_z - r.image_z, h, label=f'{prefix}{r.labels[0]}')
+    ax.plot(r.y_fan_z - r.image_z, h, ls='--',
+            label=f'{prefix}{r.labels[1]}')
     ax.legend()
     ax.set(xlabel=f'focus shift [{r.unit}]', ylabel='field')
     return fig, ax
@@ -288,13 +595,14 @@ def plot_distortion(system, fields=None, wavelength=None, *, epd=None,
 
 
 def plot_chromatic_focal_shift(system, wavelengths=None, *, samples=101,
-                               focus='best', epd=None, fig=None, ax=None):
+                               focus='best', epd=None, label=None,
+                               fig=None, ax=None):
     """Focus shift vs wavelength."""
     from .analysis import chromatic_focal_shift
     w, shift = chromatic_focal_shift(system, wavelengths, samples=samples,
                                      focus=focus, epd=epd)
     fig, ax = share_fig_ax(fig, ax)
-    ax.plot(w, shift)
+    ax.plot(w, shift, label=label)
     ax.set(xlabel='wavelength [um]', ylabel='focus shift')
     return fig, ax
 
@@ -463,15 +771,20 @@ def plot_spot_diagrams(spot_grid, *, ncols=None, colors=None, marker='+',
 
 # ---------- mirror outlines --------------------------------------------------
 
-def _mirror_profile(surf, result, surface_index, points, radius, center):
+def _mirror_profile(surf, result, surface_index, points, radius, center,
+                    axis='y'):
     """(N, 3) global meridional profile of a mirror's optical face.
 
-    Returns (pts, yloc, sag, center) with center resolved to a number
+    Returns (pts, tloc, sag, center) with center resolved to a number
     so callers can reference downstream geometry (bores, back rules) to
-    the same origin as the sampled meridian.
+    the same origin as the sampled meridian.  axis selects the local
+    transverse axis ('y' default) the meridian runs along; a string
+    center ('chief' / 'rays' / 'footprint') re-centers on the bundle.
     """
     phist = None if result is None else result.P
-    if center == 'chief':
+    if isinstance(center, str):
+        if center.lower() not in ('chief', 'rays', 'ray', 'footprint'):
+            raise ValueError(f'unknown drawing center {center!r}')
         if phist is None:
             raise ValueError(
                 "center='chief' needs a trace result to locate the "
@@ -480,17 +793,17 @@ def _mirror_profile(surf, result, surface_index, points, radius, center):
         from .spencer_and_murty import transform_to_local_coords
         loc, _ = transform_to_local_coords(p, surf.P, np.zeros_like(p),
                                            surf.R)
-        yv = np.asarray(loc)[..., 1]
-        yv = yv[np.isfinite(yv)]
-        center = float(yv.mean()) if yv.size else 0.0
+        tv = np.asarray(loc)[..., 0 if axis == 'x' else 1]
+        tv = tv[np.isfinite(tv)]
+        center = float(tv.mean()) if tv.size else 0.0
     center = float(center)
     if radius is None:
         radius = _drawn_radius(surf, phist, surface_index)
-    yloc = np.linspace(center - radius, center + radius, points)
-    xloc = np.zeros_like(yloc)
-    sag = np.asarray(surf.sag(xloc, yloc))
-    pts = np.stack([xloc, yloc, sag], axis=1)
-    return pts, yloc, sag, center
+    tloc = np.linspace(center - radius, center + radius, points)
+    xpt, ypt = _sag_args(tloc, axis)
+    sag = np.asarray(surf.sag(xpt, ypt))
+    pts = np.stack([xpt, ypt, sag], axis=1)
+    return pts, tloc, sag, center
 
 
 def _profile_to_global(surf, pts):
@@ -507,8 +820,13 @@ def mirror_surface_outline(surf, result=None, surface_index=0, *, points=100,
     radius, else the traced ray footprint; center='chief' re-centers the
     profile on the bundle (reference: x/raytracing/plotting.py:334).
     """
-    pts, _, _, _ = _mirror_profile(surf, result, surface_index, points,
-                                   radius, center)
+    pts, tloc, sag, _ = _mirror_profile(surf, result, surface_index,
+                                        points, radius, center,
+                                        axis=y.lower())
+    inner = _extent_inner(surf)
+    if inner > 0.0:
+        pts = pts.copy()
+        pts[np.abs(tloc - float(np.mean(tloc))) < inner, 2] = np.nan
     g = _profile_to_global(surf, pts)
     ix, iy = _axis_pair(x, y)
     return g[:, ix], g[:, iy]
@@ -526,14 +844,25 @@ def mirror_substrate_outline(surf, result=None, surface_index=0, *,
     thickness; None draws the optical face only
     (reference: x/raytracing/plotting.py:374).
     """
-    pts, yloc, sag, center = _mirror_profile(surf, result, surface_index,
-                                             points, radius, center)
+    axis = y.lower()
+    pts, tloc, sag, center = _mirror_profile(surf, result, surface_index,
+                                             points, radius, center,
+                                             axis=axis)
     ix, iy = _axis_pair(x, y)
     if substrate is None:
         g = _profile_to_global(surf, pts)
         return g[:, ix], g[:, iy]
-    zz, yy = substrate.back_outline(surf, yloc, sag, center=center)
-    path = np.stack([np.zeros_like(yy), yy, zz], axis=1)
+    # an annular drawn extent bores the substrate too
+    inner = _extent_inner(surf)
+    bore = max(inner, float(getattr(substrate, 'bore', 0.0) or 0.0))
+    face = np.asarray(sag, dtype=float).copy()
+    face[np.abs(tloc - center) < inner] = np.nan
+    zz, tt = substrate.back_outline(surf, tloc, face, center=center,
+                                    bore=bore)
+    zz = np.asarray(zz, dtype=float)
+    tt = np.asarray(tt, dtype=float)
+    xpt, ypt = _sag_args(tt, axis)
+    path = np.stack([xpt, ypt, zz], axis=1)
     # NaN separators (bored backs) survive the rigid transform
     g = _profile_to_global(surf, path)
     return g[:, ix], g[:, iy]

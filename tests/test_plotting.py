@@ -164,7 +164,7 @@ def test_mirror_outlines_and_plots():
     xb, yb = mirror_substrate_outline(
         m1, res, j, substrate=ParallelSubstrate(8.0, bore=10.0),
         radius=50.0)
-    assert onp.isnan(xb).sum() == 1
+    assert onp.isnan(xb).sum() == 2
     assert (onp.abs(yb[onp.isfinite(yb)]) >= 9.99).all()
     # draw wrappers put one line each on the axes
     fig, ax = plot_mirror_surface(m1, res, j, radius=50.0)
@@ -248,7 +248,7 @@ def test_mirror_substrate_chief_center_forwarded():
     onp.testing.assert_array_equal(xc, xn)
     onp.testing.assert_array_equal(yc, yn)
     # the bore is cut about the chief center, not the vertex
-    assert onp.isnan(xc).sum() == 1
+    assert onp.isnan(xc).sum() == 2
     with _pytest.raises(ValueError, match='chief'):
         mirror_substrate_outline(m1, None, j, substrate=sub,
                                  radius=30.0, center='chief')

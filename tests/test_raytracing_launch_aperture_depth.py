@@ -368,7 +368,7 @@ def test_parallel_substrate_uniform_shell():
         surf, ploty, sag, 0.0)
     zz = _np(zz)
     np.testing.assert_allclose(zz[:5], np.zeros(5))
-    np.testing.assert_allclose(zz[5:10], np.full(5, 2.0))
+    np.testing.assert_allclose(zz[6:11], np.full(5, 2.0))
 
 
 def test_flat_parent_substrate_plane():
@@ -377,7 +377,7 @@ def test_flat_parent_substrate_plane():
     ploty, sag = _front_profile(surf, 5.0)
     zz, _ = FlatParentSubstrate(thickness=2.0, side=1).back_outline(
         surf, ploty, sag, 0.0)
-    np.testing.assert_allclose(_np(zz)[5:10], np.full(5, 2.0))
+    np.testing.assert_allclose(_np(zz)[6:11], np.full(5, 2.0))
 
 
 def test_flat_back_substrate_parallel_to_tangent():
@@ -386,8 +386,8 @@ def test_flat_back_substrate_parallel_to_tangent():
     ploty, sag = _front_profile(surf, 5.0)
     zz, tt = FlatBackSubstrate(thickness=2.0, side=1).back_outline(
         surf, ploty, sag, 0.0)
-    rear_x = _np(zz)[5:10].astype(float)
-    rear_y = _np(tt)[5:10].astype(float)
+    rear_x = _np(zz)[6:11].astype(float)
+    rear_y = _np(tt)[6:11].astype(float)
     slope = np.diff(rear_x) / np.diff(rear_y)
     np.testing.assert_allclose(slope, np.full(4, slope[0]))
     front_lower = float(np.asarray(
@@ -402,7 +402,7 @@ def test_parallel_substrate_auto_side():
     zz, _ = ParallelSubstrate(thickness=2.0).back_outline(
         surf, ploty, sag, 0.0)
     zz = _np(zz)
-    np.testing.assert_allclose(np.abs(zz[5:10] - sag[::-1]), np.full(5, 2.0))
+    np.testing.assert_allclose(np.abs(zz[6:11] - sag[::-1]), np.full(5, 2.0))
 
 
 def test_bored_substrate_two_open_loops():
@@ -413,9 +413,8 @@ def test_bored_substrate_two_open_loops():
     zz = np.asarray(zz, dtype=float)
     tt = np.asarray(tt, dtype=float)
     # NaN separators split the outline into one closed loop per side
-    breaks = np.isnan(zz).sum()
-    n_loops = breaks + 1
-    assert n_loops == 2
+    # each loop is NaN-terminated (reference layout)
+    assert np.isnan(zz).sum() == 2
     finite = np.isfinite(tt)
     assert np.all(np.abs(tt[finite]) >= 3.0 - 1e-9)
 
