@@ -56,3 +56,19 @@ vacuum = _lookup.vacuum
 glass = _lookup.glass
 lookup = _lookup.lookup
 resolve_index = _lookup.resolve_index
+
+__all__ = [
+    'AGFCatalog', 'AGFMaterial', 'AmbiguousMaterialError', 'BaseMaterial',
+    'Catalog', 'CatalogChain', 'CHARMSCoefficientMaterial', 'CHARMSDataset',
+    'CHARMSTableMaterial', 'ConstantMaterial', 'FitReport', 'FittedMaterial',
+    'FormulaMaterial', 'IndexOffsetMaterial', 'IsothermalMaterial', 'MIRROR',
+    'MaterialData', 'MaterialProtocol', 'MaterialRecord',
+    'MaterialRangeError', 'MaterialRegistry', 'MaterialTransform',
+    'MissingKError', 'ProcessVariantMaterial', 'RefractiveIndexCatalog',
+    'RefractiveIndexMaterial', 'StressOpticMaterial', 'TabulatedMaterial',
+    'TemperatureGridMaterial', 'TemperatureSellmeierMaterial',
+    'TemperatureShiftedMaterial', 'ThicknessDependentMaterial', 'air',
+    'charms_germanium', 'charms_silicon', 'default_db_path', 'fit_material',
+    'infrared_catalog', 'from_samples', 'glass', 'load_agf_catalog',
+    'lookup', 'model_glass', 'resolve_index', 'sapphire_ordinary', 'vacuum',
+]
