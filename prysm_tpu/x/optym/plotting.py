@@ -17,9 +17,45 @@ _ALIASES = {
 }
 
 
+class _DictRecord:
+    """Attribute view over a plain-dict convergence record.
+
+    Solver metadata dicts (DLS history entries) carry 'iteration',
+    'cost'/'f', and constraint keys; this adapter lets them share the
+    StepRecord plotting path (reference plotting tests feed both).
+    """
+
+    def __init__(self, data):
+        self._data = dict(data)
+
+    @property
+    def iteration(self):
+        return self._data['iteration']
+
+    @property
+    def f(self):
+        return self._data.get('f', self._data.get('cost'))
+
+    @property
+    def g(self):
+        return self._data.get('g', self._data.get('gradient'))
+
+    @property
+    def x(self):
+        return self._data.get('x')
+
+    x_next = None
+    optimizer = None
+
+    @property
+    def metadata(self):
+        return self._data
+
+
 def _records_of(result_or_records):
     records = getattr(result_or_records, 'records', result_or_records)
-    records = list(records)
+    records = [_DictRecord(r) if isinstance(r, dict) else r
+               for r in records]
     if not records:
         raise ValueError('at least one convergence record is required')
     return records
@@ -37,6 +73,8 @@ def _n_bounded(record, atol, rtol):
     meta = getattr(record, 'metadata', None) or {}
     if 'bounded_variables' in meta:
         return int(meta['bounded_variables'])
+    if 'active_inequalities' in meta:
+        return int(np.asarray(meta['active_inequalities']).size)
     opt = getattr(record, 'optimizer', None)
     lo = np.asarray(getattr(opt, 'l', np.nan), dtype=float)
     hi = np.asarray(getattr(opt, 'u', np.nan), dtype=float)

@@ -14,20 +14,52 @@ def _asx(x):
     return jnp.asarray(x, dtype=float)
 
 
-class SphereProblem(Problem):
-    """Sphere function; global minimum f(0) = 0."""
+class _AutodiffProblem(Problem):
+    """Problem whose derivative hooks are exact jax transforms.
 
-    has_f = True
+    The reference sample problems hand-derive g/fg/h/hvp; here the
+    analytic hooks are jax.grad / value_and_grad / hessian / jvp over
+    the one scalar objective -- exact, and declared through the same
+    has_* protocol the optimizers consult.
+    """
+
+    has_f = has_g = has_fg = has_h = has_hvp = True
+
+    def _g(self, x):
+        import jax
+        return jax.grad(self._f)(_asx(x))
+
+    def _fg(self, x):
+        import jax
+        f, g = jax.value_and_grad(self._f)(_asx(x))
+        return f, g
+
+    def _h(self, x):
+        import jax
+        x = _asx(x)
+        shape = x.shape
+
+        def flat_f(xf):
+            return self._f(xf.reshape(shape))
+
+        return jax.hessian(flat_f)(x.ravel())
+
+    def _hvp(self, x, v):
+        import jax
+        x, v = _asx(x), _asx(v)
+        return jax.jvp(jax.grad(self._f), (x,), (v,))[1]
+
+
+class SphereProblem(_AutodiffProblem):
+    """Sphere function; global minimum f(0) = 0."""
 
     def _f(self, x):
         x = _asx(x)
         return (x * x).sum()
 
 
-class RosenbrockProblem(Problem):
+class RosenbrockProblem(_AutodiffProblem):
     """Rosenbrock function; global minimum f([1, ..., 1]) = 0."""
-
-    has_f = True
 
     def _f(self, x):
         x = _asx(x)
@@ -39,10 +71,8 @@ class RosenbrockProblem(Problem):
         return (100 * diff * diff + offset * offset).sum()
 
 
-class RastriginProblem(Problem):
+class RastriginProblem(_AutodiffProblem):
     """Rastrigin function; global minimum f(0) = 0."""
-
-    has_f = True
 
     def _f(self, x):
         x = _asx(x)
@@ -50,10 +80,8 @@ class RastriginProblem(Problem):
         return 10 * x.size + (x * x - 10 * jnp.cos(arg)).sum()
 
 
-class HimmelblauProblem(Problem):
+class HimmelblauProblem(_AutodiffProblem):
     """Himmelblau's function; one global minimum is f([3, 2]) = 0."""
-
-    has_f = True
 
     def _f(self, x):
         x = _asx(x)
