@@ -454,11 +454,13 @@ class WavefrontRMS(_RayMerit):
     def seed(self, trace, system, wavelength):
         """(P_bar, S_bar, L_bar) adjoint cotangents of the closed RMS.
 
-        The closing is re-expressed in jnp over the trace histories with
-        the exit-pupil anchor frozen at its nominal location (the chief
-        image point, the reference-sphere curvature, and the per-ray EIC
-        segments all remain live functions of the histories), and one
-        jax.grad supplies exact seeds.
+        The closing is re-expressed in jnp over the trace histories and
+        one jax.grad supplies exact seeds.  The exit-pupil anchor stays
+        LIVE when it was resolved geometrically (it is the chief ray's
+        closest approach to the reference axis, a function of the chief
+        final state, so its motion belongs in the cotangent); fixed and
+        paraxial anchors freeze (a user P_xp is constant; a paraxial one
+        depends on the surfaces, not the histories).
         """
         import jax
         import jax.numpy as jnp
@@ -468,6 +470,14 @@ class WavefrontRMS(_RayMerit):
         valid = np.asarray(closing.valid)
         chief = int(closing.chief_index)
         P_xp = closing.P_xp
+        xp_live_axis = None
+        if getattr(closing, 'xp_mode', None) == 'geometric':
+            axis_point = (np.zeros(3) if self.axis_point is None
+                          else np.asarray(self.axis_point, dtype=float))
+            axis_dir = (np.array([0.0, 0.0, 1.0]) if self.axis_dir is None
+                        else np.asarray(self.axis_dir, dtype=float))
+            axis_dir = axis_dir / np.linalg.norm(axis_dir)
+            xp_live_axis = (axis_point, axis_dir)
         n_image = float(closing.n_image)
         piston = self.reference == 'piston'
         n_valid = float(valid.sum())
@@ -483,7 +493,21 @@ class WavefrontRMS(_RayMerit):
             if P_xp is None:
                 kappa = 0.0
             else:
-                gap = jnp.asarray(P_xp, dtype=P_hist.dtype) - C
+                if xp_live_axis is not None:
+                    # geometric anchor: the chief's closest approach to
+                    # the axis, re-derived from the live chief state
+                    a0 = jnp.asarray(xp_live_axis[0], dtype=P_hist.dtype)
+                    u = jnp.asarray(xp_live_axis[1], dtype=P_hist.dtype)
+                    d = S_hist[-1][chief]
+                    sep = C - a0
+                    dd = d @ d
+                    b = d @ u
+                    det = b * b - dd          # u is unit length
+                    s_axis = (b * (d @ sep) - dd * (u @ sep)) / det
+                    anchor = a0 + s_axis * u
+                else:
+                    anchor = jnp.asarray(P_xp, dtype=P_hist.dtype)
+                gap = anchor - C
                 kappa = 1.0 / jnp.sqrt(jnp.sum(gap * gap))
             s, _ = eic_closing(P_hist[-1], S_hist[-1], C, kappa)
             L = OPL_hist.sum(axis=0) + n_image * s
