@@ -31,114 +31,131 @@ def _np(x):
     return np.asarray(x)
 
 
+def aac(actual, desired, **kw):
+    np.testing.assert_allclose(np.asarray(actual, dtype=float), desired,
+                               **kw)
+
+
 # ---------- builders ----------------------------------------------------------
 
+N152 = materials.ConstantMaterial(1.52)
+
+
+def _compile_rows(rows, **sys_kw):
+    """Row-table builder: each row is (positional_args, kwargs)."""
+    spine = LensData()
+    for args, kw in rows:
+        if args == 'break':
+            spine.add_coordbreak(**kw)
+        else:
+            spine.add(*args, **kw)
+    sys_kw.setdefault('wavelengths', [0.55])
+    return OpticalSystem(spine, **sys_kw)
+
+
 def _singlet_system(aperture_radius=None):
-    ld = LensData()
-    ld.add(Sphere(1 / 100.0), thickness=4,
-           material=materials.ConstantMaterial(1.52),
-           aperture=(aperture_radius if aperture_radius is not None
-                     else 12))
-    ld.add(Sphere(-1 / 100.0), thickness=92, material=materials.air,
-           aperture=12)
-    ld.add(Plane(), typ='eval', aperture=30)
-    return OpticalSystem(ld, stop_index=1, wavelengths=[0.55])
+    front_ca = 12 if aperture_radius is None else aperture_radius
+    return _compile_rows([
+        ((Sphere(1 / 100.0),), dict(thickness=4, material=N152,
+                                    aperture=front_ca)),
+        ((Sphere(-1 / 100.0),), dict(thickness=92, material=materials.air,
+                                     aperture=12)),
+        ((Plane(),), dict(typ='eval', aperture=30)),
+    ], stop_index=1)
 
 
 def _parabola_system():
-    ld = LensData()
-    ld.add(Conic(-1 / 400.0, -1.0), thickness=-200, typ='refl',
-           aperture=30)
-    ld.add(Plane(), typ='eval', aperture=5)
-    return OpticalSystem(ld, stop_index=0, wavelengths=[0.55])
+    return _compile_rows([
+        ((Conic(-1 / 400.0, -1.0),), dict(thickness=-200, typ='refl',
+                                          aperture=30)),
+        ((Plane(),), dict(typ='eval', aperture=5)),
+    ], stop_index=0)
 
 
 def _two_mirror_system():
-    ld = LensData()
-    ld.add(Conic(-1 / 400.0, -1.0), thickness=-80, typ='refl',
-           aperture=30)
-    ld.add(Conic(-1 / 150.0, -3.0), thickness=200, typ='refl',
-           aperture=8)
-    ld.add(Plane(), typ='eval', aperture=5)
-    return OpticalSystem(ld, stop_index=0, wavelengths=[0.55])
+    return _compile_rows([
+        ((Conic(-1 / 400.0, -1.0),), dict(thickness=-80, typ='refl',
+                                          aperture=30)),
+        ((Conic(-1 / 150.0, -3.0),), dict(thickness=200, typ='refl',
+                                          aperture=8)),
+        ((Plane(),), dict(typ='eval', aperture=5)),
+    ], stop_index=0)
 
 
 def _finite_conjugate_system():
-    ld = LensData()
-    ld.add(Plane(), thickness=300, typ='eval', aperture=1)
-    ld.add(Sphere(1 / 100.0), thickness=4,
-           material=materials.ConstantMaterial(1.52), aperture=12)
-    ld.add(Sphere(-1 / 100.0), thickness=140, material=materials.air,
-           aperture=12)
-    ld.add(Plane(), typ='eval', aperture=30)
-    return OpticalSystem(ld, stop_index=2, wavelengths=[0.55],
-                         fields=[Field(0, 0, kind='height',
-                                       object_z=0.0)])
+    return _compile_rows([
+        ((Plane(),), dict(thickness=300, typ='eval', aperture=1)),
+        ((Sphere(1 / 100.0),), dict(thickness=4, material=N152,
+                                    aperture=12)),
+        ((Sphere(-1 / 100.0),), dict(thickness=140,
+                                     material=materials.air,
+                                     aperture=12)),
+        ((Plane(),), dict(typ='eval', aperture=30)),
+    ], stop_index=2, fields=[Field(0, 0, kind='height', object_z=0.0)])
 
 
 def _decentered_singlet_system(dy=0.4):
-    ld = LensData()
-    ld.add(Sphere(1 / 100.0), thickness=4,
-           material=materials.ConstantMaterial(1.52), aperture=12)
-    ld.add_coordbreak(decenter=(0.0, dy, 0.0))
-    ld.add(Sphere(-1 / 100.0), thickness=92, material=materials.air,
-           aperture=12)
-    ld.add(Plane(), typ='eval', aperture=30)
-    return OpticalSystem(ld, stop_index=1, wavelengths=[0.55])
+    return _compile_rows([
+        ((Sphere(1 / 100.0),), dict(thickness=4, material=N152,
+                                    aperture=12)),
+        ('break', dict(decenter=(0.0, dy, 0.0))),
+        ((Sphere(-1 / 100.0),), dict(thickness=92,
+                                     material=materials.air,
+                                     aperture=12)),
+        ((Plane(),), dict(typ='eval', aperture=30)),
+    ], stop_index=1)
 
 
 def _assert_pairs_match_ynu(fo_p, fo_y, rtol=1e-9, skip=()):
     assert fo_p.backend == 'parabasal'
-    for name in _PAIR_SLOTS:
-        if name in skip:
+    checked = [s for s in _PAIR_SLOTS if s not in skip]
+    scalar = {s: getattr(fo_y, s) for s in checked}
+    pair = {s: getattr(fo_p, s) for s in checked}
+    nones = {s for s in checked if scalar[s] is None}
+    assert {s for s in checked if pair[s] is None} == nones
+    for s in checked:
+        if s in nones:
             continue
-        vy = getattr(fo_y, name)
-        vp = getattr(fo_p, name)
-        if vy is None:
-            assert vp is None, name
-            continue
-        assert vp is not None, name
-        np.testing.assert_allclose(vp[0], vy, rtol=rtol, atol=1e-9,
-                                   err_msg=f'{name} x section')
-        np.testing.assert_allclose(vp[1], vy, rtol=rtol, atol=1e-9,
-                                   err_msg=f'{name} y section')
+        for section in (0, 1):
+            np.testing.assert_allclose(
+                pair[s][section], scalar[s], rtol=rtol, atol=1e-9,
+                err_msg=f'{s} section {section}')
 
 
 # ---------- _perp_basis: meridional T/S pinning -------------------------------
 
 def test_perp_basis_axial_returns_lab_axes():
-    w = np.array([0.0, 0.0, 1.0])
-    e1, e2 = _perp_basis(w)
-    np.testing.assert_allclose(_np(e1), [1.0, 0.0, 0.0])
-    np.testing.assert_allclose(_np(e2), [0.0, 1.0, 0.0])
+    sag_ax, tan_ax = _perp_basis(np.array([0.0, 0.0, 1.0]))
+    aac(sag_ax, [1.0, 0.0, 0.0])
+    aac(tan_ax, [0.0, 1.0, 0.0])
 
 
 def test_perp_basis_backward_axial_is_right_handed():
-    w = np.array([0.0, 0.0, -1.0])
-    e1, e2 = _perp_basis(w)
-    np.testing.assert_allclose(np.cross(_np(e1), _np(e2)), w, atol=1e-12)
+    look = np.array([0.0, 0.0, -1.0])
+    sag_ax, tan_ax = (_np(v) for v in _perp_basis(look))
+    aac(np.cross(sag_ax, tan_ax), look, atol=1e-12)
 
 
 def test_perp_basis_y_meridian_continuous_both_signs():
-    for s in (0.3, -0.3):
-        w = np.array([0.0, s, np.sqrt(1 - s * s)])
-        e1, e2 = (_np(v) for v in _perp_basis(w))
-        # sagittal axis is +x for the whole y-z meridian
-        np.testing.assert_allclose(e1, [1.0, 0.0, 0.0], atol=1e-12)
-        # tangential axis lies in the meridional plane
-        assert abs(float(e2[0])) < 1e-12
-        np.testing.assert_allclose(np.cross(e1, e2), w, atol=1e-12)
+    for sy in (0.3, -0.3):
+        look = np.array([0.0, sy, np.sqrt(1 - sy * sy)])
+        sag_ax, tan_ax = (_np(v) for v in _perp_basis(look))
+        # sagittal axis pins to +x over the whole y-z meridian
+        aac(sag_ax, [1.0, 0.0, 0.0], atol=1e-12)
+        # tangential axis stays meridional
+        assert abs(float(tan_ax[0])) < 1e-12
+        aac(np.cross(sag_ax, tan_ax), look, atol=1e-12)
 
 
 def test_perp_basis_skew_chief_is_ts_pure():
-    # sagittal vector has no z component for any skew chief
-    w = np.array([0.25, 0.35, 0.0])
-    w[2] = np.sqrt(1 - np.sum(w * w))
-    e1, e2 = (_np(v) for v in _perp_basis(w))
-    assert abs(float(e1[2])) < 1e-12
-    assert abs(float(e1 @ w)) < 1e-12
-    assert abs(float(e2 @ w)) < 1e-12
-    np.testing.assert_allclose(np.cross(e1, e2), w, atol=1e-12)
+    # the sagittal vector has no z component for any skew chief
+    look = np.array([0.25, 0.35, 0.0])
+    look[2] = np.sqrt(1 - look @ look)
+    sag_ax, tan_ax = (_np(v) for v in _perp_basis(look))
+    assert abs(float(sag_ax[2])) < 1e-12
+    for axis in (sag_ax, tan_ax):
+        assert abs(float(axis @ look)) < 1e-12
+    aac(np.cross(sag_ax, tan_ax), look, atol=1e-12)
 
 
 # ---------- launch tangent seeds vs finite differences ------------------------
@@ -149,39 +166,40 @@ def test_launch_tangent_seeds_match_central_differences():
     fld = Field(0, 7.0)
     P0, S0 = (np.asarray(a) for a in
               launch(sys_, fld, 0.55, Sampling.chief()))
-    e1, e2 = (_np(v) for v in _perp_basis(S0[0]))
-    zero = np.zeros(3)
-    Pdot0 = np.stack([e1, e2, zero, zero], axis=-1)[None]
-    Sdot0 = np.stack([zero, zero, e1, e2], axis=-1)[None]
-    seeds = [DiffSeed(name=n) for n in ('dx', 'dy', 'du', 'dv')]
-    res = raytrace_with_tangents(surfs, P0, S0, 0.55, seeds,
-                                 Pdot0=Pdot0, Sdot0=Sdot0)
-    h = 1e-6
-    for col, (dP, dS) in enumerate([(e1, None), (e2, None),
-                                    (None, e1), (None, e2)]):
-        if dP is not None:
-            Pp, Sp, Pm, Sm = P0 + h * dP, S0, P0 - h * dP, S0
+    sag_ax, tan_ax = (_np(v) for v in _perp_basis(S0[0]))
+    none3 = np.zeros(3)
+    start_P = np.stack([sag_ax, tan_ax, none3, none3], axis=-1)[None]
+    start_S = np.stack([none3, none3, sag_ax, tan_ax], axis=-1)[None]
+    columns = [DiffSeed(name=tag) for tag in ('dx', 'dy', 'du', 'dv')]
+    got = raytrace_with_tangents(surfs, P0, S0, 0.55, columns,
+                                 Pdot0=start_P, Sdot0=start_S)
+    step = 1e-6
+
+    def endpoint(P_in, S_in):
+        run = raytrace(surfs, P_in, S_in, 0.55)
+        return _np(run.P)[-1, 0], _np(run.S)[-1, 0]
+
+    plans = [('pos', sag_ax), ('pos', tan_ax),
+             ('dir', sag_ax), ('dir', tan_ax)]
+    for col, (mode, axis) in enumerate(plans):
+        if mode == 'pos':
+            hi = endpoint(P0 + step * axis, S0)
+            lo = endpoint(P0 - step * axis, S0)
         else:
-            Sp = np.cos(h) * S0 + np.sin(h) * dS
-            Sm = np.cos(h) * S0 - np.sin(h) * dS
-            Pp = Pm = P0
-        tp = raytrace(surfs, Pp, Sp, 0.55)
-        tm = raytrace(surfs, Pm, Sm, 0.55)
-        fd_P = (_np(tp.P)[-1, 0] - _np(tm.P)[-1, 0]) / (2 * h)
-        fd_S = (_np(tp.S)[-1, 0] - _np(tm.S)[-1, 0]) / (2 * h)
-        np.testing.assert_allclose(_np(res.Pdot)[-1, 0, :, col], fd_P,
-                                   atol=1e-7)
-        np.testing.assert_allclose(_np(res.Sdot)[-1, 0, :, col], fd_S,
-                                   atol=1e-7)
+            hi = endpoint(P0, np.cos(step) * S0 + np.sin(step) * axis)
+            lo = endpoint(P0, np.cos(step) * S0 - np.sin(step) * axis)
+        for k, slot in enumerate(('Pdot', 'Sdot')):
+            fd = (hi[k] - lo[k]) / (2 * step)
+            aac(_np(getattr(got, slot))[-1, 0, :, col], fd, atol=1e-7)
 
 
 def test_launch_tangent_seeds_shape_validated():
     sys_ = _singlet_system()
     surfs = sys_.to_surfaces()
     P0, S0 = launch(sys_, Field(0, 0), 0.55, Sampling.chief())
-    seeds = [DiffSeed(name='dx')]
     with pytest.raises(ValueError, match='shape'):
-        raytrace_with_tangents(surfs, P0, S0, 0.55, seeds,
+        raytrace_with_tangents(surfs, P0, S0, 0.55,
+                               [DiffSeed(name='dx')],
                                Pdot0=np.zeros((1, 3, 2)))
 
 
@@ -194,8 +212,8 @@ def test_parabasal_matches_ynu_singlet():
     fo_p = first_order(sys_, wavelength=0.55, epd=20, stop_index=1)
     assert isinstance(fo_p, ParabasalFirstOrder)
     _assert_pairs_match_ynu(fo_p, fo_y)
-    assert fo_p.n_object == pytest.approx(fo_y.n_object)
-    assert fo_p.n_image == pytest.approx(fo_y.n_image)
+    for slot in ('n_object', 'n_image'):
+        assert getattr(fo_p, slot) == pytest.approx(getattr(fo_y, slot))
     assert fo_p.abcd.shape == (4, 4)
 
 
@@ -227,12 +245,11 @@ def test_parabasal_finite_conjugate_image_is_conjugate_correct():
     _assert_pairs_match_ynu(
         fo_p, fo_y, skip=('paraxial_image_z', 'paraxial_image_distance'))
     # thin-lens conjugate from the principal planes: 1/i = 1/f - 1/o
-    f = fo_p.efl[1]
-    o = 300.0 + (f - fo_y.ffl)               # object to front principal
-    i = 1.0 / (1.0 / f - 1.0 / o)
-    z_h_rear = (304.0 + fo_y.bfl) - f        # rear principal plane z
-    np.testing.assert_allclose(fo_p.paraxial_image_z[1], z_h_rear + i,
-                               rtol=1e-9)
+    f_y = fo_p.efl[1]
+    obj_to_h = 300.0 + (f_y - fo_y.ffl)      # object to front principal
+    img_from_h = 1.0 / (1.0 / f_y - 1.0 / obj_to_h)
+    rear_h_z = (304.0 + fo_y.bfl) - f_y      # rear principal plane z
+    aac(fo_p.paraxial_image_z[1], rear_h_z + img_from_h, rtol=1e-9)
 
 
 def test_parabasal_force_sym_scalars():
@@ -241,8 +258,8 @@ def test_parabasal_force_sym_scalars():
     fo_y = ynu_first_order(sys_.to_surfaces(), wvl=0.55, epd=20,
                            stop_index=1)
     assert isinstance(fo.efl, float)
-    np.testing.assert_allclose(fo.efl, fo_y.efl, rtol=1e-9)
-    np.testing.assert_allclose(fo.xp_z, fo_y.xp_z, rtol=1e-9)
+    aac(fo.efl, fo_y.efl, rtol=1e-9)
+    aac(fo.xp_z, fo_y.xp_z, rtol=1e-9)
 
 
 def test_parabasal_repr_reports_backend_field_and_sections():
@@ -269,10 +286,10 @@ def test_first_order_bare_surfaces_defaults_to_on_axis():
     sys_ = _singlet_system()
     surfs = sys_.to_surfaces()
     fo = first_order(surfs, wavelength=0.55, epd=20, stop_index=1)
-    assert fo.field.hx == pytest.approx(0.0)
-    assert fo.field.hy == pytest.approx(0.0)
-    fo_y = ynu_first_order(surfs, wvl=0.55, epd=20, stop_index=1)
-    _assert_pairs_match_ynu(fo, fo_y)
+    assert (fo.field.hx, fo.field.hy) == (pytest.approx(0.0),
+                                          pytest.approx(0.0))
+    _assert_pairs_match_ynu(
+        fo, ynu_first_order(surfs, wvl=0.55, epd=20, stop_index=1))
 
 
 def test_system_field_indices_are_authoritative():
@@ -303,12 +320,10 @@ def test_raw_prescription_accepts_tuple_field_literals():
 
     fo = first_order(surfaces, field=(1.0, 2.0), wavelength=0.55,
                      epd=20, stop_index=1)
-    assert fo.field.hx == pytest.approx(1.0)
-    assert fo.field.hy == pytest.approx(2.0)
-
-    x_z, y_z = parabasal_foci(surfaces, (1.0, 2.0), 0.55)
-    assert np.isfinite(x_z)
-    assert np.isfinite(y_z)
+    assert (fo.field.hx, fo.field.hy) == (pytest.approx(1.0),
+                                          pytest.approx(2.0))
+    foci = parabasal_foci(surfaces, (1.0, 2.0), 0.55)
+    assert np.isfinite(foci).all()
 
 
 # ---------- where the YNU walk cannot go --------------------------------------
