@@ -22,48 +22,49 @@ from prysm_tpu.x.raytracing.design import (
     Problem, RayHeightAt, RmsSpotRadius, WavefrontRMS)
 
 
+HALF_GLASS = materials.ConstantMaterial(1.5)
+
+
 def _singlet(c1=1 / 50.0, c2=-1 / 50.0, gap=5.0, back=100.0, shape=Conic,
              aperture=4.0, stop_index=None, finite_object=False,
              ray_aiming='paraxial'):
-    lens = LensData()
-    if finite_object:
-        lens.object_row.thickness = 50.0
-    if shape is Conic:
-        front = Conic(c1, 0.0)
-    else:
-        front = shape(c1, 0.0, coefs=[0.0, 0.0])
-    (lens.add(front, typ='refr', material=materials.ConstantMaterial(1.5),
-              thickness=gap)
-         .add(Conic(c2, 0.0), typ='refr', material=materials.air,
-              thickness=back))
-    return OpticalSystem(lens, aperture=aperture, wavelengths=[0.55],
+    front = (Conic(c1, 0.0) if shape is Conic
+             else shape(c1, 0.0, coefs=[0.0, 0.0]))
+    spine = LensData()
+    spine.object_row.thickness = 50.0 if finite_object else np.inf
+    spine.add(front, typ='refr', material=HALF_GLASS, thickness=gap)
+    spine.add(Conic(c2, 0.0), typ='refr', material=materials.air,
+              thickness=back)
+    return OpticalSystem(spine, aperture=aperture, wavelengths=[0.55],
                          stop_index=stop_index, ray_aiming=ray_aiming)
 
 
+AXIS = Field(0., 0.)
+NINE_FAN = Sampling.fan(n=9)
+
+
 def _two_bundle_problem(sys_, **prob_kwargs):
-    # on-axis launch is invariant to these DOFs
-    f = Field(0., 0.)
-    fan = Sampling.fan(n=9)
-    ops = [RmsSpotRadius(f, 0.55, fan, weight=2.0),
-           RmsSpotRadius(f, 0.55, Sampling.hex(3)),
-           WavefrontRMS(f, 0.55, fan, P_xp=(0., 0., 80.0))]
+    # an on-axis launch is invariant to these DOFs
     prob_kwargs.setdefault('gradient', 'auto')
-    return Problem(sys_, ops, **prob_kwargs)
+    return Problem(sys_, [
+        RmsSpotRadius(AXIS, 0.55, NINE_FAN, weight=2.0),
+        RmsSpotRadius(AXIS, 0.55, Sampling.hex(3)),
+        WavefrontRMS(AXIS, 0.55, NINE_FAN, P_xp=(0., 0., 80.0)),
+    ], **prob_kwargs)
 
 
 def _fd_jacobian(prob, x, step=1e-7):
-    r0 = np.asarray(prob.residuals(x))
-    J = np.empty((r0.size, x.size))
-    for j in range(x.size):
+    def column(j):
         h = step * max(1.0, abs(x[j]))
-        xp = x.copy()
-        xm = x.copy()
-        xp[j] += h
-        xm[j] -= h
-        J[:, j] = (np.asarray(prob.residuals(xp))
-                   - np.asarray(prob.residuals(xm))) / (2 * h)
+        bumped = np.stack([x, x])
+        bumped[0, j] += h
+        bumped[1, j] -= h
+        hi, lo = (np.asarray(prob.residuals(row)) for row in bumped)
+        return (hi - lo) / (2 * h)
+
+    cols = [column(j) for j in range(x.size)]
     prob.residuals(x)
-    return J
+    return np.stack(cols, axis=1)
 
 
 def test_residual_jacobian_matches_fd_mixed_dofs_and_bundles():
@@ -156,11 +157,11 @@ def test_real_iterative_aiming_gradient_matches_relaunch_fd():
 def test_unseedable_operand_rows_fall_back_to_fd():
     sys_ = _singlet()
     sys_.opt.vary('curvature', surfaces=1)
-    f = Field(0., 0.)
-    fan = Sampling.fan(n=5)
-    ops = [RmsSpotRadius(f, 0.55, fan),
-           RayHeightAt(f, 0.55, fan, surface_index=-1, axis=1)]
-    prob = Problem(sys_, ops, gradient='auto')
+    five_fan = Sampling.fan(n=5)
+    prob = Problem(sys_, [
+        RmsSpotRadius(AXIS, 0.55, five_fan),
+        RayHeightAt(AXIS, 0.55, five_fan, surface_index=-1, axis=1),
+    ], gradient='auto')
     x = np.asarray(prob.x0())
     J = prob.residual_jacobian(x)
     if J is not None:
@@ -189,13 +190,12 @@ def test_residual_jacobian_declines_when_gradient_fd():
 
 
 def _clipped_singlet(semidia):
-    lens = LensData()
-    (lens.add(Conic(1 / 50.0, 0.0), typ='refr',
-              material=materials.ConstantMaterial(1.5), thickness=5.0,
-              aperture=semidia)
-         .add(Conic(-1 / 50.0, 0.0), typ='refr', material=materials.air,
-              thickness=95.0))
-    return OpticalSystem(lens, aperture=8.0, wavelengths=[0.55],
+    spine = LensData()
+    spine.add(Conic(1 / 50.0, 0.0), typ='refr', material=HALF_GLASS,
+              thickness=5.0, aperture=semidia)
+    spine.add(Conic(-1 / 50.0, 0.0), typ='refr', material=materials.air,
+              thickness=95.0)
+    return OpticalSystem(spine, aperture=8.0, wavelengths=[0.55],
                          fields=[Field(0., 0.), Field(0., 18.)])
 
 

@@ -25,6 +25,11 @@ from prysm_tpu.x.raytracing.analysis import (
     spot_rms_radius)
 
 
+def aac(actual, desired, **kw):
+    np.testing.assert_allclose(np.asarray(actual, dtype=float), desired,
+                               **kw)
+
+
 def _singlet_system(fields=None, wavelengths=None, ref=1):
     """Sphere/sphere singlet with a stop at the first powered surface."""
     lens = LensData()
@@ -48,27 +53,23 @@ def test_ray_fans_shape_and_indexing():
     sys_ = _singlet_system()
     grid = ray_aberration_fans(sys_, nrays=21)
     assert isinstance(grid, RayFanGrid)
-    nf, nw, npup = grid.x.shape
-    assert nf == len(grid.fields) == 2
-    assert nw == len(grid.wavelengths) == 3
-    assert npup == grid.pupil_x.shape[-1] == 21
-    assert grid.pupil_x.shape == grid.pupil_y.shape == (nf, npup)
-    assert grid.y.shape == grid.x.shape
-    assert grid.unit == 'mm'
-    assert grid.reference == 'chief'
+    shape3 = grid.x.shape
+    assert shape3 == (len(grid.fields), len(grid.wavelengths), 21)
+    assert shape3[:2] == (2, 3)
+    assert grid.pupil_x.shape == grid.pupil_y.shape == (shape3[0], 21)
+    assert grid.y.shape == shape3
+    assert (grid.unit, grid.reference) == ('mm', 'chief')
     # omitting fields/wavelengths pulls them from the OpticalSystem
-    np.testing.assert_allclose(sorted(grid.wavelengths),
-                               sorted([0.4861, 0.5876, 0.6563]))
+    aac(sorted(grid.wavelengths), sorted([0.4861, 0.5876, 0.6563]))
 
 
 def test_ray_fans_pupil_is_per_field_and_normalized():
     sys_ = _singlet_system()
     grid = ray_aberration_fans(sys_, nrays=21)
     # without vignetting the fans span the normalized pupil rim to rim
-    assert grid.pupil_x.min() == pytest.approx(-1.0)
-    assert grid.pupil_x.max() == pytest.approx(1.0)
-    assert grid.pupil_y.min() == pytest.approx(-1.0)
-    assert grid.pupil_y.max() == pytest.approx(1.0)
+    for axis in (grid.pupil_x, grid.pupil_y):
+        assert (axis.min(), axis.max()) == (pytest.approx(-1.0),
+                                            pytest.approx(1.0))
     # one pupil axis per field (vignetting factors are per-field)
     assert grid.pupil_x.shape == (len(grid.fields), 21)
 
@@ -80,11 +81,10 @@ def test_ray_fans_vignetted_field_spans_less_than_unit_pupil():
               Field(0, 3, vignetting={'vuy': 0.3, 'vly': 0.1})]
     sys_ = _singlet_system(fields=fields)
     grid = ray_aberration_fans(sys_, nrays=21)
-    np.testing.assert_allclose(grid.pupil_y[0].max(), 1.0)
-    np.testing.assert_allclose(grid.pupil_y[1].max(), 0.7)
-    np.testing.assert_allclose(grid.pupil_y[1].min(), -0.9)
-    # x is unvignetted for this field
-    np.testing.assert_allclose(grid.pupil_x[1].max(), 1.0)
+    aac(grid.pupil_y[0].max(), 1.0)
+    # vuy=0.3 / vly=0.1 compress the launched fan onto [-0.9, 0.7]
+    aac([grid.pupil_y[1].min(), grid.pupil_y[1].max()], [-0.9, 0.7])
+    aac(grid.pupil_x[1].max(), 1.0)  # x is unvignetted for this field
     # the bundle stays full length: every fan value is finite
     assert np.isfinite(grid.y[1]).all()
 
@@ -93,9 +93,9 @@ def test_ray_fans_chief_reference_is_zero():
     """The pupil-center ray's error is exactly zero under chief reference."""
     sys_ = _singlet_system()
     grid = ray_aberration_fans(sys_, nrays=21, reference='chief')
-    ci = int(np.argmin(np.abs(grid.pupil_x[0])))
-    assert np.nanmax(np.abs(grid.x[:, :, ci])) == 0.0
-    assert np.nanmax(np.abs(grid.y[:, :, ci])) == 0.0
+    center = int(np.argmin(np.abs(grid.pupil_x[0])))
+    for panel in (grid.x, grid.y):
+        assert np.nanmax(np.abs(panel[:, :, center])) == 0.0
 
 
 def test_ray_fans_centroid_reference_runs():
@@ -123,12 +123,11 @@ def test_opd_fans_shape_and_chief_zero():
     grid = opd_fans(sys_, nrays=21)
     assert isinstance(grid, OPDFanGrid)
     assert grid.x.shape == (2, 3, 21)
-    assert grid.unit == 'waves'
-    assert grid.reference == 'chief'
+    assert (grid.unit, grid.reference) == ('waves', 'chief')
     # OPD is chief-referenced: the central ray is ~0 in every panel
-    ci = int(np.argmin(np.abs(grid.pupil_x[0])))
-    assert np.nanmax(np.abs(grid.x[:, :, ci])) < 1e-9
-    assert np.nanmax(np.abs(grid.y[:, :, ci])) < 1e-9
+    center = int(np.argmin(np.abs(grid.pupil_x[0])))
+    for panel in (grid.x, grid.y):
+        assert np.nanmax(np.abs(panel[:, :, center])) < 1e-9
 
 
 # ---------- spot diagrams -----------------------------------------------------
@@ -137,12 +136,10 @@ def test_spot_diagrams_shape_and_validity():
     sys_ = _singlet_system()
     grid = spot_diagrams(sys_, sampling=Sampling.hex(nrings=4))
     assert isinstance(grid, SpotGrid)
-    nf, nw, n = grid.x.shape
-    assert (nf, nw) == (2, 3)
+    assert grid.x.shape[:2] == (2, 3)
     assert grid.valid.shape == grid.x.shape
     assert grid.anchor_xy.shape == (2, 3, 2)
-    assert grid.reference == 'centroid'
-    assert grid.unit == 'mm'
+    assert (grid.unit, grid.reference) == ('mm', 'centroid')
     assert grid.valid.all()
 
 
@@ -161,12 +158,11 @@ def test_spot_rms_matches_manual():
     rms = spot_rms_radius(grid)
     assert rms.shape == (2, 3)
     # recompute centroid-referenced RMS by hand for one panel
-    x = np.asarray(grid.x)[0, 0]
-    y = np.asarray(grid.y)[0, 0]
-    xc = x - np.nanmean(x)
-    yc = y - np.nanmean(y)
-    manual = np.sqrt(np.nanmean(xc * xc + yc * yc))
-    assert rms[0, 0] == pytest.approx(manual)
+    dx, dy = (np.asarray(v)[0, 0] for v in (grid.x, grid.y))
+    dx = dx - np.nanmean(dx)
+    dy = dy - np.nanmean(dy)
+    assert rms[0, 0] == pytest.approx(
+        np.sqrt(np.nanmean(dx * dx + dy * dy)))
 
 
 def test_spot_geometric_radius_ge_rms():
@@ -178,12 +174,12 @@ def test_spot_geometric_radius_ge_rms():
 def test_spot_geometric_radius_matches_manual():
     sys_ = _singlet_system()
     grid = spot_diagrams(sys_, sampling=Sampling.hex(nrings=5))
-    x = np.asarray(grid.x)
-    y = np.asarray(grid.y)
-    xc = x - np.nanmean(x, axis=2, keepdims=True)
-    yc = y - np.nanmean(y, axis=2, keepdims=True)
-    manual = np.sqrt(np.nanmax(xc * xc + yc * yc, axis=2))
-    assert np.array_equal(np.asarray(spot_geometric_radius(grid)), manual)
+    dx, dy = (np.asarray(v) for v in (grid.x, grid.y))
+    dx = dx - np.nanmean(dx, axis=2, keepdims=True)
+    dy = dy - np.nanmean(dy, axis=2, keepdims=True)
+    by_hand = np.sqrt(np.nanmax(dx * dx + dy * dy, axis=2))
+    assert np.array_equal(np.asarray(spot_geometric_radius(grid)),
+                          by_hand)
 
 
 # ---------- plotters ----------------------------------------------------------

@@ -6,7 +6,8 @@ residual tracking, EFL convergence through the constrained DLS,
 mixed shape/gap DOFs, constraint vs objective routing, FD jacobians
 that restore state, and spot reduction under scipy least_squares.
 The reference gates its exact-jacobian path on torch; the repo's
-equivalent is ``gradient='auto'`` via the jax adjoint engines.
+equivalent is ``gradient='auto'`` via the jax adjoint engines.  The
+behaviors are the reference's; the harness is this repo's own.
 """
 import numpy as np
 import pytest
@@ -14,7 +15,7 @@ from scipy import optimize as sciopt
 
 import jax  # NOQA: F401
 
-import prysm_tpu.x.materials as materials
+import prysm_tpu.x.materials as pm
 from prysm_tpu.x.raytracing import (
     FRAUNHOFER_LINES_UM, LensData, OpticalSystem)
 from prysm_tpu.x.raytracing.design import (
@@ -23,138 +24,129 @@ from prysm_tpu.x.raytracing.launch import Sampling
 from prysm_tpu.x.raytracing.paraxial import effective_focal_length
 from prysm_tpu.x.raytracing.surfaces import Conic
 
-n_bk7 = materials.ConstantMaterial(1.5168, name='N-BK7')
+CROWN = pm.ConstantMaterial(1.5168, name='N-BK7')
+C0 = 1 / 102.0
 
 
-def make_singlet(image_gap=95.0):
-    # conics are rows 1 and 2
-    lens = LensData()
-    (lens.add(Conic(1 / 102.0, 0.0), thickness=6.0, material=n_bk7,
+def rig(gap=95.0, *varies):
+    """Biconvex singlet system; conics are rows 1 and 2.
+
+    Each element of varies is ('category', row_selector); the matching
+    DOFs register before the system returns.
+    """
+    spine = LensData()
+    spine.add(Conic(C0, 0.0), thickness=6.0, material=CROWN,
               aperture=12.0)
-         .add(Conic(-1 / 102.0, 0.0), thickness=image_gap,
-              material=materials.air, aperture=12.0))
-    return OpticalSystem(lens, aperture=20.0, fields=[0],
-                         wavelengths=list(FRAUNHOFER_LINES_UM.values()),
-                         reference=1)
+    spine.add(Conic(-C0, 0.0), thickness=gap, material=pm.air,
+              aperture=12.0)
+    built = OpticalSystem(spine, aperture=20.0, fields=[0],
+                          wavelengths=list(FRAUNHOFER_LINES_UM.values()),
+                          reference=1)
+    for category, rows in varies:
+        built.opt.vary(category, surfaces=rows)
+    return built
 
 
-def _fresh_cache(prob):
-    return _TraceCache(prob.system)
+def efl_of(system):
+    return effective_focal_length(system.to_surfaces(),
+                                  wvl=system.wavelength())
 
 
 def test_problem_x0_is_the_packed_free_vector():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=[1, 2])
-    prob = Problem(ld, [EFL(ld.wavelength(), target=100.0)])
-    np.testing.assert_allclose(prob.x0(), [1 / 102.0, -1 / 102.0])
+    sys_ = rig(95.0, ('curvature', [1, 2]))
+    prob = Problem(sys_, [EFL(sys_.wavelength(), target=100.0)])
+    np.testing.assert_allclose(prob.x0(), [C0, -C0])
 
 
 def test_problem_residuals_track_the_free_vector():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=1)
-    wvl = ld.wavelength()
-    target = 100.0
-    prob = Problem(ld, [EFL(wvl, target=target)])
-    r0 = prob.residuals(prob.x0())
+    sys_ = rig(95.0, ('curvature', 1))
+    prob = Problem(sys_, [EFL(sys_.wavelength(), target=100.0)])
     # residual = EFL(current) - target
-    assert r0[0] == pytest.approx(
-        effective_focal_length(ld.to_surfaces(), wvl=wvl) - target)
+    first = float(np.asarray(prob.residuals(prob.x0()))[0])
+    assert first == pytest.approx(efl_of(sys_) - 100.0)
 
 
 def test_lensdata_efl_optimization_converges():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=1)  # one DOF, one operand
-    wvl = ld.wavelength()
-    target = 80.0
-    prob = Problem(ld, constraints=[EFL(wvl, target=target)])
-    res = prob.solve(damping=1e-8, xtol=1e-12, ftol=1e-12,
-                     constraint_tol=1e-12)
-    assert res.success
-    assert effective_focal_length(ld.to_surfaces(), wvl=wvl) == \
-        pytest.approx(target, rel=1e-6)
+    sys_ = rig(95.0, ('curvature', 1))  # one DOF, one operand
+    prob = Problem(sys_, constraints=[EFL(sys_.wavelength(),
+                                          target=80.0)])
+    outcome = prob.solve(damping=1e-8, xtol=1e-12, ftol=1e-12,
+                         constraint_tol=1e-12)
+    assert outcome.success
+    assert efl_of(sys_) == pytest.approx(80.0, rel=1e-6)
 
 
 def test_lensdata_thickness_and_curvature_jointly_varied():
     # the free vector mixes shape and gap DOFs; the optimizer moves both
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=2).vary('thickness', surfaces=1)
-    wvl = ld.wavelength()
-    prob = Problem(ld, constraints=[EFL(wvl, target=90.0)])
-    x0 = prob.x0()
-    assert len(x0) == 2
-    res = prob.solve(x0, damping=1e-8, maxiter=10)
-    assert res.success
-    assert effective_focal_length(ld.to_surfaces(), wvl=wvl) == \
-        pytest.approx(90.0, rel=1e-5)
+    sys_ = rig(95.0, ('curvature', 2), ('thickness', 1))
+    prob = Problem(sys_, constraints=[EFL(sys_.wavelength(),
+                                          target=90.0)])
+    start = prob.x0()
+    assert start.size == 2
+    outcome = prob.solve(start, damping=1e-8, maxiter=10)
+    assert outcome.success
+    assert efl_of(sys_) == pytest.approx(90.0, rel=1e-5)
 
 
 def test_focal_length_constraint_is_not_an_objective_residual():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=1)
-    wvl = ld.wavelength()
-    prob = Problem(ld, constraints=[EFL(wvl, target=90.0)])
-    assert prob.residuals(prob.x0()).size == 0
-    assert prob.equalities(prob.x0()).shape == (1,)
+    sys_ = rig(95.0, ('curvature', 1))
+    prob = Problem(sys_, constraints=[EFL(sys_.wavelength(),
+                                          target=90.0)])
+    start = prob.x0()
+    assert prob.residuals(start).size == 0
+    assert prob.equalities(start).shape == (1,)
 
 
 def test_fd_free_jacobian_matches_numeric_merit_gradient():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=[1, 2])
-    wvl = ld.wavelength()
-    prob = Problem(ld, [EFL(wvl, target=100.0)])
-    x = np.asarray(prob.x0())
-    J = np.asarray(prob.jacobian(x, method='fd', step=1e-7))
+    sys_ = rig(95.0, ('curvature', [1, 2]))
+    prob = Problem(sys_, [EFL(sys_.wavelength(), target=100.0)])
+    at = np.asarray(prob.x0())
+    grad = np.asarray(prob.jacobian(at, method='fd', step=1e-7))
 
-    # independent central-difference reference on the scalar merit
-    ref = np.empty_like(J)
-    for i in range(len(x)):
-        h = 1e-7 * abs(x[i])
-        xp = x.copy()
-        xp[i] += h
-        xm = x.copy()
-        xm[i] -= h
-        ref[i] = (prob.merit(xp) - prob.merit(xm)) / (2 * h)
-    ld.opt.update(x)
-    np.testing.assert_allclose(J, ref, rtol=1e-4)
+    # independent central differences on the scalar merit
+    check = np.empty_like(grad)
+    for k in range(at.size):
+        h = 1e-7 * abs(at[k])
+        up, down = at.copy(), at.copy()
+        up[k] += h
+        down[k] -= h
+        check[k] = (prob.merit(up) - prob.merit(down)) / (2 * h)
+    sys_.opt.update(at)
+    np.testing.assert_allclose(grad, check, rtol=1e-4)
 
 
 def test_jacobian_restores_free_vector():
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=[1, 2])
-    prob = Problem(ld, [EFL(ld.wavelength(), target=100.0)])
-    x0 = np.asarray(prob.x0())
-    prob.jacobian(x0)
-    np.testing.assert_allclose(np.asarray(ld.opt.pack()), x0)
+    sys_ = rig(95.0, ('curvature', [1, 2]))
+    prob = Problem(sys_, [EFL(sys_.wavelength(), target=100.0)])
+    start = np.asarray(prob.x0())
+    prob.jacobian(start)
+    np.testing.assert_allclose(np.asarray(sys_.opt.pack()), start)
 
 
 def test_rms_spot_operand_decreases_under_optimization():
-    ld = make_singlet(image_gap=96.0)
-    wvl = ld.wavelength()
-    op = RmsSpotRadius(ld.field(0), wvl, Sampling.hex(nrings=3))
-    ld.opt.vary('curvature', surfaces=[1, 2])
-    prob = Problem(ld, [op])
-    spot0 = op(ld, _fresh_cache(prob))
-    res = sciopt.least_squares(prob.residuals, prob.x0(), jac='3-point',
+    sys_ = rig(96.0, ('curvature', [1, 2]))
+    op = RmsSpotRadius(sys_.field(0), sys_.wavelength(),
+                       Sampling.hex(nrings=3))
+    prob = Problem(sys_, [op])
+    before = op(sys_, _TraceCache(sys_))
+    fit = sciopt.least_squares(prob.residuals, prob.x0(), jac='3-point',
                                max_nfev=60)
-    ld.opt.update(res.x)
-    spot1 = op(ld, _fresh_cache(prob))
-    assert spot1 <= spot0
+    sys_.opt.update(fit.x)
+    assert op(sys_, _TraceCache(sys_)) <= before
 
 
 def test_exact_residual_jacobian_is_auto_gated():
     """gradient='fd' offers no residual jacobian; 'auto' matches FD."""
-    ld = make_singlet()
-    ld.opt.vary('curvature', surfaces=1)
-    wvl = ld.wavelength()
-    fd_prob = Problem(ld, [EFL(wvl, target=100.0)], gradient='fd')
-    x0 = np.asarray(fd_prob.x0())
-    assert fd_prob.residual_jacobian(x0) is None
+    sys_ = rig(95.0, ('curvature', 1))
+    target = [EFL(sys_.wavelength(), target=100.0)]
+    fd_prob = Problem(sys_, target, gradient='fd')
+    start = np.asarray(fd_prob.x0())
+    assert fd_prob.residual_jacobian(start) is None
 
-    auto_prob = Problem(ld, [EFL(wvl, target=100.0)], gradient='auto')
-    J_auto = np.atleast_2d(np.asarray(auto_prob.residual_jacobian(x0)))
-    h = 1e-7 * abs(x0[0])
-    rp = np.asarray(fd_prob.residuals(x0 + h))
-    rm = np.asarray(fd_prob.residuals(x0 - h))
-    ld.opt.update(x0)
-    np.testing.assert_allclose(J_auto.ravel(), (rp - rm) / (2 * h),
-                               rtol=1e-4)
+    exact = Problem(sys_, target, gradient='auto')
+    J = np.atleast_2d(np.asarray(exact.residual_jacobian(start)))
+    h = 1e-7 * abs(start[0])
+    hi = np.asarray(fd_prob.residuals(start + h))
+    lo = np.asarray(fd_prob.residuals(start - h))
+    sys_.opt.update(start)
+    np.testing.assert_allclose(J.ravel(), (hi - lo) / (2 * h), rtol=1e-4)
