@@ -444,47 +444,47 @@ def test_agf_record_material_class():
 # ---------- refractiveindex.info reader --------------------------------------
 
 _RII_CATALOG = """\
-- SHELF: specs
-  name: specs
+- SHELF: vendor
+  name: vendor
   content:
     - DIVIDER: "schott"
     - BOOK: SCHOTT-optical
       content:
         - PAGE: N-BK7
-          data: schott/N-BK7.yml
-- SHELF: glass
+          data: vendorpages/N-BK7.yml
+- SHELF: generic
   content:
     - BOOK: BK7
       content:
         - PAGE: N-BK7
-          data: bk7book/N-BK7.yml
-- SHELF: main
+          data: genericbook/N-BK7.yml
+- SHELF: oxides
   content:
     - BOOK: SiO2
       content:
         - PAGE: Malitson
-          data: main/SiO2/Malitson.yml
+          data: oxides/SiO2/first.yml
         - PAGE: Other
-          data: main/SiO2/Other.yml
-- SHELF: extra
+          data: oxides/SiO2/second.yml
+- SHELF: composite
   content:
     - BOOK: HYBRID
       content:
         - PAGE: nk
-          data: extra/HYBRID/nk.yml
+          data: composite/HYBRID/nk.yml
 """
 
 _RII_SELLMEIER = ('0 1.03961212 0.00600069867 0.231792344 0.0200179144 '
                   '1.01046945 103.560653')
 
 _RII_FILES = {
-    'schott/N-BK7.yml': f"""\
+    'vendorpages/N-BK7.yml': f"""\
         DATA:
           - type: formula 2
             wavelength_range: 0.3 2.5
             coefficients: {_RII_SELLMEIER}
     """,
-    'bk7book/N-BK7.yml': """\
+    'genericbook/N-BK7.yml': """\
         DATA:
           - type: tabulated n
             data: |
@@ -492,7 +492,7 @@ _RII_FILES = {
               0.6 1.60
               0.8 1.59
     """,
-    'main/SiO2/Malitson.yml': """\
+    'oxides/SiO2/first.yml': """\
         DATA:
           - type: tabulated nk
             data: |
@@ -500,7 +500,7 @@ _RII_FILES = {
               0.5 1.45 0.001
               0.6 1.46 0.002
     """,
-    'main/SiO2/Other.yml': """\
+    'oxides/SiO2/second.yml': """\
         DATA:
           - type: tabulated nk
             data: |
@@ -508,16 +508,16 @@ _RII_FILES = {
               0.6 1.60 0.02
               0.8 1.65 0.03
     """,
-    'extra/HYBRID/nk.yml': f"""\
+    'composite/HYBRID/nk.yml': f"""\
         DATA:
           - type: formula 2
             wavelength_range: 0.3 2.5
             coefficients: {_RII_SELLMEIER}
           - type: tabulated k
             data: |
-              0.3 0.1
-              1.0 0.2
-              2.5 0.3
+              0.3 0.15
+              1.0 0.25
+              2.5 0.35
     """,
 }
 
@@ -595,7 +595,7 @@ def test_rii_formula_n_with_tabulated_k_stays_analytic(rii_catalog):
     assert isinstance(m, FormulaMaterial)
     assert float(m.n(0.5875618)) == pytest.approx(1.5168000345005885,
                                                   rel=1e-9)
-    assert float(m.k(0.65)) == pytest.approx(0.15)
+    assert float(m.k(0.65)) == pytest.approx(0.20)
 
 
 def test_rii_single_sample_page_is_constant():

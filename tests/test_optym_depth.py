@@ -329,28 +329,30 @@ def test_step_record_aliases_inputs():
 
 # ---------- Problem adapter --------------------------------------------------
 
-class FGOnly(Problem):
-    has_fg = True
+def _half_quadratic(x):
+    return float(0.5 * np.sum(x * x))
 
-    def __init__(self):
-        self.calls = 0
+
+class FGOnly(Problem):
+    """Counts joint fg evaluations of the half-quadratic."""
+
+    has_fg = True
+    calls = 0
 
     def _fg(self, x):
         self.calls += 1
-        return float(0.5 * np.sum(x * x)), x
+        return _half_quadratic(x), x
 
 
 class SeparateFG(Problem):
-    has_f = True
-    has_g = True
+    """Counts split f and g evaluations of the half-quadratic."""
 
-    def __init__(self):
-        self.f_calls = 0
-        self.g_calls = 0
+    has_f = has_g = True
+    f_calls = g_calls = 0
 
     def _f(self, x):
         self.f_calls += 1
-        return float(0.5 * np.sum(x * x))
+        return _half_quadratic(x)
 
     def _g(self, x):
         self.g_calls += 1
@@ -363,8 +365,7 @@ class FOnly(Problem):
     def __init__(self, fd_method='central'):
         super().__init__(fd_method=fd_method)
 
-    def _f(self, x):
-        return float(0.5 * np.sum(x * x))
+    _f = staticmethod(_half_quadratic)
 
 
 class GOnly(Problem):

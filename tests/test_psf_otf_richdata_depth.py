@@ -274,10 +274,15 @@ def test_slices_various_interped_profiles_function():
         assert np.isfinite(_np(vals)).all()
 
 
+def _ramp_rd(n, dx, wavelength, start=0):
+    ramp = np.arange(start, start + n * n, dtype=float).reshape(n, n)
+    return rdata.RichData(ramp, dx, wavelength)
+
+
 def test_plot2d_applies_limits_and_color_limits():
-    data = np.arange(100, dtype=float).reshape(10, 10)
-    rd = rdata.RichData(data, 0.5, 1.0)
-    fig, ax = rd.plot2d(xlim=1, ylim=1, clim=(10, 90))
+    fig, ax = _ramp_rd(10, 0.5, 1.0).plot2d(xlim=1, ylim=1,
+                                            clim=(10, 90))
+    # scalar limits expand symmetrically; clim passes through
     assert ax.get_xlim() == pytest.approx((-1, 1))
     assert ax.get_ylim() == pytest.approx((-1, 1))
     assert ax.images[0].get_clim() == (10, 90)
@@ -285,18 +290,14 @@ def test_plot2d_applies_limits_and_color_limits():
 
 
 def test_plot2d_log_uses_log_normalization():
-    data = np.arange(1, 101, dtype=float).reshape(10, 10)
-    rd = rdata.RichData(data, 1.0, 1.0)
-    fig, ax = rd.plot2d(log=True)
-    assert ax.images[0].norm.__class__.__name__ == 'LogNorm'
+    fig, ax = _ramp_rd(10, 1.0, 1.0, start=1).plot2d(log=True)
+    assert type(ax.images[0].norm).__name__ == 'LogNorm'
     plt.close(fig)
 
 
 def test_slice_plot_selects_requested_slice_and_inverts_x():
-    data = np.arange(121, dtype=float).reshape(11, 11)
-    rd = rdata.RichData(data, 1.0, None)
-    slc = rd.slices(twosided=True)
-    fig, ax = slc.plot(slices='x', show_legend=True, invert_x=True)
+    cuts = _ramp_rd(11, 1.0, None).slices(twosided=True)
+    fig, ax = cuts.plot(slices='x', show_legend=True, invert_x=True)
     assert len(ax.lines) == 1
     assert ax.xaxis_inverted()
     assert ax.get_legend() is not None

@@ -93,18 +93,12 @@ class RawSeed:
 
 
 def _all_seeds():
-    return [
-        seed_curvature(0),
-        seed_conic(0),
-        seed_curvature(1),
-        seed_conic(1),
-        seed_despace([(1, +1)]),
-        seed_despace([(1, +1), (2, +1)]),   # thickness fan-out
-        seed_decenter(1, 'x'),
-        seed_decenter(1, 'y'),
-        seed_tilt(1, 'x'),
-        seed_index(0),
-    ]
+    shape_cols = [fn(j) for j in (0, 1)
+                  for fn in (seed_curvature, seed_conic)]
+    gap_cols = [seed_despace([(1, +1)]),
+                seed_despace([(1, +1), (2, +1)])]  # thickness fan-out
+    pose_cols = [seed_decenter(1, ax) for ax in 'xy'] + [seed_tilt(1, 'x')]
+    return shape_cols + gap_cols + pose_cols + [seed_index(0)]
 
 
 # ---------- backward sweep vs forward mode -------------------------------------
@@ -115,17 +109,14 @@ def test_backward_sweep_matches_forward_mode():
     seeds = _all_seeds()
 
     res = raytrace_with_tangents(surfaces, P, S, WVL, seeds)
-    trace = res.trace
-    valid = _np(valid_mask(trace.status, trace.P[-1]))
+    valid = _np(valid_mask(res.trace.status, res.trace.P[-1]))
 
-    rng = np.random.default_rng(7)
+    draw = np.random.default_rng(7)
     n = P.shape[0]
-    P_bar = rng.standard_normal((n, 3))
-    S_bar = rng.standard_normal((n, 3))
-    L_bar = rng.standard_normal(n)
-    P_bar[~valid] = 0.0
-    S_bar[~valid] = 0.0
-    L_bar[~valid] = 0.0
+    P_bar, S_bar = draw.standard_normal((2, n, 3))
+    L_bar = draw.standard_normal(n)
+    for bar in (P_bar, S_bar, L_bar):
+        bar[~valid] = 0.0  # dead lanes carry no cotangent
 
     Pdot = _np(res.Pdot)[-1][valid]
     Sdot = _np(res.Sdot)[-1][valid]
@@ -219,13 +210,13 @@ SEEDS_AND_OVERRIDES = [
 
 
 def _fd_grad(merit_fn, P, S):
-    grad = np.empty(len(SEEDS_AND_OVERRIDES))
-    for p, (_, key, h) in enumerate(SEEDS_AND_OVERRIDES):
-        base = BASE[key]
-        mp = merit_fn(make_system(**{key: base + h}), P, S)
-        mm = merit_fn(make_system(**{key: base - h}), P, S)
-        grad[p] = (mp - mm) / (2 * h)
-    return grad
+    def central(key, h):
+        sides = [merit_fn(make_system(**{key: BASE[key] + sign * h}),
+                          P, S) for sign in (+1, -1)]
+        return (sides[0] - sides[1]) / (2 * h)
+
+    return np.asarray([central(key, h)
+                       for _, key, h in SEEDS_AND_OVERRIDES])
 
 
 def _seeds():
@@ -260,57 +251,53 @@ def test_wfe_vs_fd():
     P, S = ray_bundle()
     grad_adj, _ = adjoint_gradient(make_system(), P, S, WVL, _seeds(),
                                    WavefrontRMS())
-    grad_fd = _fd_grad(_merit_wfe, P, S)
-    np.testing.assert_allclose(grad_adj, grad_fd, rtol=2e-5, atol=1e-9)
+    np.testing.assert_allclose(grad_adj, _fd_grad(_merit_wfe, P, S),
+                               rtol=2e-5, atol=1e-9)
 
 
 # ---------- the Merit contract --------------------------------------------------
 
 def test_seeded_merits_are_merits():
-    for merit in (RmsSpotRadius(), WavefrontRMS()):
-        assert isinstance(merit, Merit)
-        assert merit.has_value
-        assert merit.seedable
+    for head in (RmsSpotRadius(), WavefrontRMS()):
+        assert isinstance(head, Merit)
+        assert head.has_value and head.seedable
 
 
 def test_distortion_is_optimizer_only():
     # a bare landing coordinate is not a usable figure of merit without
     # a target; distortion stays optimizer-only
-    d = Distortion(field=None, wavelength=WVL, epd=10.0)
-    assert isinstance(d, Merit)
-    assert not d.seedable
-    assert not d.has_value
+    landing = Distortion(field=None, wavelength=WVL, epd=10.0)
+    assert isinstance(landing, Merit)
+    assert not (landing.seedable or landing.has_value)
 
 
 def test_merit_base_stubs_raise():
-    bare = Merit()
-    assert not bare.has_value
-    assert not bare.seedable
-    with pytest.raises(NotImplementedError):
-        bare.value(None, None, None)
-    with pytest.raises(NotImplementedError):
-        bare.seed(None, None, None)
-    with pytest.raises(NotImplementedError):
-        bare(None, None)
+    stub = Merit()
+    assert not (stub.has_value or stub.seedable)
+    for poke in (lambda: stub.value(None, None, None),
+                 lambda: stub.seed(None, None, None),
+                 lambda: stub(None, None)):
+        with pytest.raises(NotImplementedError):
+            poke()
 
 
 def test_value_only_merit_flags():
-    class ValueOnly(Merit):
-        name = 'value_only'
+    class TracedConstant(Merit):
+        name = 'traced_constant'
 
         def value(self, trace, prescription, wavelength):
             return 1.0
 
-    m = ValueOnly()
-    assert m.has_value
-    assert not m.seedable
+    assert TracedConstant().has_value
+    assert not TracedConstant().seedable
 
 
 def test_spot_value_matches_rms_spot_radius():
     P, S = ray_bundle()
-    sys_ = make_system()
-    tr = raytrace(sys_, P, S, WVL)
-    val = RmsSpotRadius().value(tr, sys_, WVL)
-    assert np.isclose(val, float(rms_spot_radius(_np(tr.P)[-1],
-                                                 status=_np(tr.status))))
-    assert np.isclose(val, _merit_spot(sys_, P, S))
+    path = make_system()
+    run = raytrace(path, P, S, WVL)
+    from_head = RmsSpotRadius().value(run, path, WVL)
+    from_stat = float(rms_spot_radius(_np(run.P)[-1],
+                                      status=_np(run.status)))
+    assert np.isclose(from_head, from_stat)
+    assert np.isclose(from_head, _merit_spot(path, P, S))

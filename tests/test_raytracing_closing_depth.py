@@ -39,6 +39,11 @@ def _np(x):
     return np.asarray(x)
 
 
+def aac(actual, desired, **kw):
+    np.testing.assert_allclose(np.asarray(actual, dtype=float), desired,
+                               **kw)
+
+
 def _doublet_system():
     sys_ = OpticalSystem(sample_rx.doublet_conic(), aperture=15.0,
                          fields=[0.0, 3.0], wavelengths=[WVL], reference=0,
@@ -315,42 +320,45 @@ def test_closing_matches_reference_sphere_root_to_machine_precision():
                                       n_image=1.0, chief_index=chief))
     # the rationalized form avoids the converging-beam cancellation, so
     # it is at least as accurate as the explicit root
-    np.testing.assert_allclose(opd_eic, opd_oracle, rtol=0.0, atol=1e-11)
+    aac(opd_eic, opd_oracle, rtol=0.0, atol=1e-11)
     assert opd_eic[chief] == 0.0
     # undercorrected spherical: the edge focuses short, so W040 < 0
     assert opd_eic[-1] < 0.0
 
 
 def test_closing_is_finite_and_signed_at_telecentric_kappa_zero():
-    ld = _telecentric()
-    wvl = ld.wavelength()
-    fo = ynu_first_order(ld.to_surfaces(), wvl, stop_index=1)
-    assert fo.xp_z is None  # exit pupil genuinely at infinity
+    rig = _telecentric()
+    wvl = rig.wavelength()
+    # the exit pupil is genuinely at infinity
+    assert ynu_first_order(rig.to_surfaces(), wvl, stop_index=1).xp_z \
+        is None
     kappa = reference_sphere_curvature(None, np.zeros(3))
     assert kappa == 0.0
 
-    fld = Field(3.0, 0.0, kind='angle')
-    P, S = launch(ld, fld, wvl, Sampling.fan(n=31, axis='y'), epd=ld.epd)
-    trace = ld.trace(P, S, wvl)
+    tilted = Field(3.0, 0.0, kind='angle')
+    P, S = launch(rig, tilted, wvl, Sampling.fan(n=31, axis='y'),
+                  epd=rig.epd)
+    trace = rig.trace(P, S, wvl)
     chief = np.asarray(P).shape[0] // 2
     C = _np(trace.P)[-1, chief]
     opd = _np(hopkins_eic_closing(trace.P, trace.S, trace.OPL,
                                   center=C, curvature=kappa,
                                   n_image=1.0, chief_index=chief))
-    assert np.all(np.isfinite(opd))
+    assert np.isfinite(opd).all()
     assert opd[chief] == 0.0
-    assert float(opd.max() - opd.min()) > 0.0
+    assert float(np.ptp(opd)) > 0.0
 
 
 def test_wavefront_rms_accepts_telecentric_paraxial_exit_pupil():
-    ld = _telecentric()
-    wvl = ld.wavelength()
-    assert ynu_first_order(ld.to_surfaces(), wvl, stop_index=1).xp_z is None
-    op = WavefrontRMS(field=Field(3.0, 0.0, kind='angle'),
-                      wavelength=wvl, sampling=Sampling.fan(n=31, axis='y'))
-    rms = op(ld, _TraceCache(ld))
-    assert np.isfinite(rms)
-    assert rms > 0.0
+    rig = _telecentric()
+    wvl = rig.wavelength()
+    assert ynu_first_order(rig.to_surfaces(), wvl,
+                           stop_index=1).xp_z is None
+    head = WavefrontRMS(field=Field(3.0, 0.0, kind='angle'),
+                        wavelength=wvl,
+                        sampling=Sampling.fan(n=31, axis='y'))
+    rms = head(rig, _TraceCache(rig))
+    assert np.isfinite(rms) and rms > 0.0
 
 
 def test_closing_kappa_zero_is_limit_of_small_curvature():
@@ -369,42 +377,40 @@ def test_closing_kappa_zero_is_limit_of_small_curvature():
     opd_eps = _np(hopkins_eic_closing(trace.P, trace.S, trace.OPL,
                                       center=C, curvature=1e-9,
                                       n_image=1.0, chief_index=chief))
-    np.testing.assert_allclose(opd_eps, opd0, rtol=0.0, atol=1e-9)
+    aac(opd_eps, opd0, rtol=0.0, atol=1e-9)
 
 
 def test_closing_rejects_rays_that_miss_finite_reference_sphere():
-    P = np.asarray([[[0.0, 0.0, 0.0],
-                     [2.0, 0.0, 0.0]]])
-    S = np.asarray([[[0.0, 0.0, 1.0],
-                     [0.0, 0.0, 1.0]]])
-    OPL = np.zeros((1, 2))
+    # the second ray runs parallel 2 mm off axis: it never meets a
+    # unit-radius sphere about the origin
+    hist_P = np.zeros((1, 2, 3))
+    hist_P[0, 1, 0] = 2.0
+    hist_S = np.broadcast_to(np.array([0., 0., 1.]), (1, 2, 3)).copy()
     with pytest.raises(ValueError, match='reference sphere'):
-        hopkins_eic_closing(P, S, OPL, center=np.zeros(3), curvature=1.0,
+        hopkins_eic_closing(hist_P, hist_S, np.zeros((1, 2)),
+                            center=np.zeros(3), curvature=1.0,
                             chief_index=0)
 
 
 def test_reference_sphere_curvature():
     assert reference_sphere_curvature(None, np.zeros(3)) == 0.0
-    C = np.array([0.0, 0.0, 10.0])
-    P_xp = np.array([0.0, 0.0, -52.0])
-    assert reference_sphere_curvature(P_xp, C) == pytest.approx(1.0 / 62.0)
+    image_pt = np.array([0.0, 0.0, 10.0])
+    pupil_pt = np.array([0.0, 0.0, -52.0])
+    assert reference_sphere_curvature(pupil_pt, image_pt) == \
+        pytest.approx(1.0 / 62.0)
     with pytest.raises(ValueError, match='degenerate'):
-        reference_sphere_curvature(C, C)
+        reference_sphere_curvature(image_pt, image_pt)
 
 
 def test_eic_distance_matches_definition():
-    rng = np.random.default_rng(0)
-    P_a = rng.normal(size=(5, 3))
-    P_b = rng.normal(size=(5, 3))
-    d_a = rng.normal(size=(5, 3))
-    d_a /= np.linalg.norm(d_a, axis=-1, keepdims=True)
-    d_b = rng.normal(size=(5, 3))
-    d_b /= np.linalg.norm(d_b, axis=-1, keepdims=True)
-    e = eic_distance(P_a, d_a, P_b, d_b)
-    expected = (((d_a + d_b) * (P_a - P_b)).sum(-1)
-                / (1.0 + (d_a * d_b).sum(-1)))
-    np.testing.assert_allclose(e, expected, rtol=1e-14)
-    # equal-direction limit: e(a,b) = -e(b,a) when the ends are swapped
-    e2 = eic_distance(P_a, d_a, P_b, d_a)
-    e3 = eic_distance(P_b, d_a, P_a, d_a)
-    np.testing.assert_allclose(_np(e2), -_np(e3), rtol=1e-14)
+    draw = np.random.default_rng(0)
+    ends = draw.normal(size=(4, 5, 3))
+    P_a, P_b = ends[0], ends[1]
+    d_a, d_b = (v / np.linalg.norm(v, axis=-1, keepdims=True)
+                for v in (ends[2], ends[3]))
+    by_def = (((d_a + d_b) * (P_a - P_b)).sum(-1)
+              / (1.0 + (d_a * d_b).sum(-1)))
+    aac(eic_distance(P_a, d_a, P_b, d_b), by_def, rtol=1e-14)
+    # equal-direction limit: swapping the ends flips the sign
+    aac(_np(eic_distance(P_a, d_a, P_b, d_a)),
+        -_np(eic_distance(P_b, d_a, P_a, d_a)), rtol=1e-14)

@@ -331,24 +331,18 @@ def test_first_order_basics():
     rx = _thin_lens()
     fo = ynu_first_order(rx, wvl=0.55)
     assert isinstance(fo, FirstOrderProperties)
-    assert fo.n_surfaces == 2
-    assert fo.n_refractive == 2
-    assert fo.n_reflective == 0
-    assert fo.n_eval == 0
+    counts = (fo.n_surfaces, fo.n_refractive, fo.n_reflective, fo.n_eval)
+    assert counts == (2, 2, 0, 0)
     assert fo.n_image == pytest.approx(1.0)
-    np.testing.assert_allclose(fo.efl, effective_focal_length(rx, wvl=0.55),
-                               rtol=1e-12)
-    np.testing.assert_allclose(fo.bfl, back_focal_length(rx, wvl=0.55),
-                               rtol=1e-12)
-    np.testing.assert_allclose(fo.ffl, front_focal_length(rx, wvl=0.55),
-                               rtol=1e-12)
-    np.testing.assert_allclose(fo.paraxial_image_distance,
-                               paraxial_image_distance(rx, wvl=0.55),
-                               rtol=1e-12)
-    assert fo.fno is None
-    assert fo.ep_z is None
-    assert fo.xp_z is None
-    assert fo.stop_diameter is None
+    focal_fns = {'efl': effective_focal_length,
+                 'bfl': back_focal_length,
+                 'ffl': front_focal_length,
+                 'paraxial_image_distance': paraxial_image_distance}
+    for slot, fn in focal_fns.items():
+        np.testing.assert_allclose(getattr(fo, slot), fn(rx, wvl=0.55),
+                                   rtol=1e-12)
+    # no epd/stop supplied: the pupil block stays unpopulated
+    assert (fo.fno, fo.ep_z, fo.xp_z, fo.stop_diameter) == (None,) * 4
 
 
 def test_first_order_image_distance_from_last_lens_surface():

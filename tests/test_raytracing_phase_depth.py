@@ -64,48 +64,49 @@ def test_linear_grating_mutation_keeps_gradient_coherent():
 
 
 def test_surface_grating_requires_opl_func():
-    s = plane('reflect', [0, 0, 0])
-    s.grating = LinearGrating(2.0e-3, [1.0, 0.0, 0.0], 1)
-    assert isinstance(s.grating, OPLFunc)
-    s.grating = None
-    assert s.grating is None
-    with pytest.raises(TypeError, match='OPLFunc'):
-        s.grating = (2.0e-3, [1.0, 0.0, 0.0], 1)
-    with pytest.raises(TypeError, match='OPLFunc'):
-        s.grating = 42.0
+    host = plane('reflect', [0, 0, 0])
+    ok = LinearGrating(2.0e-3, [1.0, 0.0, 0.0], 1)
+    host.grating = ok
+    assert isinstance(host.grating, OPLFunc)
+    host.grating = None
+    assert host.grating is None
+    for junk in ((2.0e-3, [1.0, 0.0, 0.0], 1), 42.0):
+        with pytest.raises(TypeError, match='OPLFunc'):
+            host.grating = junk
+
+
+# the quadratic test phase and its closed-form partials
+def _quad_phase(x, y, wavelength):
+    return 0.3 * x * x + 0.1 * y * y + 0.05 * x * y
+
+
+def _quad_partials(x, y):
+    return 0.6 * x + 0.05 * y, 0.2 * y + 0.05 * x
+
+
+PROBE_X = np.array([0.5, -1.0, 2.0])
+PROBE_Y = np.array([1.0, 0.5, -1.5])
 
 
 def test_callable_opl_gradient_fd_fallback():
-    def fn(x, y, wavelength):
-        return 0.3 * x * x + 0.1 * y * y + 0.05 * x * y
-
-    cp = CallableOPL(fn)
-    x = np.array([0.5, -1.0, 2.0])
-    y = np.array([1.0, 0.5, -1.5])
-    opl, gx, gy = cp.opl_and_gradient(x, y, 0.55)
-    np.testing.assert_allclose(_np(opl), fn(x, y, 0.55))
-    np.testing.assert_allclose(_np(gx), 0.6 * x + 0.05 * y, rtol=1e-6,
-                               atol=1e-6)
-    np.testing.assert_allclose(_np(gy), 0.2 * y + 0.05 * x, rtol=1e-6,
-                               atol=1e-6)
+    wrapped = CallableOPL(_quad_phase)
+    value, gx, gy = wrapped.opl_and_gradient(PROBE_X, PROBE_Y, 0.55)
+    want_gx, want_gy = _quad_partials(PROBE_X, PROBE_Y)
+    np.testing.assert_allclose(_np(value),
+                               _quad_phase(PROBE_X, PROBE_Y, 0.55))
+    np.testing.assert_allclose(_np(gx), want_gx, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(_np(gy), want_gy, rtol=1e-6, atol=1e-6)
 
 
 def test_callable_opl_hessian_fd_fallback():
-    def fn(x, y, wavelength):
-        return 0.3 * x * x + 0.1 * y * y + 0.05 * x * y
+    def supplied(x, y, wavelength):
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        return (_quad_phase(x, y, wavelength), *_quad_partials(x, y))
 
-    def oag(x, y, wavelength):
-        x = np.asarray(x, float)
-        y = np.asarray(y, float)
-        return fn(x, y, wavelength), 0.6 * x + 0.05 * y, 0.2 * y + 0.05 * x
-
-    cp = CallableOPL(fn, opl_and_gradient=oag)
-    x = np.array([0.5, -1.0, 2.0])
-    y = np.array([1.0, 0.5, -1.5])
-    pxx, pxy, pyy = cp.opl_hessian(x, y, 0.55)
-    np.testing.assert_allclose(_np(pxx), 0.6, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(_np(pxy), 0.05, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(_np(pyy), 0.2, rtol=1e-5, atol=1e-5)
+    wrapped = CallableOPL(_quad_phase, opl_and_gradient=supplied)
+    curv = wrapped.opl_hessian(PROBE_X, PROBE_Y, 0.55)
+    for got, want in zip(curv, (0.6, 0.05, 0.2)):
+        np.testing.assert_allclose(_np(got), want, rtol=1e-5, atol=1e-5)
 
 
 def test_callable_opl_prefers_supplied_derivatives():
@@ -120,22 +121,21 @@ def test_callable_opl_prefers_supplied_derivatives():
 
 
 class _RadialOPL(OPLFunc):
-    def __init__(self, a):
-        self.a = a
+    """Quadratic radial phase: a diffractive lens of power -a."""
+
+    def __init__(self, strength):
+        self.a = strength
 
     def opl(self, x, y, wavelength):
         return 0.5 * self.a * (x * x + y * y)
 
     def opl_and_gradient(self, x, y, wavelength):
-        x = np.asarray(x, float)
-        y = np.asarray(y, float)
+        x, y = (np.asarray(v, float) for v in (x, y))
         return self.opl(x, y, wavelength), self.a * x, self.a * y
 
     def opl_hessian(self, x, y, wavelength):
-        x = np.asarray(x, float)
-        o = np.full(x.shape, self.a)
-        z = np.zeros_like(x)
-        return o, z, o
+        diag = np.full(np.shape(x), self.a)
+        return diag, np.zeros_like(diag), diag
 
 
 def test_radial_opl_focuses_like_a_lens():

@@ -59,29 +59,28 @@ def polynomial_first_root(P, S, c, coefs):
     return onp.sort(real[real >= -1e-12])
 
 
-def gull_wing_surface(outer_radius=30.0):
-    shape = EvenAsphere(c=GULL_C, k=-1.0, coefs=GULL_COEFS)
+def _banded_mirror(c, coefs, rim):
+    """A k=-1 aspheric mirror with its departure band pre-solved.
+
+    Both fold builders legitimately trip the multiple-crossing setup
+    warning, which the tests about that warning cover separately.
+    """
     with warnings.catch_warnings():
-        # this surface legitimately trips the multiple-crossing warning
         warnings.simplefilter('ignore')
-        surf = Surface(shape=shape, interaction='refl', P=[0, 0, 0],
-                       aperture=Aperture(
-                           clip=circular_aperture(outer_radius),
-                           extent=CircularExtent(outer_radius)))
-        surf.departure_band()
-    return surf
+        built = Surface(shape=EvenAsphere(c=c, k=-1.0, coefs=coefs),
+                        interaction='refl', P=[0, 0, 0],
+                        aperture=Aperture(clip=circular_aperture(rim),
+                                          extent=CircularExtent(rim)))
+        built.departure_band()
+    return built
+
+
+def gull_wing_surface(outer_radius=30.0):
+    return _banded_mirror(GULL_C, GULL_COEFS, outer_radius)
 
 
 def in_domain_fold_surface():
-    shape = EvenAsphere(c=FOLD_C, k=-1.0, coefs=FOLD_COEFS)
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore')
-        surf = Surface(shape=shape, interaction='refl', P=[0, 0, 0],
-                       aperture=Aperture(
-                           clip=circular_aperture(FOLD_R),
-                           extent=CircularExtent(FOLD_R)))
-        surf.departure_band()
-    return surf
+    return _banded_mirror(FOLD_C, FOLD_COEFS, FOLD_R)
 
 
 def _s_found(Q, P, S):
@@ -265,18 +264,18 @@ def test_first_segment_exempt_from_forward_acceptance():
 def test_departure_band_domain_resolution():
     """Domain radius: clip, else normalization radius, else conic limit."""
     asph = EvenAsphere(c=1 / 50.0, k=0.0, coefs=(1e-7,))
-    s = Surface(shape=asph, interaction='refl', P=[0, 0, 0],
-                aperture=Aperture(clip=circular_aperture(9.0),
-                                  extent=CircularExtent(12.0)))
-    band = s.departure_band()
-    assert band.bounded
+    clipped = Surface(shape=asph, interaction='refl', P=[0, 0, 0],
+                      aperture=Aperture(clip=circular_aperture(9.0),
+                                        extent=CircularExtent(12.0)))
+    band = clipped.departure_band()  # the 9 mm clip bounds the domain
+    assert band.bounded and band.max_departure > 0
     assert band.domain_radius == 9.0
-    assert band.max_departure > 0
 
-    zern = Zernike(c=1 / 50.0, k=0.0, normalization_radius=7.0,
-                   nms=[(4, 0)], coefs=[1e-4])
-    s = Surface(shape=zern, interaction='refl', P=[0, 0, 0])
-    assert s.departure_band().domain_radius == 7.0
+    normed = Surface(shape=Zernike(c=1 / 50.0, k=0.0,
+                                   normalization_radius=7.0,
+                                   nms=[(4, 0)], coefs=[1e-4]),
+                     interaction='refl', P=[0, 0, 0])
+    assert normed.departure_band().domain_radius == 7.0
 
     # spherical base, no bounding clip, no normalization radius: the
     # conic's own domain limit 0.999/(|c| sqrt(1+k))
@@ -285,23 +284,25 @@ def test_departure_band_domain_resolution():
         0.999 * 50.0, rel=1e-6)
 
     # parabolic base is unbounded: no resolvable domain, guard disabled
-    para = EvenAsphere(c=1 / 50.0, k=-1.0, coefs=(1e-7,))
-    s = Surface(shape=para, interaction='refl', P=[0, 0, 0])
-    assert not s.departure_band().bounded
+    parab = Surface(shape=EvenAsphere(c=1 / 50.0, k=-1.0, coefs=(1e-7,)),
+                    interaction='refl', P=[0, 0, 0])
+    assert not parab.departure_band().bounded
 
     # analytic shapes carry no conic seed and no band
-    s = Surface(shape=Sphere(c=1 / 50.0), interaction='refl', P=[0, 0, 0])
-    assert not s.departure_band().bounded
+    ball = Surface(shape=Sphere(c=1 / 50.0), interaction='refl',
+                   P=[0, 0, 0])
+    assert not ball.departure_band().bounded
 
 
 def test_multiple_crossing_setup_warning():
-    """Surfaces whose departure slope admits several crossings warn at setup."""
-    shape = EvenAsphere(c=GULL_C, k=-1.0, coefs=GULL_COEFS)
-    surf = Surface(shape=shape, interaction='refl', P=[0, 0, 0],
-                   aperture=Aperture(clip=circular_aperture(30.0),
-                                     extent=CircularExtent(30.0)))
+    """Surfaces whose departure slope admits several crossings warn."""
+    folded = Surface(shape=EvenAsphere(c=GULL_C, k=-1.0,
+                                       coefs=GULL_COEFS),
+                     interaction='refl', P=[0, 0, 0],
+                     aperture=Aperture(clip=circular_aperture(30.0),
+                                       extent=CircularExtent(30.0)))
     with pytest.warns(UserWarning, match='multiple ray crossings'):
-        surf.departure_band()
+        folded.departure_band()
 
     # mild surfaces stay silent
     mild = EvenAsphere(c=1 / 50.0, k=0.0, coefs=(1e-8,))
@@ -453,3 +454,24 @@ def test_guarded_intersect_jits_and_differentiates():
     fd = (s_root_of(FOLD_COEFS[0] + eps) - s_root_of(FOLD_COEFS[0] - eps)) \
         / (2 * eps)
     assert float(g) == pytest.approx(float(fd), rel=1e-4)
+
+
+def test_rim_grazer_oracle_agreement():
+    """Steep rim-grazing rays agree with the polynomial oracle."""
+    import itertools
+    surf = gull_wing_surface()
+    disagreements = 0
+    sweep = itertools.product(onp.linspace(15, 25, 6),
+                              (75.0, 80.0, 85.0, -75.0, -80.0))
+    for h, ang in sweep:
+        a = onp.radians(ang)
+        P = onp.array([[0.0, h, -2.0]])
+        S = onp.array([[0.0, onp.sin(a), onp.cos(a)]])
+        oracle = polynomial_first_root(P[0], S[0], GULL_C, GULL_COEFS)
+        Q, _, alive = surf.intersect(P, S, forward_only=True)
+        if not bool(onp.asarray(alive)[0]):
+            continue
+        reach = float(onp.sum((onp.asarray(Q)[0] - P[0]) * S[0]))
+        if oracle.size == 0 or abs(reach - oracle[0]) > 1e-6:
+            disagreements += 1
+    assert disagreements == 0

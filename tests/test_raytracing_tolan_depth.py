@@ -1,11 +1,11 @@
 """Adjoint Jacobian tolerance helpers: port of the reference intent.
 
 Behavior matrix of /root/reference/tests/x/raytracing/adjoint/
-test_tolerance_analysis.py (8 tests) and the seedable-merit slice of
+test_tolerance_analysis.py and the seedable-merit slice of
 test_merit_heads.py: the multi-objective Jacobian against per-head
-sweeps, ranking, inverse sensitivity, RSS against Monte Carlo,
-compensated Jacobians, budgets, the sensitivity table, and WFE/spot
-adjoint gradients against finite differences.
+sweeps with a FIXED exit-pupil anchor, and WFE/spot adjoint gradients
+against finite differences.  The pure linear-algebra helper cases live
+in test_raytracing_tolerance_analysis_depth.py.
 """
 import numpy as np
 import pytest
@@ -81,76 +81,9 @@ def test_jacobian_matches_per_head_sweeps():
     assert 'rms_wfe' in res.nominals
 
 
-def test_ranked_by_orders_by_abs_sensitivity():
-    P, S = ray_bundle()
-    res = multi_objective_sensitivity(make_system(), P, S, WVL, _seeds(),
-                                      _heads())
-    ranked = res.ranked_by('rms_wfe')
-    mags = [abs(v) for _, v in ranked]
-    assert mags == sorted(mags, reverse=True)
-
-
-def test_inverse_sensitivity_hits_budget():
-    J = np.array([[2.0, -0.5, 0.0],
-                  [1.0, 3.0, 4.0]])
-    budget = 0.1
-    tol = inverse_sensitivity(J, budget)
-    deg = np.abs(J) * tol[None, :]
-    for p in range(J.shape[1]):
-        if np.isfinite(tol[p]):
-            assert np.isclose(deg[:, p].max(), budget)
-
-
-def test_inverse_sensitivity_clips():
-    J = np.array([[10.0, 0.01]])
-    tol = inverse_sensitivity(J, 1.0, steps_max=np.array([5.0, 5.0]))
-    assert tol[0] == 0.1
-    assert tol[1] == 5.0
-
-
-def test_rss_matches_monte_carlo():
-    J = np.array([[2.0, -1.5, 0.7],
-                  [0.3, 1.1, -2.2]])
-    sigmas = np.array([0.05, 0.08, 0.02])
-    rss = rss_prediction(J, sigmas)
-    rng = np.random.default_rng(0)
-    N = 200000
-    taus = rng.normal(0.0, sigmas[None, :], size=(N, J.shape[1]))
-    mc = (taus @ J.T).std(axis=0, ddof=0)
-    np.testing.assert_allclose(rss, mc, rtol=2e-2)
-
-
-def test_compensated_jacobian_zeros_compensator_columns():
-    rng = np.random.default_rng(1)
-    M, P, K = 5, 7, 2
-    J = rng.standard_normal((M, P))
-    J_comp = rng.standard_normal((M, K))
-    J_eff, motions = compensated_jacobian(J, J_comp)
-    assert motions.shape == (K, P)
-    np.testing.assert_allclose(J_comp.T @ J_eff, np.zeros((K, P)),
-                               atol=1e-10)
-    J2 = J.copy()
-    J2[:, 0] = J_comp[:, 0]
-    J_eff2, _ = compensated_jacobian(J2, J_comp)
-    np.testing.assert_allclose(J_eff2[:, 0], 0.0, atol=1e-10)
-
-
-def test_multi_objective_budget():
-    J = np.array([[2.0, 1.0],
-                  [1.0, 4.0]])
-    tol = multi_objective_budget(J, np.array([0.2, 0.4]))
-    np.testing.assert_allclose(tol, [0.1, 0.1])
-
-
-def test_sensitivity_table():
-    P, S = ray_bundle()
-    res = multi_objective_sensitivity(make_system(), P, S, WVL, _seeds(),
-                                      _heads())
-    steps = np.full(len(_seeds()), 1e-3)
-    tbl = ToleranceSensitivityTable(res, steps)
-    np.testing.assert_allclose(tbl.sensitivity(), np.abs(res.jacobian))
-    np.testing.assert_allclose(tbl.degradation_at_step(),
-                               res.jacobian * steps[None, :])
+# ranking / inverse-sensitivity / RSS / compensator /
+# budget / table cases live in
+# test_raytracing_tolerance_analysis_depth.py
 
 
 # ---------- seedable merits vs finite differences ----------------------------

@@ -79,76 +79,70 @@ def test_ranked_by_orders_by_abs_sensitivity():
     P, S = ray_bundle()
     res = multi_objective_sensitivity(make_system(), P, S, WVL, _seeds(),
                                       _heads())
-    ranked = res.ranked_by(0)
-    mags = [abs(v) for _, v in ranked]
-    assert mags == sorted(mags, reverse=True)
+    magnitudes = [abs(sens) for _, sens in res.ranked_by(0)]
+    assert magnitudes == sorted(magnitudes, reverse=True)
+
+
+TOY_J2X3 = np.asarray([[2.0, -0.5, 0.0], [1.0, 3.0, 4.0]])
 
 
 def test_inverse_sensitivity_hits_budget():
-    J = np.array([[2.0, -0.5, 0.0],
-                  [1.0, 3.0, 4.0]])
-    budget = 0.1
-    tol = inverse_sensitivity(J, budget)
-    deg = np.abs(J) * tol[None, :]
-    # the binding objective for each finite-tol parameter hits the budget
-    for p in range(J.shape[1]):
-        if np.isfinite(tol[p]):
-            assert np.isclose(deg[:, p].max(), budget)
+    allowed = 0.1
+    tols = inverse_sensitivity(TOY_J2X3, allowed)
+    worst = (np.abs(TOY_J2X3) * tols[None, :]).max(axis=0)
+    # each finite-tolerance parameter's binding objective hits budget
+    finite = np.isfinite(tols)
+    np.testing.assert_allclose(worst[finite], allowed)
 
 
 def test_inverse_sensitivity_clips():
-    J = np.array([[10.0, 0.01]])
-    tol = inverse_sensitivity(J, 1.0, steps_max=np.array([5.0, 5.0]))
-    assert tol[0] == 0.1            # 1/10
-    assert tol[1] == 5.0            # 1/0.01 = 100 clipped to 5
+    tols = inverse_sensitivity(np.asarray([[10.0, 0.01]]), 1.0,
+                               steps_max=np.full(2, 5.0))
+    # 1/10 unclipped; 1/0.01 = 100 clipped to the 5.0 cap
+    np.testing.assert_allclose(tols, [0.1, 5.0])
 
 
 def test_rss_matches_monte_carlo():
-    J = np.array([[2.0, -1.5, 0.7],
-                  [0.3, 1.1, -2.2]])
-    sigmas = np.array([0.05, 0.08, 0.02])
-    rss = rss_prediction(J, sigmas)
+    toy = np.asarray([[2.0, -1.5, 0.7], [0.3, 1.1, -2.2]])
+    widths = np.asarray([0.05, 0.08, 0.02])
+    predicted = rss_prediction(toy, widths)
 
-    rng = np.random.default_rng(0)
-    N = 200000
-    taus = rng.normal(0.0, sigmas[None, :], size=(N, J.shape[1]))
-    samples = taus @ J.T                       # (N, M)
-    mc = samples.std(axis=0, ddof=0)
-    np.testing.assert_allclose(rss, mc, rtol=2e-2)
+    draws = np.random.default_rng(0).normal(
+        0.0, widths[None, :], size=(200000, widths.size))
+    empirical = (draws @ toy.T).std(axis=0, ddof=0)
+    np.testing.assert_allclose(predicted, empirical, rtol=2e-2)
 
 
 def test_compensated_jacobian_zeros_compensator_columns():
-    rng = np.random.default_rng(1)
-    M, P, K = 5, 7, 2
-    J = rng.standard_normal((M, P))
-    J_comp = rng.standard_normal((M, K))
-    J_eff, motions = compensated_jacobian(J, J_comp)
-    assert motions.shape == (K, P)
-    # J_eff lies in the orthogonal complement of the compensator cols
-    np.testing.assert_allclose(J_comp.T @ J_eff, np.zeros((K, P)),
-                               atol=1e-10)
-    # a tolerance column equal to a compensator direction is removed
-    J2 = J.copy()
-    J2[:, 0] = J_comp[:, 0]
-    J_eff2, _ = compensated_jacobian(J2, J_comp)
-    np.testing.assert_allclose(J_eff2[:, 0], 0.0, atol=1e-10)
+    maker = np.random.default_rng(1)
+    n_heads, n_tols, n_comp = 5, 7, 2
+    raw = maker.standard_normal((n_heads, n_tols))
+    movers = maker.standard_normal((n_heads, n_comp))
+    residual_J, motions = compensated_jacobian(raw, movers)
+    assert motions.shape == (n_comp, n_tols)
+    # the residual lies in the compensators' orthogonal complement
+    np.testing.assert_allclose(movers.T @ residual_J, 0.0, atol=1e-10)
+    # a tolerance column equal to a compensator direction vanishes
+    aligned = raw.copy()
+    aligned[:, 0] = movers[:, 0]
+    residual_aligned, _ = compensated_jacobian(aligned, movers)
+    np.testing.assert_allclose(residual_aligned[:, 0], 0.0, atol=1e-10)
 
 
 def test_multi_objective_budget():
-    J = np.array([[2.0, 1.0],
-                  [1.0, 4.0]])
-    budgets = np.array([0.2, 0.4])
-    tol = multi_objective_budget(J, budgets)
-    # param 0: min(0.2/2, 0.4/1) = 0.1; param 1: min(0.2/1, 0.4/4) = 0.1
-    np.testing.assert_allclose(tol, [0.1, 0.1])
+    # per param: min over objectives of budget_m / |J[m, p]| = 0.1 both
+    tols = multi_objective_budget(np.asarray([[2.0, 1.0], [1.0, 4.0]]),
+                                  np.asarray([0.2, 0.4]))
+    np.testing.assert_allclose(tols, [0.1, 0.1])
 
 
 def test_sensitivity_table():
     P, S = ray_bundle()
     res = multi_objective_sensitivity(make_system(), P, S, WVL, _seeds(),
                                       _heads())
-    steps = np.full(len(_seeds()), 1e-3)
-    tbl = ToleranceSensitivityTable(res, steps)
-    np.testing.assert_allclose(tbl.sensitivity(), np.abs(res.jacobian))
-    np.testing.assert_allclose(tbl.degradation_at_step(),
-                               res.jacobian * steps[None, :])
+    per_param_steps = np.full(len(_seeds()), 1e-3)
+    table = ToleranceSensitivityTable(res, per_param_steps)
+    np.testing.assert_allclose(table.sensitivity(), np.abs(res.jacobian))
+    np.testing.assert_allclose(
+        table.degradation_at_step(),
+        res.jacobian * per_param_steps[None, :])
