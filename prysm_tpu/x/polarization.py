@@ -192,8 +192,14 @@ def jones_adapter(prop_func):
 
     The four components propagate independently; they are moved onto a
     leading axis so the underlying batch-aware propagation runs them in one
-    fused call rather than a Python loop.
+    fused call rather than a Python loop.  Idempotent: wrapping an
+    already-adapted function returns it unchanged, so an explicit
+    ``jones_adapter(focus)`` composes safely with a prior
+    ``add_jones_propagation()`` module patch.
     """
+    if getattr(prop_func, '_jones_adapted', False):
+        return prop_func
+
     @functools.wraps(prop_func)
     def wrapper(*args, **kwargs):
         wavefunction = args[0]
@@ -205,6 +211,7 @@ def jones_adapter(prop_func):
         ret = prop_func(J, *other_args, **kwargs)
         out = jnp.moveaxis(ret, 0, -1)
         return out.reshape(*out.shape[:-1], 2, 2)
+    wrapper._jones_adapted = True
     return wrapper
 
 
