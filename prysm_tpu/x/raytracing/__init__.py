@@ -246,3 +246,37 @@ from .plotting import (  # NOQA
 from . import sample_rx  # NOQA
 
 from . import adjoint  # NOQA
+
+__all__ = [
+    'FRAUNHOFER_LINES_UM', 'LensData', 'SurfaceRow', 'CoordBreak',
+    'OpticalSystem', 'ApertureSpec', 'FieldSet', 'surface_table',
+    'aperture_table', 'decenter_table', 'raytrace', 'refract', 'reflect',
+    'Field', 'Sampling', 'launch', 'aim_rays', 'Surface', 'Shape',
+    'CallableShape', 'Plane', 'Sphere', 'Conic', 'OffAxisConic',
+    'EvenAsphere', 'Q2D', 'Zernike', 'XY', 'Chebyshev', 'Jacobi',
+    'Toroid', 'Biconic', 'circular_aperture', 'annular_aperture',
+    'Aperture', 'CircularExtent', 'Substrate', 'SurfaceSubstrate',
+    'ParallelSubstrate', 'FlatParentSubstrate', 'FlatBackSubstrate',
+    'Chamfer', 'Flat', 'SquareCut', 'Seat', 'system_matrix',
+    'paraxial_image_distance', 'effective_focal_length',
+    'entrance_pupil_z', 'back_focal_length', 'front_focal_length',
+    'first_order', 'parabasal_foci', 'ParabasalFirstOrder',
+    'TraceRecord', 'iter_trace_grid', 'field_sweep',
+    'transverse_ray_aberration', 'xp_reference_sphere', 'locate_ep',
+    'locate_xp', 'wavefront', 'wavefront_zernike_fit', 'distortion',
+    'field_curvature', 'chromatic_focal_shift', 'lateral_color',
+    'full_field', 'ray_aberration_fans', 'opd_fans', 'spot_diagrams',
+    'spot_rms_radius', 'spot_geometric_radius', 'DistortionResult',
+    'FieldCurvatureResult', 'RayFanGrid', 'OPDFanGrid', 'SpotGrid',
+    'FullFieldGrid', 'spot_centroid', 'rms_spot_radius',
+    'geometric_psf_histogram', 'pupil_field', 'pupil_field_to_wavefront',
+    'pupil_field_psf', 'raytrace_field', 'raytrace_prt', 'PupilField',
+    'FieldTraceResult', 'PRTResult', 'amplitude_apodization',
+    'sine_space_coords', 'interface_coefficients',
+    'surface_normals_from_trace', 'unpolarized_amplitude', 'OPLFunc',
+    'LinearGrating', 'CallableOPL', 'RitcheyChretien', 'RCPrescription',
+    'RayTraceResult', 'RayStatus', 'decode_status', 'valid_mask',
+    'STYPE_REFLECT', 'STYPE_REFRACT', 'STYPE_EVAL', 'STATUS_OK',
+    'STATUS_NEWTON', 'STATUS_CLIP', 'STATUS_MISS', 'STATUS_TIR',
+    'DEFAULT_TOL_SAG', 'SURFACE_INTERSECTION_DEFAULT_MAXITER',
+]
