@@ -26,20 +26,15 @@ from prysm_tpu.x.raytracing.launch import (
     _StopTarget, _apply_vignetting, _collimated_PS, _entrance_pupil_z,
     _parabasal_ep_z, _real_aim_to_stop, _scaled_field)
 
-N_SK16 = 1.62260856
-N_F2 = 1.62365512
 WVL = 0.55
 EPD = 10.0
 STOP_INDEX = 4
 
-_COOKE = [
-    (22.01359,   3.25896, N_SK16),
-    (-435.76044, 6.00755, 1.0),
-    (-22.21328,  0.99997, N_F2),
-    (20.29192,   4.75041, 1.0),
-    (79.68360,   2.95208, N_SK16),
-    (-18.39533,  42.20778, 1.0),
-]
+# Cooke-triplet prescription: radii / gaps / indices, surface by surface
+_COOKE_R = (22.01359, -435.76044, -22.21328, 20.29192, 79.68360,
+            -18.39533)
+_COOKE_T = (3.25896, 6.00755, 0.99997, 4.75041, 2.95208, 42.20778)
+_COOKE_N = (1.62260856, 1.0, 1.62365512, 1.0, 1.62260856, 1.0)
 
 
 def _np(x):
@@ -47,21 +42,21 @@ def _np(x):
 
 
 def cooke():
-    lens = LensData()
-    for R, t, n in _COOKE:
-        mat = pmat.ConstantMaterial(n) if n != 1.0 else pmat.air
-        lens.add(Conic(1.0 / R, 0.0), thickness=t, material=mat)
-    return OpticalSystem(lens, aperture=EPD, fields=[0.0, 14.0, 20.0],
+    rows = LensData()
+    for radius, gap, index in zip(_COOKE_R, _COOKE_T, _COOKE_N):
+        glass = pmat.air if index == 1.0 else pmat.ConstantMaterial(index)
+        rows.add(Conic(1.0 / radius, 0.0), thickness=gap, material=glass)
+    return OpticalSystem(rows, aperture=EPD, fields=[0.0, 14.0, 20.0],
                          wavelengths=[WVL], reference=0,
                          stop_index=STOP_INDEX)
 
 
 def biconvex_stop_first():
-    lens = LensData()
-    lens.add(Conic(1 / 50.0, 0.0), thickness=6.0,
+    rows = LensData()
+    rows.add(Conic(1 / 50.0, 0.0), thickness=6.0,
              material=pmat.ConstantMaterial(1.5))
-    lens.add(Conic(-1 / 50.0, 0.0), thickness=46.0, material=pmat.air)
-    return OpticalSystem(lens, aperture=20.0, fields=[0.0, 10.0],
+    rows.add(Conic(-1 / 50.0, 0.0), thickness=46.0, material=pmat.air)
+    return OpticalSystem(rows, aperture=20.0, fields=[0.0, 10.0],
                          wavelengths=[WVL], reference=0, stop_index=1)
 
 
@@ -130,18 +125,18 @@ _FISHEYE_STOP = 3
 
 
 def fisheye(epd, ray_aiming='real'):
-    NG = pmat.ConstantMaterial(1.6)
-    ld = LensData()
-    ld.add(Conic(1 / 40.0, 0.0), thickness=3.0, material=NG, aperture=14.0)
-    ld.add(Conic(1 / 9.0, 0.0), thickness=22.0, material=pmat.air,
-           aperture=9.0)
-    ld.add(Conic(1 / 16.0, 0.0), thickness=4.0, material=NG, aperture=6.0)
-    ld.add(Conic(-1 / 16.0, 0.0), thickness=45.0, material=pmat.air,
-           aperture=6.0)
-    sys_ = OpticalSystem(ld, aperture=epd, fields=[0.0], wavelengths=[WVL],
-                         reference=0, stop_index=_FISHEYE_STOP)
-    sys_.ray_aiming = ray_aiming
-    return sys_
+    n16 = pmat.ConstantMaterial(1.6)
+    spec = ((1 / 40.0, 3.0, n16, 14.0), (1 / 9.0, 22.0, pmat.air, 9.0),
+            (1 / 16.0, 4.0, n16, 6.0), (-1 / 16.0, 45.0, pmat.air, 6.0))
+    rows = LensData()
+    for c, gap, glass, ca in spec:
+        rows.add(Conic(c, 0.0), thickness=gap, material=glass,
+                 aperture=ca)
+    wide = OpticalSystem(rows, aperture=epd, fields=[0.0],
+                         wavelengths=[WVL], reference=0,
+                         stop_index=_FISHEYE_STOP)
+    wide.ray_aiming = ray_aiming
+    return wide
 
 
 def _axial_stop_target(sys_, epd):
@@ -297,11 +292,12 @@ def test_real_aiming_applies_to_chief_only_sampling():
 def test_real_aiming_targets_decentered_stop_local_center():
     dy = 1.0
     lens = LensData()
-    for i, (R, t, n) in enumerate(_COOKE):
-        mat = pmat.ConstantMaterial(n) if n != 1.0 else pmat.air
+    rows = zip(_COOKE_R, _COOKE_T, _COOKE_N)
+    for i, (radius, gap, index) in enumerate(rows):
+        glass = pmat.air if index == 1.0 else pmat.ConstantMaterial(index)
         if i == 3:
             lens.add_coordbreak(decenter=(0.0, dy, 0.0), kind='basic')
-        lens.add(Conic(1.0 / R, 0.0), thickness=t, material=mat)
+        lens.add(Conic(1.0 / radius, 0.0), thickness=gap, material=glass)
         if i == 3:
             lens.add_coordbreak(decenter=(0.0, dy, 0.0), kind='rev')
     sys_ = OpticalSystem(lens, aperture=EPD, fields=[0.0],

@@ -105,13 +105,13 @@ def test_piston_reference_removes_mean():
 
 
 def test_resolves_system_wavelength():
-    dispersive = materials.FormulaMaterial(
+    toy_glass = materials.FormulaMaterial(
         'DISP', lambda w: 1.5 + 0.02 * (w - 0.55))
     lens = LensData()
-    (lens.add(Conic(1 / 40.0, 0.0), typ='refr', thickness=4.0,
-              material=dispersive)
-         .add(Conic(-1 / 40.0, 0.0), typ='refr', thickness=20.0,
-              material=_air))
+    lens.add(Conic(1 / 40.0, 0.0), typ='refr', thickness=4.0,
+             material=toy_glass)
+    lens.add(Conic(-1 / 40.0, 0.0), typ='refr', thickness=20.0,
+             material=_air)
     sys_ = OpticalSystem(lens, aperture=10.0, wavelengths=[0.55],
                          reference=0)
     sys_.solve.image_distance()
@@ -226,13 +226,11 @@ def test_inverse_sensitivity_round_trips():
 
 
 def test_inverse_sensitivity_linear_only_one_sided():
-    wd = WavefrontDifferential.__new__(WavefrontDifferential)
-    wd.A = np.array([0.0])
-    wd.B = np.array([2.0])
-    wd.C = 1.0
-    wd.rms_nominal = 1.0
-    wd.n_params = 1
-    t_lo, t_hi = wd.inverse_sensitivity(0.5)
+    model = WavefrontDifferential.__new__(WavefrontDifferential)
+    for slot, val in (('A', np.array([0.0])), ('B', np.array([2.0])),
+                      ('C', 1.0), ('rms_nominal', 1.0), ('n_params', 1)):
+        setattr(model, slot, val)
+    t_lo, t_hi = model.inverse_sensitivity(0.5)
     np.testing.assert_allclose(t_hi[0], 0.625, rtol=1e-12)
     assert t_lo[0] == -np.inf
 
