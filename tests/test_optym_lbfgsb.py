@@ -743,3 +743,31 @@ def test_iterates_always_feasible_over_long_run():
             break
         x = np.asarray(opt.x)
         assert np.all(x >= lo - 1e-12) and np.all(x <= hi + 1e-12)
+
+
+def test_run_until_returns_governor_decision():
+    from prysm_tpu.x.optym import MaxIterations, run_until
+
+    def bowl(x):
+        return float(0.5 * np.sum(x * x)), np.asarray(x)
+
+    opt = PrysmLBFGSB(bowl, np.asarray([1.0, -2.0, 0.5, 3.0]), memory=5)
+    outcome = run_until(opt, MaxIterations(10))
+    assert outcome.decision.stop
+    assert len(outcome.records) <= 10
+
+
+def test_pulling_corner_terminates_with_zero_projected_gradient():
+    """At a corner with the gradient pushing into every active face the
+    projected gradient vanishes, so step() terminates immediately (the
+    reference reports no-descent there; the repo reports convergence —
+    either way the optimizer must not loop or leave the box)."""
+    def ramp(x):
+        return float(np.sum(x)), np.ones(2)
+
+    corner = np.zeros(2)
+    opt = PrysmLBFGSB(ramp, corner, lower_bounds=np.zeros(2),
+                      upper_bounds=np.ones(2), memory=3)
+    with pytest.raises(StopIteration):
+        opt.step()
+    np.testing.assert_array_equal(np.asarray(opt.x), corner)
