@@ -33,6 +33,7 @@ _TASK_CONVERGENCE = 4
 _TASK_STOP = 5
 _TASK_WARNING = 6
 _TASK_ERROR = 7
+_TASK_ABNORMAL = 8
 
 
 class _DriverStop:
@@ -105,13 +106,13 @@ class LBFGSB:
 
     @property
     def x(self):
-        """Current iterate."""
-        return self._x
+        """Current iterate (a copy — the driver's buffer stays private)."""
+        return self._x.copy()
 
     @property
     def g(self):
-        """Gradient at the last evaluated point."""
-        return self._g
+        """Gradient at the last evaluated point (a copy)."""
+        return self._g.copy()
 
     def _call_driver(self):
         _sp_lbfgsb.setulb(
@@ -141,15 +142,26 @@ class LBFGSB:
                 return (x_prev,
                         float(self._f) if f_prev is None else f_prev,
                         self._g.copy() if g_prev is None else g_prev)
-            elif code == _TASK_CONVERGENCE:
-                self.last_step_metadata = {'task': 'CONVERGENCE'}
-                raise StopIteration(_DriverStop(True, 'converged'))
-            elif code in (_TASK_STOP, _TASK_WARNING):
-                self.last_step_metadata = {'task': 'STOP'}
-                raise StopIteration(_DriverStop(True, 'driver stop'))
             else:
-                self.last_step_metadata = {'task': f'ERROR({code})'}
-                raise StopIteration(_DriverStop(False, f'driver error code {code}'))
+                raise StopIteration(self._terminal(code))
+
+    def _terminal(self, code):
+        """Map a terminal driver status code to a StopIteration payload.
+
+        The C driver's status 8 (ABNORMAL: line-search failure et al.)
+        is a known failed termination, not an unknown code.
+        """
+        if code == _TASK_CONVERGENCE:
+            self.last_step_metadata = {'task': 'CONVERGENCE'}
+            return _DriverStop(True, 'converged')
+        if code in (_TASK_STOP, _TASK_WARNING):
+            self.last_step_metadata = {'task': 'STOP'}
+            return _DriverStop(True, 'driver stop')
+        if code == _TASK_ABNORMAL:
+            self.last_step_metadata = {'task': 'ABNORMAL'}
+            return _DriverStop(False, 'abnormal driver termination')
+        self.last_step_metadata = {'task': f'ERROR({code})'}
+        return _DriverStop(False, f'driver error code {code}')
 
     def run_to(self, N):
         """Yield (x, f, g) for up to N iterations.

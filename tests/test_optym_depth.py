@@ -708,3 +708,15 @@ def test_adagrad_accumulator_not_fed_at_bound():
     np.testing.assert_array_equal(np.asarray(opt.x), [0.0])
     assert float(np.sum(np.asarray(opt.accumulator))) == \
         pytest.approx(0.0, abs=1e-30)
+
+
+def test_first_order_bounds_validate_shape_and_order():
+    """Box bounds are validated at construction: size mismatch and
+    crossed bounds each raise (reference optimizer-regression suite)."""
+    with pytest.raises(ValueError, match='same shape or size'):
+        GradientDescent(quadratic_fg, np.array([0.0, 1.0]), alpha=0.1,
+                        lower_bounds=np.zeros(3))
+    with pytest.raises(ValueError, match='lower_bounds'):
+        GradientDescent(quadratic_fg, np.array([0.0, 1.0]), alpha=0.1,
+                        lower_bounds=np.array([1.0, 0.0]),
+                        upper_bounds=np.array([0.0, 1.0]))

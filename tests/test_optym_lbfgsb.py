@@ -771,3 +771,42 @@ def test_pulling_corner_terminates_with_zero_projected_gradient():
     with pytest.raises(StopIteration):
         opt.step()
     np.testing.assert_array_equal(np.asarray(opt.x), corner)
+
+
+# ---------------------------------------------------------------------------
+# scipy-driver wrapper regressions (reference
+# tests/x/optym/test_optym_optimizers_regression.py)
+# ---------------------------------------------------------------------------
+
+def test_scipy_driver_decodes_abnormal_status():
+    """Status 8 (ABNORMAL) from the C driver is a known failed
+    termination, not an unknown code."""
+    from prysm_tpu.x.optym.lbfgsb import LBFGSB
+
+    opt = LBFGSB(_sphere_fg, np.array([1.0, 2.0]))
+    payload = opt._terminal(8)
+    assert payload.success is False
+    assert 'abnormal' in payload.message.lower()
+    assert opt.last_step_metadata['task'] == 'ABNORMAL'
+    # unknown codes still fall through to the generic error payload
+    other = opt._terminal(42)
+    assert other.success is False and '42' in other.message
+
+
+def test_scipy_driver_state_stays_private():
+    """Mutating arrays handed out by step()/x/g must not corrupt the
+    reverse-communication driver's workspace."""
+    from prysm_tpu.x.optym.lbfgsb import LBFGSB
+
+    opt = LBFGSB(_sphere_fg, np.array([1.0, 2.0]))
+    x_ret, _, g_ret = opt.step()
+    x_view = opt.x
+    before = opt._x.copy()
+
+    x_ret[...] = 100
+    g_ret[...] = 100
+    x_view[...] = 100
+
+    np.testing.assert_array_equal(opt._x, before)
+    np.testing.assert_array_equal(opt.x, opt._x)
+    assert not np.array_equal(opt.x, x_view)
