@@ -26,6 +26,7 @@ EXECUTABLE = {
     'how-tos/radiometry.md': None,
     'how-tos/optimization.md': None,
     'how-tos/polychromatic.md': 2,
+    'how-tos/polarized-propagation.md': None,
     'how-tos/advanced-interferogram-processing.md': None,
     'explanation/deformable-mirrors.md': None,
     'explanation/segmented-systems.md': None,
