@@ -181,3 +181,18 @@ def test_multisample_matches_antialias_tier():
     # the two estimators agree closely away from the exact edge band
     interior = aa == 1.0
     assert np.abs(aa - ms)[interior].max() < 0.05
+
+
+def test_rotated_ellipse_rejects_minor_larger_than_major():
+    (x, y), _ = _grid()
+    with pytest.raises(ValueError, match='major'):
+        geom.rotated_ellipse_sdf(0.3, 0.8, x, y)
+
+
+def test_polygon_sdf_winding_invariant():
+    """Reversing the vertex order (CW vs CCW) gives the same SDF."""
+    (x, y), _ = _grid()
+    verts = np.asarray([[-0.5, -0.4], [0.6, -0.3], [0.4, 0.5], [-0.3, 0.55]])
+    fwd = np.asarray(geom.polygon_sdf(verts, x, y))
+    rev = np.asarray(geom.polygon_sdf(verts[::-1], x, y))
+    np.testing.assert_allclose(fwd, rev, atol=1e-12)

@@ -197,3 +197,71 @@ def test_babinet_compact_focal_window_is_exact():
                                                  10.0, kind='mdft'))
     np.testing.assert_allclose(np.asarray(windowed), np.asarray(full),
                                rtol=1e-10, atol=1e-11)
+
+
+@pytest.mark.parametrize('n', [8, 9])
+def test_mdft_on_aligned_grid_equals_fft(n):
+    """With fftrange coords and the matching frequency grid, the matrix
+    DFT reproduces fftshift(fft2(ifftshift(.))) exactly (reference
+    test_mtp_equivalent_to_fft)."""
+    rng = np.random.default_rng(91)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    dx = 0.3
+    x = np.asarray(ft.fftrange(n), dtype=np.float64) * dx
+    f = np.asarray(ft.fftrange(n), dtype=np.float64) / (n * dx)
+    plan = ft.plan_mdft(x, x, f, f, sign=-1, norm=1.0, dtype=np.complex128)
+    ours = np.asarray(plan(jnp.asarray(a)))
+    theirs = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(a)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-11, atol=1e-11)
+
+
+def test_mdft_unitary_geometry_reverses_self():
+    """adjoint(forward(x)) == x when the plan is unitary (full-cell
+    frequency window, norm 1/N; reference test_mtp_reverses_self)."""
+    n = 16
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    dx = 0.25
+    x = np.asarray(ft.fftrange(n), dtype=np.float64) * dx
+    f = np.asarray(ft.fftrange(n), dtype=np.float64) / (n * dx)
+    plan = ft.plan_mdft(x, x, f, f, norm=1.0 / n, dtype=np.complex128)
+    back = np.asarray(plan.adjoint(plan(jnp.asarray(a))))
+    np.testing.assert_allclose(back, a, rtol=1e-11, atol=1e-12)
+
+
+def test_plan_nbytes_reports_tabulated_storage():
+    """nbytes() counts the complex basis/phase tables (reference
+    test_mdft_nbytes_reports_basis_size / test_fftdft_nbytes...)."""
+    Nx, Ny, Mx, My = 8, 12, 10, 6
+    dx = 0.5
+    x = np.asarray(ft.fftrange(Nx)) * dx
+    y = np.asarray(ft.fftrange(Ny)) * dx
+    fx = np.asarray(ft.fftrange(Mx)) * 0.01
+    fy = np.asarray(ft.fftrange(My)) * 0.01
+    plan = ft.plan_mdft(x, y, fx, fy, dtype=np.complex128)
+    itemsize = plan.Ex_re.dtype.itemsize
+    assert plan.nbytes() == (Mx * Nx + My * Ny) * 2 * itemsize
+    czt = ft.plan_czt(x, y, fx, fy, dtype=np.complex128)
+    assert czt.nbytes() > 0
+    n = 8
+    xf = np.asarray(ft.fftrange(n), dtype=np.float64) * dx
+    ff = np.asarray(ft.fftrange(n), dtype=np.float64) / (n * dx)
+    fdft = ft.plan_fftdft(xf, xf, ff, ff, dtype=np.complex128)
+    assert fdft.nbytes() > 0
+
+
+def test_fftdft_rejects_incompatible_or_nonuniform_grids():
+    n = 8
+    dx = 0.5
+    x = np.asarray(ft.fftrange(n), dtype=np.float64) * dx
+    f_good = np.asarray(ft.fftrange(n), dtype=np.float64) / (n * dx)
+    bad = x.copy()
+    bad[3] += 0.05
+    with pytest.raises(ValueError, match='uniformly spaced'):
+        ft.plan_fftdft(bad, x, f_good, f_good)
+    f_bad = np.asarray(ft.fftrange(n), dtype=np.float64) * (0.7 / (n * dx))
+    with pytest.raises(ValueError, match='FFT-compatible'):
+        ft.plan_fftdft(x, x, f_bad, f_good)
+    f_short = np.asarray(ft.fftrange(n), dtype=np.float64) / (4 * dx)
+    with pytest.raises(ValueError, match='smaller than'):
+        ft.plan_fftdft(x, x, f_short, f_good)

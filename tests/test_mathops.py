@@ -116,3 +116,18 @@ def test_numpy_backend_swap_computes():
         truenp.testing.assert_allclose(out.real, a, atol=1e-12)
     finally:
         mathops.set_backend_to_defaults()
+
+
+@pytest.mark.parametrize('num,want', [(1, True), (3, True),
+                                      (100000000000001, True),
+                                      (0, False), (2, False),
+                                      (100000000000000, False)])
+def test_is_odd(num, want):
+    assert bool(mathops.is_odd(num)) is want
+
+
+@pytest.mark.parametrize('num,want', [(2, True), (64, True), (8192, True),
+                                      (1, False), (3, False), (1000, False),
+                                      (-2, False)])
+def test_is_power_of_2(num, want):
+    assert bool(mathops.is_power_of_2(num)) is want
