@@ -36,12 +36,8 @@ def coordinates_for_focus(pupil_dx, pupil_samples, focal_dx, focal_samples,
     Units: pupil mm, focal um, wavelength um, efl mm
     (reference: prysm/propagation/dft.py:12-66).
     """
-    if not isinstance(pupil_samples, Iterable):
-        pupil_samples = (pupil_samples, pupil_samples)
-    if not isinstance(focal_samples, Iterable):
-        focal_samples = (focal_samples, focal_samples)
-    pny, pnx = pupil_samples
-    fny, fnx = focal_samples
+    pny, pnx = _as_pair(pupil_samples)
+    fny, fnx = _as_pair(focal_samples)
     fsx, fsy = focal_shift
     x = _host_fftrange(pnx) * pupil_dx
     y = _host_fftrange(pny) * pupil_dx
@@ -52,6 +48,11 @@ def coordinates_for_focus(pupil_dx, pupil_samples, focal_dx, focal_samples,
 
 
 _PLANNERS = {'mdft': plan_mdft, 'czt': plan_czt, 'fftdft': plan_fftdft}
+
+
+def _as_pair(n):
+    """(ny, nx) from a scalar-or-pair sample count."""
+    return tuple(n) if isinstance(n, Iterable) else (n, n)
 
 
 def prepare_executor(pupil_dx, pupil_samples, focal_dx, focal_samples,
@@ -81,20 +82,20 @@ def unit_cell_focal_grid(pupil_dx, pupil_diameter, wavelength, efl, Q=2):
     A matrix-DFT round trip is unitary only when the focal window spans
     wavelength * efl / pupil_dx (reference: prysm/propagation/dft.py:120-152).
     """
-    focal_samples = math.ceil(Q * pupil_diameter / pupil_dx)
-    focal_dx = wavelength * efl / pupil_dx / focal_samples
-    return focal_dx, focal_samples
+    nsamp = math.ceil(Q * pupil_diameter / pupil_dx)
+    return wavelength * efl / (pupil_dx * nsamp), nsamp
 
 
 def _smootherstep(t):
     """C2 smoothstep 6t^5 - 15t^4 + 10t^3, clipped to [0, 1]."""
     t = np.clip(t, 0, 1)
-    return t * t * t * (t * (t * 6 - 15) + 10)
+    return t ** 3 * (10 + t * (6 * t - 15))
 
 
 def _cumulative_window(r, a, b):
     """Radial taper: 1 for r < a, 0 for r > b, C2 transition between."""
-    return 1 - _smootherstep((r - a) / (b - a))
+    frac = (r - a) / (b - a)
+    return 1 - _smootherstep(frac)
 
 
 @jax.tree_util.register_dataclass
@@ -136,44 +137,49 @@ def prepare_multiresolution(pupil_dx, pupil_samples, focal_dx, focal_samples,
     """
     if fine_samples is None:
         fine_samples = focal_samples
+
+    coarse_ny_nx = _as_pair(focal_samples)
+    fine_ny_nx = _as_pair(fine_samples)
+
+    def _level(k):
+        """Plan + host-side focal geometry for pyramid level k (0=coarsest)."""
+        ny, nx = coarse_ny_nx if k == 0 else fine_ny_nx
+        step = focal_dx / scaling ** k
+        # every focal grid is offset by half a sample so a mask singularity
+        # at the origin always falls between samples, at every zoom level
+        off = 0.5 * step
+        plan = prepare_executor(pupil_dx, pupil_samples, step, (ny, nx),
+                                wavelength, efl, focal_shift=(off, off),
+                                kind=kind, dtype=dtype)
+        gx, gy = np.meshgrid(_host_fftrange(nx) * step + off,
+                             _host_fftrange(ny) * step + off)
+        # the half-extent of this level's grid sets where its hand-off
+        # taper to the next-coarser level lives
+        return plan, gx, gy, 0.5 * step * min(ny, nx)
+
+    plans, gxs, gys, extents = zip(*(_level(k) for k in range(num_levels)))
     inner, outer = window
 
-    executors = []
-    xfs = []
-    yfs = []
-    radii = []
-    halves = []
-    for k in range(num_levels):
-        nf = focal_samples if k == 0 else fine_samples
-        if not isinstance(nf, Iterable):
-            nf = (nf, nf)
-        nfy, nfx = nf
-        fdx = focal_dx / scaling ** k
-        shift = fdx / 2.0  # half-pixel: keep the singular origin off-grid
-        ex = prepare_executor(pupil_dx, pupil_samples, fdx, nf,
-                              wavelength, efl, focal_shift=(shift, shift),
-                              kind=kind, dtype=dtype)
-        xline = _host_fftrange(nfx) * fdx + shift
-        yline = _host_fftrange(nfy) * fdx + shift
-        xf, yf = np.meshgrid(xline, yline)
-        executors.append(ex)
-        xfs.append(xf)
-        yfs.append(yf)
-        radii.append(np.hypot(xf, yf))
-        halves.append(min(nfy, nfx) / 2.0 * fdx)
+    def _taper(k, j):
+        """Hand-off taper owned by level j, sampled on level k's grid."""
+        r = np.hypot(gxs[k], gys[k])
+        return _cumulative_window(r, inner * extents[j], outer * extents[j])
 
-    windows = []
+    # level k keeps the annulus between its own taper and the next-finer
+    # level's taper; the coarsest reaches outward forever and the finest
+    # covers the origin, so the stack sums to one everywhere
+    wins = []
     for k in range(num_levels):
-        r = radii[k]
-        here = 1.0 if k == 0 else _cumulative_window(r, inner * halves[k], outer * halves[k])
-        nxt = 0.0 if k == num_levels - 1 else _cumulative_window(r, inner * halves[k + 1], outer * halves[k + 1])
-        windows.append(np.asarray(here - nxt))
+        w = np.ones_like(gxs[k]) if k == 0 else _taper(k, k)
+        if k + 1 < num_levels:
+            w = w - _taper(k, k + 1)
+        wins.append(np.asarray(w))
 
     return MultiResolutionExecutor(
-        executors=tuple(executors),
-        windows=tuple(np.asarray(w) for w in windows),
-        xf=tuple(np.asarray(a) for a in xfs),
-        yf=tuple(np.asarray(a) for a in yfs),
+        executors=tuple(plans),
+        windows=tuple(wins),
+        xf=tuple(np.asarray(g) for g in gxs),
+        yf=tuple(np.asarray(g) for g in gys),
     )
 
 

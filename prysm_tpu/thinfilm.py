@@ -95,7 +95,6 @@ def multilayer_stack_rt(indices, thicknesses, wavelength, polarization,
         raise ValueError('indices and thicknesses must contain at least one film layer')
 
     cost0 = jnp.cos(aoi)
-    term1 = 1 / (2 * ambient_index * cost0)
 
     def layer_mats(n, d):
         cost = _cos_snell(ambient_index, n, aoi)
@@ -128,19 +127,23 @@ def multilayer_stack_rt(indices, thicknesses, wavelength, polarization,
             step, (m00, m01, m10, m11), (indices[1:], thicknesses[1:]))
 
     substrate_index = jnp.asarray(substrate_index)
-    substrate_cost = _cos_snell(ambient_index, substrate_index, aoi)
+    cos_sub = _cos_snell(ambient_index, substrate_index, aoi)
+    # Macleod B/C form: [B; C] = M @ [1; eta_sub] with tilted admittances
+    # eta = n*cos (s) / n/cos (p); r = (eta0*B - C)/(eta0*B + C).  The
+    # p-pol transmission amplitude carries an extra cos(aoi)/cos(aot)
+    # obliquity factor relative to the plain 2*eta0/(eta0*B + C) form to
+    # match the reference's field convention (thinfilm.py:295-311).
     if polarization == 'p':
-        q0 = m00 * substrate_cost + m01 * substrate_index
-        q1 = m10 * substrate_cost + m11 * substrate_index
-        A00 = term1 * (ambient_index * q0 + cost0 * q1)
-        A10 = term1 * (ambient_index * q0 - cost0 * q1)
+        eta0 = ambient_index / cost0
+        eta_sub = substrate_index / cos_sub
+        obliquity = cost0 / cos_sub
     else:
-        substrate_admittance = substrate_index * substrate_cost
-        q0 = m00 + m01 * substrate_admittance
-        q1 = m10 + m11 * substrate_admittance
-        ambient_admittance = ambient_index * cost0
-        A00 = term1 * (ambient_admittance * q0 + q1)
-        A10 = term1 * (ambient_admittance * q0 - q1)
-    r = A10 / A00
-    t = 1 / A00
+        eta0 = ambient_index * cost0
+        eta_sub = substrate_index * cos_sub
+        obliquity = 1.0
+    B = m00 + m01 * eta_sub
+    C = m10 + m11 * eta_sub
+    denom = eta0 * B + C
+    r = (eta0 * B - C) / denom
+    t = obliquity * 2 * eta0 / denom
     return r, t

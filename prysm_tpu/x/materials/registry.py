@@ -3,7 +3,6 @@
 Rebuild of ``prysm/x/materials/registry.py``.
 """
 from .catalog import (
-    CatalogChain,
     RecordSet,
     _compile_filters,
     _loose_name_match,
@@ -11,7 +10,16 @@ from .catalog import (
 )
 from .core import MissingKError
 
-_COMPUTED = {'n_at', 'k_max', 'dispersion', 'partial_dispersion', 'abbe'}
+# banded computed criteria: criterion name -> (metric, leading wavelength args)
+# each takes (wvl..., lo, hi[, temperature]) and keeps records whose metric
+# lands inside [lo, hi] (either bound may be None for half-open bands)
+_BAND_CRITERIA = {
+    'n_at': ('n_at', 1),
+    'dispersion': ('dispersion', 2),
+    'partial_dispersion': ('partial_dispersion', 4),
+    'abbe': ('abbe', 3),
+}
+_COMPUTED = set(_BAND_CRITERIA) | {'k_max'}
 
 
 def _criterion_tuple(name, value, min_length, max_length, fill):
@@ -25,6 +33,14 @@ def _criterion_tuple(name, value, min_length, max_length, fill):
     return values + (fill,) * (max_length - len(values))
 
 
+def _within(value, lo, hi):
+    if lo is not None and value < lo:
+        return False
+    if hi is not None and value > hi:
+        return False
+    return True
+
+
 class MaterialRegistry(RecordSet):
     """Index many catalogs; search metadata or computed optical metrics."""
 
@@ -35,12 +51,9 @@ class MaterialRegistry(RecordSet):
     @classmethod
     def from_catalogs(cls, catalogs):
         """Build from a catalog, a chain, or an iterable of catalogs."""
-        if isinstance(catalogs, CatalogChain) or hasattr(catalogs, 'records'):
-            return cls(tuple(catalogs.records()))
-        records = []
-        for catalog in catalogs:
-            records.extend(tuple(catalog.records()))
-        return cls(records)
+        if hasattr(catalogs, 'records'):  # a single catalog or a chain
+            catalogs = (catalogs,)
+        return cls(rec for cat in catalogs for rec in cat.records())
 
     def records(self):
         """Registry records."""
@@ -52,54 +65,37 @@ class MaterialRegistry(RecordSet):
 
     def iter_search(self, **criteria):
         """Yield records matching metadata and computed filters."""
-        for record in self._records:
-            if self._matches(record, criteria):
-                yield record
+        keep = self._compile_predicates(criteria)
+        return (rec for rec in self._records if all(p(rec) for p in keep))
 
-    def _matches(self, record, criteria):
+    def _compile_predicates(self, criteria):
+        """Turn a criteria dict into record -> bool closures, one per check."""
         query = criteria.get('query')
         meta = {k: v for k, v in criteria.items()
                 if k != 'query' and k not in _COMPUTED}
-        if not _loose_name_match(record, query):
-            return False
-        if not _passes(record, _compile_filters(meta)):
-            return False
-
-        def in_band(value, lo, hi):
-            return not ((lo is not None and value < lo)
-                        or (hi is not None and value > hi))
-
-        if criteria.get('n_at') is not None:
-            wvl, lo, hi, temp = _criterion_tuple('n_at', criteria['n_at'],
-                                                 3, 4, None)
-            if not in_band(self._metric(record, 'n_at', (wvl, temp)), lo, hi):
-                return False
+        filters = _compile_filters(meta)
+        preds = [
+            lambda rec: _loose_name_match(rec, query),
+            lambda rec: _passes(rec, filters),
+        ]
+        for name, (metric, nwvl) in _BAND_CRITERIA.items():
+            if criteria.get(name) is None:
+                continue
+            vals = _criterion_tuple(name, criteria[name], nwvl + 2, nwvl + 3,
+                                    None)
+            margs = vals[:nwvl] + (vals[-1],)  # wavelengths + temperature
+            lo, hi = vals[nwvl:nwvl + 2]
+            preds.append(
+                lambda rec, m=metric, a=margs, lo=lo, hi=hi:
+                    _within(self._metric(rec, m, a), lo, hi))
         if criteria.get('k_max') is not None:
-            wvl, threshold, temp = _criterion_tuple('k_max', criteria['k_max'],
-                                                    2, 3, None)
-            if threshold is None:
+            wvl, cap, temp = _criterion_tuple('k_max', criteria['k_max'],
+                                              2, 3, None)
+            if cap is None:
                 raise ValueError('k_max criterion requires a non-None threshold')
-            if self._metric(record, 'k_at', (wvl, temp)) > threshold:
-                return False
-        if criteria.get('dispersion') is not None:
-            w1, w2, lo, hi, temp = _criterion_tuple(
-                'dispersion', criteria['dispersion'], 4, 5, None)
-            if not in_band(self._metric(record, 'dispersion', (w1, w2, temp)),
-                           lo, hi):
-                return False
-        if criteria.get('partial_dispersion') is not None:
-            w1, w2, w3, w4, lo, hi, temp = _criterion_tuple(
-                'partial_dispersion', criteria['partial_dispersion'], 6, 7, None)
-            if not in_band(self._metric(record, 'partial_dispersion',
-                                        (w1, w2, w3, w4, temp)), lo, hi):
-                return False
-        if criteria.get('abbe') is not None:
-            ws, wc, wl, lo, hi, temp = _criterion_tuple(
-                'abbe', criteria['abbe'], 5, 6, None)
-            if not in_band(self._metric(record, 'abbe', (ws, wc, wl, temp)),
-                           lo, hi):
-                return False
-        return True
+            preds.append(
+                lambda rec: self._metric(rec, 'k_at', (wvl, temp)) <= cap)
+        return preds
 
     def _metric(self, record, metric, args):
         key = (record.material_id, metric, args)
