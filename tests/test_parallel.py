@@ -319,10 +319,62 @@ def test_overlapped_spectral_grad_matches_monolithic():
     np.testing.assert_allclose(np.asarray(grad), np.asarray(gr),
                                rtol=1e-10, atol=1e-12)
     # the authored program carries one reduction per chunk (+ the loss
-    # psum); the backend combiner may merge them, async pairs are a TPU
-    # scheduler property
+    # psum); CPU-backend evidence only witnesses the lowered structure
     ev = overlap_evidence(step, coefs)
     assert ev['lowered_all_reduces'] >= n_chunks
+
+
+def test_overlap_chain_survives_tpu_combiner():
+    """The barrier chain keeps per-chunk psums distinct in TPU-target HLO.
+
+    r5 fix for the r4 verdict: previously the collective combiner merged
+    the 3 lowered all-reduces to 1 in the compiled module, compiling the
+    overlap structure away.  Witnessed on the abstract v5e topology (the
+    same AOT pipeline as tools/tpu_hlo_witness.py).
+    """
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform='tpu',
+                                            topology_name='v5e:2x4')
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        pytest.skip(f'abstract TPU topology unavailable: {exc}')
+    from prysm_tpu.mathops import cis
+    from prysm_tpu.parallel import make_mesh
+    from prysm_tpu.parallel.overlap import (
+        overlapped_spectral_grad, overlap_evidence)
+
+    # everything f32: the TPU-target compiler has no f64 (conftest's x64
+    # default would abort the AOT client)
+    f32 = jnp.float32
+    N, W, fN = 64, 16, 32
+    x, y = make_xy_grid(N, diameter=2.2)
+    dx = float(x[0, 1] - x[0, 0])
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx).astype(f32)
+    modes = zernike_nm_seq([(2, 0), (2, 2), (3, 1)], r, t).astype(f32)
+    wavelengths = jnp.linspace(0.5, 0.6, W).astype(f32)
+    weights = (jnp.ones(W) / W).astype(f32)
+    plan = plan_mdft_spectral(dx, (N, N), 0.4, fN, np.asarray(wavelengths),
+                              10.0, dtype=np.complex64)
+    coefs = jnp.asarray([5.0, -3.0, 2.0], dtype=f32)
+
+    def fwd_all(c):
+        opd = jnp.tensordot(c, modes, axes=(0, 0))
+        scale = (2 * jnp.pi / (wavelengths * 1e3)).astype(f32)
+        fields = amp[None] * cis(scale[:, None, None] * opd[None])
+        E = plan(fields)
+        return E.real ** 2 + E.imag ** 2
+
+    I_meas = fwd_all(coefs * 0.5)
+    mesh = make_mesh({'wl': 8}, devices=list(topo.devices))
+    n_chunks = 2
+    step = overlapped_spectral_grad(mesh, plan, amp, modes, wavelengths,
+                                    weights, I_meas, n_chunks=n_chunks)
+    aval = jax.ShapeDtypeStruct(coefs.shape, coefs.dtype)
+    ev = overlap_evidence(step, aval)
+    # one all-reduce per chunk plus the chained loss psum, all surviving
+    assert ev['lowered_all_reduces'] == n_chunks + 1
+    assert ev['compiled_all_reduces'] == n_chunks + 1
 
 
 # ---------------------------------------------------------------------------

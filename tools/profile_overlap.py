@@ -3,9 +3,11 @@
 Runs ``parallel.overlap.overlapped_spectral_grad`` on an 8-device mesh
 under ``jax.profiler.trace`` and prints the compiled-HLO all-reduce
 accounting.  On a real pod slice the trace (view with XProf/TensorBoard)
-shows the per-chunk ``all-reduce-start``/``done`` pairs bridged by the
-remaining chunks' backward compute; on virtual CPU devices the trace
-still records the schedule, while collectives lower synchronously.
+shows whether the runtime bridges the per-chunk reductions with the
+remaining chunks' backward compute — that runtime view is the only
+place async execution is observable (HLO text keeps TPU collectives in
+sync form; see ``overlap_evidence``).  On virtual CPU devices the trace
+records the schedule, while collectives lower synchronously.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/profile_overlap.py [trace_dir]
@@ -69,9 +71,12 @@ def main(trace_dir='/tmp/prysm_tpu_overlap_trace'):
         'n_chunks': n_chunks,
         **ev,
         'note': ('lowered_all_reduces counts the authored per-chunk '
-                 'reductions; async_pairs > 0 on TPU backends where the '
-                 'latency-hiding scheduler overlaps them with backward '
-                 'compute'),
+                 'reductions; on a TPU-target compile the barrier chain '
+                 'keeps them all in compiled_all_reduces (witnessed in '
+                 'SCALING_r05.json; the CPU backend may still merge '
+                 'its sync lowering); async_pairs is always 0 in TPU '
+                 'HLO text — runtime overlap is only observable in the '
+                 'profiler trace on a real pod'),
     }))
 
 
