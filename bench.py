@@ -27,6 +27,7 @@ SIGALRM-guarded probe so a wedged child exits in seconds.
 """
 import json
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -632,7 +633,59 @@ def _run_with_process_retries(attempts=4):
     return 1
 
 
+def _run_validate(out_path='TPU_VALIDATE_r05.json', attempts=3):
+    """Run the TPU-hardware correctness tier and record the artifact.
+
+    The tier (tests_tpu/) runs the physics oracles, executor
+    equivalences, adjoint vdots, Pallas twins, gradient checks, and
+    raytrace closed-form oracles on the real chip at f32 (VERDICT r4
+    item 2).  Spawned as ONE child pytest process (the only TPU process
+    while it runs); retried on relay flake like the bench itself.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-m', 'pytest', 'tests_tpu/', '-q',
+                 '--tb=line', '-p', 'no:cacheprovider'],
+                cwd=here, capture_output=True, text=True, timeout=560)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f'validate attempt {attempt} timed out\n')
+            time.sleep(90)
+            continue
+        tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ''
+        m = re.search(r'(\d+) passed', tail)
+        passed = int(m.group(1)) if m else 0
+        m = re.search(r'(\d+) failed', tail)
+        failed = int(m.group(1)) if m else 0
+        m = re.search(r'(\d+) skipped', tail)
+        skipped = int(m.group(1)) if m else 0
+        if proc.returncode != 0 and passed == 0 and failed == 0:
+            # collection error / relay wedge, not a test verdict: retry
+            sys.stderr.write(proc.stderr[-1500:] + '\n')
+            time.sleep(60)
+            continue
+        result = {
+            'tier': 'tpu-hardware-correctness',
+            'suite': 'tests_tpu/',
+            'rc': proc.returncode,
+            'passed': passed,
+            'failed': failed,
+            'skipped': skipped,
+            'ok': proc.returncode == 0 and failed == 0 and passed > 0,
+            'summary_line': tail,
+        }
+        with open(os.path.join(here, out_path), 'w') as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result), flush=True)
+        return 0 if result['ok'] else 1
+    return 1
+
+
 if __name__ == '__main__':
+    if '--validate' in sys.argv:
+        out = [a for a in sys.argv[1:] if a != '--validate']
+        sys.exit(_run_validate(*out[:1]))
     if os.environ.get('PRYSM_TPU_BENCH_CHILD'):
         _probe_backend()
         main()
