@@ -186,7 +186,13 @@ def cfg2_mdft_grad(jax, jnp):
 
     N, fN = 1024, 256
     dx = 2.2 / N
-    plan = prepare_executor(dx, (N, N), 0.25, fN, WVL, EFL)
+    # r5 audit (tools/ stage timings): at 'highest' (6-pass bf16) the step
+    # splits 95 us pupil synthesis + 144 us MDFT fwd + 142 us bwd; the
+    # matmuls run at 43% of the 6-pass MXU ceiling.  3-pass 'high' halves
+    # the matmul passes for 5e-5 relative gradient error (30x inside the
+    # 1e-3 f32 tier; asserted on hardware in tests_tpu/test_tpu_grad.py)
+    plan = prepare_executor(dx, (N, N), 0.25, fN, WVL, EFL,
+                            matmul_precision='high')
     coefs = jnp.asarray([20., -10., 8., 5., -4., 3.], dtype=jnp.float32)
 
     def forward(c, plan):
@@ -264,7 +270,20 @@ def cfg3_segmented(jax, jnp):
             return jnp.sum(jax.lax.fori_loop(0, K, body, c))
         return chain
 
-    return make_chain, (coefs, amp), {}
+    # r5 audit (tools stage timings, on-chip): 48 us compose_opd (19
+    # windowed mode sums + slice-adds) + 143 us pruned focus+intensity
+    # (at the 1024^2 bare-fft2 floor) + ~140 us encircled energy on the
+    # rfft2 half plane (r5: was 236 us through the full complex
+    # transform).  Ideal HBM bytes for that chain:
+    M2 = (2 * N) ** 2
+    bases_bytes = sum(int(np.asarray(b).size) * 4 for b in cha.opd_bases)
+    hand_bytes = (bases_bytes + 2 * N * N * 4        # compose read + acc RW
+                  + 10 * N * N * 4                   # pupil elementwise
+                  + 4 * M2 * 8                       # focus fft2 passes
+                  + M2 * 8 + M2 * 4                  # intensity r/w
+                  + 2 * M2 * 8                       # EE rfft2 passes
+                  + int(1.5 * M2 * 4))               # EE half-plane mul+sum
+    return make_chain, (coefs, amp), {'hand_bytes_per_step': hand_bytes}
 
 
 def cfg4_angular_spectrum(jax, jnp):
@@ -569,7 +588,11 @@ def main():
         'timing_method': 'chained-slope-fetch',
         'configs': {k: {kk: v[kk] for kk in
                         ('value', 'unit', 'vs_baseline', 'median_ms',
-                         'iqr_ms')}
+                         'iqr_ms', 'hand_flops_per_step',
+                         'achieved_tflops', 'pct_peak_bf16',
+                         'hand_gb_per_step', 'achieved_hbm_gbps',
+                         'pct_peak_hbm')
+                        if kk in v}
                     for k, v in results.items()},
         **flags,
     }

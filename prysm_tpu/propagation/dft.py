@@ -57,12 +57,14 @@ def _as_pair(n):
 
 def prepare_executor(pupil_dx, pupil_samples, focal_dx, focal_samples,
                      wavelength, efl, focal_shift=(0, 0), kind='mdft',
-                     dtype=None):
+                     dtype=None, matmul_precision=None):
     """Build a reusable MDFT/CZT/FFTDFT pupil <-> focal plan.
 
     The plan is in the focus orientation: plan(pupil) -> focal data,
     plan.adjoint(focal) -> pupil data.  pupil_dx/focal_dx are stashed on the
     plan as static metadata for callers that label outputs.
+    matmul_precision applies to the MDFT kind only (MXU pass count; see
+    fttools.MDFT.matmul_precision): None keeps the bit-stable default.
     """
     x, y, fx, fy = coordinates_for_focus(
         pupil_dx, pupil_samples, focal_dx, focal_samples,
@@ -72,8 +74,11 @@ def prepare_executor(pupil_dx, pupil_samples, focal_dx, focal_samples,
         planner = _PLANNERS[kind]
     except KeyError:
         raise ValueError(f"kind must be 'mdft', 'czt', or 'fftdft', got {kind!r}")
+    kwargs = {}
+    if kind == 'mdft' and matmul_precision is not None:
+        kwargs['matmul_precision'] = matmul_precision
     return planner(x, y, fx, fy, sign=-1, norm=norm, dtype=dtype,
-                   pupil_dx=pupil_dx, focal_dx=focal_dx)
+                   pupil_dx=pupil_dx, focal_dx=focal_dx, **kwargs)
 
 
 def unit_cell_focal_grid(pupil_dx, pupil_diameter, wavelength, efl, Q=2):

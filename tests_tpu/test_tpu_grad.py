@@ -104,6 +104,46 @@ def test_fused_zernike_chain_grad_matches_jnp_on_chip():
     assert np.abs(g1 - g2).max() / scale < 1e-3
 
 
+def test_mdft_high_precision_grad_tier_on_chip():
+    """The 3-pass 'high' MXU mode stays within 2e-4 of 6-pass 'highest'.
+
+    bench.py's retrieval config runs the MDFT plan at
+    matmul_precision='high' (18% faster); this pins the accuracy cost on
+    the hardware where the pass count actually matters (CPU ignores it).
+    """
+    N, fN = 256, 64
+    x, y = make_xy_grid(N, diameter=2.2)
+    dx = 2.2 / N
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    modes = zernike_nm_seq(NMS, r, t)
+    coefs = jnp.asarray([20.0, -10.0, 5.0, 3.0], dtype=jnp.float32)
+
+    def build(prec):
+        plan = prepare_executor(dx, (N, N), 0.4, fN, 0.55, 10.0,
+                                dtype=np.complex64, matmul_precision=prec)
+
+        def fwd(c):
+            opd = sum_of_2d_modes(modes, c)
+            wf = Wavefront.from_amp_and_phase(amp, opd, 0.55, dx)
+            return wf.focus_dft(plan).intensity.data
+
+        I_meas = fwd(coefs * 0.5)
+
+        def loss(c):
+            resid = fwd(c) - I_meas
+            return jnp.sum(resid * resid)
+
+        l, g = jax.jit(jax.value_and_grad(loss))(coefs)
+        return float(l), np.asarray(g, dtype=np.float64)
+
+    l_hi, g_hi = build('highest')
+    l_h3, g_h3 = build('high')
+    scale = np.abs(g_hi).max()
+    assert np.abs(g_h3 - g_hi).max() / scale < 2e-4
+    assert l_h3 == pytest.approx(l_hi, rel=2e-4)
+
+
 def test_wavefront_intensity_grad_on_chip():
     """d(sum I)/d(opd) of a plane wave is ~0 (stationary phase) and the
     jitted vjp is finite everywhere."""
