@@ -127,52 +127,75 @@ def cfg1_flagship(jax, jnp):
     dx = 2.2 / N
     coefs = jnp.asarray([20., -10., 8., 5., -4., 3.], dtype=jnp.float32)
 
-    def forward(c):
-        x, y = make_xy_grid(N, diameter=2.2)
-        r, t = cart_to_polar(x, y)
-        amp = antialias(circle_sdf(1.0, r), dx)
-        opd = sum_of_2d_modes(zernike_nm_seq(NMS6, r, t), c)
+    # static plan pieces passed as jit arguments (the production pattern,
+    # as the CPU baseline precomputes its modes): XLA's while-loop LICM
+    # does NOT hoist the grid/mode synthesis out of the chained loop —
+    # measured 231 us/step of invariant work when built in-body (r5)
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    modes = zernike_nm_seq(NMS6, r, t)
+    jax.block_until_ready(modes)
+
+    def forward(c, modes, amp):
+        opd = sum_of_2d_modes(modes, c)
         I = Wavefront.from_amp_and_phase(amp, opd, WVL, dx) \
             .focus(EFL, Q=2).intensity
         return I
 
-    measure = jax.jit(lambda c: forward(c).data)
-    I_meas = measure(coefs)
+    measure = jax.jit(lambda c, m, a: forward(c, m, a).data)
+    I_meas = measure(coefs, modes, amp)
     jax.block_until_ready(I_meas)
 
-    def loss(c, I_meas):
-        I = forward(c * 0.9)
+    def loss(c, modes, amp, I_meas):
+        I = forward(c * 0.9, modes, amp)
         mtf = mtf_from_psf(I.data, I.dx).data
-        return jnp.sum((I.data - I_meas) ** 2), mtf
+        # the MTF is a forward deliverable, not part of the loss; its sum
+        # rides into the chain feedback below so the leg cannot be
+        # dead-code eliminated
+        return jnp.sum((I.data - I_meas) ** 2), jnp.sum(mtf)
 
     grad_step = jax.value_and_grad(loss, has_aux=True)
 
     def make_chain(_K):
         @jax.jit
-        def run(c, I_meas, K):
+        def run(c, modes, amp, I_meas, K):
             def body(_, ck):
-                (_, _), g = grad_step(ck, I_meas)
-                return ck - 1e-12 * g   # descent feedback: steps chain
+                (_, mtf_sum), g = grad_step(ck, modes, amp, I_meas)
+                # descent feedback + an epsilon of the MTF sum: the chain
+                # steps stay data-dependent AND the MTF leg stays live.
+                # r5 honesty fix: with the aux MTF merely returned and
+                # discarded, XLA removed the whole MTF transform from the
+                # compiled loop — r3/r4 flagship rates (672/s) measured a
+                # 2-FFT chain against a 3-FFT CPU baseline
+                return ck - 1e-12 * g + 1e-18 * mtf_sum
             return jnp.sum(jax.lax.fori_loop(0, K, body, c))
         return run
 
     # hand-derived FLOPs per step (the honest audit; the XLA cost model
     # overcounts FFTs ~7x).  M = 2N from the Q=2 pad; log2(M) = 11.
-    # 3 complex 2-D FFTs (focus fwd, MTF fwd, focus adjoint bwd) at
-    # 10 M^2 log2 M each; ~40 M^2 elementwise (pad/intensity/loss/
-    # mtf-normalize/adjoints) + ~30 N^2 pupil-side (mode sum + phase +
-    # their adjoints).  Mode-basis synthesis is loop-invariant and
-    # hoisted, matching the CPU baseline which precomputes the modes.
+    # 3 complex-equivalent 2-D FFTs (pruned focus fwd, rfft MTF fwd,
+    # pruned focus adjoint bwd) at 10 M^2 log2 M each; ~40 M^2
+    # elementwise (pad/intensity/loss/mtf-normalize/adjoints) + ~30 N^2
+    # pupil-side (mode sum + phase + their adjoints).  Mode-basis
+    # synthesis is loop-invariant and hoisted, matching the CPU baseline
+    # which precomputes the modes.
     M = 2 * N
     import math as _math
     hand_flops = (3 * 10 * M * M * _math.log2(M)
                   + 40 * M * M + 30 * N * N)
-    # ideal HBM traffic: each fft2 moves ~4 passes x M^2 c64; elementwise
-    # ~15 full-size f32 arrays
-    hand_bytes = 3 * 4 * M * M * 8 + 15 * M * M * 4
+    # ideal HBM traffic: pruned focus fwd/bwd move ~3 passes x M^2 c64
+    # each, the rfft2 MTF ~2.5 half-plane-equivalent passes + full-plane
+    # magnitude/normalize/shift; elementwise ~15 full-size f32 arrays.
+    # On-chip attribution (r5, tools stage timings): 543 us pruned
+    # focus+intensity + 579 us MTF (1.2x the bare rfft2 floor of 482)
+    # + ~630 us backward — the chain is XLA-FFT-throughput-bound; FFT
+    # passes run far below streaming HBM peak (transposed access), so
+    # pct_peak_hbm is bounded by the FFT engine, not by this chain.
+    hand_bytes = int((3 + 2.5 + 3) * M * M * 8 + 15 * M * M * 4)
     meta = {'hand_flops_per_step': hand_flops,
             'hand_bytes_per_step': hand_bytes}
-    return make_chain, (coefs, I_meas), meta
+    return make_chain, (coefs, modes, amp, I_meas), meta
 
 
 def cfg2_mdft_grad(jax, jnp):
@@ -195,10 +218,14 @@ def cfg2_mdft_grad(jax, jnp):
                             matmul_precision='high')
     coefs = jnp.asarray([20., -10., 8., 5., -4., 3.], dtype=jnp.float32)
 
-    def forward(c, plan):
-        x, y = make_xy_grid(N, diameter=2.2)
-        r, t = cart_to_polar(x, y)
-        amp = antialias(circle_sdf(1.0, r), dx)
+    # grid/amp/polar as precomputed args: in-body invariant synthesis is
+    # not hoisted out of the chained loop (see cfg1 note)
+    x, y = make_xy_grid(N, diameter=2.2)
+    r, t = cart_to_polar(x, y)
+    amp = antialias(circle_sdf(1.0, r), dx)
+    jax.block_until_ready(amp)
+
+    def forward(c, plan, amp, r, t):
         if ops_dispatch.pallas_enabled():
             opd = zernike_sum_pallas(c, NMS6, r, t, grads='coefs')
         else:
@@ -206,20 +233,20 @@ def cfg2_mdft_grad(jax, jnp):
         E = Wavefront.from_amp_and_phase(amp, opd, WVL, dx).focus_dft(plan)
         return E.intensity.data
 
-    measure = jax.jit(lambda c, plan: forward(c * 0.5, plan))
-    I_meas = measure(coefs, plan)
+    measure = jax.jit(lambda c, plan, a, r, t: forward(c * 0.5, plan, a, r, t))
+    I_meas = measure(coefs, plan, amp, r, t)
     jax.block_until_ready(I_meas)
 
-    def loss(c, plan, I_meas):
-        return jnp.sum((forward(c, plan) - I_meas) ** 2)
+    def loss(c, plan, amp, r, t, I_meas):
+        return jnp.sum((forward(c, plan, amp, r, t) - I_meas) ** 2)
 
     grad_step = jax.value_and_grad(loss)
 
     def make_chain(_K):
         @jax.jit
-        def run(c, plan, I_meas, K):
+        def run(c, plan, amp, r, t, I_meas, K):
             def body(_, ck):
-                _, g = grad_step(ck, plan, I_meas)
+                _, g = grad_step(ck, plan, amp, r, t, I_meas)
                 return ck - 1e-12 * g
             return jnp.sum(jax.lax.fori_loop(0, K, body, c))
         return run
@@ -230,7 +257,7 @@ def cfg2_mdft_grad(jax, jnp):
     cmacs = fN * N * N + fN * N * fN
     meta = {'hand_flops_per_step': 2 * 8 * cmacs + 40 * N * N,
             'hand_bytes_per_step': 2 * (2 * fN * N * 8) + 12 * N * N * 4}
-    return make_chain, (coefs, plan, I_meas), meta
+    return make_chain, (coefs, plan, amp, r, t, I_meas), meta
 
 
 def cfg3_segmented(jax, jnp):
@@ -387,11 +414,14 @@ def cfg5_coronagraph(jax, jnp):
     det = Detector(dark_current=2.0, read_noise=5.0, bias=100.0, fwc=60e3,
                    conversion_gain=0.5, bits=14, exposure_time=1e-2)
 
-    def run(fpm, splan, key):
-        x, y = make_xy_grid(N, diameter=2.2)
-        r = jnp.hypot(x, y)
-        amp = antialias(circle_sdf(1.0, r), dx)
-        lyot = antialias(circle_sdf(0.9, r), dx)
+    x5, y5 = make_xy_grid(N, diameter=2.2)
+    r5g = jnp.hypot(x5, y5)
+    amp5 = antialias(circle_sdf(1.0, r5g), dx)
+    lyot5 = antialias(circle_sdf(0.9, r5g), dx)
+
+    def run(fpm, splan, key, amp=None, lyot=None):
+        amp = amp5 if amp is None else amp
+        lyot = lyot5 if lyot is None else lyot
         E = jnp.broadcast_to(amp, (len(wvls), N, N)) + 0j
         after = _babinet(E, lyot=lyot, fpm=fpm, executor=splan)
         at_focus = _fft_focus(after, Q=1)
