@@ -61,42 +61,87 @@ def _pruned_geometry(in_shape, Q):
     return out if ok else None
 
 
+def _cb(n, rdtype):
+    """(-1)^k checkerboard sign vector, a compile-time constant."""
+    return jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(rdtype)
+
+
 def _pruned_pad_shift_transform(E, M_y, M_x, transform):
-    """transform2d(ifftshift(pad_center(E))) with zero rows pruned.
+    """fftshift(transform2d(ifftshift(pad_center(E)))) with zero rows
+    pruned AND both shift copies folded into checkerboard signs.
 
     After ifftshift, the centered pad becomes a middle band of zero rows
     and columns; the first (row) FFT pass therefore only runs over the N
     nonzero rows — 25% of the two-pass fft2 cost saved at Q=2 — and the
-    zeros are concatenated back in before the dense column pass.  The
-    math is identical to the dense path (FFTs of zero rows are zero).
+    zeros are concatenated back in before the dense column pass.
+
+    The trailing output fftshift (a full-size gather copy — ~80 us at
+    2048^2 c64, r5) is algebraic instead: fftshift(F(w)) = F(w * cb)
+    with cb = (-1)^n for even sizes, so the signs multiply the
+    (smaller) pre-transform operands and fuse into the concatenates.
+    Exact (sign flips only); callers must NOT fftshift the result.
     """
     N_y, N_x = E.shape[-2:]
     h_y, h_x = N_y // 2, N_x // 2
+    rdt = E.real.dtype
     iv = jnp.fft.ifftshift(E, axes=_AX)
     lead = E.shape[:-2]
+    cbx = _cb(M_x, rdt)
     z_cols = jnp.zeros((*lead, N_y, M_x - N_x), iv.dtype)
-    rows = jnp.concatenate([iv[..., :, :h_x], z_cols, iv[..., :, h_x:]],
-                           axis=-1)
+    # cbx at each piece's destination columns: [0:h_x] and [M_x-(N_x-h_x):]
+    rows = jnp.concatenate(
+        [iv[..., :, :h_x] * cbx[:h_x],
+         z_cols,
+         iv[..., :, h_x:] * cbx[M_x - (N_x - h_x):]], axis=-1)
     Y = transform(rows, axis=-1)
+    cby = _cb(M_y, rdt)
     z_mid = jnp.zeros((*lead, M_y - N_y, M_x), Y.dtype)
-    Y = jnp.concatenate([Y[..., :h_y, :], z_mid, Y[..., h_y:, :]], axis=-2)
+    Y = jnp.concatenate(
+        [Y[..., :h_y, :] * cby[:h_y, None],
+         z_mid,
+         Y[..., h_y:, :] * cby[M_y - (N_y - h_y):, None]], axis=-2)
     return transform(Y, axis=-2)
 
 
 def _pruned_shift_transform_crop(X, N_y, N_x, transform):
-    """crop_center(fftshift(transform2d(ifftshift(X)))) with pruned rows.
+    """crop_center(fftshift(transform2d(ifftshift(X)))) with pruned rows
+    and the full-size input ifftshift folded into output signs.
 
     The adjoint-side twin: only the N rows that survive the final crop
-    enter the second (row-direction) pass.
+    enter the second (row-direction) pass.  For even sizes the input
+    ifftshift satisfies F(ifftshift(x)) = cb * F(x) per axis and the
+    column permutation commutes with the row-direction transform, so
+    the 2048^2 gather copy becomes a (N_y, N_x) sign multiply on the
+    cropped output — exact, sign flips only.
     """
     M_y, M_x = X.shape[-2:]
     h_y, h_x = N_y // 2, N_x // 2
-    Z = transform(jnp.fft.ifftshift(X, axes=_AX), axis=-2)
+    rdt = X.real.dtype
+    Z = transform(X, axis=-2)
     rows = jnp.concatenate([Z[..., M_y - h_y:, :], Z[..., :h_y, :]],
                            axis=-2)
     W = transform(rows, axis=-1)
-    return jnp.concatenate([W[..., :, M_x - h_x:], W[..., :, :h_x]],
-                           axis=-1)
+    out = jnp.concatenate([W[..., :, M_x - h_x:], W[..., :, :h_x]],
+                          axis=-1)
+    cby = _cb(M_y, rdt)
+    cbx = _cb(M_x, rdt)
+    sr = jnp.concatenate([cby[M_y - h_y:], cby[:h_y]])
+    sc = jnp.concatenate([cbx[M_x - h_x:], cbx[:h_x]])
+    return out * (sr[:, None] * sc[None, :])
+
+
+def _dense_cb_sandwich(x, transform2d):
+    """fftshift(transform2d(ifftshift(x))) via checkerboard signs.
+
+    For even trailing dims the whole shift sandwich collapses to
+    cb2 * T(cb2 * x) * (-1)^(Ny/2 + Nx/2) — two fused sign multiplies
+    instead of two full-size gather copies.  Exact: sign flips only.
+    """
+    Ny, Nx = x.shape[-2:]
+    rdt = x.real.dtype
+    cb2 = _cb(Ny, rdt)[:, None] * _cb(Nx, rdt)[None, :]
+    s0 = (-1.0) ** ((Ny // 2) + (Nx // 2))
+    return cb2 * transform2d(cb2 * x) * s0
 
 
 def focus(wavefunction, Q):
@@ -104,9 +149,12 @@ def focus(wavefunction, Q):
     geom = _pruned_geometry(wavefunction.shape[-2:], Q)
     if geom is not None:
         scale = 1.0 / math.sqrt(geom[0] * geom[1])
-        out = _pruned_pad_shift_transform(wavefunction, *geom, jnp.fft.fft)
-        return jnp.fft.fftshift(out, axes=_AX) * scale
+        # the output fftshift is folded into the pruned transform's signs
+        return _pruned_pad_shift_transform(wavefunction, *geom,
+                                           jnp.fft.fft) * scale
     padded = _maybe_pad(wavefunction, Q)
+    if all(s % 2 == 0 for s in padded.shape[-2:]):
+        return _dense_cb_sandwich(padded, _norm_ortho_fft2)
     return jnp.fft.fftshift(_norm_ortho_fft2(jnp.fft.ifftshift(padded, axes=_AX)), axes=_AX)
 
 
@@ -127,11 +175,14 @@ def unfocus(wavefunction, Q):
     """Propagate a PSF plane to a pupil plane (unitary inverse FFT)."""
     geom = _pruned_geometry(wavefunction.shape[-2:], Q)
     if geom is not None:
-        # the two ifft passes already carry the 1/(My*Mx) factor
+        # the two ifft passes already carry the 1/(My*Mx) factor; the
+        # output fftshift is folded into the pruned transform's signs
         scale = math.sqrt(geom[0] * geom[1])
-        out = _pruned_pad_shift_transform(wavefunction, *geom, jnp.fft.ifft)
-        return jnp.fft.fftshift(out, axes=_AX) * scale
+        return _pruned_pad_shift_transform(wavefunction, *geom,
+                                           jnp.fft.ifft) * scale
     padded = _maybe_pad(wavefunction, Q)
+    if all(s % 2 == 0 for s in padded.shape[-2:]):
+        return _dense_cb_sandwich(padded, _norm_ortho_ifft2)
     return jnp.fft.fftshift(_norm_ortho_ifft2(jnp.fft.ifftshift(padded, axes=_AX)), axes=_AX)
 
 
