@@ -72,8 +72,10 @@ def _mtf_magnitude_rfft(psf):
     even trailing dims (callers fall back otherwise).
     """
     M = psf.shape[-1]
-    half = jnp.abs(jnp.fft.rfft2(jnp.fft.ifftshift(psf, axes=_AX),
-                                 axes=_AX))              # (..., My, M//2+1)
+    # no input ifftshift: for even dims it only flips signs per frequency
+    # (F(ifftshift x) = (-1)^k F(x)), which the magnitude erases — one
+    # full-size gather copy saved (r5)
+    half = jnp.abs(jnp.fft.rfft2(psf, axes=_AX))         # (..., My, M//2+1)
     # columns kx = M//2+1 .. M-1: |F(ky, kx)| = |F((-ky) % My, M - kx)|
     left = half[..., :, 1:M // 2]                         # kx = 1..M//2-1
     mirrored = jnp.flip(left, axis=-1)                    # kx -> M - kx
@@ -205,8 +207,9 @@ def _encircled_energy_rfft(psf, dxv, radii):
     reduction.  Requires even trailing dims (callers gate on that).
     """
     Ny, Nx = psf.shape[-2:]
-    half = jnp.abs(jnp.fft.rfft2(jnp.fft.ifftshift(psf, axes=_AX),
-                                 axes=_AX))            # (..., Ny, Nx//2+1)
+    # input ifftshift dropped: sign flips only under the magnitude (see
+    # _mtf_magnitude_rfft)
+    half = jnp.abs(jnp.fft.rfft2(psf, axes=_AX))       # (..., Ny, Nx//2+1)
     df = 1000 / (Ny * dxv)
     ky = jnp.arange(Ny)
     fy = jnp.where(ky <= Ny // 2, ky, ky - Ny) * df
