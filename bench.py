@@ -431,7 +431,7 @@ def cfg5_coronagraph(jax, jnp):
         blu = planes[:2].sum(axis=0) * 3e9
         mosaic = composite_bayer(red, grn, grn, blu)
         # parity API; auto-dispatches to the fused hardware-PRNG noise
-        # kernel on TPU: 229x the jax.random chain at this size
+        # kernel on TPU: ~200x the jax.random chain at this size
         # (tools/kernel_bench.py r3)
         frame = det.expose(mosaic, seed=0)
         return demosaic_malvar(frame.astype(jnp.float32))

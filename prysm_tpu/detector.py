@@ -106,7 +106,7 @@ class Detector:
         required for reproducible noise.
 
         On TPU, photon-rich scenes route through the fused Pallas
-        hardware-PRNG kernel (one VMEM pass; ~229x the jax.random chain at
+        hardware-PRNG kernel (one VMEM pass; ~200x the jax.random chain at
         1024^2) without any API change; CPU runs, f64 oracles, and
         concretely photon-starved scenes keep the exact-Poisson
         ``jax.random`` path.  Force a path with method='fused'/'random';

@@ -105,7 +105,11 @@ def bench_noise():
             def body(i, carry):
                 im, key = carry
                 key = jax.random.fold_in(key, i)
-                f = det.expose(im, key=key).astype(im.dtype)
+                # method='random' forces the jax.random twin: since r4,
+                # the default 'auto' routes photon-rich TPU scenes to the
+                # fused kernel, which made this branch compare pallas to
+                # itself (measured 0.91x in r5 before this fix)
+                f = det.expose(im, key=key, method='random').astype(im.dtype)
                 return im + 1e-12 * f, key
             im2, _ = jax.lax.fori_loop(0, K, body, (im, key))
             return im2.sum()
