@@ -71,17 +71,20 @@ def _mtf_magnitude_rfft(psf):
     of the three FFT passes in the flagship gradient step.  Requires
     even trailing dims (callers fall back otherwise).
     """
-    M = psf.shape[-1]
+    My, M = psf.shape[-2:]
     # no input ifftshift: for even dims it only flips signs per frequency
     # (F(ifftshift x) = (-1)^k F(x)), which the magnitude erases — one
     # full-size gather copy saved (r5)
     half = jnp.abs(jnp.fft.rfft2(psf, axes=_AX))         # (..., My, M//2+1)
-    # columns kx = M//2+1 .. M-1: |F(ky, kx)| = |F((-ky) % My, M - kx)|
-    left = half[..., :, 1:M // 2]                         # kx = 1..M//2-1
-    mirrored = jnp.flip(left, axis=-1)                    # kx -> M - kx
-    mirrored = jnp.roll(jnp.flip(mirrored, axis=-2), 1, axis=-2)  # ky -> -ky
-    full = jnp.concatenate([half, mirrored], axis=-1)
-    return jnp.fft.fftshift(full, axes=_AX)
+    # assemble the fftshifted full plane DIRECTLY from the half plane
+    # (no trailing full-size fftshift pass): shifted position (q, p) maps
+    # to unshifted (ky, kx) = ((q + My/2) % My, p - M/2); for p < M/2 the
+    # Hermitian mirror |F(ky, kx)| = |F(-ky % My, M - kx)| supplies it
+    right = jnp.roll(half[..., :, :M // 2], -(My // 2), axis=-2)
+    left = jnp.roll(jnp.flip(jnp.flip(half[..., :, 1:M // 2 + 1],
+                                      axis=-1), axis=-2),
+                    My // 2 + 1, axis=-2)
+    return jnp.concatenate([left, right], axis=-1)
 
 
 def mtf_from_psf(psf, dx=None, return_more=False):
